@@ -1,0 +1,34 @@
+"""Parquet readers for the driver's analytic tables.
+
+Thin by design: ``spark.read.parquet`` already gives predicate pushdown,
+column pruning, partition pruning and vectorized decode; wrapping it in
+anything imperative would only hide those from Catalyst.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from python_cdc_spark.schemas import ANALYTIC_TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver table. Filters/projections applied by the caller
+    push down to the parquet scan (verify with ``.explain``: PushedFilters,
+    ReadSchema)."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Read all driver tables as a dict of DataFrames."""
+    return {name: table(spark, sf_dir, name) for name in ANALYTIC_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every driver table as a temp view for ``spark.sql`` use."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
