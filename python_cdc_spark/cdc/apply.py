@@ -1,0 +1,111 @@
+"""Apply-changes: materialize current state from a CDC event feed (E18).
+
+This is the engine's flagship custom operator — the capability the whole
+reference exists to enable but never implements (its sink just
+pretty-prints events, ``/root/reference/cdc_consumer.py:58-68``).
+
+Semantics (matching pgoutput behavior as decoded by
+``/root/reference/utils/pg_output_parser.py``):
+
+- Events are ordered per key by ``lsn`` (commit order; the reference
+  tracks it as ``msg.data_start``, ``postgre_cdc_consumer.py:99``).
+- DELETE removes the row; a later INSERT recreates it from scratch.
+- INSERT/UPDATE set the columns present in ``new_values``; a value equal
+  to the ``[unchanged]`` TOAST sentinel (``pg_output_parser.py:112-113``)
+  leaves the previous value in place.
+- UPDATE/DELETE may carry key-only old images (replica identity ``K``,
+  ``pg_output_parser.py:175``) — apply therefore keys on the explicit
+  ``key`` column, never on the full old image.
+
+Scale design: pure DataFrame composition — three hash shuffles, all on
+the row key (or key+column), no Python UDFs, no collect. Per-column
+argmax (``max_by`` over lsn) instead of per-key ``collect_list`` keeps
+hot keys from concentrating whole histories on one task: the explode
+spreads a key's events across its columns, and AQE skew-join handles the
+rest. At 100 TB the feed shuffles once on key for the delete-boundary
+join and once on (key, column) for the argmax.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from python_cdc_spark.schemas import OP_DELETE, OP_INSERT, UNCHANGED_SENTINEL
+
+
+def latest_per_key(
+    df: DataFrame, key_cols: list[str], order_col: str = "lsn"
+) -> DataFrame:
+    """Latest event per key by ``order_col`` (window argmax, E9/E18
+    building block). Deterministic for unique ``order_col``."""
+    w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).desc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def _delete_boundary(events: DataFrame, key_col: str) -> DataFrame:
+    """Per key: the lsn of the last DELETE (row lifetimes restart after
+    it), or -1 if never deleted."""
+    return (
+        events.groupBy(key_col)
+        .agg(
+            F.coalesce(
+                F.max(F.when(F.col("operation") == OP_DELETE, F.col("lsn"))),
+                F.lit(-1).cast("long"),
+            ).alias("__last_delete_lsn")
+        )
+    )
+
+
+def apply_changes(events: DataFrame, key_col: str = "key") -> DataFrame:
+    """Fold a CDC feed into current state: one row per live key with a
+    ``values`` map of the latest non-sentinel column values.
+
+    Returns ``(key_col, values: map<string,string>)``. Keys whose final
+    standing event is DELETE (with no later INSERT/UPDATE) disappear —
+    the reference's end state after its golden sequence
+    (``test_changes.py:73-91``: the test row is gone).
+    """
+    boundaries = _delete_boundary(events, key_col)
+    live = (
+        events.filter(F.col("operation") != OP_DELETE)
+        .join(boundaries, key_col)
+        .filter(F.col("lsn") > F.col("__last_delete_lsn"))
+    )
+    # Explode images to (key, column, value, lsn); the sentinel marks a
+    # column NOT carried by this event, so it must not win the argmax.
+    cells = (
+        live.select(key_col, "lsn", F.explode("new_values").alias("column", "value"))
+        .filter(F.col("value").isNull() | (F.col("value") != UNCHANGED_SENTINEL))
+    )
+    latest_cells = cells.groupBy(key_col, "column").agg(
+        F.max_by("value", "lsn").alias("value"), F.max("lsn").alias("__lsn")
+    )
+    return (
+        latest_cells.groupBy(key_col)
+        .agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("column", "value")))
+            ).alias("values"),
+            F.max("__lsn").alias("last_lsn"),
+        )
+    )
+
+
+def apply_changes_typed(
+    events: DataFrame, key_col: str, columns: dict[str, str]
+) -> DataFrame:
+    """Apply-changes with the ``values`` map pivoted to typed columns.
+
+    ``columns`` maps output column name → Spark cast type (the cast layer
+    for the reference's untyped string values, SURVEY.md §7 hard-part 4).
+    """
+    state = apply_changes(events, key_col)
+    cols: list[Column] = [F.col(key_col), F.col("last_lsn")]
+    for name, dtype in columns.items():
+        cols.append(F.col("values").getItem(name).cast(dtype).alias(name))
+    return state.select(*cols)

@@ -10,6 +10,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from python_cdc_spark.schemas import ANALYTIC_TABLES
 
@@ -19,8 +20,21 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver table. Filters/projections applied by the caller
     push down to the parquet scan (verify with ``.explain``: PushedFilters,
-    ReadSchema)."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    ReadSchema).
+
+    ``events.parquet`` is written with TIMESTAMP(NANOS), which Spark's
+    parquet reader rejects; we read nanos as long (legacy conf) and
+    rebuild a micros timestamp — lossless here because the generator's
+    datetimes are microsecond-resolution.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(path)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -1,1 +1,174 @@
-"""Placeholder — populated in this round."""
+"""Oracle-checked CDC operator queries.
+
+The CDC feed is derived deterministically from the driver's ``events``
+table (``python_cdc_spark.cdc.feed.events_as_cdc_feed``), so the DuckDB
+oracle can rebuild the identical feed in SQL and cross-check the engine's
+apply/SCD2 semantics — including the ``[unchanged]`` TOAST sentinel and
+delete/reinsert lifetimes (SURVEY.md §7 hard parts 2–3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from python_cdc_spark.cdc.apply import apply_changes_typed, latest_per_key
+from python_cdc_spark.cdc.feed import events_as_cdc_feed
+from python_cdc_spark.cdc.scd2 import scd2_history
+from python_cdc_spark.queries.registry import register
+
+# The derived feed, as DuckDB SQL (must mirror events_as_cdc_feed exactly).
+_FEED_CTE = """
+feed AS (
+  SELECT user_id AS key, event_id AS lsn, ts,
+         CASE WHEN event_type = 'signup' THEN 'INSERT'
+              WHEN event_type = 'error'  THEN 'DELETE'
+              ELSE 'UPDATE' END AS operation,
+         CASE WHEN event_type <> 'error' THEN CAST(value AS VARCHAR) END AS v_value,
+         CASE WHEN event_type <> 'error' THEN event_type END AS v_event_type,
+         CASE WHEN event_type = 'error' THEN NULL
+              WHEN event_type = 'purchase' THEN '[unchanged]'
+              ELSE props END AS v_props
+  FROM events
+)
+"""
+
+
+@register(
+    "cdc_apply_changes",
+    oracle=f"""
+    WITH {_FEED_CTE},
+    bound AS (
+      SELECT key,
+             COALESCE(MAX(CASE WHEN operation = 'DELETE' THEN lsn END), -1) AS last_del
+      FROM feed GROUP BY key
+    ),
+    live AS (
+      SELECT f.* FROM feed f JOIN bound b USING (key)
+      WHERE f.operation <> 'DELETE' AND f.lsn > b.last_del
+    ),
+    cells AS (
+      SELECT key, lsn, 'value' AS col, v_value AS val FROM live
+      UNION ALL SELECT key, lsn, 'event_type', v_event_type FROM live
+      UNION ALL SELECT key, lsn, 'props', v_props FROM live
+    ),
+    valid AS (SELECT * FROM cells WHERE val IS NULL OR val <> '[unchanged]'),
+    latest AS (
+      SELECT key, col, arg_max(val, lsn) AS val, MAX(lsn) AS l
+      FROM valid GROUP BY key, col
+    )
+    SELECT key AS user_id,
+           MAX(l) AS last_lsn,
+           CAST(MAX(CASE WHEN col = 'value' THEN val END) AS DOUBLE) AS value,
+           MAX(CASE WHEN col = 'event_type' THEN val END) AS event_type,
+           MAX(CASE WHEN col = 'props' THEN val END) AS props
+    FROM latest GROUP BY key
+    """,
+    doc="E18 apply-changes: CDC feed → current state (flagship operator)",
+)
+def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize current per-user state from the derived CDC feed,
+    typed via the cast layer. Exercises delete boundaries, the
+    ``[unchanged]`` sentinel, and per-column latest-wins."""
+    feed = events_as_cdc_feed(spark, sf_dir)
+    state = apply_changes_typed(
+        feed, "key", {"value": "double", "event_type": "string", "props": "string"}
+    )
+    return state.select(
+        F.col("key").cast("long").alias("user_id"),
+        "last_lsn",
+        "value",
+        "event_type",
+        "props",
+    )
+
+
+@register(
+    "cdc_scd2_history",
+    oracle=f"""
+    WITH {_FEED_CTE},
+    vers AS (
+      SELECT key, lsn, ts, operation,
+             LEAD(ts) OVER (PARTITION BY key ORDER BY lsn) AS next_ts
+      FROM feed
+    )
+    SELECT key AS user_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY key ORDER BY lsn) AS BIGINT) AS version,
+           operation,
+           ts AS valid_from,
+           next_ts AS valid_to,
+           next_ts IS NULL AS is_current,
+           lsn
+    FROM vers WHERE operation <> 'DELETE'
+    """,
+    doc="E19 SCD2 history: validity intervals per key version",
+)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feed = events_as_cdc_feed(spark, sf_dir)
+    hist = scd2_history(feed, "key")
+    return hist.select(
+        F.col("key").cast("long").alias("user_id"),
+        F.col("version").cast("long").alias("version"),
+        "operation",
+        "valid_from",
+        "valid_to",
+        "is_current",
+        "lsn",
+    )
+
+
+@register(
+    "cdc_latest_per_key",
+    oracle=f"""
+    WITH {_FEED_CTE}
+    SELECT key AS user_id,
+           arg_max(lsn, lsn) AS lsn,
+           arg_max(operation, lsn) AS operation,
+           arg_max(ts, lsn) AS ts
+    FROM feed GROUP BY key
+    """,
+    doc="Latest event per key (window argmax — E9/E18 building block)",
+)
+def cdc_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feed = events_as_cdc_feed(spark, sf_dir)
+    return latest_per_key(feed, ["key"], "lsn").select(
+        F.col("key").cast("long").alias("user_id"), "lsn", "operation", "ts"
+    )
+
+
+@register(
+    "cdc_op_counts",
+    oracle=f"""
+    WITH {_FEED_CTE}
+    SELECT operation, COUNT(*) AS n, COUNT(DISTINCT key) AS n_keys,
+           MIN(lsn) AS first_lsn, MAX(lsn) AS last_lsn
+    FROM feed GROUP BY operation
+    """,
+    doc="R3 message-type demultiplexer: per-operation stream stats",
+)
+def cdc_op_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feed = events_as_cdc_feed(spark, sf_dir)
+    return feed.groupBy("operation").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("key").alias("n_keys"),
+        F.min("lsn").alias("first_lsn"),
+        F.max("lsn").alias("last_lsn"),
+    )
+
+
+@register(
+    "cdc_schema_registry",
+    oracle="""
+    SELECT 'public' AS "schema", 'users_activity' AS "table", col AS "column",
+           MIN(event_id) AS first_lsn, MAX(event_id) AS last_lsn
+    FROM events
+    CROSS JOIN (SELECT UNNEST(['user_id','value','event_type','props']) AS col)
+    GROUP BY col
+    """,
+    doc="R4 relation-registry analog: dynamic schema discovery from feed",
+)
+def cdc_schema_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from python_cdc_spark.cdc.typing import schema_registry_from_feed
+
+    feed = events_as_cdc_feed(spark, sf_dir)
+    return schema_registry_from_feed(feed)

@@ -1,0 +1,157 @@
+"""CDC semantics tests — the reference's golden sequence and the
+edge cases from FIXTURES.md §A2."""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from python_cdc_spark.cdc import (
+    apply_changes,
+    golden_sequence_events,
+    latest_per_key,
+    scd2_history,
+)
+from python_cdc_spark.cdc.apply import apply_changes_typed
+from python_cdc_spark.schemas import CDC_EVENT_SCHEMA
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _ev(lsn, op, key, new=None, old=None, table="users"):
+    return (
+        lsn,
+        op,
+        "public",
+        table,
+        list((new or old or {"id": None}).keys()),
+        old,
+        new,
+        T0 + dt.timedelta(seconds=lsn),
+    )
+
+
+def _feed(spark, rows):
+    df = spark.createDataFrame(rows, CDC_EVENT_SCHEMA)
+    # key extraction: id column of whichever image is present
+    return df.withColumn(
+        "key",
+        F.coalesce(F.col("new_values").getItem("id"), F.col("old_values").getItem("id")),
+    )
+
+
+def test_golden_sequence_end_state_empty(spark):
+    """INSERT → UPDATE → DELETE of one row leaves no state
+    (reference's expected outcome, test_changes.py:73-91)."""
+    feed = golden_sequence_events(spark).withColumn(
+        "key", F.coalesce(F.col("new_values")["id"], F.col("old_values")["id"])
+    )
+    state = apply_changes(feed, "key")
+    assert state.count() == 0
+
+
+def test_golden_sequence_mid_state(spark):
+    """After INSERT + UPDATE only, state reflects the update."""
+    feed = golden_sequence_events(spark)
+    feed = feed.filter(F.col("operation") != "DELETE").withColumn(
+        "key", F.coalesce(F.col("new_values")["id"], F.col("old_values")["id"])
+    )
+    state = apply_changes_typed(
+        feed, "key", {"name": "string", "status": "string", "email": "string"}
+    ).collect()
+    assert len(state) == 1
+    row = state[0]
+    assert row["name"] == "Updated User"
+    assert row["status"] == "inactive"
+    assert row["email"] == "test@example.com"
+
+
+def test_unchanged_sentinel_coalesces(spark):
+    """An UPDATE carrying '[unchanged]' must keep the prior value
+    (pg_output_parser.py:112-113 semantics)."""
+    rows = [
+        _ev(1, "INSERT", None, new={"id": "1", "name": "a", "blob": "big-value"}),
+        _ev(2, "UPDATE", None, new={"id": "1", "name": "b", "blob": "[unchanged]"}),
+    ]
+    state = apply_changes(_feed(spark, rows), "key").collect()[0]
+    assert state["values"]["blob"] == "big-value"
+    assert state["values"]["name"] == "b"
+
+
+def test_delete_then_reinsert_fresh_row(spark):
+    """Columns set before a DELETE must not leak into the re-inserted
+    row (delete-boundary semantics)."""
+    rows = [
+        _ev(1, "INSERT", None, new={"id": "1", "name": "old", "extra": "stale"}),
+        _ev(2, "DELETE", None, old={"id": "1"}),
+        _ev(3, "INSERT", None, new={"id": "1", "name": "new"}),
+    ]
+    state = apply_changes(_feed(spark, rows), "key").collect()[0]
+    assert state["values"] == {"id": "1", "name": "new"}
+
+
+def test_key_only_old_image_delete(spark):
+    """DELETE with a key-only ('K') old image still removes the row."""
+    rows = [
+        _ev(1, "INSERT", None, new={"id": "7", "name": "x"}),
+        _ev(2, "DELETE", None, old={"id": "7"}),  # key-only image
+    ]
+    assert apply_changes(_feed(spark, rows), "key").count() == 0
+
+
+def test_apply_changes_order_invariant(spark):
+    """Permutation property (SURVEY.md §5.2): shuffling event arrival
+    order must not change the final state — lsn defines order."""
+    ops = [
+        _ev(1, "INSERT", None, new={"id": "1", "name": "a", "v": "0"}),
+        _ev(2, "UPDATE", None, new={"id": "1", "v": "1"}),
+        _ev(3, "UPDATE", None, new={"id": "1", "name": "c", "v": "[unchanged]"}),
+        _ev(4, "INSERT", None, new={"id": "2", "name": "z"}),
+        _ev(5, "DELETE", None, old={"id": "2"}),
+        _ev(6, "UPDATE", None, new={"id": "1", "v": "6"}),
+        _ev(7, "INSERT", None, new={"id": "2", "name": "z2"}),
+    ]
+    rng = random.Random(42)
+    baseline = None
+    for _ in range(4):
+        perm = ops[:]
+        rng.shuffle(perm)
+        state = apply_changes(_feed(spark, perm), "key")
+        got = sorted(
+            (r["key"], tuple(sorted(r["values"].items()))) for r in state.collect()
+        )
+        if baseline is None:
+            baseline = got
+        assert got == baseline
+    assert baseline == [
+        ("1", (("id", "1"), ("name", "c"), ("v", "6"))),
+        ("2", (("id", "2"), ("name", "z2"))),
+    ]
+
+
+def test_scd2_versions(spark):
+    rows = [
+        _ev(1, "INSERT", None, new={"id": "1", "s": "a"}),
+        _ev(2, "UPDATE", None, new={"id": "1", "s": "b"}),
+        _ev(3, "DELETE", None, old={"id": "1"}),
+    ]
+    hist = scd2_history(_feed(spark, rows), "key").orderBy("version").collect()
+    assert [r["version"] for r in hist] == [1, 2]
+    assert hist[0]["valid_to"] == hist[1]["valid_from"]
+    # the DELETE closes version 2
+    assert hist[1]["valid_to"] is not None
+    assert not hist[1]["is_current"]
+
+
+def test_latest_per_key(spark):
+    rows = [
+        _ev(1, "INSERT", None, new={"id": "1", "s": "a"}),
+        _ev(5, "UPDATE", None, new={"id": "1", "s": "b"}),
+        _ev(3, "UPDATE", None, new={"id": "1", "s": "c"}),
+    ]
+    latest = latest_per_key(_feed(spark, rows), ["key"]).collect()
+    assert len(latest) == 1
+    assert latest[0]["lsn"] == 5
