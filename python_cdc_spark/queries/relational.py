@@ -1,1 +1,433 @@
-"""Placeholder — populated in this round."""
+"""Relational operator surface (SURVEY.md §2.2 E3–E17).
+
+Each query is the canonical Spark expression of one operator family with
+a DuckDB oracle twin. Cross-engine determinism notes:
+
+- ``year()``/``count()``-style functions return int32 in Spark and int64
+  in DuckDB — Spark side casts to long.
+- ``round()`` on raw doubles is NOT portable (Spark rounds the shortest
+  decimal repr, DuckDB the binary value) — use floor/ceil on scaled
+  values or the decimal-sum helpers instead.
+- Pivot cells with no rows are NULL in Spark but 0 for DuckDB COUNT —
+  coalesce on the Spark side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from python_cdc_spark.io import table
+from python_cdc_spark.queries.helpers import dec_sum, sql_dec_sum
+from python_cdc_spark.queries.registry import register
+
+
+@register(
+    "projection_compute",
+    oracle="""
+    SELECT p_partkey,
+           lower(p_name) AS name_lower,
+           upper(p_brand) AS brand_upper,
+           substr(p_type, 1, 3) AS type_prefix,
+           length(p_name) AS name_len,
+           p_name || '/' || p_brand AS name_brand,
+           replace(p_name, ' ', '_') AS name_snake,
+           regexp_extract(p_brand, '#(\\d+)', 1) AS brand_num,
+           p_retailprice * p_size AS price_x_size,
+           CAST(length(p_name) AS BIGINT) % 7 AS name_mod
+    FROM part
+    """,
+    doc="E3/E16: projection with computed string/math columns",
+)
+def projection_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_type", 1, 3).alias("type_prefix"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.concat_ws("/", "p_name", "p_brand").alias("name_brand"),
+        F.expr("replace(p_name, ' ', '_')").alias("name_snake"),
+        F.regexp_extract("p_brand", r"#(\d+)", 1).alias("brand_num"),
+        (F.col("p_retailprice") * F.col("p_size")).alias("price_x_size"),
+        (F.length("p_name").cast("long") % 7).alias("name_mod"),
+    )
+
+
+@register(
+    "filter_predicates",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+    FROM customer
+    WHERE c_acctbal BETWEEN 100 AND 9000
+      AND c_mktsegment IN ('BUILDING', 'MACHINERY')
+      AND c_name LIKE 'Customer%'
+      AND c_nationkey IS NOT NULL
+      AND NOT (c_acctbal < 0)
+    """,
+    doc="E4: compound predicates — between, in-list, like, null checks",
+)
+def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    return c.filter(
+        F.col("c_acctbal").between(100, 9000)
+        & F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+        & F.col("c_name").like("Customer%")
+        & F.col("c_nationkey").isNotNull()
+        & ~(F.col("c_acctbal") < 0)
+    ).select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+
+
+@register(
+    "join_left_outer",
+    oracle=f"""
+    SELECT c_custkey, c_name,
+           COUNT(o_orderkey) AS n_orders,
+           {sql_dec_sum('o_totalprice', 'total_spend')}
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    """,
+    doc="E5: left outer join preserving customers without orders",
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            dec_sum(F.col("o_totalprice"), "total_spend"),
+        )
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+    """,
+    doc="E7: left-semi join (EXISTS)",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    doc="E7: left-anti join (NOT EXISTS) — customers with no orders",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "join_range_theta",
+    oracle="""
+    SELECT s_suppkey, s_name, COUNT(c_custkey) AS n_close_customers
+    FROM supplier LEFT JOIN customer
+      ON c_acctbal BETWEEN s_acctbal - 100 AND s_acctbal + 100
+    GROUP BY s_suppkey, s_name
+    """,
+    doc="E8: non-equi (band) join — customers within ±100 acctbal of each supplier",
+)
+def join_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta joins have no hash path; Spark plans BroadcastNestedLoopJoin
+    with the small side broadcast — the right call at scale too (supplier
+    is the small build side; band predicates can additionally be bucketed
+    by range binning when both sides are large)."""
+    s = table(spark, sf_dir, "supplier")
+    c = table(spark, sf_dir, "customer")
+    cond = F.col("c_acctbal").between(F.col("s_acctbal") - 100, F.col("s_acctbal") + 100)
+    return (
+        broadcast(s)
+        .join(c, cond, "left")
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count("c_custkey").alias("n_close_customers"))
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle=f"""
+    SELECT r_name, n_name,
+           {sql_dec_sum('c_acctbal', 'total_acctbal')},
+           COUNT(*) AS n_customers,
+           CAST(GROUPING(r_name) AS BIGINT) * 2 + CAST(GROUPING(n_name) AS BIGINT)
+             AS grouping_level
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+    doc="E12: rollup with grouping() disambiguation of null groups",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        c.join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            dec_sum(F.col("c_acctbal"), "total_acctbal"),
+            F.count(F.lit(1)).alias("n_customers"),
+            (
+                F.grouping("r_name").cast("long") * 2 + F.grouping("n_name").cast("long")
+            ).alias("grouping_level"),
+        )
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           CAST(GROUPING(o_orderstatus) AS BIGINT) * 2
+             + CAST(GROUPING(o_orderpriority) AS BIGINT) AS grouping_level
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="E12: cube over status × priority",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.grouping("o_orderstatus").cast("long") * 2
+            + F.grouping("o_orderpriority").cast("long")
+        ).alias("grouping_level"),
+    )
+
+
+@register(
+    "distinct_counts",
+    oracle="""
+    SELECT COUNT(DISTINCT c_mktsegment) AS n_segments,
+           COUNT(DISTINCT c_nationkey) AS n_nations,
+           COUNT(DISTINCT c_mktsegment || '|' || CAST(c_nationkey AS VARCHAR))
+             AS n_segment_nation_pairs,
+           COUNT(*) AS n_rows
+    FROM customer
+    """,
+    doc="E11: multi count-distinct (expand-based in Spark)",
+)
+def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    return c.agg(
+        F.countDistinct("c_mktsegment").alias("n_segments"),
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.countDistinct(
+            F.concat_ws("|", "c_mktsegment", F.col("c_nationkey").cast("string"))
+        ).alias("n_segment_nation_pairs"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "pivot_status_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS status_O,
+           COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS status_F,
+           COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS status_P
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="E17: pivot with explicit value list (no collect of pivot keys)",
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "o_orderpriority",
+        F.coalesce(F.col("O"), F.lit(0)).cast("long").alias("status_O"),
+        F.coalesce(F.col("F"), F.lit(0)).cast("long").alias("status_F"),
+        F.coalesce(F.col("P"), F.lit(0)).cast("long").alias("status_P"),
+    )
+
+
+@register(
+    "set_operations",
+    oracle="""
+    WITH b AS (SELECT DISTINCT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+         a AS (SELECT DISTINCT c_nationkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
+    SELECT 'union' AS op, COUNT(*) AS n FROM (SELECT * FROM b UNION SELECT * FROM a)
+    UNION ALL
+    SELECT 'intersect', COUNT(*) FROM (SELECT * FROM b INTERSECT SELECT * FROM a)
+    UNION ALL
+    SELECT 'except', COUNT(*) FROM (SELECT * FROM b EXCEPT SELECT * FROM a)
+    """,
+    doc="E15: union / intersect / except",
+)
+def set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    b = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_nationkey").distinct()
+    a = c.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_nationkey").distinct()
+    return (
+        b.union(a).distinct().agg(F.count(F.lit(1)).alias("n")).select(F.lit("union").alias("op"), "n")
+        .unionByName(
+            b.intersect(a).agg(F.count(F.lit(1)).alias("n")).select(F.lit("intersect").alias("op"), "n")
+        )
+        .unionByName(
+            b.subtract(a).agg(F.count(F.lit(1)).alias("n"))
+            .select(F.lit("except").alias("op"), "n")
+        )
+    )
+
+
+@register(
+    "scalar_date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           date_trunc('month', o_orderdate) AS order_month,
+           CAST(year(o_orderdate) AS BIGINT) AS order_year,
+           CAST(month(o_orderdate) AS BIGINT) AS order_mon,
+           CAST(day(o_orderdate) AS BIGINT) AS order_day,
+           o_orderdate + INTERVAL 30 DAY AS due_date,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT)
+             AS days_since_epoch_start
+    FROM orders
+    """,
+    doc="E16: date/time scalar functions",
+)
+def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        # DuckDB's date_trunc('month') yields DATE; match it.
+        F.date_trunc("month", "o_orderdate").cast("date").alias("order_month"),
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_mon"),
+        F.dayofmonth("o_orderdate").cast("long").alias("order_day"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+        ).cast("long").alias("days_since_epoch_start"),
+    )
+
+
+@register(
+    "scalar_math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           abs(l_extendedprice - 50000) AS abs_diff,
+           floor(l_quantity) AS qty_floor,
+           ceil(l_discount * 100) AS disc_pct_ceil,
+           sqrt(l_extendedprice) AS price_sqrt,
+           l_quantity * l_quantity AS qty_sq,
+           CAST(l_orderkey % 10 AS BIGINT) AS key_mod,
+           greatest(l_discount, l_tax) AS max_rate,
+           least(l_discount, l_tax) AS min_rate
+    FROM lineitem WHERE l_orderkey <= 1000
+    """,
+    doc="E16: math scalar functions (IEEE-deterministic subset)",
+)
+def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 1000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_extendedprice") - 50000).alias("abs_diff"),
+        F.floor("l_quantity").alias("qty_floor"),
+        F.ceil(F.col("l_discount") * 100).alias("disc_pct_ceil"),
+        F.sqrt("l_extendedprice").alias("price_sqrt"),
+        (F.col("l_quantity") * F.col("l_quantity")).alias("qty_sq"),
+        (F.col("l_orderkey") % 10).alias("key_mod"),
+        F.greatest("l_discount", "l_tax").alias("max_rate"),
+        F.least("l_discount", "l_tax").alias("min_rate"),
+    )
+
+
+@register(
+    "json_extraction",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket
+    FROM events
+    """,
+    doc="E16: JSON field extraction from the events.props column",
+)
+def json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    return ev.select(
+        "event_id",
+        k.alias("k_str"),
+        k.cast("long").alias("k_num"),
+        (k.cast("long") % 10).alias("k_bucket"),
+    )
+
+
+@register(
+    "case_when_bucketing",
+    oracle=f"""
+    SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
+                WHEN c_acctbal < 3000 THEN 'low'
+                WHEN c_acctbal < 7000 THEN 'mid'
+                ELSE 'high' END AS balance_bucket,
+           COUNT(*) AS n,
+           {sql_dec_sum('c_acctbal', 'total_bal')}
+    FROM customer GROUP BY 1
+    """,
+    doc="E3/E10: CASE WHEN bucketing + aggregation",
+)
+def case_when_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    bucket = (
+        F.when(F.col("c_acctbal") < 0, "negative")
+        .when(F.col("c_acctbal") < 3000, "low")
+        .when(F.col("c_acctbal") < 7000, "mid")
+        .otherwise("high")
+    )
+    return (
+        c.withColumn("balance_bucket", bucket)
+        .groupBy("balance_bucket")
+        .agg(F.count(F.lit(1)).alias("n"), dec_sum(F.col("c_acctbal"), "total_bal"))
+    )
+
+
+@register(
+    "grouping_sets_sql",
+    oracle=f"""
+    SELECT c_mktsegment, n_name, COUNT(*) AS n,
+           {sql_dec_sum('c_acctbal', 'total_bal')}
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY GROUPING SETS ((c_mktsegment), (n_name), ())
+    """,
+    doc="E12: GROUPING SETS via Spark SQL",
+)
+def grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Demonstrates the SQL entry path (spark.sql over registered views)
+    rather than the DataFrame DSL."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer_gs")
+    table(spark, sf_dir, "nation").createOrReplaceTempView("nation_gs")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, n_name, COUNT(*) AS n,
+               CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(30,10))), 4) AS DOUBLE) AS total_bal
+        FROM customer_gs JOIN nation_gs ON c_nationkey = n_nationkey
+        GROUP BY GROUPING SETS ((c_mktsegment), (n_name), ())
+        """
+    )

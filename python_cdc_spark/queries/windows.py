@@ -1,1 +1,249 @@
-"""Placeholder — populated in this round."""
+"""Window/analytic operators (SURVEY.md §2.2 E9, E13, E14, E21, E23).
+
+Determinism: every window ORDER BY ends in a unique key (event_id /
+orderkey) so rank/lag/running results are well-defined on both engines.
+Running double sums go through per-partition decimal accumulation
+(exact → order-independent) like the aggregate helpers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from python_cdc_spark.io import table
+from python_cdc_spark.queries.registry import register
+
+
+@register(
+    "window_topk_per_group",
+    oracle="""
+    SELECT * FROM (
+      SELECT c_custkey, o_orderkey, o_totalprice,
+             CAST(ROW_NUMBER() OVER (PARTITION BY c_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
+      FROM customer JOIN orders ON c_custkey = o_custkey
+    ) WHERE rnk <= 3
+    """,
+    doc="E13/E14: top-3 orders per customer via window rank (no global sort)",
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group is the scale-safe form of per-group sorting: one
+    hash shuffle on the partition key, a per-partition sort, no global
+    ordering of the fact table."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("c_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .select("c_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@register(
+    "window_rank_dense_ntile",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           CAST(RANK()       OVER w AS BIGINT) AS bal_rank,
+           CAST(DENSE_RANK() OVER w AS BIGINT) AS bal_dense_rank,
+           CAST(NTILE(4)     OVER w AS BIGINT) AS bal_quartile,
+           CAST(COUNT(*) OVER (PARTITION BY c_mktsegment) AS BIGINT) AS segment_size
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    """,
+    doc="E13: rank / dense_rank / ntile / windowed count",
+)
+def window_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.rank().over(w).cast("long").alias("bal_rank"),
+        F.dense_rank().over(w).cast("long").alias("bal_dense_rank"),
+        F.ntile(4).over(w).cast("long").alias("bal_quartile"),
+        F.count(F.lit(1)).over(Window.partitionBy("c_mktsegment")).alias("segment_size"),
+    )
+
+
+@register(
+    "window_lag_lead",
+    oracle="""
+    SELECT event_id, user_id, ts, value,
+           LAG(value)  OVER w AS prev_value,
+           LEAD(value) OVER w AS next_value,
+           LAG(ts)     OVER w AS prev_ts,
+           CAST((epoch_us(ts) - epoch_us(LAG(ts) OVER w)) // 1000 AS BIGINT) AS ms_since_prev
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc="E13: lag/lead navigation over per-user event sequences",
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        prev_ts.alias("prev_ts"),
+        # integer division on both sides — double division + cast would
+        # truncate differently than DuckDB's boundary counting
+        ((F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts)) / F.lit(1000))
+        .cast("long").alias("ms_since_prev"),
+    )
+
+
+@register(
+    "window_running_total",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10)))
+                  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_spend,
+           CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS order_seq
+    FROM orders
+    """,
+    doc="E13: running total per customer (decimal-exact prefix sums)",
+)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(30,10)"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double")
+        .alias("running_spend"),
+        F.row_number().over(w).cast("long").alias("order_seq"),
+    )
+
+
+@register(
+    "asof_join_latest_click",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+      SELECT user_id, ts, value, event_id FROM events WHERE event_type = 'click'
+    )
+    SELECT p.event_id, p.user_id, p.ts, p.value,
+           c.ts AS click_ts, c.value AS click_value
+    FROM purchases p
+    LEFT JOIN clicks c ON c.user_id = p.user_id AND c.event_id = (
+      SELECT c2.event_id FROM clicks c2
+      WHERE c2.user_id = p.user_id AND c2.ts <= p.ts
+      ORDER BY c2.ts DESC, c2.event_id DESC LIMIT 1
+    )
+    """,
+    doc="E9: as-of join — each purchase matched to the user's latest prior click",
+)
+def asof_join_latest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join as a union + last_value(ignore nulls) window — a single
+    shuffle on user_id, linear in events, no range cross-join. This is
+    the composite recipe SURVEY.md E9 prescribes; at 100 TB it scales as
+    one sort-within-partition per key."""
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    clicks = ev.filter(F.col("event_type") == "click")
+    tagged = purchases.select(
+        "event_id", "user_id", "ts", "value",
+        F.lit(None).cast("timestamp").alias("c_ts"),
+        F.lit(None).cast("double").alias("c_value"),
+        F.lit(1).alias("is_p"),
+    ).unionByName(
+        clicks.select(
+            "event_id", "user_id", "ts", "value",
+            F.col("ts").alias("c_ts"), F.col("value").alias("c_value"),
+            F.lit(0).alias("is_p"),
+        )
+    )
+    # clicks sort before purchases at identical ts (is_p ascending) so a
+    # same-timestamp click is visible to the purchase — matching the
+    # oracle's c2.ts <= p.ts.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_p", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tagged.withColumn("click_ts", F.last("c_ts", ignorenulls=True).over(w))
+        .withColumn("click_value", F.last("c_value", ignorenulls=True).over(w))
+        .filter(F.col("is_p") == 1)
+        .select("event_id", "user_id", "ts", "value", "click_ts", "click_value")
+    )
+
+
+@register(
+    "sessionize_events",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN date_diff('second', LAG(ts) OVER w, ts) >= 1800
+                    OR LAG(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS is_new_session
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT *, SUM(is_new_session) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM seq
+    )
+    SELECT user_id, session_seq, COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM sess GROUP BY user_id, session_seq
+    """,
+    doc="E21 batch analog: gap-based sessionization (30 min) via windows",
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: the same semantics Structured Streaming's
+    session_window gives on a stream (see streaming module)."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))) / 1_000_000
+    seq = ev.withColumn(
+        "is_new_session",
+        F.when(gap_s.isNull() | (gap_s >= 1800), F.lit(1)).otherwise(F.lit(0)),
+    )
+    sess = seq.withColumn(
+        "session_seq",
+        F.sum("is_new_session").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+@register(
+    "dedup_keep_first",
+    oracle="""
+    SELECT user_id, event_type, event_id, ts, value FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    doc="E23 batch analog: keep first event per (user, type)",
+)
+def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts", "value")
+    )
