@@ -1,0 +1,102 @@
+"""Text-analysis expressions for LLM-pipeline operators (E27).
+
+Tokenization, n-grams, quality features, language-ID heuristics — all
+as JVM-side Column expressions (split/transform/aggregate), no UDFs.
+Every expression has a DuckDB-expressible twin so the queries built on
+them are oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Tiny per-language stopword profiles for the n-gram/stopword heuristic
+#: language ID. Deliberately small and deterministic.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a"),
+    "es": ("el", "la", "de", "que", "y"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "zh": ("的", "是", "了", "在", "我"),
+}
+
+
+def normalized_text(col: Column) -> Column:
+    """Lowercase, whitespace-collapsed text (dedup/fingerprint basis)."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization of normalized text."""
+    return F.split(normalized_text(col), " ")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col)).cast("long")
+
+
+def word_ngrams(col: Column, n: int = 3) -> Column:
+    """Word n-grams as an array<string>; empty array when too short.
+
+    Built with sequence+transform (no explode needed by callers that
+    only aggregate over the grams).
+    """
+    toks = tokens(col)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", *[F.get(toks, i + j) for j in range(n)]),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def quality_features(col: Column) -> dict[str, Column]:
+    """Deterministic quality-scoring features over a text column.
+
+    Mirrors common LLM-corpus filters: length, token stats, punctuation
+    and stopword ratios. All counts are exact integers; ratios are
+    single double divisions (portable).
+    """
+    toks = tokens(col)
+    n_tok = F.size(toks).cast("long")
+    n_chars = F.length(col).cast("long")
+    n_punct = (
+        n_chars - F.length(F.regexp_replace(col, r"[.!?,;:]", ""))
+    ).cast("long")
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin([s for v in LANG_STOPWORDS.values() for s in v]))
+    ).cast("long")
+    mean_tok_len = (
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t).cast("long")
+        ).cast("double")
+        / n_tok
+    )
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tok,
+        "n_punct": n_punct,
+        "punct_ratio": n_punct.cast("double") / n_chars,
+        "stopword_hits": stop_hits,
+        "stopword_ratio": stop_hits.cast("double") / n_tok,
+        "mean_token_len": mean_tok_len,
+    }
+
+
+def lang_guess(col: Column) -> Column:
+    """Stopword-profile language ID: the language with the most stopword
+    hits wins; zero hits falls back to 'en'. Deterministic tie-break:
+    struct comparison (hits, lang) — ties pick the lexicographically
+    LARGEST language code, reproducible in plain SQL."""
+    toks = tokens(col)
+    hits = [
+        F.struct(
+            F.size(F.filter(toks, lambda t: t.isin(list(words)))).alias("hits"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, words in sorted(LANG_STOPWORDS.items())
+    ]
+    best = F.greatest(*hits) if len(hits) > 1 else hits[0]
+    return F.when(best.getField("hits") > 0, best.getField("lang")).otherwise(F.lit("en"))

@@ -1,0 +1,92 @@
+"""Vector math over ``array<float>`` embedding columns (E26).
+
+Two flavors of each reduction:
+
+- *fast*: plain double arithmetic via ``aggregate``/``zip_with`` —
+  JVM-side, the bench/scale path.
+- *decimal-exact* (``dec_``-prefixed): element products cast to a fixed
+  decimal before summing, so the reduction is order-independent and
+  bit-comparable with an external oracle. Use in correctness queries.
+
+Everything is a Column expression — no UDFs, no collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_DEC = "decimal(30,12)"
+
+
+def dot_product(a: Column, b: Column) -> Column:
+    """Fast double dot product of two float arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def dec_dot_product(a: Column, b: Column) -> Column:
+    """Order-independent dot product (decimal accumulation, double out).
+
+    Elements are widened to double BEFORE multiplying so the per-term
+    product is the same IEEE double on any engine (float×float keeps
+    float precision and casts differently across engines)."""
+    return F.round(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x.cast("double") * y.cast("double")).cast(_DEC)),
+            F.lit(0).cast(_DEC),
+            # decimal add widens precision; cast back so the accumulator
+            # type stays fixed (values are far from overflow)
+            lambda acc, x: (acc + x).cast(_DEC),
+        ),
+        6,
+    ).cast("double")
+
+
+def l2_norm(a: Column, exact: bool = False) -> Column:
+    """Euclidean norm; ``exact=True`` uses decimal accumulation."""
+    if exact:
+        return F.sqrt(
+            F.round(
+                F.aggregate(
+                    F.transform(a, lambda x: (x.cast("double") * x.cast("double")).cast(_DEC)),
+                    F.lit(0).cast(_DEC),
+                    lambda acc, x: (acc + x).cast(_DEC),
+                ),
+                6,
+            ).cast("double")
+        )
+    return F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+
+
+def cosine_similarity(a: Column, b: Column, exact: bool = False) -> Column:
+    """Cosine similarity; with ``exact`` every reduction is decimal-routed
+    and the final quotient is two identical doubles on any engine."""
+    if exact:
+        return dec_dot_product(a, b) / (l2_norm(a, exact=True) * l2_norm(b, exact=True))
+    return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def sql_dec_dot(a_expr: str, b_expr: str, dims: int) -> str:
+    """DuckDB twin of ``dec_dot_product`` via positional unnest-free
+    list reduction (explicit element sum keeps evaluation order fixed)."""
+    terms = " + ".join(
+        f"CAST(CAST({a_expr}[{i}] AS DOUBLE) * CAST({b_expr}[{i}] AS DOUBLE)"
+        f" AS DECIMAL(30,12))"
+        for i in range(1, dims + 1)
+    )
+    return f"CAST(ROUND(({terms}), 6) AS DOUBLE)"
+
+
+def sql_dec_norm(a_expr: str, dims: int) -> str:
+    terms = " + ".join(
+        f"CAST(CAST({a_expr}[{i}] AS DOUBLE) * CAST({a_expr}[{i}] AS DOUBLE)"
+        f" AS DECIMAL(30,12))"
+        for i in range(1, dims + 1)
+    )
+    return f"sqrt(CAST(ROUND(({terms}), 6) AS DOUBLE))"

@@ -1,0 +1,212 @@
+"""Deduplication operator family for LLM corpus pipelines (E25, E26).
+
+Four tiers, increasing tolerance for fuzz:
+
+- ``exact_dedup``          — sha2 content hash, hash-groupBy.
+- ``ngram_jaccard_pairs``  — exact Jaccard over word n-gram sets via an
+  inverted-index self-join (no O(n²) cross-join).
+- ``minhash_signatures`` / ``lsh_candidate_pairs`` — MinHash + banded
+  LSH: the 100 TB-scale near-dup path. Hash functions are simulated by
+  ``md5(seed || gram)`` and MinHash takes the lexicographic min — a
+  valid random-permutation MinHash that is reproducible on any engine
+  with an md5() function (which keeps the whole pipeline
+  oracle-checkable, unlike engine-native murmur hashes).
+- ``simhash``              — weighted bitwise fingerprint from token
+  hashes; equal fingerprints ⇒ near-identical token distributions.
+
+Scale notes:
+- Every join is an equi-join on a hash/band key (AQE splits skewed hot
+  grams); the LSH join shuffles only (band_id, band_key, id) tuples.
+- MinHash is a SINGLE fold over the gram array producing all k minima
+  at once (one md5 per (gram, seed)); the naive k-column formulation
+  re-derives the gram array per signature and is ~k× slower.
+- ``_spread`` repartitions compute-bound narrow stages only when the
+  scan produced fewer partitions than the cluster has cores (small-file
+  inputs); at real scale the scan already yields enough partitions and
+  no extra shuffle happens.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from python_cdc_spark.functions.text import normalized_text, tokens, word_ngrams
+
+#: sorts after every md5 hex digit — the "no gram seen yet" sentinel
+_SENTINEL = "~"
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure at least default-parallelism partitions before an
+    expression-heavy narrow stage (hash-work per row dwarfs the shuffle
+    cost of a few KB of text)."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup groups: one row per distinct normalized content hash
+    with the canonical (min) id and the duplicate count."""
+    h = F.sha2(normalized_text(F.col(text_col)), 256)
+    return (
+        df.select(F.col(id_col).alias("id"), h.alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min("id").alias("canonical_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def _gram_cells(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(id, gram) pairs, distinct per document."""
+    base = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text")))
+    return base.select(
+        "id", F.explode(F.array_distinct(word_ngrams(F.col("__text"), n))).alias("gram")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs sharing at
+    least one gram (inverted index join), filtered by threshold.
+
+    Returns (id_a, id_b, shared, size_a, size_b, jaccard), id_a < id_b.
+    """
+    cells = _gram_cells(df, text_col, id_col, n)
+    sizes = cells.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"))
+    a = cells.alias("a")
+    b = cells.alias("b")
+    shared = (
+        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("set_size").alias("size_b"))
+    jac = F.col("shared").cast("double") / (
+        F.col("size_a") + F.col("size_b") - F.col("shared")
+    ).cast("double")
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "shared", "size_a", "size_b", "jaccard")
+    )
+
+
+def _minhash_fold(gram_col: Column, k: int) -> Column:
+    """All k MinHash values in one pass: fold the gram array, taking the
+    element-wise minimum of k md5('<seed>|' || gram) digests per gram."""
+    seeds = F.sequence(F.lit(0), F.lit(k - 1))
+    return F.aggregate(
+        gram_col,
+        F.array_repeat(F.lit(_SENTINEL), k),
+        lambda acc, g: F.zip_with(
+            acc,
+            F.transform(seeds, lambda i: F.md5(F.concat(i.cast("string"), F.lit("|"), g))),
+            lambda a, b: F.least(a, b),
+        ),
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, k: int = 12
+) -> DataFrame:
+    """Per-document MinHash signature (k md5-permutation minima) as
+    columns mh_0..mh_{k-1}. Documents too short for any n-gram are
+    dropped (no signature is defined for an empty set)."""
+    base = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text")))
+    sig = base.select(
+        "id",
+        _minhash_fold(F.array_distinct(word_ngrams(F.col("__text"), n)), k).alias("__sig"),
+    )
+    return sig.filter(F.element_at("__sig", 1) != _SENTINEL).select(
+        "id", *[F.element_at("__sig", i + 1).alias(f"mh_{i}") for i in range(k)]
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, k: int = 12, bands: int = 4
+) -> DataFrame:
+    """Banded LSH over MinHash signatures: docs sharing any band key are
+    candidate near-duplicates. Returns distinct (id_a, id_b) pairs.
+
+    With k=12, bands=4 (rows r=3) the s-curve threshold is ≈0.63
+    Jaccard. The band join shuffles only (band_id, band_key, id).
+    """
+    r = k // bands
+    band_keys = [
+        F.md5(F.concat_ws("|", *[F.col(f"mh_{b * r + j}") for j in range(r)])).alias(
+            f"band_{b}"
+        )
+        for b in range(bands)
+    ]
+    banded = signatures.select("id", *band_keys)
+    stacked = banded.select(
+        "id",
+        F.explode(
+            F.map_from_arrays(
+                F.array(*[F.lit(b) for b in range(bands)]),
+                F.array(*[F.col(f"band_{b}") for b in range(bands)]),
+            )
+        ).alias("band_id", "band_key"),
+    )
+    x = stacked.alias("x")
+    y = stacked.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.band_id") == F.col("y.band_id"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFrame:
+    """Weighted SimHash fingerprint from the first ``bits`` bits of each
+    token's md5. Per bit: sign of Σ(±token_count); fingerprint is the
+    packed bit vector. Near-identical token bags collide.
+
+    Shape: explode → (id, token) counts → one aggregation with ``bits``
+    conditional sums (a single hash shuffle on id; md5 computed once
+    per distinct (id, token)).
+    """
+    base = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text")))
+    tok_counts = (
+        base.select("id", F.explode(tokens(F.col("__text"))).alias("token"))
+        .groupBy("id", "token")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .withColumn("h", F.md5("token"))
+    )
+
+    def bit_of(hex_col: Column, j: int) -> Column:
+        # nibble j//4 of the md5 hex → bit j%4 (hex chars are 4 bits)
+        nib = F.instr(
+            F.lit("0123456789abcdef"), F.substring(hex_col, j // 4 + 1, 1)
+        ) - 1
+        return F.shiftright(nib, 3 - j % 4) % 2
+
+    bit_sums = [
+        F.sum(
+            F.when(bit_of(F.col("h"), j) == 1, F.col("w")).otherwise(-F.col("w"))
+        ).alias(f"s_{j}")
+        for j in range(bits)
+    ]
+    sums = tok_counts.groupBy("id").agg(*bit_sums)
+    fingerprint = None
+    for j in range(bits):
+        term = F.when(F.col(f"s_{j}") > 0, F.lit(2**j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return sums.select("id", fingerprint.alias("simhash"))

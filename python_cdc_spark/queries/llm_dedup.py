@@ -1,1 +1,161 @@
-"""Placeholder — populated in this round."""
+"""Deduplication queries over the documents table (E25/E26).
+
+The oracle twins reproduce the full MinHash/LSH/SimHash math in DuckDB
+SQL — possible because every hash in the pipeline is md5-derived rather
+than an engine-native (murmur) hash. See operators/dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from python_cdc_spark.io import table
+from python_cdc_spark.operators.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from python_cdc_spark.queries.llm_text import _SQL_GRAMS3, _SQL_NORM, _SQL_TOKS
+from python_cdc_spark.queries.registry import register
+
+_K, _BANDS = 12, 4
+_R = _K // _BANDS
+
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+    SELECT sha256({_SQL_NORM}) AS content_hash,
+           MIN(doc_id) AS canonical_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+    doc="E25: exact dedup via normalized-content sha256 groups",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS w FROM documents),
+    cells AS (
+      SELECT DISTINCT doc_id AS id, UNNEST(list_distinct({_SQL_GRAMS3})) AS gram FROM t
+    ),
+    sizes AS (SELECT id, COUNT(*) AS set_size FROM cells GROUP BY id),
+    shared AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS shared
+      FROM cells a JOIN cells b ON a.gram = b.gram AND a.id < b.id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, shared, sa.set_size AS size_a, sb.set_size AS size_b,
+           CAST(shared AS DOUBLE) / CAST(sa.set_size + sb.set_size - shared AS DOUBLE)
+             AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE CAST(shared AS DOUBLE) / CAST(sa.set_size + sb.set_size - shared AS DOUBLE) >= 0.4
+    """,
+    doc="E26: exact n-gram Jaccard near-dup pairs (inverted-index join)",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(
+        table(spark, sf_dir, "documents"), "text", "doc_id", n=3, threshold=0.4
+    )
+
+
+def _sql_sigs() -> str:
+    mins = ", ".join(
+        f"MIN(md5('{i}|' || gram)) AS mh_{i}" for i in range(_K)
+    )
+    return f"""
+    t AS (SELECT doc_id, {_SQL_TOKS} AS w FROM documents),
+    cells AS (
+      SELECT DISTINCT doc_id AS id, UNNEST(list_distinct({_SQL_GRAMS3})) AS gram FROM t
+    ),
+    sigs AS (SELECT id, {mins} FROM cells GROUP BY id)
+    """
+
+
+@register(
+    "dedup_minhash_signatures",
+    oracle=f"""
+    WITH {_sql_sigs()}
+    SELECT id, {", ".join(f"mh_{i}" for i in range(_K))} FROM sigs
+    """,
+    doc="E26: per-document MinHash signatures (k=12 md5 permutations)",
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_signatures(
+        table(spark, sf_dir, "documents"), "text", "doc_id", n=3, k=_K
+    )
+
+
+@register(
+    "dedup_minhash_lsh_pairs",
+    oracle=f"""
+    WITH {_sql_sigs()},
+    bands AS (
+      SELECT id,
+             {", ".join(
+                 "md5(" + " || '|' || ".join(f"mh_{b * _R + j}" for j in range(_R))
+                 + f") AS band_{b}"
+                 for b in range(_BANDS)
+             )}
+      FROM sigs
+    ),
+    stacked AS (
+      {" UNION ALL ".join(
+          f"SELECT id, {b} AS band_id, band_{b} AS band_key FROM bands"
+          for b in range(_BANDS)
+      )}
+    )
+    SELECT DISTINCT x.id AS id_a, y.id AS id_b
+    FROM stacked x JOIN stacked y
+      ON x.band_id = y.band_id AND x.band_key = y.band_key AND x.id < y.id
+    """,
+    doc="E26: banded MinHash-LSH candidate near-dup pairs (scale path)",
+)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = minhash_signatures(
+        table(spark, sf_dir, "documents"), "text", "doc_id", n=3, k=_K
+    )
+    return lsh_candidate_pairs(sigs, k=_K, bands=_BANDS)
+
+
+def _sql_simhash(bits: int = 16) -> str:
+    """DuckDB twin of operators.dedup.simhash."""
+    weighted = (
+        "list_transform(list_distinct(w), "
+        "t -> struct_pack(w := len(list_filter(w, x -> x = t)), h := md5(t)))"
+    )
+    bit_terms = []
+    for j in range(bits):
+        nib = f"(strpos('0123456789abcdef', substr(s.h, {j // 4 + 1}, 1)) - 1)"
+        bit = f"(({nib} >> {3 - j % 4}) % 2)"
+        bsum = (
+            f"list_sum(list_transform(wt, s -> CASE WHEN {bit} = 1 "
+            f"THEN s.w ELSE -s.w END))"
+        )
+        bit_terms.append(f"(CASE WHEN {bsum} > 0 THEN {2**j} ELSE 0 END)")
+    return weighted, " + ".join(bit_terms)
+
+
+_WT, _FP = _sql_simhash(16)
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS w FROM documents),
+    wts AS (SELECT doc_id, {_WT} AS wt FROM t)
+    SELECT doc_id AS id, CAST({_FP} AS BIGINT) AS simhash FROM wts
+    """,
+    doc="E26: 16-bit weighted SimHash fingerprints",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash(table(spark, sf_dir, "documents"), "text", "doc_id", bits=16)

@@ -1,1 +1,178 @@
-"""Placeholder — populated in this round."""
+"""Similarity-search + multimodal queries over embeddings (E26, E28).
+
+Brute-force exact cosine is the correctness baseline; hyperplane-LSH
+bucketing is the scale path (both oracle-checked — the LSH hyperplanes
+are deterministic md5-parity constants shared with the SQL twin).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from python_cdc_spark.functions.text import token_count
+from python_cdc_spark.functions.vectors import (
+    cosine_similarity,
+    l2_norm,
+    sql_dec_dot,
+    sql_dec_norm,
+)
+from python_cdc_spark.io import table
+from python_cdc_spark.operators.similarity import (
+    brute_force_top_k,
+    hyperplane_lsh_buckets,
+    sql_hyperplane_bucket,
+)
+from python_cdc_spark.queries.registry import register
+
+_DIMS = 64
+_PLANES = 6
+_TOPK = 5
+
+
+@register(
+    "embedding_norms",
+    oracle=f"""
+    SELECT vec_id, label,
+           CAST(len(embedding) AS BIGINT) AS dims,
+           {sql_dec_norm('embedding', _DIMS)} AS l2
+    FROM embeddings
+    """,
+    doc="E26: per-vector L2 norms (decimal-exact reduction)",
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        "label",
+        F.size("embedding").cast("long").alias("dims"),
+        l2_norm(F.col("embedding"), exact=True).alias("l2"),
+    )
+
+
+@register(
+    "similarity_brute_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0
+    ),
+    n AS (SELECT vec_id, {sql_dec_norm('embedding', _DIMS)} AS nrm FROM embeddings),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             {sql_dec_dot('q.qv', 'e.embedding', _DIMS)} / (nq.nrm * ne.nrm) AS cosine
+      FROM q
+      JOIN embeddings e ON e.vec_id <> q.query_id
+      JOIN n nq ON nq.vec_id = q.query_id
+      JOIN n ne ON ne.vec_id = e.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, rnk FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
+      FROM scored
+    ) WHERE rnk <= {_TOPK}
+    """,
+    doc="E26: exact cosine top-k ANN baseline (broadcast queries, window top-k)",
+)
+def similarity_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % 100 == 0)
+    return brute_force_top_k(e, queries, "vec_id", "embedding", k=_TOPK, exact=True)
+
+
+@register(
+    "similarity_lsh_buckets",
+    oracle=f"""
+    SELECT vec_id AS id, {sql_hyperplane_bucket('embedding', _PLANES, _DIMS)} AS bucket
+    FROM embeddings
+    """,
+    doc="E26: random-hyperplane LSH bucket assignment (ANN scale path)",
+)
+def similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hyperplane_lsh_buckets(
+        table(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        planes=_PLANES, dims=_DIMS,
+    )
+
+
+@register(
+    "similarity_ann_lsh_topk",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding, label,
+             {sql_hyperplane_bucket('embedding', _PLANES, _DIMS)} AS bucket
+      FROM embeddings
+    ),
+    n AS (SELECT vec_id, {sql_dec_norm('embedding', _DIMS)} AS nrm FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.bucket,
+             {sql_dec_dot('q.embedding', 'c.embedding', _DIMS)} / (nq.nrm * nc.nrm)
+               AS cosine
+      FROM b q
+      JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+      JOIN n nq ON nq.vec_id = q.vec_id
+      JOIN n nc ON nc.vec_id = c.vec_id
+      WHERE q.vec_id % 100 = 0
+    )
+    SELECT query_id, neighbor_id, bucket, cosine, rnk FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
+      FROM scored
+    ) WHERE rnk <= {_TOPK}
+    """,
+    doc="E26: LSH-bucketed approximate top-k (candidates from same bucket only)",
+)
+def similarity_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path: same-bucket candidate join instead of full cross
+    product. At 100 TB the bucket column is also the natural partition/
+    cluster key for the corpus."""
+    e = table(spark, sf_dir, "embeddings")
+    buckets = hyperplane_lsh_buckets(e, "vec_id", "embedding", _PLANES, _DIMS)
+    vecs = e.join(buckets.withColumnRenamed("id", "vec_id"), "vec_id")
+    q = vecs.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_vec"),
+        "bucket",
+    )
+    c = vecs.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_vec"),
+        F.col("bucket").alias("c_bucket"),
+    )
+    scored = c.join(
+        broadcast(q),
+        (F.col("bucket") == F.col("c_bucket")) & (F.col("query_id") != F.col("neighbor_id")),
+    ).withColumn("cosine", cosine_similarity(F.col("q_vec"), F.col("c_vec"), exact=True))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= _TOPK)
+        .select("query_id", "neighbor_id", "bucket", "cosine", "rnk")
+    )
+
+
+@register(
+    "multimodal_doc_embedding_join",
+    oracle=f"""
+    SELECT d.doc_id, d.lang, d.source,
+           CAST(length(d.text) AS BIGINT) AS n_chars,
+           CAST(len(string_split(trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g')), ' '))
+                AS BIGINT) AS n_tokens,
+           e.label,
+           {sql_dec_norm('e.embedding', _DIMS)} AS embedding_l2
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    """,
+    doc="E28: multimodal join — text features alongside embedding features",
+)
+def multimodal_doc_embedding_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    e = table(spark, sf_dir, "embeddings")
+    return d.join(e, d.doc_id == e.vec_id).select(
+        "doc_id",
+        "lang",
+        "source",
+        F.length("text").cast("long").alias("n_chars"),
+        token_count(F.col("text")).alias("n_tokens"),
+        "label",
+        l2_norm(F.col("embedding"), exact=True).alias("embedding_l2"),
+    )

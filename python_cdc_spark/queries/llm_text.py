@@ -1,1 +1,174 @@
-"""Placeholder — populated in this round."""
+"""Text-analysis queries over the documents table (E27).
+
+Language-ID, quality scoring, token statistics, fingerprinting — all
+pure Column-expression pipelines (no UDFs) with DuckDB oracle twins.
+Shared dialect notes: Spark ``split(norm, ' ')`` ≡ DuckDB
+``string_split(norm, ' ')``; Spark regexp_replace is global by default,
+DuckDB needs the ``'g'`` flag.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from python_cdc_spark.functions.text import (
+    LANG_STOPWORDS,
+    lang_guess,
+    normalized_text,
+    quality_features,
+    token_count,
+    tokens,
+    word_ngrams,
+)
+from python_cdc_spark.io import table
+from python_cdc_spark.queries.registry import register
+
+# DuckDB fragments mirroring functions/text.py exactly.
+_SQL_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_SQL_TOKS = f"string_split({_SQL_NORM}, ' ')"
+_SQL_GRAMS3 = (
+    "CASE WHEN len(w) >= 3 THEN "
+    "list_transform(generate_series(1, len(w) - 2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) "
+    "ELSE [] END"
+)
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, source, text, {_SQL_TOKS} AS w FROM documents)
+    SELECT doc_id, lang, source,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(w) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(w)) AS BIGINT) AS n_unique_tokens,
+           CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w)
+             AS mean_token_len,
+           CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS type_token_ratio
+    FROM t
+    """,
+    doc="E27: token counting + lexical-diversity statistics",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_tok = F.size(toks).cast("long")
+    n_uniq = F.size(F.array_distinct(toks)).cast("long")
+    tok_len_sum = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t).cast("long")
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.length("text").cast("long").alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        n_uniq.alias("n_unique_tokens"),
+        (tok_len_sum.cast("double") / n_tok).alias("mean_token_len"),
+        (n_uniq.cast("double") / n_tok).alias("type_token_ratio"),
+    )
+
+
+_ALL_STOPWORDS = sorted({s for v in LANG_STOPWORDS.values() for s in v})
+_SQL_STOPLIST = ", ".join(f"'{s}'" for s in _ALL_STOPWORDS)
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, {_SQL_TOKS} AS w FROM documents)
+    SELECT doc_id,
+           CAST(len(w) AS BIGINT) AS n_tokens,
+           CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS BIGINT)
+             AS n_punct,
+           CAST(len(list_filter(w, x -> x IN ({_SQL_STOPLIST}))) AS BIGINT)
+             AS stopword_hits,
+           CAST(len(list_filter(w, x -> x IN ({_SQL_STOPLIST}))) AS DOUBLE) / len(w)
+             AS stopword_ratio,
+           (len(w) BETWEEN 5 AND 1000)
+             AND (CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w)
+                    BETWEEN 2 AND 15) AS keep
+    FROM t
+    """,
+    doc="E27: corpus quality filter (length / punctuation / stopword ratios)",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    qf = quality_features(F.col("text"))
+    keep = qf["n_tokens"].between(5, 1000) & qf["mean_token_len"].between(2, 15)
+    return d.select(
+        "doc_id",
+        qf["n_tokens"].alias("n_tokens"),
+        qf["n_punct"].alias("n_punct"),
+        qf["stopword_hits"].alias("stopword_hits"),
+        qf["stopword_ratio"].alias("stopword_ratio"),
+        keep.alias("keep"),
+    )
+
+
+def _sql_lang_hits(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+    return f"len(list_filter(w, x -> x IN ({words})))"
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, {_SQL_TOKS} AS w FROM documents),
+    h AS (
+      SELECT doc_id, lang,
+             {", ".join(f"{_sql_lang_hits(lg)} AS h_{lg}" for lg in sorted(LANG_STOPWORDS))}
+      FROM t
+    )
+    SELECT doc_id, lang,
+           CASE WHEN greatest(h_de, h_en, h_es, h_fr, h_zh) = 0 THEN 'en'
+                WHEN h_zh = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'zh'
+                WHEN h_fr = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'fr'
+                WHEN h_es = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'es'
+                WHEN h_en = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'en'
+                ELSE 'de' END AS lang_guess,
+           CASE WHEN greatest(h_de, h_en, h_es, h_fr, h_zh) = 0 THEN 'en'
+                WHEN h_zh = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'zh'
+                WHEN h_fr = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'fr'
+                WHEN h_es = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'es'
+                WHEN h_en = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'en'
+                ELSE 'de' END = lang AS guess_correct
+    FROM h
+    """,
+    doc="E27: stopword-profile language identification heuristic",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    guess = lang_guess(F.col("text"))
+    return d.select(
+        "doc_id",
+        "lang",
+        guess.alias("lang_guess"),
+        (guess == F.col("lang")).alias("guess_correct"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, {_SQL_TOKS} AS w FROM documents),
+    g AS (SELECT doc_id, text, list_distinct({_SQL_GRAMS3}) AS grams FROM t)
+    SELECT doc_id,
+           md5({_SQL_NORM}) AS content_fp,
+           list_min(list_transform(grams, x -> md5('0|' || x))) AS minhash_1,
+           CAST(len(grams) AS BIGINT) AS n_distinct_grams
+    FROM g
+    """,
+    doc="E27: document fingerprinting (content md5 + first MinHash component)",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    grams = F.array_distinct(word_ngrams(F.col("text"), 3))
+    return d.select(
+        "doc_id",
+        F.md5(normalized_text(F.col("text"))).alias("content_fp"),
+        F.array_min(F.transform(grams, lambda g: F.md5(F.concat(F.lit("0|"), g)))).alias(
+            "minhash_1"
+        ),
+        F.size(grams).cast("long").alias("n_distinct_grams"),
+    )
