@@ -61,14 +61,17 @@ def _delete_boundary(events: DataFrame, key_col: str) -> DataFrame:
     )
 
 
-def apply_changes(events: DataFrame, key_col: str = "key") -> DataFrame:
-    """Fold a CDC feed into current state: one row per live key with a
-    ``values`` map of the latest non-sentinel column values.
+def apply_changes_with_tombstones(
+    events: DataFrame, key_col: str = "key"
+) -> DataFrame:
+    """Fold a CDC feed into per-key state INCLUDING tombstones.
 
-    Returns ``(key_col, values: map<string,string>)``. Keys whose final
-    standing event is DELETE (with no later INSERT/UPDATE) disappear —
-    the reference's end state after its golden sequence
-    (``test_changes.py:73-91``: the test row is gone).
+    Returns ``(key_col, values, last_lsn, del_lsn)`` where ``values`` is
+    null for keys whose final standing event is DELETE, and ``del_lsn``
+    records the last delete boundary. Tombstones are what make
+    incremental (cross-batch) merging correct: a late event with
+    ``lsn < del_lsn`` arriving in a later batch must NOT resurrect the
+    row, so the boundary has to survive state collapsing.
     """
     boundaries = _delete_boundary(events, key_col)
     live = (
@@ -85,14 +88,38 @@ def apply_changes(events: DataFrame, key_col: str = "key") -> DataFrame:
     latest_cells = cells.groupBy(key_col, "column").agg(
         F.max_by("value", "lsn").alias("value"), F.max("lsn").alias("__lsn")
     )
+    state = latest_cells.groupBy(key_col).agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("column", "value")))
+        ).alias("values"),
+        F.max("__lsn").alias("last_lsn"),
+    )
     return (
-        latest_cells.groupBy(key_col)
-        .agg(
-            F.map_from_entries(
-                F.array_sort(F.collect_list(F.struct("column", "value")))
-            ).alias("values"),
-            F.max("__lsn").alias("last_lsn"),
+        boundaries.join(state, key_col, "left")
+        .select(
+            key_col,
+            "values",
+            "last_lsn",
+            F.when(F.col("__last_delete_lsn") >= 0, F.col("__last_delete_lsn")).alias(
+                "del_lsn"
+            ),
         )
+    )
+
+
+def apply_changes(events: DataFrame, key_col: str = "key") -> DataFrame:
+    """Fold a CDC feed into current state: one row per live key with a
+    ``values`` map of the latest non-sentinel column values.
+
+    Returns ``(key_col, values: map<string,string>, last_lsn)``. Keys
+    whose final standing event is DELETE (with no later INSERT/UPDATE)
+    disappear — the reference's end state after its golden sequence
+    (``test_changes.py:73-91``: the test row is gone).
+    """
+    return (
+        apply_changes_with_tombstones(events, key_col)
+        .filter(F.col("values").isNotNull())
+        .select(key_col, "values", "last_lsn")
     )
 
 

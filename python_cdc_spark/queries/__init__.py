@@ -22,4 +22,5 @@ from python_cdc_spark.queries import (  # noqa: F401, E402
     llm_text,
     llm_dedup,
     llm_similarity,
+    streaming_queries,
 )

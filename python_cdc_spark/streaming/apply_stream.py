@@ -1,0 +1,162 @@
+"""Streaming apply-changes: continuous CDC materialization (E18 + E24).
+
+Replaces the reference's print-only workers (``cdc_consumer.py:43-74``)
+with a real incremental state sink. Per micro-batch, ``foreachBatch``
+merges the batch's events into a persistent keyed state table:
+
+    state ⊎ batch = apply_changes(state-as-events ∪ batch-events)
+
+Exactly-once story (the reference acks BEFORE processing → at-most-once,
+``postgre_cdc_consumer.py:98-99``; we upgrade): the streaming checkpoint
+replays an uncommitted batch after a crash, and the merge is idempotent
+— replaying the same events cannot change the folded state (per-key
+max-lsn semantics), so replay converges. Durability of an individual
+state write uses bucket-partitioned dynamic overwrite; a transactional
+table format (Delta/Iceberg MERGE) is the drop-in production upgrade.
+
+Scale design: state is hash-bucketed on key into ``n_buckets``
+partitions; a micro-batch rewrites ONLY the buckets its keys touch
+(partition-pruned read + dynamic partition overwrite), so per-batch cost
+is O(batch + touched_state), not O(total_state).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from python_cdc_spark.cdc.apply import apply_changes_with_tombstones
+
+
+class StreamingApplyChanges:
+    """Continuous apply-changes into a bucket-partitioned parquet state.
+
+    Parameters mirror the batch operator: events carry
+    ``CDC_EVENT_SCHEMA`` plus an extracted ``key`` column.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_path: str,
+        key_col: str = "key",
+        n_buckets: int = 64,
+    ) -> None:
+        self.spark = spark
+        self.state_path = state_path
+        self.key_col = key_col
+        self.n_buckets = n_buckets
+
+    # -- state table ------------------------------------------------------
+
+    def _bucket(self, key: F.Column) -> F.Column:
+        return F.pmod(F.xxhash64(key.cast("string")), F.lit(self.n_buckets))
+
+    def current_state(self) -> DataFrame:
+        """The materialized table (key, values map, last_lsn) — live rows
+        only; tombstones are internal."""
+        return self._raw_state().filter(F.col("values").isNotNull()).select(
+            self.key_col, "values", "last_lsn"
+        )
+
+    def _raw_state(self) -> DataFrame:
+        try:
+            return self.spark.read.parquet(self.state_path).drop("bucket")
+        except Exception:
+            return self.spark.createDataFrame(
+                [],
+                f"{self.key_col} string, values map<string,string>, "
+                "last_lsn bigint, del_lsn bigint",
+            )
+
+    def _state_as_events(self, state: DataFrame) -> DataFrame:
+        """Re-encode state rows as events so the batch fold's sentinel /
+        delete-boundary semantics compose across batches: a live row
+        becomes INSERT@last_lsn, a tombstone becomes DELETE@del_lsn (both
+        for keys that were deleted then re-inserted)."""
+        inserts = state.filter(F.col("values").isNotNull()).select(
+            F.col("last_lsn").alias("lsn"),
+            F.lit("INSERT").alias("operation"),
+            F.col("values").alias("new_values"),
+            F.col(self.key_col),
+        )
+        deletes = state.filter(F.col("del_lsn").isNotNull()).select(
+            F.col("del_lsn").alias("lsn"),
+            F.lit("DELETE").alias("operation"),
+            F.lit(None).cast("map<string,string>").alias("new_values"),
+            F.col(self.key_col),
+        )
+        return inserts.unionByName(deletes)
+
+    # -- merge ------------------------------------------------------------
+
+    def merge_batch(self, batch: DataFrame, batch_id: int | None = None) -> None:
+        """Merge one (micro-)batch of events into the state table."""
+        batch = batch.select(
+            "lsn", "operation", "new_values", F.col(self.key_col)
+        ).withColumn("bucket", self._bucket(F.col(self.key_col)))
+
+        touched = [r["bucket"] for r in batch.select("bucket").distinct().collect()]
+        if not touched:
+            return
+
+        try:
+            prior = self.spark.read.parquet(self.state_path).filter(
+                F.col("bucket").isin(touched)
+            )
+            prior_events = self._state_as_events(prior)
+        except Exception:  # first batch: no state yet
+            prior_events = None
+
+        events = batch.drop("bucket")
+        if prior_events is not None:
+            events = events.unionByName(prior_events)
+
+        # tombstoned fold: every previously-present key yields a row, so
+        # dynamic partition overwrite always rewrites each touched bucket
+        # (a delete-only bucket would otherwise be silently skipped)
+        new_state = apply_changes_with_tombstones(events, self.key_col).withColumn(
+            "bucket", self._bucket(F.col(self.key_col))
+        )
+        (
+            new_state.repartition(max(1, len(touched)), "bucket")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .parquet(self.state_path)
+        )
+
+    # -- streaming driver -------------------------------------------------
+
+    def start(
+        self,
+        events: DataFrame,
+        checkpoint_path: str,
+        available_now: bool = False,
+    ) -> StreamingQuery:
+        """Attach to a streaming event feed and run continuously.
+
+        ``checkpoint_path`` is the offset/commit log — the engine-side
+        replacement for the reference's replication slot
+        (``postgre_cdc_consumer.py:47-58``): deleting it == dropping the
+        slot (reprocess from scratch)."""
+        writer = (
+            events.writeStream.outputMode("update")
+            .option("checkpointLocation", checkpoint_path)
+            .foreachBatch(lambda df, bid: self.merge_batch(df, bid))
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+
+def drop_checkpoint(checkpoint_path: str) -> None:
+    """The ``drop_replication_slot`` analog (R2): forget offsets so the
+    next start reprocesses the feed from the beginning."""
+    import shutil
+
+    if os.path.isdir(checkpoint_path):
+        shutil.rmtree(checkpoint_path)

@@ -1,0 +1,210 @@
+"""Structured Streaming tests: drive the streaming path with file
+sources + availableNow triggers and compare against batch semantics."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from python_cdc_spark.cdc.apply import apply_changes
+from python_cdc_spark.cdc.feed import read_feed_stream
+from python_cdc_spark.streaming import (
+    StreamingApplyChanges,
+    streaming_dedup,
+    tumbling_window_agg,
+)
+
+
+def _write_feed_file(path: str, events: list[dict]) -> None:
+    with open(path, "w") as f:
+        for e in events:
+            f.write(json.dumps(e) + "\n")
+
+
+def _ev(lsn, op, key, new=None, ts="2024-01-01T00:00:00"):
+    return {
+        "lsn": lsn,
+        "operation": op,
+        "schema": "public",
+        "table": "users",
+        "columns": list((new or {"id": None}).keys()),
+        "old_values": None if op == "INSERT" else {"id": key},
+        "new_values": new,
+        "ts": ts,
+    }
+
+
+@pytest.fixture()
+def feed_dir(tmp_path):
+    d = tmp_path / "feed"
+    d.mkdir()
+    return str(d)
+
+
+def _run_apply(spark, feed_dir, tmp_path, n_buckets=8):
+    stream = read_feed_stream(spark, feed_dir, max_files_per_trigger=1).withColumn(
+        "key", F.coalesce(F.col("new_values")["id"], F.col("old_values")["id"])
+    )
+    applier = StreamingApplyChanges(
+        spark, str(tmp_path / "state"), "key", n_buckets=n_buckets
+    )
+    q = applier.start(stream, str(tmp_path / "ckpt"), available_now=True)
+    q.awaitTermination(120)
+    return applier
+
+
+def test_streaming_apply_matches_batch(spark, tmp_path, feed_dir):
+    """availableNow streaming apply over 2 files == batch apply of all."""
+    batch1 = [
+        _ev(1, "INSERT", "1", {"id": "1", "name": "a", "blob": "big"}),
+        _ev(2, "INSERT", "2", {"id": "2", "name": "b"}),
+    ]
+    batch2 = [
+        # sentinel must coalesce with the value from the PREVIOUS batch
+        _ev(3, "UPDATE", "1", {"id": "1", "name": "a2", "blob": "[unchanged]"}),
+        _ev(4, "DELETE", "2", None),
+        _ev(5, "INSERT", "3", {"id": "3", "name": "c"}),
+    ]
+    _write_feed_file(os.path.join(feed_dir, "f1.json"), batch1)
+    _write_feed_file(os.path.join(feed_dir, "f2.json"), batch2)
+
+    applier = _run_apply(spark, feed_dir, tmp_path)
+    got = {
+        r["key"]: dict(r["values"]) for r in applier.current_state().collect()
+    }
+    assert got == {
+        "1": {"id": "1", "name": "a2", "blob": "big"},
+        "3": {"id": "3", "name": "c"},
+    }
+
+    # batch apply over the union must agree
+    from python_cdc_spark.cdc.feed import read_feed
+
+    all_events = read_feed(spark, feed_dir).withColumn(
+        "key", F.coalesce(F.col("new_values")["id"], F.col("old_values")["id"])
+    )
+    batch_state = {
+        r["key"]: dict(r["values"]) for r in apply_changes(all_events, "key").collect()
+    }
+    assert got == batch_state
+
+
+def test_streaming_apply_restart_idempotent(spark, tmp_path, feed_dir):
+    """A second availableNow run over the same checkpoint must be a
+    no-op (offsets committed), and adding a file resumes incrementally."""
+    _write_feed_file(
+        os.path.join(feed_dir, "f1.json"),
+        [_ev(1, "INSERT", "1", {"id": "1", "v": "x"})],
+    )
+    applier = _run_apply(spark, feed_dir, tmp_path)
+    assert applier.current_state().count() == 1
+
+    # restart with no new data: state unchanged
+    applier2 = _run_apply(spark, feed_dir, tmp_path)
+    assert {r["key"] for r in applier2.current_state().collect()} == {"1"}
+
+    # new file with a delete: key disappears after resume
+    _write_feed_file(os.path.join(feed_dir, "f2.json"), [_ev(2, "DELETE", "1", None)])
+    applier3 = _run_apply(spark, feed_dir, tmp_path)
+    assert applier3.current_state().count() == 0
+
+
+def test_streaming_tumbling_window(spark, tmp_path):
+    """The window builder runs as a real stream (availableNow + memory
+    sink, update mode) and matches its own batch execution."""
+    rows = [
+        ("2024-01-01 00:05:00", "click", 1.0),
+        ("2024-01-01 00:55:00", "click", 2.0),
+        ("2024-01-01 01:05:00", "view", 3.0),
+    ]
+    src = tmp_path / "ev"
+    src.mkdir()
+    with open(src / "a.json", "w") as f:
+        for ts, et, v in rows:
+            f.write(json.dumps({"ts": ts, "event_type": et, "value": v}) + "\n")
+
+    schema = "ts timestamp, event_type string, value double"
+    stream = spark.readStream.schema(schema).json(str(src))
+    agg = tumbling_window_agg(
+        stream, "ts", "1 hour", ["event_type"],
+        [F.count(F.lit(1)).alias("n")], watermark="1 hour",
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("tumbling_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (str(r["window_start"]), r["event_type"]): r["n"]
+        for r in spark.sql("select * from tumbling_test").collect()
+    }
+    assert got == {
+        ("2024-01-01 00:00:00", "click"): 2,
+        ("2024-01-01 01:00:00", "view"): 1,
+    }
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    src = tmp_path / "dups"
+    src.mkdir()
+    with open(src / "a.json", "w") as f:
+        for i, ts in [(1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:00:30"), (2, "2024-01-01 00:01:00")]:
+            f.write(json.dumps({"k": i, "ts": ts}) + "\n")
+    stream = spark.readStream.schema("k bigint, ts timestamp").json(str(src))
+    out = streaming_dedup(stream, ["k"], "ts", watermark="10 minutes", within_watermark=True)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    ks = sorted(r["k"] for r in spark.sql("select * from dedup_test").collect())
+    assert ks == [1, 2]
+
+
+def test_monitor_lag_metrics(spark, tmp_path):
+    """R16 analog: progress metrics surface from a finished stream."""
+    from python_cdc_spark.cdc.monitor import lag_metrics, list_streams
+
+    src = tmp_path / "m"
+    src.mkdir()
+    with open(src / "a.json", "w") as f:
+        f.write(json.dumps({"k": 1}) + "\n")
+    stream = spark.readStream.schema("k bigint").json(str(src))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("monitor_test")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    m = lag_metrics(q)
+    assert m["query_id"]
+    assert m["num_input_rows"] == 1
+    assert isinstance(list_streams(spark), list)
+
+
+def test_streaming_late_event_no_resurrection(spark, tmp_path, feed_dir):
+    """A late event (lsn below a prior batch's delete boundary) must NOT
+    resurrect the deleted row — the tombstone carries the boundary."""
+    _write_feed_file(
+        os.path.join(feed_dir, "f1.json"),
+        [
+            _ev(1, "INSERT", "1", {"id": "1", "v": "x"}),
+            _ev(5, "DELETE", "1", None),
+        ],
+    )
+    _write_feed_file(
+        os.path.join(feed_dir, "f2.json"),
+        [_ev(3, "UPDATE", "1", {"id": "1", "v": "late"})],  # lsn 3 < 5
+    )
+    applier = _run_apply(spark, feed_dir, tmp_path)
+    assert applier.current_state().count() == 0
