@@ -23,4 +23,5 @@ from python_cdc_spark.queries import (  # noqa: F401, E402
     llm_dedup,
     llm_similarity,
     streaming_queries,
+    multimodal_queries,
 )

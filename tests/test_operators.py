@@ -1,0 +1,148 @@
+"""Unit tests for operators/functions not fully covered by the oracle
+suite: LSH recall, UDF surface, sources, multimodal decode."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from python_cdc_spark.functions.udfs import cosine_pandas, slug_udf, weighted_mean_pandas
+from python_cdc_spark.functions.vectors import cosine_similarity
+from python_cdc_spark.operators.dedup import (
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from python_cdc_spark.sources import read_csv, read_json, write_golden_feed
+
+
+def _docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("lazy", "sleepy")  # one-token change → high jaccard
+    far = "completely different content about spark query engines at scale"
+    rows = [(1, base), (2, near), (3, far), (4, base + " extra token")]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_lsh_finds_planted_near_dups(spark):
+    """MinHash-LSH must surface the high-Jaccard pairs (recall) and the
+    exact Jaccard join must agree on their similarity."""
+    docs = _docs(spark)
+    sigs = minhash_signatures(docs, "text", "doc_id", n=3, k=12)
+    assert sigs.count() == 4
+    pairs = {
+        (r["id_a"], r["id_b"]) for r in lsh_candidate_pairs(sigs, 12, 4).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, "text", "doc_id", 3, 0.5).collect()
+    }
+    # the two heavily-overlapping pairs must be found by both paths
+    assert (1, 4) in exact and exact[(1, 4)] > 0.7
+    assert (1, 2) in exact
+    assert (1, 4) in pairs
+    # LSH candidates are a superset-in-spirit: no high-jaccard pair missed
+    for pair, j in exact.items():
+        if j >= 0.8:
+            assert pair in pairs, f"LSH missed {pair} (jaccard {j})"
+
+
+def test_simhash_identical_docs_collide(spark):
+    rows = [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"), (3, "xyz")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = {r["id"]: r["simhash"] for r in simhash(df, "text", "doc_id").collect()}
+    assert fp[1] == fp[2]
+    assert fp[1] != fp[3]
+    assert 0 <= fp[1] < 2**16
+
+
+def test_pandas_cosine_matches_expression(spark):
+    """Two independent cosine implementations (Arrow pandas UDF vs JVM
+    expression) must agree to float tolerance."""
+    rows = [
+        (1, [1.0, 2.0, 3.0], [1.0, 2.0, 3.0]),
+        (2, [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]),
+        (3, [0.5, -0.5, 2.0], [1.5, 0.25, -0.75]),
+    ]
+    df = spark.createDataFrame(rows, "id long, a array<float>, b array<float>")
+    got = df.select(
+        "id",
+        cosine_pandas()("a", "b").alias("c_udf"),
+        cosine_similarity(F.col("a"), F.col("b")).alias("c_expr"),
+    ).collect()
+    for r in got:
+        assert math.isclose(r["c_udf"], r["c_expr"], rel_tol=1e-6), r
+
+
+def test_grouped_agg_pandas_udf(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0, 1.0), ("a", 3.0, 3.0), ("b", 10.0, 1.0)],
+        "g string, v double, w double",
+    )
+    got = {
+        r["g"]: r["wm"]
+        for r in df.groupBy("g").agg(weighted_mean_pandas()("v", "w").alias("wm")).collect()
+    }
+    assert math.isclose(got["a"], (1 * 1 + 3 * 3) / 4)
+    assert math.isclose(got["b"], 10.0)
+
+
+def test_row_udf_and_udtf(spark):
+    df = spark.createDataFrame([("Hello Big World",)], "s string")
+    assert df.select(slug_udf()("s").alias("x")).collect()[0]["x"] == "hello-big-world"
+
+    from python_cdc_spark.functions.udfs import token_udtf_class
+
+    TokenExplode = token_udtf_class()
+    spark.udtf.register("token_explode", TokenExplode)
+    rows = spark.sql(
+        "SELECT t.pos, t.token FROM token_explode('a b c') AS t"
+    ).collect()
+    assert [(r["pos"], r["token"]) for r in rows] == [(0, "a"), (1, "b"), (2, "c")]
+
+
+def test_sources_roundtrip(spark, tmp_path):
+    feed_dir = str(tmp_path / "golden")
+    write_golden_feed(spark, feed_dir)
+    from python_cdc_spark.cdc.feed import read_feed
+
+    feed = read_feed(spark, feed_dir)
+    ops = [r["operation"] for r in feed.orderBy("lsn").collect()]
+    assert ops == ["INSERT", "UPDATE", "DELETE"]
+
+    # corrupt-record channel: malformed line is captured, not dropped
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    (bad / "a.json").write_text('{"k": 1}\nnot json at all\n')
+    # (Spark disallows queries touching ONLY the corrupt column on a raw
+    # JSON scan — collect full rows instead)
+    rows = read_json(spark, str(bad), "k bigint").collect()
+    assert sum(1 for r in rows if r["_corrupt_record"] is not None) == 1
+    assert sum(1 for r in rows if r["k"] == 1) == 1
+
+    # CSV round trip
+    csv_dir = str(tmp_path / "csv")
+    spark.createDataFrame([(1, "x")], "id long, s string").write.option(
+        "header", "true"
+    ).csv(csv_dir)
+    back = read_csv(spark, csv_dir, "id long, s string")
+    assert back.collect() == [(1, "x")] or [
+        (r["id"], r["s"]) for r in back.collect()
+    ] == [(1, "x")]
+
+
+def test_multimodal_decode_features(spark):
+    """The Arrow decode path yields normalized byte-histogram features."""
+    from python_cdc_spark.multimodal import attach_binary_payload, decode_media
+
+    df = spark.createDataFrame([(1, "abcd")], "doc_id long, text string")
+    out = decode_media(attach_binary_payload(df), "doc_id", "payload").collect()[0]
+    assert out["n_bytes"] == 4
+    assert out["width"] == ord("a") + 1
+    assert out["height"] == ord("d") + 1
+    assert len(out["features"]) == 8
+    # bytes spread across first 4 histogram buckets, scaled by n
+    assert math.isclose(out["features"][0], ord("a") / 4.0, rel_tol=1e-6)
