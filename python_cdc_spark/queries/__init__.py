@@ -16,6 +16,7 @@ from python_cdc_spark.queries.registry import (  # noqa: F401
 # Importing these modules populates the registry.
 from python_cdc_spark.queries import (  # noqa: F401, E402
     tpch,
+    tpch_extra,
     relational,
     windows,
     cdc_queries,

@@ -1,0 +1,81 @@
+"""Scale-guardrail plan tests: pushdown, pruning, broadcast, shuffles.
+
+These encode SURVEY.md §2.2's guardrails as assertions so a regression
+that silently de-optimizes a plan (lost pushdown, accidental cartesian,
+fact-table shuffle on a dim join) fails CI, not a 100 TB run.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from python_cdc_spark.io import table
+from python_cdc_spark.plans.checks import (
+    count_exchanges,
+    has_cartesian,
+    plan_report,
+    pushed_filters,
+    scanned_columns,
+)
+from python_cdc_spark.queries import QUERIES
+from tests.conftest import SF_SMOKE
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """q6's predicates must appear as PushedFilters on the parquet scan."""
+    df = QUERIES["q6_forecast_revenue"].fn(spark, SF_SMOKE)
+    pushed = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+
+
+def test_column_pruning(spark):
+    """A 2-column projection must not read the other 9 lineitem columns."""
+    li = table(spark, SF_SMOKE, "lineitem")
+    df = li.select("l_orderkey", "l_quantity")
+    scans = scanned_columns(df)
+    assert scans and scans[0] == {"l_orderkey", "l_quantity"}
+
+
+def test_star_join_broadcasts_dims(spark):
+    """The flagship star join must broadcast every dimension (exactly one
+    fact-fact hash-shuffle join pair allowed: lineitem ⋈ orders)."""
+    df = QUERIES["revenue_by_nation_region"].fn(spark, SF_SMOKE)
+    rep = plan_report(df)
+    assert rep["broadcast_join"]
+    assert not rep["cartesian"]
+    # pre-execution AQE plans hide codegen annotations; check the final
+    # plan after executing THIS dataframe (count() would plan separately)
+    df.collect()
+    from python_cdc_spark.plans.checks import explain_str
+
+    final = explain_str(df)
+    assert "isFinalPlan=true" in final
+    # formatted mode tags codegen stages as "[codegen id : N]"
+    assert "codegen id" in final or "WholeStageCodegen" in explain_str(df, "simple")
+
+
+def test_no_cartesian_in_registry(spark):
+    """No registered query may contain an unconditional cartesian product."""
+    offenders = []
+    for name, spec in QUERIES.items():
+        df = spec.fn(spark, SF_SMOKE)
+        if has_cartesian(df):
+            offenders.append(name)
+    assert not offenders, f"cartesian products in: {offenders}"
+
+
+def test_topk_uses_take_ordered(spark):
+    """ORDER BY + LIMIT must plan as TakeOrderedAndProject (per-partition
+    heaps), not a global sort."""
+    from python_cdc_spark.plans.checks import explain_str
+
+    df = QUERIES["q3_shipping_priority"].fn(spark, SF_SMOKE)
+    assert "TakeOrderedAndProject" in explain_str(df)
+
+
+def test_apply_changes_shuffle_budget(spark):
+    """The CDC fold must stay within its designed shuffle count (key,
+    key+column, key) — catches accidental extra exchanges."""
+    df = QUERIES["cdc_apply_changes"].fn(spark, SF_SMOKE)
+    assert count_exchanges(df) <= 6
