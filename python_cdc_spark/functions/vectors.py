@@ -16,7 +16,10 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-_DEC = "decimal(30,12)"
+# 18 digits → backed by a compact long in both engines (Spark's Decimal
+# fast path, DuckDB int64 decimal); elements are |x|<~10 and dims=64 so
+# sums stay far below 10^6
+_DEC = "decimal(18,12)"
 
 
 def dot_product(a: Column, b: Column) -> Column:
@@ -77,7 +80,7 @@ def sql_dec_dot(a_expr: str, b_expr: str, dims: int) -> str:
     list reduction (explicit element sum keeps evaluation order fixed)."""
     terms = " + ".join(
         f"CAST(CAST({a_expr}[{i}] AS DOUBLE) * CAST({b_expr}[{i}] AS DOUBLE)"
-        f" AS DECIMAL(30,12))"
+        f" AS DECIMAL(18,12))"
         for i in range(1, dims + 1)
     )
     return f"CAST(ROUND(({terms}), 6) AS DOUBLE)"
@@ -86,7 +89,7 @@ def sql_dec_dot(a_expr: str, b_expr: str, dims: int) -> str:
 def sql_dec_norm(a_expr: str, dims: int) -> str:
     terms = " + ".join(
         f"CAST(CAST({a_expr}[{i}] AS DOUBLE) * CAST({a_expr}[{i}] AS DOUBLE)"
-        f" AS DECIMAL(30,12))"
+        f" AS DECIMAL(18,12))"
         for i in range(1, dims + 1)
     )
     return f"sqrt(CAST(ROUND(({terms}), 6) AS DOUBLE))"

@@ -17,9 +17,10 @@ Four tiers, increasing tolerance for fuzz:
 Scale notes:
 - Every join is an equi-join on a hash/band key (AQE splits skewed hot
   grams); the LSH join shuffles only (band_id, band_key, id) tuples.
-- MinHash is a SINGLE fold over the gram array producing all k minima
-  at once (one md5 per (gram, seed)); the naive k-column formulation
-  re-derives the gram array per signature and is ~k× slower.
+- MinHash/SimHash are expressed RELATIONALLY (explode → hash per row →
+  hash-agg mins) so every stage runs inside whole-stage codegen; nested
+  higher-order-function folds over arrays are interpreted per element
+  and measured ~30× slower.
 - ``_spread`` repartitions compute-bound narrow stages only when the
   scan produced fewer partitions than the cluster has cores (small-file
   inputs); at real scale the scan already yields enough partitions and
@@ -32,10 +33,6 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from python_cdc_spark.functions.text import normalized_text, tokens, word_ngrams
-
-#: sorts after every md5 hex digit — the "no gram seen yet" sentinel
-_SENTINEL = "~"
-
 
 def _spread(df: DataFrame) -> DataFrame:
     """Ensure at least default-parallelism partitions before an
@@ -101,35 +98,45 @@ def ngram_jaccard_pairs(
     )
 
 
-def _minhash_fold(gram_col: Column, k: int) -> Column:
-    """All k MinHash values in one pass: fold the gram array, taking the
-    element-wise minimum of k md5('<seed>|' || gram) digests per gram."""
-    seeds = F.sequence(F.lit(0), F.lit(k - 1))
-    return F.aggregate(
-        gram_col,
-        F.array_repeat(F.lit(_SENTINEL), k),
-        lambda acc, g: F.zip_with(
-            acc,
-            F.transform(seeds, lambda i: F.md5(F.concat(i.cast("string"), F.lit("|"), g))),
-            lambda a, b: F.least(a, b),
-        ),
-    )
-
-
 def minhash_signatures(
-    df: DataFrame, text_col: str, id_col: str, n: int = 3, k: int = 12
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    k: int = 12,
+    one_permutation: bool = False,
 ) -> DataFrame:
-    """Per-document MinHash signature (k md5-permutation minima) as
-    columns mh_0..mh_{k-1}. Documents too short for any n-gram are
-    dropped (no signature is defined for an empty set)."""
-    base = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text")))
-    sig = base.select(
-        "id",
-        _minhash_fold(F.array_distinct(word_ngrams(F.col("__text"), n)), k).alias("__sig"),
-    )
-    return sig.filter(F.element_at("__sig", 1) != _SENTINEL).select(
-        "id", *[F.element_at("__sig", i + 1).alias(f"mh_{i}") for i in range(k)]
-    )
+    """Per-document MinHash signature (k permutation minima) as columns
+    mh_0..mh_{k-1}. Documents too short for any n-gram are dropped (no
+    signature is defined for an empty set).
+
+    Shape: explode grams → one md5 per (doc, gram) row → groupBy(doc)
+    with k MIN aggregates. Deliberately relational rather than an
+    array-fold: explode/hash/hash-agg all run inside whole-stage
+    codegen, whereas nested higher-order-function folds are interpreted
+    per element (~30× slower measured at sf0.1).
+
+    Hash families:
+    - seeded (default): mh_i = min md5('<i>|' || gram) — k independent
+      permutations, k md5 per row.
+    - one-permutation (k ≤ 8): mh_i = min of the i-th 4-hex chunk of
+      ONE md5 per gram — the standard one-permutation-hashing trade
+      (slightly dependent permutations, k× less hashing).
+    """
+    cells = _gram_cells(df, text_col, id_col, n)
+    if one_permutation:
+        if k * 4 > 32:
+            raise ValueError("one-permutation mode supports k<=8 (32 hex chars)")
+        h = F.md5("gram")
+        mins = [
+            F.min(F.substring(h, 1 + 4 * i, 4)).alias(f"mh_{i}") for i in range(k)
+        ]
+    else:
+        mins = [
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("gram")))).alias(f"mh_{i}")
+            for i in range(k)
+        ]
+    return cells.groupBy("id").agg(*mins)
 
 
 def lsh_candidate_pairs(

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from python_cdc_spark.functions.vectors import cosine_similarity
+from python_cdc_spark.operators.dedup import _spread
 
 
 def brute_force_top_k(
@@ -36,7 +37,12 @@ def brute_force_top_k(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    # |Q|·|corpus| dot products are compute-bound: make sure the corpus
+    # side has enough partitions to use every core (small parquet inputs
+    # arrive as a single split)
+    c = _spread(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    )
     sim = cosine_similarity(F.col("q_vec"), F.col("c_vec"), exact=exact)
     scored = (
         c.join(broadcast(q), F.col("query_id") != F.col("neighbor_id"))
@@ -95,7 +101,7 @@ def hyperplane_lsh_buckets(
         bit = F.when(_projection(F.col(vec_col), ws[p]) >= 0, F.lit(1)).otherwise(F.lit(0))
         term = bit.cast("long") * (2**p)
         bucket = term if bucket is None else bucket + term
-    return df.select(F.col(id_col).alias("id"), bucket.alias("bucket"))
+    return _spread(df).select(F.col(id_col).alias("id"), bucket.alias("bucket"))
 
 
 def sql_hyperplane_bucket(vec_expr: str, planes: int, dims: int) -> str:

@@ -21,7 +21,7 @@ from python_cdc_spark.operators.dedup import (
 from python_cdc_spark.queries.llm_text import _SQL_GRAMS3, _SQL_NORM, _SQL_TOKS
 from python_cdc_spark.queries.registry import register
 
-_K, _BANDS = 12, 4
+_K, _BANDS = 8, 4  # one-permutation hashing: 8 × 4-hex chunks of one md5
 _R = _K // _BANDS
 
 
@@ -70,7 +70,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_sigs() -> str:
     mins = ", ".join(
-        f"MIN(md5('{i}|' || gram)) AS mh_{i}" for i in range(_K)
+        f"MIN(substr(md5(gram), {1 + 4 * i}, 4)) AS mh_{i}" for i in range(_K)
     )
     return f"""
     t AS (SELECT doc_id, {_SQL_TOKS} AS w FROM documents),
@@ -87,11 +87,12 @@ def _sql_sigs() -> str:
     WITH {_sql_sigs()}
     SELECT id, {", ".join(f"mh_{i}" for i in range(_K))} FROM sigs
     """,
-    doc="E26: per-document MinHash signatures (k=12 md5 permutations)",
+    doc="E26: per-document MinHash signatures (one-permutation, k=8)",
 )
 def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_signatures(
-        table(spark, sf_dir, "documents"), "text", "doc_id", n=3, k=_K
+        table(spark, sf_dir, "documents"), "text", "doc_id", n=3, k=_K,
+        one_permutation=True,
     )
 
 
@@ -118,11 +119,12 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM stacked x JOIN stacked y
       ON x.band_id = y.band_id AND x.band_key = y.band_key AND x.id < y.id
     """,
-    doc="E26: banded MinHash-LSH candidate near-dup pairs (scale path)",
+    doc="E26: banded MinHash-LSH candidate pairs (r=2,b=4 → ~0.5 Jaccard threshold)",
 )
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = minhash_signatures(
-        table(spark, sf_dir, "documents"), "text", "doc_id", n=3, k=_K
+        table(spark, sf_dir, "documents"), "text", "doc_id", n=3, k=_K,
+        one_permutation=True,
     )
     return lsh_candidate_pairs(sigs, k=_K, bands=_BANDS)
 
