@@ -431,3 +431,105 @@ def grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((c_mktsegment), (n_name), ())
         """
     )
+
+
+@register(
+    "salted_agg_returnflag",
+    oracle=f"""
+    SELECT l_returnflag,
+           {sql_dec_sum('l_quantity', 'sum_qty')},
+           COUNT(*) AS n_rows,
+           MIN(l_shipdate) AS first_ship,
+           MAX(l_shipdate) AS last_ship
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="E10 skew idiom: salted two-phase aggregation ≡ direct groupBy",
+)
+def salted_agg_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key GROUP BY through operators.skew.salted_groupby — the
+    oracle is the PLAIN aggregation, asserting the salting is invisible
+    in results (decimal sums stay exact across the extra phase)."""
+    from python_cdc_spark.operators.skew import salted_groupby
+
+    li = table(spark, sf_dir, "lineitem")
+    out = salted_groupby(
+        li,
+        ["l_returnflag"],
+        [
+            (F.col("l_quantity").cast("decimal(30,10)"), "sum", "__qty_dec"),
+            (F.lit(1), "count", "n_rows"),
+            (F.col("l_shipdate"), "min", "first_ship"),
+            (F.col("l_shipdate"), "max", "last_ship"),
+        ],
+        salt_buckets=16,
+    )
+    return out.select(
+        "l_returnflag",
+        F.round(F.col("__qty_dec"), 4).cast("double").alias("sum_qty"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        "first_ship",
+        "last_ship",
+    )
+
+
+@register(
+    "scalar_string_funcs2",
+    oracle="""
+    SELECT p_partkey,
+           lpad(p_brand, 12, '*') AS brand_pad,
+           translate(p_name, 'aeiou', 'AEIOU') AS name_vowels,
+           split_part(p_brand, '#', 2) AS brand_id,
+           CAST(strpos(p_name, 'e') AS BIGINT) AS first_e,
+           left(p_name, 4) AS name_head,
+           repeat(p_type, 2) AS type_twice,
+           reverse(p_name) AS name_rev,
+           CAST(levenshtein(p_brand, 'Brand#1') AS BIGINT) AS brand_dist
+    FROM part
+    """,
+    doc="E16: extended string functions (pad/translate/split_part/levenshtein)",
+)
+def scalar_string_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lpad("p_brand", 12, "*").alias("brand_pad"),
+        F.translate("p_name", "aeiou", "AEIOU").alias("name_vowels"),
+        F.split_part("p_brand", F.lit("#"), F.lit(2)).alias("brand_id"),
+        F.instr("p_name", "e").cast("long").alias("first_e"),
+        F.substring("p_name", 1, 4).alias("name_head"),
+        F.repeat("p_type", 2).alias("type_twice"),
+        F.reverse("p_name").alias("name_rev"),
+        F.levenshtein("p_brand", F.lit("Brand#1")).cast("long").alias("brand_dist"),
+    )
+
+
+@register(
+    "array_functions",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS dims,
+           embedding[2:5] AS head_slice,
+           embedding[1] AS first_elem,
+           embedding[len(embedding)] AS last_elem,
+           list_max(embedding) AS max_elem,
+           list_min(embedding) AS min_elem,
+           list_sort(embedding[1:4]) AS sorted_head,
+           list_contains(embedding, 0.0::FLOAT) AS has_zero
+    FROM embeddings
+    """,
+    doc="E16: array functions over the embedding column",
+)
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    return e.select(
+        "vec_id",
+        F.size(v).cast("long").alias("dims"),
+        F.slice(v, 2, 4).alias("head_slice"),
+        F.element_at(v, 1).alias("first_elem"),
+        F.element_at(v, F.size(v)).alias("last_elem"),
+        F.array_max(v).alias("max_elem"),
+        F.array_min(v).alias("min_elem"),
+        F.sort_array(F.slice(v, 1, 4)).alias("sorted_head"),
+        F.array_contains(v, F.lit(0.0).cast("float")).alias("has_zero"),
+    )

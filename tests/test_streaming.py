@@ -208,3 +208,42 @@ def test_streaming_late_event_no_resurrection(spark, tmp_path, feed_dir):
     )
     applier = _run_apply(spark, feed_dir, tmp_path)
     assert applier.current_state().count() == 0
+
+
+def test_stateful_running_counter(spark, tmp_path, feed_dir):
+    """E24: applyInPandasWithState accumulates per-key state ACROSS
+    micro-batches (2 files × maxFilesPerTrigger=1 → 2 batches)."""
+    from python_cdc_spark.streaming.stateful import running_per_key_stats
+
+    _write_feed_file(
+        os.path.join(feed_dir, "f1.json"),
+        [
+            _ev(1, "INSERT", "1", {"id": "1", "value": "10.0"}),
+            _ev(2, "INSERT", "2", {"id": "2", "value": "5.0"}),
+        ],
+    )
+    _write_feed_file(
+        os.path.join(feed_dir, "f2.json"),
+        [_ev(3, "UPDATE", "1", {"id": "1", "value": "7.0"})],
+    )
+    stream = read_feed_stream(spark, feed_dir, max_files_per_trigger=1).withColumn(
+        "key", F.coalesce(F.col("new_values")["id"], F.col("old_values")["id"])
+    )
+    out = running_per_key_stats(stream, "key")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stateful_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_state"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from stateful_test").collect()
+    # last emission per key wins
+    latest = {}
+    for r in rows:
+        if r["key"] not in latest or r["last_lsn"] > latest[r["key"]]["last_lsn"]:
+            latest[r["key"]] = r
+    assert latest["1"]["n_events"] == 2 and latest["1"]["total_value"] == 17.0
+    assert latest["2"]["n_events"] == 1 and latest["2"]["total_value"] == 5.0
