@@ -247,3 +247,33 @@ def test_stateful_running_counter(spark, tmp_path, feed_dir):
             latest[r["key"]] = r
     assert latest["1"]["n_events"] == 2 and latest["1"]["total_value"] == 17.0
     assert latest["2"]["n_events"] == 1 and latest["2"]["total_value"] == 5.0
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Two watermarked file streams joined on user within 10 minutes."""
+    from python_cdc_spark.streaming.joins import stream_stream_interval_join
+
+    pdir, cdir = tmp_path / "p", tmp_path / "c"
+    pdir.mkdir(); cdir.mkdir()
+    with open(pdir / "a.json", "w") as f:
+        f.write(json.dumps({"user": 1, "ts": "2024-01-01 00:20:00", "amount": 9.5}) + "\n")
+        f.write(json.dumps({"user": 2, "ts": "2024-01-01 00:20:00", "amount": 1.0}) + "\n")
+    with open(cdir / "a.json", "w") as f:
+        # in-window click for user 1, out-of-window click for user 2
+        f.write(json.dumps({"user": 1, "ts": "2024-01-01 00:15:00", "page": "x"}) + "\n")
+        f.write(json.dumps({"user": 2, "ts": "2024-01-01 00:05:00", "page": "y"}) + "\n")
+
+    purchases = spark.readStream.schema("user bigint, ts timestamp, amount double").json(str(pdir))
+    clicks = spark.readStream.schema("user bigint, ts timestamp, page string").json(str(cdir))
+    joined = stream_stream_interval_join(purchases, clicks, "user", interval="10 minutes")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select user, r_page from ssj_test").collect()
+    assert [(r["user"], r["r_page"]) for r in rows] == [(1, "x")]
