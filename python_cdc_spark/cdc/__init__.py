@@ -5,6 +5,8 @@ The reference decodes Postgres pgoutput into row-change events and fans
 them out to printing workers. Here the same semantics are expressed as:
 
 - ``feed``      — CDC event feeds as (streaming) DataFrames (R1–R10).
+- ``pgoutput``  — the binary wire-format codec itself (R3–R8): broadcast
+  relation registry + Arrow-batched frame decode.
 - ``apply``     — materialize current state from a feed (E18, flagship).
 - ``scd2``      — slowly-changing-dimension type-2 history (E19).
 - ``typing``    — the reference's untyped string values → typed columns.
@@ -17,6 +19,10 @@ from python_cdc_spark.cdc.feed import (  # noqa: F401
     golden_sequence_events,
     read_feed,
     read_feed_stream,
+)
+from python_cdc_spark.cdc.pgoutput import (  # noqa: F401
+    decode_frames,
+    relation_registry,
 )
 from python_cdc_spark.cdc.scd2 import scd2_history  # noqa: F401
 from python_cdc_spark.cdc.typing import cast_images_to_schema  # noqa: F401

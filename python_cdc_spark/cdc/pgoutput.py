@@ -1,0 +1,263 @@
+"""pgoutput binary frame codec: the reference's core capability (R3–R8),
+re-expressed for distributed execution.
+
+The reference decodes Postgres logical-replication ``pgoutput`` frames
+one at a time on a single thread, holding the relation registry as
+process state (``/root/reference/utils/pg_output_parser.py:13,15-39``).
+Here the same wire format is handled in two Spark passes:
+
+1. ``relation_registry`` — scan ONLY ``R`` (Relation) frames (they are
+   rare: one per table per session/DDL) and build the relid → schema
+   registry as a small driver-side dict, exactly the dynamic
+   schema-discovery role of the reference's ``_parse_relation``
+   (``pg_output_parser.py:41-97``) but derived once and broadcast.
+2. ``decode_frames`` — Arrow-batched ``mapInPandas`` over the data
+   frames (``I``/``U``/``D``), each worker decoding with the broadcast
+   registry. Frames referencing an unregistered relid are dropped, as
+   the reference does with a warning (``pg_output_parser.py:138-141``).
+
+Wire format implemented from the public PostgreSQL docs
+(protocol/logicalrep-message-formats, proto_version 1 — the version the
+reference requests at ``postgre_cdc_consumer.py:77``):
+
+- ``R``: relid int32, namespace cstr, relname cstr, replident int8,
+  ncols int16, then per column: flags int8, name cstr, typoid int32,
+  typmod int32.
+- ``I``: relid int32, 'N', TupleData.
+- ``U``: relid int32, optional ('K'|'O') TupleData, 'N', TupleData.
+- ``D``: relid int32, ('K'|'O') TupleData.
+- ``B``/``C``: transaction markers (skipped, like
+  ``pg_output_parser.py:32-37``).
+- TupleData: ncols int16, per column one of 'n' (null), 'u' (TOASTed
+  unchanged → the ``[unchanged]`` sentinel), 't' int32 len + bytes
+  (UTF-8 text, matching the reference's text-only decoding,
+  ``pg_output_parser.py:114-121``).
+
+``encode_*`` helpers produce the same format for fixtures/tests — this
+repo's analog of the reference's ``test_changes.py`` change generator.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Any, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from python_cdc_spark.schemas import CDC_EVENT_SCHEMA, UNCHANGED_SENTINEL
+
+# ---------------------------------------------------------------------------
+# encoding (fixture/test producer side)
+# ---------------------------------------------------------------------------
+
+
+def _cstr(s: str) -> bytes:
+    return s.encode("utf-8") + b"\x00"
+
+
+def encode_relation(
+    relid: int,
+    namespace: str,
+    relname: str,
+    columns: list[str],
+    replica_identity: str = "f",
+) -> bytes:
+    out = [b"R", struct.pack(">i", relid), _cstr(namespace), _cstr(relname)]
+    out.append(replica_identity.encode())
+    out.append(struct.pack(">h", len(columns)))
+    for name in columns:
+        out.append(struct.pack(">b", 1))  # flags: part of key
+        out.append(_cstr(name))
+        out.append(struct.pack(">i", 25))  # typoid: text
+        out.append(struct.pack(">i", -1))  # typmod
+    return b"".join(out)
+
+
+def _encode_tuple(values: list[Any]) -> bytes:
+    out = [struct.pack(">h", len(values))]
+    for v in values:
+        if v is None:
+            out.append(b"n")
+        elif v is UNCHANGED_SENTINEL or v == UNCHANGED_SENTINEL:
+            out.append(b"u")
+        else:
+            b = str(v).encode("utf-8")
+            out.append(b"t" + struct.pack(">i", len(b)) + b)
+    return b"".join(out)
+
+
+def encode_insert(relid: int, values: list[Any]) -> bytes:
+    return b"I" + struct.pack(">i", relid) + b"N" + _encode_tuple(values)
+
+
+def encode_update(
+    relid: int,
+    new_values: list[Any],
+    old_values: list[Any] | None = None,
+    key_only: bool = False,
+) -> bytes:
+    out = [b"U", struct.pack(">i", relid)]
+    if old_values is not None:
+        out.append(b"K" if key_only else b"O")
+        out.append(_encode_tuple(old_values))
+    out.append(b"N")
+    out.append(_encode_tuple(new_values))
+    return b"".join(out)
+
+
+def encode_delete(relid: int, old_values: list[Any], key_only: bool = True) -> bytes:
+    return (
+        b"D"
+        + struct.pack(">i", relid)
+        + (b"K" if key_only else b"O")
+        + _encode_tuple(old_values)
+    )
+
+
+# ---------------------------------------------------------------------------
+# decoding
+# ---------------------------------------------------------------------------
+
+
+def _read_cstr(buf: bytes, pos: int) -> tuple[str, int]:
+    end = buf.index(b"\x00", pos)
+    return buf[pos:end].decode("utf-8"), end + 1
+
+
+def _parse_relation_frame(buf: bytes) -> tuple[int, dict]:
+    relid = struct.unpack_from(">i", buf, 1)[0]
+    pos = 5
+    namespace, pos = _read_cstr(buf, pos)
+    relname, pos = _read_cstr(buf, pos)
+    replident = chr(buf[pos])
+    pos += 1
+    (ncols,) = struct.unpack_from(">h", buf, pos)
+    pos += 2
+    cols = []
+    for _ in range(ncols):
+        pos += 1  # flags
+        name, pos = _read_cstr(buf, pos)
+        pos += 8  # typoid + typmod (captured but unused, like the reference)
+        cols.append(name)
+    return relid, {
+        "namespace": namespace,
+        "relname": relname,
+        "replica_identity": replident,
+        "columns": cols,
+    }
+
+
+def _parse_tuple(buf: bytes, pos: int, columns: list[str]) -> tuple[dict, int]:
+    (ncols,) = struct.unpack_from(">h", buf, pos)
+    pos += 2
+    vals: dict[str, Any] = {}
+    for i in range(ncols):
+        tag = chr(buf[pos])
+        pos += 1
+        name = columns[i] if i < len(columns) else f"col_{i}"
+        if tag == "n":
+            vals[name] = None
+        elif tag == "u":
+            vals[name] = UNCHANGED_SENTINEL
+        elif tag == "t":
+            (ln,) = struct.unpack_from(">i", buf, pos)
+            pos += 4
+            vals[name] = buf[pos : pos + ln].decode("utf-8", errors="replace")
+            pos += ln
+        else:
+            raise ValueError(f"unknown tuple tag {tag!r}")
+    return vals, pos
+
+
+def relation_registry(frames: DataFrame, frame_col: str = "frame") -> dict[int, dict]:
+    """Pass 1: the relid → relation dict from all ``R`` frames.
+
+    Relation frames are O(tables), not O(rows), so collecting them to
+    the driver is safe at any scale; the registry broadcasts to pass 2.
+    Later frames win (schema evolution by replacement, the reference's
+    registry overwrite at ``pg_output_parser.py:88``).
+    """
+    rel_rows = (
+        frames.filter(F.substring(frame_col, 1, 1) == "R")
+        .select("lsn", frame_col)
+        .collect()
+    )
+    registry: dict[int, dict] = {}
+    for row in sorted(rel_rows, key=lambda r: r["lsn"]):
+        relid, rel = _parse_relation_frame(bytes(row[frame_col]))
+        registry[relid] = rel
+    return registry
+
+
+def decode_frames(
+    spark: SparkSession,
+    frames: DataFrame,
+    frame_col: str = "frame",
+    registry: dict[int, dict] | None = None,
+) -> DataFrame:
+    """Pass 2: binary pgoutput frames → typed CDC events.
+
+    Input needs (lsn bigint, ts timestamp, frame binary). Unknown
+    message types (B/C/keepalives) and unregistered relids are dropped,
+    mirroring ``parse_message``'s fall-through and the unknown-relation
+    guard. Decoding runs Arrow-batched per partition — the single
+    consumer loop becomes scan-parallel.
+    """
+    if registry is None:
+        registry = relation_registry(frames, frame_col)
+    breg = spark.sparkContext.broadcast(registry)
+
+    def decode(batches: Iterator["Any"]) -> Iterator["Any"]:
+        import pandas as pd
+
+        reg = breg.value
+        for pdf in batches:
+            out = {k: [] for k in (
+                "lsn", "operation", "schema", "table", "columns",
+                "old_values", "new_values", "ts",
+            )}
+            for lsn, ts, buf in zip(pdf["lsn"], pdf["ts"], pdf["frame"]):
+                buf = bytes(buf)
+                tag = chr(buf[0]) if buf else "?"
+                if tag not in ("I", "U", "D"):
+                    continue
+                relid = struct.unpack_from(">i", buf, 1)[0]
+                rel = reg.get(relid)
+                if rel is None:
+                    continue  # unknown relation: drop (R10)
+                cols = rel["columns"]
+                pos = 5
+                old_vals = new_vals = None
+                op = {"I": "INSERT", "U": "UPDATE", "D": "DELETE"}[tag]
+                if tag == "I":
+                    if chr(buf[pos]) != "N":
+                        continue  # malformed: drop (R10)
+                    new_vals, pos = _parse_tuple(buf, pos + 1, cols)
+                elif tag == "U":
+                    marker = chr(buf[pos])
+                    if marker in ("K", "O"):
+                        old_vals, pos = _parse_tuple(buf, pos + 1, cols)
+                        marker = chr(buf[pos])
+                    if marker != "N":
+                        continue
+                    new_vals, pos = _parse_tuple(buf, pos + 1, cols)
+                else:  # D
+                    marker = chr(buf[pos])
+                    if marker not in ("K", "O"):
+                        continue
+                    old_vals, pos = _parse_tuple(buf, pos + 1, cols)
+                out["lsn"].append(int(lsn))
+                out["operation"].append(op)
+                out["schema"].append(rel["namespace"])
+                out["table"].append(rel["relname"])
+                out["columns"].append(cols)
+                out["old_values"].append(old_vals)
+                out["new_values"].append(new_vals)
+                out["ts"].append(ts)
+            if out["lsn"]:
+                # (an empty dict-of-lists DataFrame defaults every column
+                # to float64, which Arrow can't cast to list/map types)
+                yield pd.DataFrame(out)
+
+    return frames.select("lsn", "ts", frame_col).mapInPandas(decode, CDC_EVENT_SCHEMA)
