@@ -103,3 +103,52 @@ def test_schema_evolution_by_replacement(spark):
     # both rows decode; the later one carries the new column
     assert events[0]["new_values"] == {"id": "1", "a": "x"}
     assert events[1]["new_values"] == {"id": "2", "a": "y", "b": "z"}
+
+
+def test_full_wire_to_state_streaming_pipeline(spark, tmp_path):
+    """The reference's whole job, end to end on Structured Streaming:
+    binary pgoutput frames → distributed decode → continuous apply →
+    materialized state. (Registry passed statically, as a stream cannot
+    self-collect relations; in production it comes from the snapshot.)"""
+    import pyspark.sql.functions as SF
+
+    from python_cdc_spark.streaming import StreamingApplyChanges
+
+    frames = [
+        encode_relation(16385, "public", "users", USERS_COLS),
+        encode_insert(16385, ["1", "Ada", "ada@example.com", "active"]),
+        encode_insert(16385, ["2", "Lin", "lin@example.com", "active"]),
+        encode_update(
+            16385,
+            ["1", "Ada L", UNCHANGED_SENTINEL, "inactive"],
+            old_values=["1"],
+            key_only=True,
+        ),
+        encode_delete(16385, ["2", None, None, None], key_only=True),
+    ]
+    feed = _frames_df(spark, frames)
+    reg = relation_registry(feed)
+    wire_dir = str(tmp_path / "wire")
+    feed.write.parquet(wire_dir)
+
+    stream = (
+        spark.readStream.schema("lsn bigint, ts timestamp, frame binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(wire_dir)
+    )
+    events = decode_frames(spark, stream, registry=reg).withColumn(
+        "key", SF.coalesce(SF.col("new_values")["id"], SF.col("old_values")["id"])
+    )
+    applier = StreamingApplyChanges(spark, str(tmp_path / "state"), "key", n_buckets=4)
+    q = applier.start(events, str(tmp_path / "ckpt"), available_now=True)
+    q.awaitTermination(120)
+
+    state = {r["key"]: dict(r["values"]) for r in applier.current_state().collect()}
+    assert state == {
+        "1": {
+            "id": "1",
+            "name": "Ada L",
+            "email": "ada@example.com",  # TOASTed column survived
+            "status": "inactive",
+        }
+    }
