@@ -161,3 +161,79 @@ _WT, _FP = _sql_simhash(16)
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(table(spark, sf_dir, "documents"), "text", "doc_id", bits=16)
+
+
+@register(
+    "dedup_lsh_verified",
+    oracle=f"""
+    WITH {_sql_sigs()},
+    bands AS (
+      SELECT id,
+             {", ".join(
+                 "md5(" + " || '|' || ".join(f"mh_{b * _R + j}" for j in range(_R))
+                 + f") AS band_{b}"
+                 for b in range(_BANDS)
+             )}
+      FROM sigs
+    ),
+    stacked AS (
+      {" UNION ALL ".join(
+          f"SELECT id, {b} AS band_id, band_{b} AS band_key FROM bands"
+          for b in range(_BANDS)
+      )}
+    ),
+    cand AS (
+      SELECT DISTINCT x.id AS id_a, y.id AS id_b
+      FROM stacked x JOIN stacked y
+        ON x.band_id = y.band_id AND x.band_key = y.band_key AND x.id < y.id
+    ),
+    sizes AS (SELECT id, COUNT(*) AS set_size FROM cells GROUP BY id),
+    shared AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS shared
+      FROM cand c
+      JOIN cells ga ON ga.id = c.id_a
+      JOIN cells gb ON gb.id = c.id_b AND gb.gram = ga.gram
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT s.id_a, s.id_b,
+           CAST(s.shared AS DOUBLE)
+             / CAST(sa.set_size + sb.set_size - s.shared AS DOUBLE) AS jaccard
+    FROM shared s
+    JOIN sizes sa ON sa.id = s.id_a
+    JOIN sizes sb ON sb.id = s.id_b
+    WHERE CAST(s.shared AS DOUBLE)
+            / CAST(sa.set_size + sb.set_size - s.shared AS DOUBLE) >= 0.5
+    """,
+    doc="E26: full near-dup pipeline — LSH candidates verified by exact "
+    "Jaccard (candidate-only verification, never all-pairs)",
+)
+def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production near-dup shape: banded LSH proposes, exact Jaccard
+    over ONLY the candidate pairs disposes. Verification work is
+    O(candidates · grams), never O(n²)."""
+    from python_cdc_spark.operators.dedup import _gram_cells
+
+    docs = table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "text", "doc_id", n=3, k=_K, one_permutation=True)
+    cand = lsh_candidate_pairs(sigs, k=_K, bands=_BANDS)
+    cells = _gram_cells(docs, "text", "doc_id", 3)
+    sizes = cells.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"))
+    ga = cells.select(F.col("id").alias("id_a"), "gram")
+    gb = cells.select(F.col("id").alias("gb_id"), F.col("gram").alias("gram_b"))
+    shared = (
+        cand.join(ga, "id_a")
+        .join(gb, (F.col("id_b") == F.col("gb_id")) & (F.col("gram") == F.col("gram_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("set_size").alias("size_b"))
+    jac = F.col("shared").cast("double") / (
+        F.col("size_a") + F.col("size_b") - F.col("shared")
+    ).cast("double")
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+    )

@@ -172,3 +172,62 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.size(grams).cast("long").alias("n_distinct_grams"),
     )
+
+
+@register(
+    "text_tf_topk",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS w FROM documents),
+    tf AS (
+      SELECT doc_id, UNNEST(w) AS token FROM t
+    ),
+    tf_counts AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM tf GROUP BY doc_id, token
+    ),
+    df AS (
+      SELECT token, COUNT(DISTINCT doc_id) AS df FROM tf_counts GROUP BY token
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tc.doc_id, tc.token, tc.tf, df.df,
+             CAST(tc.tf AS DOUBLE) * (n.n_docs + 1) / (df.df + 1) AS weight
+      FROM tf_counts tc JOIN df USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, token, tf, df, weight, rnk FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                 ORDER BY weight DESC, token) AS BIGINT) AS rnk
+      FROM scored
+    ) WHERE rnk <= 5
+    """,
+    doc="E27: TF/DF term weighting, top-5 terms per document "
+    "(log-free weight: tf·(N+1)/(df+1), deterministic across engines)",
+)
+def text_tf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide term statistics: per-doc term frequency joined with
+    document frequency (the tf-idf shape; the idf log is replaced by a
+    rational weight so the oracle comparison is exact)."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_counts = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # scalar; one tiny job, not a per-row collect
+    scored = tf.join(df_counts, "token").select(
+        "doc_id",
+        "token",
+        "tf",
+        "df",
+        (F.col("tf").cast("double") * F.lit(n_docs + 1) / (F.col("df") + 1)).alias(
+            "weight"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("weight"), F.asc("token"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 5)
+        .select("doc_id", "token", "tf", "df", "weight", "rnk")
+    )

@@ -264,24 +264,32 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q18: customers with large-volume orders (agg → semi-join →
-    agg). The HAVING subquery becomes a left-semi join in Spark."""
+    """TPC-H Q18: customers with large-volume orders.
+
+    Single-pass shape: aggregate lineitem per orderkey ONCE (the same
+    sum serves both the HAVING screen and the output column), then join
+    orders + broadcast customer — one scan and one shuffle of lineitem
+    instead of the textbook scan-twice/semi-join plan.
+    """
     li = table(spark, sf_dir, "lineitem")
     orders = table(spark, sf_dir, "orders")
     cust = table(spark, sf_dir, "customer")
-    big = (
+    per_order = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(30,10)")).alias("q"))
-        .filter(F.col("q") > 150)
-        .select("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(30,10)")).alias("__q"))
+        .filter(F.col("__q") > 150)
     )
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(big.withColumnRenamed("l_orderkey", "big_orderkey"),
-              F.col("o_orderkey") == F.col("big_orderkey"), "left_semi")
+        per_order.join(orders, per_order.l_orderkey == orders.o_orderkey)
         .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(dec_sum(F.col("l_quantity"), "total_qty"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.round(F.col("__q"), 4).cast("double").alias("total_qty"),
+        )
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(100)
     )
