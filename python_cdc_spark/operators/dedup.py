@@ -145,8 +145,10 @@ def lsh_candidate_pairs(
     """Banded LSH over MinHash signatures: docs sharing any band key are
     candidate near-duplicates. Returns distinct (id_a, id_b) pairs.
 
-    With k=12, bands=4 (rows r=3) the s-curve threshold is ≈0.63
-    Jaccard. The band join shuffles only (band_id, band_key, id).
+    The s-curve threshold is ≈(1/bands)^(bands/k) Jaccard — 0.63 for
+    (k=12, b=4), 0.5 for the one-permutation (k=8, b=4) configuration
+    the registry queries use. The band join shuffles only
+    (band_id, band_key, id) tuples, never documents.
     """
     r = k // bands
     band_keys = [

@@ -533,3 +533,33 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sort_array(F.slice(v, 1, 4)).alias("sorted_head"),
         F.array_contains(v, F.lit(0.0).cast("float")).alias("has_zero"),
     )
+
+
+@register(
+    "table_row_counts",
+    oracle="""
+    SELECT 'region' AS tbl, COUNT(*) AS n FROM region
+    UNION ALL SELECT 'nation', COUNT(*) FROM nation
+    UNION ALL SELECT 'customer', COUNT(*) FROM customer
+    UNION ALL SELECT 'supplier', COUNT(*) FROM supplier
+    UNION ALL SELECT 'part', COUNT(*) FROM part
+    UNION ALL SELECT 'orders', COUNT(*) FROM orders
+    UNION ALL SELECT 'lineitem', COUNT(*) FROM lineitem
+    UNION ALL SELECT 'events', COUNT(*) FROM events
+    UNION ALL SELECT 'documents', COUNT(*) FROM documents
+    UNION ALL SELECT 'embeddings', COUNT(*) FROM embeddings
+    """,
+    doc="R17 diagnostics analog: row counts across every source table",
+)
+def table_row_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The utils.py-style admin sweep (reference utils.py:100-109) as a
+    single unioned count query (metadata-only parquet scans)."""
+    from python_cdc_spark.schemas import ANALYTIC_TABLES
+
+    out = None
+    for name in ANALYTIC_TABLES:
+        one = table(spark, sf_dir, name).agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(name).alias("tbl"), "n"
+        )
+        out = one if out is None else out.unionByName(one)
+    return out

@@ -247,3 +247,39 @@ def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "event_type", "event_id", "ts", "value")
     )
+
+
+@register(
+    "timeseries_moving_avg",
+    oracle="""
+    SELECT user_id, event_id, ts, value,
+           CAST(SUM(CAST(value AS DECIMAL(30,10)))
+                  OVER w_frame AS DOUBLE)
+             / COUNT(value) OVER w_frame AS moving_avg_4,
+           CAST(COUNT(*) OVER w_frame AS BIGINT) AS frame_size
+    FROM events
+    WINDOW w_frame AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+    """,
+    doc="E13: time-series smoothing — 4-event moving average per user",
+)
+def timeseries_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-frame moving aggregate (the resample/smooth primitive of
+    time-series pipelines); decimal-routed so the frame sum is exact."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        (
+            F.sum(F.col("value").cast("decimal(30,10)")).over(w).cast("double")
+            / F.count("value").over(w)
+        ).alias("moving_avg_4"),
+        F.count(F.lit(1)).over(w).alias("frame_size"),
+    )
