@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from python_cdc_spark.schemas import OP_DELETE, OP_INSERT, UNCHANGED_SENTINEL
+from python_cdc_spark.schemas import OP_DELETE, UNCHANGED_SENTINEL
 
 
 def latest_per_key(
@@ -104,6 +104,29 @@ def apply_changes_with_tombstones(
                 "del_lsn"
             ),
         )
+    )
+
+
+def apply_changes_all_tables(events: DataFrame, key_col: str = "key") -> DataFrame:
+    """Apply-changes for a multi-table feed in one pass: state is keyed
+    by (schema, table, key), so one job materializes every replicated
+    table — the shape of a real publication with many tables
+    (``/root/reference/init.sql:15`` publishes per-table; a fleet of
+    tables shares the WAL stream). Output adds ``schema``/``table``.
+    """
+    sep = "\x1f"  # ASCII unit separator — cannot occur in identifiers
+    composite = events.withColumn(
+        "__tk",
+        F.concat_ws(sep, F.col("schema"), F.col("table"), F.col(key_col)),
+    )
+    folded = apply_changes(composite, "__tk")
+    parts = F.split(F.col("__tk"), sep)
+    return folded.select(
+        parts.getItem(0).alias("schema"),
+        parts.getItem(1).alias("table"),
+        parts.getItem(2).alias(key_col),
+        "values",
+        "last_lsn",
     )
 
 

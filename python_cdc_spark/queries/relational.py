@@ -563,3 +563,29 @@ def table_row_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = one if out is None else out.unionByName(one)
     return out
+
+
+@register(
+    "map_functions",
+    oracle="""
+    SELECT event_id,
+           json_keys(props) AS prop_keys,
+           CAST(len(json_keys(props)) AS BIGINT) AS n_props,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+           json_extract_string(props, '$.missing') AS missing_value
+    FROM events
+    """,
+    doc="E16: map/JSON-object functions over the events.props column",
+)
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """props parsed to map<string,string> (the same shape CDC row images
+    use), then inspected with map functions."""
+    ev = table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,string>")
+    return ev.select(
+        "event_id",
+        F.map_keys(m).alias("prop_keys"),
+        F.size(F.map_keys(m)).cast("long").alias("n_props"),
+        F.element_at(m, "k").cast("long").alias("k_value"),
+        F.element_at(m, "missing").alias("missing_value"),
+    )

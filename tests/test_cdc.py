@@ -155,3 +155,21 @@ def test_latest_per_key(spark):
     latest = latest_per_key(_feed(spark, rows), ["key"]).collect()
     assert len(latest) == 1
     assert latest[0]["lsn"] == 5
+
+
+def test_apply_changes_all_tables(spark):
+    """One pass materializes independent per-table states; same key in
+    different tables does not collide."""
+    from python_cdc_spark.cdc.apply import apply_changes_all_tables
+
+    rows = [
+        _ev(1, "INSERT", None, new={"id": "1", "v": "users-row"}, table="users"),
+        _ev(2, "INSERT", None, new={"id": "1", "v": "orders-row"}, table="orders"),
+        _ev(3, "DELETE", None, old={"id": "1"}, table="orders"),
+    ]
+    feed = _feed(spark, rows)
+    got = {
+        (r["table"], r["key"]): dict(r["values"])
+        for r in apply_changes_all_tables(feed, "key").collect()
+    }
+    assert got == {("users", "1"): {"id": "1", "v": "users-row"}}
