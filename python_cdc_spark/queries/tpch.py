@@ -6,9 +6,11 @@ sort/limit. The reference engine has none of these (SURVEY.md §2.1,
 "Explicitly absent"); they are the north-star mandate.
 
 Scale notes (100 TB discipline):
-- ``nation``/``region``/``supplier``/``part`` are dimension tables →
-  explicit ``broadcast()`` so fact-table joins never shuffle the fact side
-  on dim keys.
+- ``nation``/``region`` are CONSTANT-size dimensions (25/5 rows at any
+  scale factor) → explicit ``broadcast()``. ``customer``/``part``/
+  ``supplier`` scale linearly with SF, so forcing a broadcast would OOM
+  a 100 TB run — those joins are left to AQE, which picks broadcast at
+  runtime whenever the build side is actually small (it is, at test SF).
 - Aggregations are expressed as single groupBy/agg → Catalyst plans
   partial (map-side) + final aggregation automatically.
 - Top-k uses ORDER BY + LIMIT, which Spark executes as TakeOrderedAndProject
@@ -94,7 +96,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -122,8 +124,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5: revenue where customer and supplier share a nation.
 
     Flagship join pipeline: fact-fact join lineitem⋈orders shuffles on
-    orderkey; every dimension side is broadcast, so no other shuffle of
-    the fact table occurs until the final (tiny) groupBy(n_name).
+    orderkey; constant-size nation/region are broadcast outright, and
+    AQE promotes the scaling dims (customer/supplier) to broadcast when
+    their runtime size allows.
     """
     cust = table(spark, sf_dir, "customer")
     orders = table(spark, sf_dir, "orders")
@@ -133,9 +136,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
         )
         .join(broadcast(nation), supp.s_nationkey == nation.n_nationkey)
@@ -199,7 +202,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = table(spark, sf_dir, "nation")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
@@ -234,7 +237,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
     dec = "decimal(30,10)"
     return (
-        li.join(broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             (
                 F.round(F.sum(promo.cast(dec)), 4).cast("double")
@@ -281,7 +284,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         per_order.join(orders, per_order.l_orderkey == orders.o_orderkey)
-        .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .select(
             "c_custkey",
             "c_name",
@@ -308,7 +311,7 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19-style: disjunctive join predicate over brand/size/qty."""
     li = table(spark, sf_dir, "lineitem")
     part = table(spark, sf_dir, "part")
-    joined = li.join(broadcast(part), li.l_partkey == part.p_partkey)
+    joined = li.join(part, li.l_partkey == part.p_partkey)
     cond = (
         (F.col("p_brand") == "Brand#11")
         & F.col("p_size").between(1, 20)
@@ -344,7 +347,7 @@ def revenue_by_nation_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = table(spark, sf_dir, "region")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name", "n_name")

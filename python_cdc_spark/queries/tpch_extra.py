@@ -84,9 +84,9 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
     )
     return (
-        li.join(broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(broadcast(n1), s.s_nationkey == F.col("n1_key"))
         .join(broadcast(n2), c.c_nationkey == F.col("n2_key"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
@@ -138,9 +138,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     dec = "decimal(30,10)"
     target = F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(F.lit(0.0))
     return (
-        li.join(broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(broadcast(n1), c.c_nationkey == F.col("n1_key"))
         .join(broadcast(r), F.col("n1_region") == r.r_regionkey)
         .join(broadcast(n2), s.s_nationkey == F.col("n2_key"))
@@ -180,8 +180,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         - 0.5 * F.col("p_retailprice") * F.col("l_quantity")
     )
     return (
-        li.join(broadcast(p), li.l_partkey == p.p_partkey)
-        .join(broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(
@@ -279,7 +279,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = rev.withColumn("__mx", F.max("total_revenue").over(w)).filter(
         F.col("total_revenue") == F.col("__mx")
     )
-    return top.join(broadcast(s), F.col("supplier_no") == s.s_suppkey).select(
+    return top.join(s, F.col("supplier_no") == s.s_suppkey).select(
         "s_suppkey", "s_name", "total_revenue"
     )
 
@@ -302,7 +302,7 @@ def q16_part_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
     )
     return (
-        li.join(broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
@@ -334,7 +334,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(0.2) * dec_avg(F.col("l_quantity"), "a").cast("double")).alias("threshold")
     )
     return (
-        li.join(broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(avg_qty, li.l_partkey == F.col("pk"))
         .filter(F.col("l_quantity") < F.col("threshold"))
         .agg(

@@ -79,3 +79,41 @@ def test_apply_changes_shuffle_budget(spark):
     key+column, key) — catches accidental extra exchanges."""
     df = QUERIES["cdc_apply_changes"].fn(spark, SF_SMOKE)
     assert count_exchanges(df) <= 6
+
+
+def test_bucketed_join_is_exchange_free(spark, tmp_path):
+    """Co-located (bucketed) fact⋈fact join: writing both sides bucketed
+    by the join key removes the shuffle entirely — the storage layout a
+    100 TB deployment would use for lineitem⋈orders."""
+    from pyspark.sql import functions as F
+
+    from python_cdc_spark.io import table as t
+    from python_cdc_spark.plans.checks import explain_str
+
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bkt LOCATION '{tmp_path}/wh'")
+    try:
+        li = t(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_quantity")
+        o = t(spark, SF_SMOKE, "orders").select("o_orderkey", "o_totalprice")
+        (
+            li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+            .mode("overwrite").saveAsTable("bkt.li_b")
+        )
+        (
+            o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+            .mode("overwrite").saveAsTable("bkt.o_b")
+        )
+        # disable auto-broadcast so the join strategy is SMJ over buckets
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bkt.li_b").join(
+            spark.table("bkt.o_b"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = explain_str(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS bkt.li_b")
+        spark.sql("DROP TABLE IF EXISTS bkt.o_b")
+        spark.sql("DROP DATABASE IF EXISTS bkt")
