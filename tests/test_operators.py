@@ -146,3 +146,22 @@ def test_multimodal_decode_features(spark):
     assert len(out["features"]) == 8
     # bytes spread across first 4 histogram buckets, scaled by n
     assert math.isclose(out["features"][0], ord("a") / 4.0, rel_tol=1e-6)
+
+
+def test_sql_api_views(spark):
+    """SQL-only users can reach engine capabilities as views."""
+    from python_cdc_spark.sql_api import register_all
+
+    names = register_all(spark, "/root/testdata/sf0.001")
+    assert "cdc_current_state" in names and "doc_near_dups" in names
+    n_users = spark.sql("SELECT COUNT(*) AS n FROM cdc_current_state").collect()[0]["n"]
+    assert n_users > 0
+    joined = spark.sql(
+        """
+        SELECT s.key, s.values['event_type'] AS last_event_type, q.keep
+        FROM cdc_current_state s
+        JOIN doc_quality q ON CAST(s.key AS BIGINT) = q.doc_id
+        LIMIT 5
+        """
+    ).collect()
+    assert len(joined) > 0
