@@ -331,8 +331,8 @@ def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_orderkey, l_linenumber,
            abs(l_extendedprice - 50000) AS abs_diff,
-           floor(l_quantity) AS qty_floor,
-           ceil(l_discount * 100) AS disc_pct_ceil,
+           CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+           CAST(ceil(l_discount * 100) AS BIGINT) AS disc_pct_ceil,
            sqrt(l_extendedprice) AS price_sqrt,
            l_quantity * l_quantity AS qty_sq,
            CAST(l_orderkey % 10 AS BIGINT) AS key_mod,

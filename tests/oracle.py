@@ -33,9 +33,11 @@ def _norm(v):
 
 def spark_rows(df):
     cols = sorted(df.columns)
+    # str-normalize AFTER type normalization so int-vs-float type skew
+    # (e.g. floor() long vs double) fails here like it would in any
+    # stringifying hash — Python's 5 == 5.0 would otherwise hide it
     return cols, sorted(
-        (tuple(_norm(r[c]) for c in cols) for r in df.collect()),
-        key=lambda t: tuple(str(x) for x in t),
+        tuple(str(_norm(r[c])) for c in cols) for r in df.collect()
     )
 
 
@@ -45,8 +47,7 @@ def duck_rows(con, sql):
     order = sorted(range(len(names)), key=lambda i: names[i])
     cols = [names[i] for i in order]
     return cols, sorted(
-        (tuple(_norm(row[i]) for i in order) for row in cur.fetchall()),
-        key=lambda t: tuple(str(x) for x in t),
+        tuple(str(_norm(row[i])) for i in order) for row in cur.fetchall()
     )
 
 
