@@ -176,3 +176,116 @@ def multimodal_doc_embedding_join(spark: SparkSession, sf_dir: str) -> DataFrame
         "label",
         l2_norm(F.col("embedding"), exact=True).alias("embedding_l2"),
     )
+
+
+_SQL_CENTROIDS = f"""
+    cells AS (
+      SELECT label, i.i AS pos, CAST(embedding[i.i] AS DOUBLE) AS val
+      FROM embeddings, UNNEST(generate_series(1, {_DIMS})) i(i)
+    ),
+    cdims AS (
+      SELECT label, pos,
+             CAST(ROUND(SUM(CAST(val AS DECIMAL(30,12))), 6) AS DOUBLE) / COUNT(val)
+               AS cval
+      FROM cells GROUP BY label, pos
+    ),
+    centroids AS (
+      SELECT label AS c_label, list(cval ORDER BY pos) AS cvec
+      FROM cdims GROUP BY label
+    )
+"""
+
+
+@register(
+    "similarity_ivf_topk",
+    oracle=f"""
+    WITH {_SQL_CENTROIDS},
+    q AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0
+    ),
+    probe AS (
+      SELECT query_id, qv, c_label FROM (
+        SELECT q.query_id, q.qv, c.c_label,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY {sql_dec_dot('q.qv', 'c.cvec', _DIMS)}
+                          / ({sql_dec_norm('q.qv', _DIMS)} * {sql_dec_norm('c.cvec', _DIMS)})
+                          DESC, c.c_label
+               ) AS crnk
+        FROM q CROSS JOIN centroids c
+      ) WHERE crnk = 1
+    )
+    SELECT query_id, probed_label, neighbor_id, cosine, rnk FROM (
+      SELECT p.query_id, p.c_label AS probed_label, e.vec_id AS neighbor_id,
+             {sql_dec_dot('p.qv', 'e.embedding', _DIMS)}
+               / ({sql_dec_norm('p.qv', _DIMS)} * {sql_dec_norm('e.embedding', _DIMS)})
+               AS cosine,
+             CAST(ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY
+                    {sql_dec_dot('p.qv', 'e.embedding', _DIMS)}
+                      / ({sql_dec_norm('p.qv', _DIMS)} * {sql_dec_norm('e.embedding', _DIMS)})
+                    DESC, e.vec_id) AS BIGINT) AS rnk
+      FROM probe p JOIN embeddings e
+        ON e.label = p.c_label AND e.vec_id <> p.query_id
+    ) WHERE rnk <= {_TOPK}
+    """,
+    doc="E26: IVF-style ANN — label as coarse quantizer, nprobe=1, "
+    "exact re-rank within the probed cell",
+)
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inverted-file ANN shape: centroids per cluster label (the
+    coarse quantizer a k-means pass would produce), each query probes
+    its best centroid and exact-ranks only that cell — search cost
+    drops from O(N) to O(N / n_cells) per query. Centroid means are
+    decimal-routed so the oracle reproduces them bit-exactly."""
+    from python_cdc_spark.functions.vectors import dec_dot_product, l2_norm
+
+    e = table(spark, sf_dir, "embeddings")
+    dec = "decimal(30,12)"
+    cdims = (
+        e.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(
+            (
+                F.round(F.sum(F.col("val").cast("double").cast(dec)), 6).cast("double")
+                / F.count("val")
+            ).alias("cval")
+        )
+    )
+    centroids = cdims.groupBy(F.col("label").alias("c_label")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+            lambda s: s.getField("cval"),
+        ).alias("cvec")
+    )
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    ccos = dec_dot_product(F.col("qv"), F.col("cvec")) / (
+        l2_norm(F.col("qv"), exact=True) * l2_norm(F.col("cvec"), exact=True)
+    )
+    wprobe = Window.partitionBy("query_id").orderBy(F.desc("__ccos"), F.asc("c_label"))
+    probe = (
+        q.crossJoin(broadcast(centroids))
+        .withColumn("__ccos", ccos)
+        .withColumn("crnk", F.row_number().over(wprobe))
+        .filter(F.col("crnk") == 1)
+        .select("query_id", "qv", F.col("c_label").alias("probed_label"))
+    )
+    ncos = dec_dot_product(F.col("qv"), F.col("embedding")) / (
+        l2_norm(F.col("qv"), exact=True) * l2_norm(F.col("embedding"), exact=True)
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        e.join(
+            broadcast(probe),
+            (e.label == F.col("probed_label")) & (e.vec_id != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            "probed_label",
+            F.col("vec_id").alias("neighbor_id"),
+            ncos.alias("cosine"),
+        )
+        .withColumn("rnk", F.row_number().over(wk).cast("long"))
+        .filter(F.col("rnk") <= _TOPK)
+    )

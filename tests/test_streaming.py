@@ -277,3 +277,56 @@ def test_stream_stream_interval_join(spark, tmp_path):
     q.awaitTermination(120)
     rows = spark.sql("select user, r_page from ssj_test").collect()
     assert [(r["user"], r["r_page"]) for r in rows] == [(1, "x")]
+
+
+def test_streaming_scd2_matches_batch(spark, tmp_path, feed_dir):
+    """Incremental SCD2 over 2 micro-batches == batch scd2_history over
+    the full feed (versions, validity intervals, currency flags)."""
+    from python_cdc_spark.cdc.scd2 import scd2_history
+    from python_cdc_spark.streaming.scd2_stream import StreamingScd2
+
+    _write_feed_file(
+        os.path.join(feed_dir, "f1.json"),
+        [
+            _ev(1, "INSERT", "1", {"id": "1", "s": "a"}, ts="2024-01-01T00:00:00"),
+            _ev(2, "INSERT", "2", {"id": "2", "s": "x"}, ts="2024-01-01T00:00:01"),
+            _ev(3, "UPDATE", "1", {"id": "1", "s": "b"}, ts="2024-01-01T00:00:02"),
+        ],
+    )
+    _write_feed_file(
+        os.path.join(feed_dir, "f2.json"),
+        [
+            _ev(4, "UPDATE", "1", {"id": "1", "s": "c"}, ts="2024-01-01T00:00:03"),
+            _ev(5, "DELETE", "2", None, ts="2024-01-01T00:00:04"),
+            _ev(6, "INSERT", "3", {"id": "3", "s": "n"}, ts="2024-01-01T00:00:05"),
+        ],
+    )
+    stream = read_feed_stream(spark, feed_dir, max_files_per_trigger=1).withColumn(
+        "key", F.coalesce(F.col("new_values")["id"], F.col("old_values")["id"])
+    )
+    scd2 = StreamingScd2(spark, str(tmp_path / "hist"), "key", n_buckets=4)
+    q = scd2.start(stream, str(tmp_path / "ckpt_scd2"), available_now=True)
+    q.awaitTermination(120)
+
+    def snap(df):
+        return sorted(
+            (
+                r["key"], r["version"],
+                str(r["valid_from"]), str(r["valid_to"]), r["is_current"],
+            )
+            for r in df.collect()
+        )
+
+    from python_cdc_spark.cdc.feed import read_feed
+
+    full = read_feed(spark, feed_dir).withColumn(
+        "key", F.coalesce(F.col("new_values")["id"], F.col("old_values")["id"])
+    )
+    got = snap(scd2.history())
+    want = snap(scd2_history(full, "key"))
+    assert got == want
+    # sanity: key 1 has 3 versions, key 2's single version closed by the
+    # delete, key 3 open
+    assert [v for k, v, *_ in got if k == "1"] == [1, 2, 3]
+    assert [c for k, *_, c in got if k == "2"] == [False]
+    assert [c for k, *_, c in got if k == "3"] == [True]
