@@ -37,9 +37,12 @@ HEADLINE = [
     # LLM pipeline
     "dedup_exact",
     "dedup_minhash_lsh_pairs",
+    "dedup_lsh_verified",
     "text_quality_score",
+    "text_tf_topk",
     "similarity_brute_topk",
     "similarity_ann_lsh_topk",
+    "similarity_ivf_topk",
 ]
 
 
