@@ -104,14 +104,67 @@ def hyperplane_lsh_buckets(
     return _spread(df).select(F.col(id_col).alias("id"), bucket.alias("bucket"))
 
 
-def sql_hyperplane_bucket(vec_expr: str, planes: int, dims: int) -> str:
-    """DuckDB twin of ``hyperplane_lsh_buckets``'s bucket expression."""
-    ws = hyperplane_weights(planes, dims)
+def hyperplane_lsh_tables(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tables: int = 4,
+    planes_per_table: int = 4,
+    dims: int = 64,
+) -> DataFrame:
+    """Multi-table LSH: ``tables`` independent bucket assignments, each
+    from its own ``planes_per_table`` hyperplanes (table t uses absolute
+    planes [t·ppt, (t+1)·ppt)). Candidates are the UNION of same-bucket
+    pairs across tables — the standard recall lever: one 2^p-bucket
+    table prunes hard but misses neighbors split by any single
+    hyperplane; L tables only miss pairs split in EVERY table.
+
+    Returns (id, table_id, bucket) stacked — join on (table_id, bucket).
+    """
+    ws = hyperplane_weights(tables * planes_per_table, dims)
+    bucket_cols = []
+    for t in range(tables):
+        bucket = None
+        for j in range(planes_per_table):
+            bit = F.when(
+                _projection(F.col(vec_col), ws[t * planes_per_table + j]) >= 0,
+                F.lit(1),
+            ).otherwise(F.lit(0))
+            term = bit.cast("long") * (2**j)
+            bucket = term if bucket is None else bucket + term
+        bucket_cols.append(bucket.alias(f"b_{t}"))
+    banded = _spread(df).select(F.col(id_col).alias("id"), *bucket_cols)
+    return banded.select(
+        "id",
+        F.explode(
+            F.map_from_arrays(
+                F.array(*[F.lit(t) for t in range(tables)]),
+                F.array(*[F.col(f"b_{t}") for t in range(tables)]),
+            )
+        ).alias("table_id", "bucket"),
+    )
+
+
+def _sql_bucket_terms(vec_expr: str, ws_rows: list[list[int]]) -> str:
     parts = []
-    for p in range(planes):
+    for j, row in enumerate(ws_rows):
         terms = " + ".join(
             ("" if w > 0 else "-") + f"CAST({vec_expr}[{d + 1}] AS DOUBLE)"
-            for d, w in enumerate(ws[p])
+            for d, w in enumerate(row)
         ).replace("+ -", "- ")
-        parts.append(f"(CASE WHEN ({terms}) >= 0 THEN {2**p} ELSE 0 END)")
+        parts.append(f"(CASE WHEN ({terms}) >= 0 THEN {2**j} ELSE 0 END)")
     return "CAST(" + " + ".join(parts) + " AS BIGINT)"
+
+
+def sql_hyperplane_bucket(vec_expr: str, planes: int, dims: int) -> str:
+    """DuckDB twin of ``hyperplane_lsh_buckets``'s bucket expression."""
+    return _sql_bucket_terms(vec_expr, hyperplane_weights(planes, dims))
+
+
+def sql_hyperplane_table_bucket(
+    vec_expr: str, table: int, tables: int, planes_per_table: int, dims: int
+) -> str:
+    """DuckDB twin of one table's bucket in ``hyperplane_lsh_tables``."""
+    ws = hyperplane_weights(tables * planes_per_table, dims)
+    rows = ws[table * planes_per_table : (table + 1) * planes_per_table]
+    return _sql_bucket_terms(vec_expr, rows)

@@ -23,11 +23,13 @@ from python_cdc_spark.operators.similarity import (
     brute_force_top_k,
     hyperplane_lsh_buckets,
     sql_hyperplane_bucket,
+    sql_hyperplane_table_bucket,
 )
 from python_cdc_spark.queries.registry import register
 
 _DIMS = 64
 _PLANES = 6
+_TABLES, _PPT = 4, 4  # multi-table LSH: L tables x planes/table
 _TOPK = 5
 
 
@@ -98,56 +100,69 @@ def similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "similarity_ann_lsh_topk",
     oracle=f"""
-    WITH b AS (
-      SELECT vec_id, embedding, label,
-             {sql_hyperplane_bucket('embedding', _PLANES, _DIMS)} AS bucket
-      FROM embeddings
+    WITH stacked AS (
+      {" UNION ALL ".join(
+          f"SELECT vec_id AS id, {t} AS table_id, "
+          + sql_hyperplane_table_bucket("embedding", t, _TABLES, _PPT, _DIMS)
+          + " AS bucket FROM embeddings"
+          for t in range(_TABLES)
+      )}
     ),
-    n AS (SELECT vec_id, {sql_dec_norm('embedding', _DIMS)} AS nrm FROM embeddings),
-    scored AS (
-      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.bucket,
-             {sql_dec_dot('q.embedding', 'c.embedding', _DIMS)} / (nq.nrm * nc.nrm)
-               AS cosine
-      FROM b q
-      JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
-      JOIN n nq ON nq.vec_id = q.vec_id
-      JOIN n nc ON nc.vec_id = c.vec_id
-      WHERE q.vec_id % 100 = 0
-    )
-    SELECT query_id, neighbor_id, bucket, cosine, rnk FROM (
-      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-                 ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rnk
-      FROM scored
+    cand AS (
+      SELECT DISTINCT x.id AS query_id, y.id AS neighbor_id
+      FROM stacked x JOIN stacked y
+        ON x.table_id = y.table_id AND x.bucket = y.bucket AND x.id <> y.id
+      WHERE x.id % 100 = 0
+    ),
+    n AS (SELECT vec_id, {sql_dec_norm('embedding', _DIMS)} AS nrm FROM embeddings)
+    SELECT query_id, neighbor_id, cosine, rnk FROM (
+      SELECT c.query_id, c.neighbor_id,
+             {sql_dec_dot('q.embedding', 'e.embedding', _DIMS)} / (nq.nrm * ne.nrm)
+               AS cosine,
+             CAST(ROW_NUMBER() OVER (PARTITION BY c.query_id ORDER BY
+                    {sql_dec_dot('q.embedding', 'e.embedding', _DIMS)} / (nq.nrm * ne.nrm)
+                    DESC, c.neighbor_id) AS BIGINT) AS rnk
+      FROM cand c
+      JOIN embeddings q ON q.vec_id = c.query_id
+      JOIN embeddings e ON e.vec_id = c.neighbor_id
+      JOIN n nq ON nq.vec_id = c.query_id
+      JOIN n ne ON ne.vec_id = c.neighbor_id
     ) WHERE rnk <= {_TOPK}
     """,
-    doc="E26: LSH-bucketed approximate top-k (candidates from same bucket only)",
+    doc="E26: multi-table LSH ANN top-k — union of candidates from "
+    f"{4} independent hyperplane tables, exact re-rank",
 )
 def similarity_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The scale path: same-bucket candidate join instead of full cross
-    product. At 100 TB the bucket column is also the natural partition/
-    cluster key for the corpus."""
+    """The scale path with the recall lever: L independent LSH tables;
+    a true neighbor is missed only if some hyperplane separates the
+    pair in EVERY table. Candidate generation joins (table_id, bucket)
+    stacks — shuffles ids, never vectors; exact cosine re-ranks the
+    union (measured recall@5 vs brute force in tests)."""
+    from python_cdc_spark.operators.similarity import hyperplane_lsh_tables
+
     e = table(spark, sf_dir, "embeddings")
-    buckets = hyperplane_lsh_buckets(e, "vec_id", "embedding", _PLANES, _DIMS)
-    vecs = e.join(buckets.withColumnRenamed("id", "vec_id"), "vec_id")
-    q = vecs.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_vec"),
-        "bucket",
+    stacked = hyperplane_lsh_tables(e, "vec_id", "embedding", _TABLES, _PPT, _DIMS)
+    x = stacked.filter(F.col("id") % 100 == 0).select(
+        F.col("id").alias("query_id"), "table_id", "bucket"
     )
-    c = vecs.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("c_vec"),
-        F.col("bucket").alias("c_bucket"),
+    y = stacked.select(F.col("id").alias("neighbor_id"), "table_id", "bucket")
+    cand = (
+        x.join(y, ["table_id", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
     )
-    scored = c.join(
-        broadcast(q),
-        (F.col("bucket") == F.col("c_bucket")) & (F.col("query_id") != F.col("neighbor_id")),
-    ).withColumn("cosine", cosine_similarity(F.col("q_vec"), F.col("c_vec"), exact=True))
+    qv = e.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    ev = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+    cos = cosine_similarity(F.col("qv"), F.col("cv"), exact=True)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        cand.join(broadcast(qv), "query_id")
+        .join(ev, "neighbor_id")
+        .withColumn("cosine", cos)
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= _TOPK)
-        .select("query_id", "neighbor_id", "bucket", "cosine", "rnk")
+        .select("query_id", "neighbor_id", "cosine", "rnk")
     )
 
 

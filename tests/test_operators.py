@@ -165,3 +165,59 @@ def test_sql_api_views(spark):
         """
     ).collect()
     assert len(joined) > 0
+
+
+def test_ann_recall_vs_brute_force(spark):
+    """Measure (and floor) the recall of both ANN paths against the
+    exact brute-force top-5 at sf0.001 — the quality metric an ANN
+    operator must report, not assume."""
+    from python_cdc_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+
+    def topk_sets(name):
+        out = {}
+        for r in QUERIES[name].fn(spark, sf).collect():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    brute = topk_sets("similarity_brute_topk")
+    # floors are method- and data-specific: multi-table LSH tracks cosine
+    # structure directly (measured 0.28 here; single-table was 0.04 —
+    # the reason the ANN query uses 4 tables). IVF's cells are the
+    # dataset's labels, which are only weakly cosine-coherent in this
+    # synthetic data, so nprobe=1 sits just above the 0.1 random-cell
+    # baseline — kept as the structural IVF demo, floored at random.
+    floors = {"similarity_ann_lsh_topk": 0.15, "similarity_ivf_topk": 0.05}
+    for name, floor in floors.items():
+        approx = topk_sets(name)
+        hits = sum(len(brute[q] & approx.get(q, set())) for q in brute)
+        total = sum(len(v) for v in brute.values())
+        recall = hits / total if total else 0.0
+        print(f"{name} recall@5 = {recall:.2f}")
+        assert recall > floor, f"{name} recall collapsed: {recall}"
+
+
+def test_registry_hygiene(spark):
+    """Every registry entry carries documentation; every oracle query
+    only references the pre-registered view names."""
+    import re
+
+    from python_cdc_spark.queries import QUERIES
+    from python_cdc_spark.schemas import ANALYTIC_TABLES
+
+    for name, spec in QUERIES.items():
+        assert spec.doc and spec.doc.strip(), f"{name} lacks doc"
+        if spec.oracle:
+            froms = set(
+                m.group(1).lower()
+                for m in re.finditer(r"(?:FROM|JOIN)\s+([a-z_][a-z0-9_]*)", spec.oracle)
+            )
+            unknown = froms - set(ANALYTIC_TABLES)
+            # CTE names are allowed; they must be defined in the query
+            for t in unknown:
+                assert re.search(
+                    rf"(?i)\b{t}\s+AS\s*\(", spec.oracle
+                ) or re.search(rf"(?i)\(\s*SELECT", spec.oracle), (
+                    f"{name}: oracle references unknown relation {t}"
+                )
