@@ -14,6 +14,7 @@ from pyspark.sql.functions import broadcast
 from python_cdc_spark.functions.text import token_count
 from python_cdc_spark.functions.vectors import (
     cosine_similarity,
+    dec_dot_product,
     l2_norm,
     sql_dec_dot,
     sql_dec_norm,
@@ -29,7 +30,7 @@ from python_cdc_spark.queries.registry import register
 
 _DIMS = 64
 _PLANES = 6
-_TABLES, _PPT = 4, 4  # multi-table LSH: L tables x planes/table
+_TABLES, _PPT = 4, 4  # multi-table LSH; >20 total planes breaks 64KB codegen
 _TOPK = 5
 
 
@@ -152,13 +153,29 @@ def similarity_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    qv = e.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
-    ev = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
-    cos = cosine_similarity(F.col("qv"), F.col("cv"), exact=True)
+    # norms once per vector (not per pair) — same arithmetic as the
+    # oracle's norm CTE, 3x less decimal work in the re-rank
+    norms = e.select(
+        "vec_id", l2_norm(F.col("embedding"), exact=True).alias("nrm")
+    )
+    qv = e.join(norms, "vec_id").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    ev = e.join(norms, "vec_id").select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    cos = dec_dot_product(F.col("qv"), F.col("cv")) / (F.col("q_nrm") * F.col("c_nrm"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
+        # both vector lookups broadcast: the candidate pair stream never
+        # shuffles embeddings (at larger-than-memory corpus scale the
+        # neighbor lookup becomes a bucket-co-partitioned join instead)
         cand.join(broadcast(qv), "query_id")
-        .join(ev, "neighbor_id")
+        .join(broadcast(ev), "neighbor_id")
         .withColumn("cosine", cos)
         .withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= _TOPK)
