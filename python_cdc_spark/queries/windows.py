@@ -283,3 +283,81 @@ def timeseries_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("moving_avg_4"),
         F.count(F.lit(1)).over(w).alias("frame_size"),
     )
+
+
+@register(
+    "median_exact_order_stat",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderstatus, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                ORDER BY o_totalprice, o_orderkey) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
+      FROM orders
+    )
+    SELECT o_orderstatus,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*)
+             AS median_price,
+           MAX(n) AS n_orders
+    FROM ranked
+    WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
+    GROUP BY o_orderstatus
+    """,
+    doc="E11: exact median via order statistics (engine-portable, unlike "
+    "interpolated percentile functions)",
+)
+def median_exact_order_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median as the mean of the middle order statistic(s): selecting
+    rows by row_number sidesteps the interpolation arithmetic that
+    makes native percentile() results engine-specific."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    ranked = o.select(
+        "o_orderstatus",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("o_orderstatus")).alias("n"),
+    )
+    # integer-division semantics: (n+1)//2 and (n+2)//2
+    mid = ranked.filter(
+        (F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        | (F.col("rn") == F.floor((F.col("n") + 2) / 2))
+    )
+    return mid.groupBy("o_orderstatus").agg(
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(30,10)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("median_price"),
+        F.max("n").alias("n_orders"),
+    )
+
+
+@register(
+    "window_trailing_range_1h",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_events_trailing_1h,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(30,10))) OVER w, 4) AS DOUBLE)
+             AS value_trailing_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+    doc="E13: value-based (RANGE) window frame — trailing 1-hour per-user stats",
+)
+def window_trailing_range_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frames bound by event-time intervals (the sliding-metric
+    primitive); expressed through Spark SQL since the Python Window API
+    only takes numeric range bounds."""
+    table(spark, sf_dir, "events").createOrReplaceTempView("events_range_v")
+    return spark.sql(
+        """
+        SELECT event_id, user_id, ts,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n_events_trailing_1h,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(30,10))) OVER w, 4) AS DOUBLE)
+                 AS value_trailing_1h
+        FROM events_range_v
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        """
+    )
