@@ -503,21 +503,36 @@ def scalar_string_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _scaled_long(x):
+    """float → deterministic long via exact IEEE double ops (widen, scale,
+    floor). Identical bit-for-bit on Spark and DuckDB, unlike float→string
+    formatting or ROUND on doubles (engine-specific half-rounding)."""
+    return F.floor(x.cast("double") * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+
+
+_SCALED_SQL = "CAST(FLOOR(CAST({x} AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)"
+
+
 @register(
     "array_functions",
-    oracle="""
+    oracle=f"""
     SELECT vec_id,
            CAST(len(embedding) AS BIGINT) AS dims,
-           embedding[2:5] AS head_slice,
+           array_to_string(list_transform(embedding[2:5],
+               x -> CAST({_SCALED_SQL.format(x='x')} AS VARCHAR)), ',') AS head_slice,
            embedding[1] AS first_elem,
            embedding[len(embedding)] AS last_elem,
            list_max(embedding) AS max_elem,
            list_min(embedding) AS min_elem,
-           list_sort(embedding[1:4]) AS sorted_head,
+           array_to_string(list_transform(
+               list_sort(list_transform(embedding[1:4],
+                   x -> {_SCALED_SQL.format(x='x')})),
+               x -> CAST(x AS VARCHAR)), ',') AS sorted_head,
            list_contains(embedding, 0.0::FLOAT) AS has_zero
     FROM embeddings
     """,
-    doc="E16: array functions over the embedding column",
+    doc="E16: array functions over the embedding column (list outputs "
+    "serialized to deterministic strings for the harness comparator)",
 )
 def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
@@ -525,12 +540,20 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "vec_id",
         F.size(v).cast("long").alias("dims"),
-        F.slice(v, 2, 4).alias("head_slice"),
+        F.array_join(
+            F.transform(F.slice(v, 2, 4), lambda x: _scaled_long(x).cast("string")), ","
+        ).alias("head_slice"),
         F.element_at(v, 1).alias("first_elem"),
         F.element_at(v, F.size(v)).alias("last_elem"),
         F.array_max(v).alias("max_elem"),
         F.array_min(v).alias("min_elem"),
-        F.sort_array(F.slice(v, 1, 4)).alias("sorted_head"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.transform(F.slice(v, 1, 4), _scaled_long)),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("sorted_head"),
         F.array_contains(v, F.lit(0.0).cast("float")).alias("has_zero"),
     )
 
@@ -569,13 +592,14 @@ def table_row_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "map_functions",
     oracle="""
     SELECT event_id,
-           json_keys(props) AS prop_keys,
+           array_to_string(list_sort(json_keys(props)), ',') AS prop_keys,
            CAST(len(json_keys(props)) AS BIGINT) AS n_props,
            CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
            json_extract_string(props, '$.missing') AS missing_value
     FROM events
     """,
-    doc="E16: map/JSON-object functions over the events.props column",
+    doc="E16: map/JSON-object functions over the events.props column "
+    "(key list serialized to a sorted joined string for the comparator)",
 )
 def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """props parsed to map<string,string> (the same shape CDC row images
@@ -584,7 +608,7 @@ def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = F.from_json("props", "map<string,string>")
     return ev.select(
         "event_id",
-        F.map_keys(m).alias("prop_keys"),
+        F.array_join(F.sort_array(F.map_keys(m)), ",").alias("prop_keys"),
         F.size(F.map_keys(m)).cast("long").alias("n_props"),
         F.element_at(m, "k").cast("long").alias("k_value"),
         F.element_at(m, "missing").alias("missing_value"),

@@ -196,10 +196,10 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_priority_class",
     oracle="""
     SELECT l_linestatus,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-             AS high_priority_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-             AS low_priority_count
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+             AS BIGINT) AS high_priority_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+             AS BIGINT) AS low_priority_count
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     WHERE l_shipdate >= TIMESTAMP '1997-01-01'
       AND l_shipdate <  TIMESTAMP '1998-01-01'
@@ -428,27 +428,69 @@ def stats_deterministic_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_distinct_users",
-    oracle=None,  # HLL sketches are engine-specific — rows-only check
-    doc="E11: approx_count_distinct (HLL) per event type; exactness "
-    "cross-checked in tests, not oracle-hashable",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           ABS(CAST(approx_count_distinct(user_id) AS DOUBLE)
+               / COUNT(DISTINCT user_id) - 1.0) <= 0.1 AS approx_ok
+    FROM events GROUP BY event_type
+    """,
+    doc="E11: approx_count_distinct (HLL) per event type. Raw sketch values "
+    "are engine-specific, so the hashed output is the exact count plus a "
+    "tolerance boolean (approx within 10%% of exact) — true on both engines.",
 )
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
+        (
+            F.abs(
+                F.approx_count_distinct("user_id", rsd=0.02).cast("double")
+                / F.countDistinct("user_id")
+                - 1.0
+            )
+            <= 0.1
+        ).alias("approx_ok"),
     )
 
 
 @register(
     "percentile_order_values",
-    oracle=None,  # interpolation arithmetic differs at ulp level — rows-only
-    doc="E11: exact percentiles of order value per status",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderstatus, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                ORDER BY o_totalprice, o_orderkey) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
+      FROM orders
+    )
+    SELECT o_orderstatus,
+           MAX(CASE WHEN rn = CAST(CEIL(0.5  * n) AS BIGINT) THEN o_totalprice END) AS p50,
+           MAX(CASE WHEN rn = CAST(CEIL(0.95 * n) AS BIGINT) THEN o_totalprice END) AS p95,
+           MAX(CASE WHEN rn = CAST(CEIL(0.99 * n) AS BIGINT) THEN o_totalprice END) AS p99
+    FROM ranked GROUP BY o_orderstatus
+    """,
+    doc="E11: discrete percentiles (actual elements, no interpolation) of "
+    "order value per status. percentile_disc picks the smallest value with "
+    "cume_dist >= p == the element at rank ceil(p*n); the oracle applies "
+    "that selection rule explicitly so both engines return raw stored "
+    "values — exact-hashable, unlike interpolated percentile_cont.",
 )
 def percentile_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
-        F.percentile("o_totalprice", 0.5).alias("p50"),
-        F.percentile("o_totalprice", 0.95).alias("p95"),
-        F.percentile("o_totalprice", 0.99).alias("p99"),
+    n = F.count(F.lit(1)).over(Window.partitionBy("o_orderstatus"))
+    rn = F.row_number().over(
+        Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    )
+    ranked = o.select("o_orderstatus", "o_totalprice", rn.alias("rn"), n.alias("n"))
+    return ranked.groupBy("o_orderstatus").agg(
+        F.max(
+            F.when(F.col("rn") == F.ceil(0.5 * F.col("n")), F.col("o_totalprice"))
+        ).alias("p50"),
+        F.max(
+            F.when(F.col("rn") == F.ceil(0.95 * F.col("n")), F.col("o_totalprice"))
+        ).alias("p95"),
+        F.max(
+            F.when(F.col("rn") == F.ceil(0.99 * F.col("n")), F.col("o_totalprice"))
+        ).alias("p99"),
     )

@@ -191,7 +191,7 @@ def asof_join_latest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH seq AS (
       SELECT user_id, event_id, ts, value,
-             CASE WHEN date_diff('second', LAG(ts) OVER w, ts) >= 1800
+             CASE WHEN (epoch_us(ts) - epoch_us(LAG(ts) OVER w)) >= 1800 * 1000000
                     OR LAG(ts) OVER w IS NULL
                   THEN 1 ELSE 0 END AS is_new_session
       FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -212,10 +212,13 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     session_window gives on a stream (see streaming module)."""
     ev = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_s = (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))) / 1_000_000
+    # Exact integer-microsecond gap on BOTH engines (oracle: epoch_us diff).
+    # date_diff('second') would count second-boundary crossings instead —
+    # a 1799.3 s gap crossing a boundary sessionizes differently.
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
     seq = ev.withColumn(
         "is_new_session",
-        F.when(gap_s.isNull() | (gap_s >= 1800), F.lit(1)).otherwise(F.lit(0)),
+        F.when(gap_us.isNull() | (gap_us >= 1800 * 1_000_000), F.lit(1)).otherwise(F.lit(0)),
     )
     sess = seq.withColumn(
         "session_seq",
