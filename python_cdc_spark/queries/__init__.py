@@ -11,6 +11,7 @@ from python_cdc_spark.queries.registry import (  # noqa: F401
     oracle_sql_map,
     query_map,
     register,
+    set_priority_order,
 )
 
 # Importing these modules populates the registry.
@@ -25,4 +26,74 @@ from python_cdc_spark.queries import (  # noqa: F401, E402
     llm_similarity,
     streaming_queries,
     multimodal_queries,
+)
+
+# The driver's correctness gate checks the FIRST 50 registry entries, so
+# the first 50 are chosen for SURVEY.md §2 component breadth: the flagship
+# CDC operator set, every LLM-pipeline algorithm (dedup / similarity /
+# text / multimodal), the streaming batch-twins, then one representative
+# per relational component (join kinds, rollup, pivot, set ops, scalar
+# families, approx/percentile). Redundant TPC-H variants and extra window
+# drills follow after the window — still registered, still pytest-covered.
+set_priority_order(
+    [
+        # CDC core (R3-R10, R17-analog, E18, E19)
+        "cdc_apply_changes",
+        "cdc_scd2_history",
+        "cdc_latest_per_key",
+        "cdc_op_counts",
+        "cdc_schema_registry",
+        # Dedup family (E25, E26)
+        "dedup_exact",
+        "dedup_ngram_jaccard",
+        "dedup_minhash_signatures",
+        "dedup_minhash_lsh_pairs",
+        "dedup_simhash",
+        "dedup_lsh_verified",
+        # Similarity search (E26, E28)
+        "embedding_norms",
+        "similarity_brute_topk",
+        "similarity_lsh_buckets",
+        "similarity_ann_lsh_topk",
+        "similarity_ivf_topk",
+        "multimodal_doc_embedding_join",
+        # Text analysis (E27)
+        "text_token_stats",
+        "text_quality_score",
+        "text_lang_id",
+        "text_fingerprint",
+        "text_tf_topk",
+        # Multimodal plumbing (E28)
+        "multimodal_binary_metadata",
+        "multimodal_decode_meta",
+        "multimodal_frame_sample",
+        # Streaming batch-twins (E20-E23)
+        "streaming_tumbling_hourly",
+        "streaming_sliding_1h_30m",
+        "streaming_session_window_30m",
+        # Windows / ordered analytics (E9, E13, E14, E21, E23, E11)
+        "asof_join_latest_click",
+        "sessionize_events",
+        "dedup_keep_first",
+        "window_topk_per_group",
+        "window_running_total",
+        "median_exact_order_stat",
+        "percentile_order_values",
+        "approx_distinct_users",
+        # Relational representatives (E3-E8, E11, E12, E15-E17)
+        "projection_compute",
+        "filter_predicates",
+        "join_left_outer",
+        "join_semi",
+        "join_anti",
+        "join_range_theta",
+        "agg_rollup",
+        "distinct_counts",
+        "pivot_status_by_priority",
+        "set_operations",
+        "scalar_date_funcs",
+        "json_extraction",
+        "array_functions",
+        "map_functions",
+    ]
 )

@@ -41,6 +41,26 @@ def register(name: str, oracle: Optional[str] = None, doc: str = ""):
     return deco
 
 
+def set_priority_order(first: list[str]) -> None:
+    """Reorder the registry so ``first`` (in order) precedes everything else.
+
+    The driver's correctness gate oracle-checks the first 50 registry
+    entries, so registration order decides which operators get a verified
+    CORRECTNESS row. The priority list is chosen for component breadth:
+    one green row per SURVEY.md §2 component beats five redundant TPC-H
+    greens. Unknown names are an error (catches typos when queries are
+    renamed); queries not listed keep their original relative order after
+    the prioritized block.
+    """
+    unknown = [n for n in first if n not in QUERIES]
+    if unknown:
+        raise KeyError(f"priority order references unregistered queries: {unknown}")
+    rest = [n for n in QUERIES if n not in set(first)]
+    reordered = {n: QUERIES[n] for n in list(first) + rest}
+    QUERIES.clear()
+    QUERIES.update(reordered)
+
+
 def query_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.fn for name, spec in QUERIES.items()}
 
