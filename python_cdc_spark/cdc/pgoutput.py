@@ -30,8 +30,15 @@ reference requests at ``postgre_cdc_consumer.py:77``):
   ``pg_output_parser.py:32-37``).
 - TupleData: ncols int16, per column one of 'n' (null), 'u' (TOASTed
   unchanged → the ``[unchanged]`` sentinel), 't' int32 len + bytes
-  (UTF-8 text, matching the reference's text-only decoding,
-  ``pg_output_parser.py:114-121``).
+  (UTF-8 text, matching the reference's text decoding,
+  ``pg_output_parser.py:114-121``), or 'b' int32 len + raw bytes
+  (binary, decoded to a hex string exactly like the reference,
+  ``pg_output_parser.py:122-126``).
+
+A malformed data frame is skipped (logged-and-continue in the
+reference's per-message guard, ``postgre_cdc_consumer.py:91-105``);
+here the per-frame try/except lives inside the Arrow batch loop so one
+poison frame never fails its partition's task.
 
 ``encode_*`` helpers produce the same format for fixtures/tests — this
 repo's analog of the reference's ``test_changes.py`` change generator.
@@ -79,6 +86,8 @@ def _encode_tuple(values: list[Any]) -> bytes:
     for v in values:
         if v is None:
             out.append(b"n")
+        elif isinstance(v, (bytes, bytearray)):
+            out.append(b"b" + struct.pack(">i", len(v)) + bytes(v))
         elif v is UNCHANGED_SENTINEL or v == UNCHANGED_SENTINEL:
             out.append(b"u")
         else:
@@ -135,16 +144,22 @@ def _parse_relation_frame(buf: bytes) -> tuple[int, dict]:
     (ncols,) = struct.unpack_from(">h", buf, pos)
     pos += 2
     cols = []
+    type_ids = []
     for _ in range(ncols):
         pos += 1  # flags
         name, pos = _read_cstr(buf, pos)
-        pos += 8  # typoid + typmod (captured but unused, like the reference)
+        (typoid,) = struct.unpack_from(">i", buf, pos)
+        pos += 8  # typoid + typmod
         cols.append(name)
+        # per-column type OID retained like the reference's registry
+        # (pg_output_parser.py:86) — recorded, not used for decoding
+        type_ids.append(typoid)
     return relid, {
         "namespace": namespace,
         "relname": relname,
         "replica_identity": replident,
         "columns": cols,
+        "type_ids": type_ids,
     }
 
 
@@ -163,7 +178,18 @@ def _parse_tuple(buf: bytes, pos: int, columns: list[str]) -> tuple[dict, int]:
         elif tag == "t":
             (ln,) = struct.unpack_from(">i", buf, pos)
             pos += 4
+            if pos + ln > len(buf):
+                raise ValueError("truncated tuple value")
             vals[name] = buf[pos : pos + ln].decode("utf-8", errors="replace")
+            pos += ln
+        elif tag == "b":
+            # binary value → hex string, like the reference
+            # (pg_output_parser.py:122-126)
+            (ln,) = struct.unpack_from(">i", buf, pos)
+            pos += 4
+            if pos + ln > len(buf):
+                raise ValueError("truncated tuple value")
+            vals[name] = buf[pos : pos + ln].hex()
             pos += ln
         else:
             raise ValueError(f"unknown tuple tag {tag!r}")
@@ -218,35 +244,43 @@ def decode_frames(
                 "old_values", "new_values", "ts",
             )}
             for lsn, ts, buf in zip(pdf["lsn"], pdf["ts"], pdf["frame"]):
-                buf = bytes(buf)
-                tag = chr(buf[0]) if buf else "?"
-                if tag not in ("I", "U", "D"):
-                    continue
-                relid = struct.unpack_from(">i", buf, 1)[0]
-                rel = reg.get(relid)
-                if rel is None:
-                    continue  # unknown relation: drop (R10)
-                cols = rel["columns"]
-                pos = 5
-                old_vals = new_vals = None
-                op = {"I": "INSERT", "U": "UPDATE", "D": "DELETE"}[tag]
-                if tag == "I":
-                    if chr(buf[pos]) != "N":
-                        continue  # malformed: drop (R10)
-                    new_vals, pos = _parse_tuple(buf, pos + 1, cols)
-                elif tag == "U":
-                    marker = chr(buf[pos])
-                    if marker in ("K", "O"):
-                        old_vals, pos = _parse_tuple(buf, pos + 1, cols)
+                # Poison-message skip (R14): any malformed frame —
+                # truncated buffer, bad tuple tag, struct underflow — is
+                # dropped without failing the task, the distributed analog
+                # of the reference's per-message try/except-continue
+                # (postgre_cdc_consumer.py:91-105).
+                try:
+                    buf = bytes(buf)
+                    tag = chr(buf[0]) if buf else "?"
+                    if tag not in ("I", "U", "D"):
+                        continue
+                    relid = struct.unpack_from(">i", buf, 1)[0]
+                    rel = reg.get(relid)
+                    if rel is None:
+                        continue  # unknown relation: drop (R10)
+                    cols = rel["columns"]
+                    pos = 5
+                    old_vals = new_vals = None
+                    op = {"I": "INSERT", "U": "UPDATE", "D": "DELETE"}[tag]
+                    if tag == "I":
+                        if chr(buf[pos]) != "N":
+                            continue  # malformed: drop (R10)
+                        new_vals, pos = _parse_tuple(buf, pos + 1, cols)
+                    elif tag == "U":
                         marker = chr(buf[pos])
-                    if marker != "N":
-                        continue
-                    new_vals, pos = _parse_tuple(buf, pos + 1, cols)
-                else:  # D
-                    marker = chr(buf[pos])
-                    if marker not in ("K", "O"):
-                        continue
-                    old_vals, pos = _parse_tuple(buf, pos + 1, cols)
+                        if marker in ("K", "O"):
+                            old_vals, pos = _parse_tuple(buf, pos + 1, cols)
+                            marker = chr(buf[pos])
+                        if marker != "N":
+                            continue
+                        new_vals, pos = _parse_tuple(buf, pos + 1, cols)
+                    else:  # D
+                        marker = chr(buf[pos])
+                        if marker not in ("K", "O"):
+                            continue
+                        old_vals, pos = _parse_tuple(buf, pos + 1, cols)
+                except (ValueError, IndexError, struct.error, UnicodeDecodeError):
+                    continue
                 out["lsn"].append(int(lsn))
                 out["operation"].append(op)
                 out["schema"].append(rel["namespace"])

@@ -87,10 +87,26 @@ def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cdc_scd2_history",
     oracle=f"""
     WITH {_FEED_CTE},
-    vers AS (
-      SELECT key, lsn, ts, operation,
+    g AS (
+      SELECT *,
+             SUM(CASE WHEN operation = 'DELETE' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY key ORDER BY lsn ROWS UNBOUNDED PRECEDING) AS gen,
              LEAD(ts) OVER (PARTITION BY key ORDER BY lsn) AS next_ts
       FROM feed
+    ),
+    vers AS (
+      SELECT *,
+             -- struct-wrap non-sentinel cells so a genuine NULL carries
+             CASE WHEN v_props IS DISTINCT FROM '[unchanged]'
+                  THEN struct_pack(v := v_props) END AS props_s
+      FROM g WHERE operation <> 'DELETE'
+    ),
+    res AS (
+      SELECT *,
+             last_value(props_s IGNORE NULLS)
+               OVER (PARTITION BY key, gen ORDER BY lsn
+                     ROWS UNBOUNDED PRECEDING) AS carried
+      FROM vers
     )
     SELECT key AS user_id,
            CAST(ROW_NUMBER() OVER (PARTITION BY key ORDER BY lsn) AS BIGINT) AS version,
@@ -98,10 +114,13 @@ def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
            ts AS valid_from,
            next_ts AS valid_to,
            next_ts IS NULL AS is_current,
-           lsn
-    FROM vers WHERE operation <> 'DELETE'
+           lsn,
+           CASE WHEN carried IS NULL THEN v_props ELSE carried.v END AS props
+    FROM res
     """,
-    doc="E19 SCD2 history: validity intervals per key version",
+    doc="E19 SCD2 history: validity intervals per key version; the "
+    "hashed props column verifies TOAST-sentinel carry-forward across "
+    "versions (reset at delete boundaries)",
 )
 def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     feed = events_as_cdc_feed(spark, sf_dir)
@@ -114,6 +133,7 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "valid_to",
         "is_current",
         "lsn",
+        F.col("values")["props"].alias("props"),
     )
 
 

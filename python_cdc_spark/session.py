@@ -49,6 +49,7 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
@@ -69,6 +70,10 @@ def tune_for_harness(spark: SparkSession) -> SparkSession:
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
+        # events.parquet carries TIMESTAMP(NANOS); set once here, not
+        # inside every table() call (a reader mutating shared session
+        # conf would race concurrent queries)
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
     }.items():
         try:
             spark.conf.set(k, v)

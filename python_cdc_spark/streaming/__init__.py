@@ -16,6 +16,7 @@ The reference's runtime is: blocking replication loop → bounded queue →
 
 from python_cdc_spark.streaming.apply_stream import (  # noqa: F401
     StreamingApplyChanges,
+    StreamingWireApplyChanges,
 )
 from python_cdc_spark.streaming.windows import (  # noqa: F401
     session_window_agg,

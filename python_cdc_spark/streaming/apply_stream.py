@@ -121,9 +121,16 @@ class StreamingApplyChanges:
         new_state = apply_changes_with_tombstones(events, self.key_col).withColumn(
             "bucket", self._bucket(F.col(self.key_col))
         )
+        # Materialize BEFORE overwriting: the fold lazily reads the same
+        # parquet files the write replaces; localCheckpoint cuts that
+        # lineage so the overwrite never scans files it is deleting.
+        # (A transactional table format — Delta/Iceberg MERGE — is the
+        # production upgrade for crash atomicity across the two steps.)
+        new_state = new_state.repartition(max(1, len(touched)), "bucket").localCheckpoint(
+            eager=True
+        )
         (
-            new_state.repartition(max(1, len(touched)), "bucket")
-            .write.mode("overwrite")
+            new_state.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("bucket")
             .parquet(self.state_path)
@@ -147,6 +154,90 @@ class StreamingApplyChanges:
             events.writeStream.outputMode("update")
             .option("checkpointLocation", checkpoint_path)
             .foreachBatch(lambda df, bid: self.merge_batch(df, bid))
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+
+class StreamingWireApplyChanges(StreamingApplyChanges):
+    """Apply-changes directly from RAW pgoutput wire frames, with live
+    schema evolution.
+
+    ``StreamingApplyChanges`` consumes pre-decoded events, which forces
+    the relation registry to be fixed before the stream starts. Here the
+    registry refreshes INSIDE every micro-batch: R-frames that arrive
+    mid-stream (Postgres re-sends a Relation message after DDL) update
+    the relid → schema mapping before that batch's data frames decode —
+    the distributed analog of the reference's registry overwrite on each
+    ``R`` message (``pg_output_parser.py:88-93``).
+
+    The merged registry is persisted (atomic tmp+rename) next to the
+    state table so a restart resumes with the schemas learned so far;
+    replaying R-frames after a crash is idempotent (later LSN wins).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_path: str,
+        key_extractor,
+        key_col: str = "key",
+        n_buckets: int = 64,
+        initial_registry: dict[int, dict] | None = None,
+    ) -> None:
+        super().__init__(spark, state_path, key_col, n_buckets)
+        self.key_extractor = key_extractor
+        self.registry: dict[int, dict] = dict(initial_registry or {})
+        self._registry_path = state_path.rstrip("/") + "_registry.json"
+        self._load_registry()
+
+    def _load_registry(self) -> None:
+        import json
+
+        if os.path.isfile(self._registry_path):
+            with open(self._registry_path) as fh:
+                persisted = {int(k): v for k, v in json.load(fh).items()}
+            # learned schemas win over the constructor's initial seed
+            self.registry = {**self.registry, **persisted}
+
+    def _save_registry(self) -> None:
+        import json
+
+        tmp = self._registry_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(self.registry, fh)
+        os.replace(tmp, self._registry_path)
+
+    def merge_wire_batch(self, frames: DataFrame, batch_id: int | None = None) -> None:
+        """One micro-batch of raw frames: registry refresh → decode → merge."""
+        from python_cdc_spark.cdc.pgoutput import _parse_relation_frame, decode_frames
+
+        rel_rows = (
+            frames.filter(F.substring("frame", 1, 1) == "R")
+            .select("lsn", "frame")
+            .collect()  # O(DDL events) in the batch — metadata-scale
+        )
+        if rel_rows:
+            for row in sorted(rel_rows, key=lambda r: r["lsn"]):
+                relid, rel = _parse_relation_frame(bytes(row["frame"]))
+                self.registry[relid] = rel
+            self._save_registry()
+
+        events = decode_frames(self.spark, frames, registry=dict(self.registry))
+        self.merge_batch(self.key_extractor(events), batch_id)
+
+    def start_wire(
+        self,
+        frames: DataFrame,
+        checkpoint_path: str,
+        available_now: bool = False,
+    ) -> StreamingQuery:
+        """Attach to a streaming RAW-frame feed (lsn, ts, frame binary)."""
+        writer = (
+            frames.writeStream.outputMode("update")
+            .option("checkpointLocation", checkpoint_path)
+            .foreachBatch(lambda df, bid: self.merge_wire_batch(df, bid))
         )
         if available_now:
             writer = writer.trigger(availableNow=True)

@@ -107,10 +107,15 @@ class StreamingScd2:
         )
         if closed is not None:
             out = closed.drop("bucket").unionByName(out)
-        (
+        # Materialize before overwriting the files the plan reads from
+        # (same rationale as StreamingApplyChanges.merge_batch).
+        out = (
             out.withColumn("bucket", self._bucket(F.col(self.key_col)))
             .repartition(max(1, len(touched)), "bucket")
-            .write.mode("overwrite")
+            .localCheckpoint(eager=True)
+        )
+        (
+            out.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("bucket")
             .parquet(self.history_path)

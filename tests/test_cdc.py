@@ -173,3 +173,27 @@ def test_apply_changes_all_tables(spark):
         for r in apply_changes_all_tables(feed, "key").collect()
     }
     assert got == {("users", "1"): {"id": "1", "v": "users-row"}}
+
+
+def test_scd2_sentinel_carry_forward(spark):
+    """History rows carry TOASTed cells forward from prior versions —
+    the literal '[unchanged]' sentinel never leaks into version values
+    unless there is nothing to carry — and carry-forward resets at
+    DELETE boundaries (a recreated row starts from scratch)."""
+    rows = [
+        _ev(1, "INSERT", None, new={"id": "1", "body": "blob-v1", "s": "a"}),
+        _ev(2, "UPDATE", None, new={"id": "1", "body": "[unchanged]", "s": "b"}),
+        _ev(3, "UPDATE", None, new={"id": "1", "body": "[unchanged]", "s": None}),
+        _ev(4, "DELETE", None, old={"id": "1"}),
+        # new generation: sentinel with no prior value stays literal
+        _ev(5, "INSERT", None, new={"id": "1", "body": "[unchanged]", "s": "z"}),
+    ]
+    hist = scd2_history(_feed(spark, rows), "key").orderBy("version").collect()
+    assert [dict(r["values"])["body"] for r in hist] == [
+        "blob-v1",
+        "blob-v1",  # carried from v1
+        "blob-v1",  # still carried
+        "[unchanged]",  # fresh generation: nothing to carry
+    ]
+    # genuine NULL is preserved, not skipped over, by the carry
+    assert dict(hist[2]["values"])["s"] is None

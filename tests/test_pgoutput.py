@@ -152,3 +152,50 @@ def test_full_wire_to_state_streaming_pipeline(spark, tmp_path):
             "status": "inactive",
         }
     }
+
+
+def test_binary_tuple_tag_decodes_to_hex(spark):
+    """'b' tuple values decode to hex strings, the reference's binary
+    handling (pg_output_parser.py:122-126)."""
+    frames = [
+        encode_relation(2, "public", "blobs", ["id", "payload"]),
+        encode_insert(2, ["1", b"\x00\xffhello"]),
+        encode_update(2, ["1", b"\xde\xad\xbe\xef"], old_values=["1", b"\x00\xffhello"]),
+    ]
+    events = decode_frames(spark, _frames_df(spark, frames)).orderBy("lsn").collect()
+    assert events[0]["new_values"]["payload"] == b"\x00\xffhello".hex()
+    assert events[1]["old_values"]["payload"] == "00ff68656c6c6f"
+    assert events[1]["new_values"]["payload"] == "deadbeef"
+
+
+def test_poison_frames_skipped_not_fatal(spark):
+    """One corrupt frame must not fail the batch: truncated tuple data,
+    unknown tuple tag, and garbage bytes are all dropped while good
+    frames around them decode (the reference's per-message guard,
+    postgre_cdc_consumer.py:91-105)."""
+    import struct as _struct
+
+    good1 = encode_insert(3, ["1", "ok"])
+    truncated = encode_insert(3, ["2", "chopped"])[:-4]
+    bad_tag = b"I" + _struct.pack(">i", 3) + b"N" + _struct.pack(">h", 1) + b"z"
+    garbage = b"I\x00"
+    good2 = encode_insert(3, ["4", "also ok"])
+    frames = [
+        encode_relation(3, "public", "t", ["id", "v"]),
+        good1,
+        truncated,
+        bad_tag,
+        garbage,
+        good2,
+    ]
+    events = decode_frames(spark, _frames_df(spark, frames)).orderBy("lsn").collect()
+    assert [r["new_values"]["id"] for r in events] == ["1", "4"]
+
+
+def test_relation_registry_retains_type_oids(spark):
+    """Per-column type OIDs are recorded in the registry, matching the
+    reference's registry shape (pg_output_parser.py:86)."""
+    frames = [encode_relation(5, "public", "users", ["id", "name"])]
+    reg = relation_registry(_frames_df(spark, frames))
+    assert reg[5]["columns"] == ["id", "name"]
+    assert reg[5]["type_ids"] == [25, 25]  # encoder stamps text (25)

@@ -330,3 +330,68 @@ def test_streaming_scd2_matches_batch(spark, tmp_path, feed_dir):
     assert [v for k, v, *_ in got if k == "1"] == [1, 2, 3]
     assert [c for k, *_, c in got if k == "2"] == [False]
     assert [c for k, *_, c in got if k == "3"] == [True]
+
+
+def test_wire_stream_mid_stream_ddl_refreshes_registry(spark, tmp_path):
+    """An R-frame arriving mid-stream (ADD COLUMN DDL) must refresh the
+    relation registry before later batches decode — the reference's
+    registry-overwrite-on-R semantics (pg_output_parser.py:88-93) on
+    micro-batches."""
+    import datetime as dt
+    import time
+
+    from python_cdc_spark.cdc.pgoutput import encode_insert, encode_relation
+    from python_cdc_spark.streaming import StreamingWireApplyChanges
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def frames_df(frames, lsn0):
+        rows = [
+            (lsn0 + i, t0 + dt.timedelta(seconds=lsn0 + i), bytearray(f))
+            for i, f in enumerate(frames)
+        ]
+        return spark.createDataFrame(rows, "lsn bigint, ts timestamp, frame binary")
+
+    wire_dir = str(tmp_path / "wire")
+    # file 1: original 2-column schema + one insert
+    frames_df(
+        [
+            encode_relation(9, "public", "users", ["id", "name"]),
+            encode_insert(9, ["1", "Ada"]),
+        ],
+        lsn0=1,
+    ).coalesce(1).write.mode("append").parquet(wire_dir)
+    time.sleep(1.1)  # distinct mtimes: file source processes in mtime order
+    # file 2: DDL adds a column -> new R frame, then a 3-column insert
+    frames_df(
+        [
+            encode_relation(9, "public", "users", ["id", "name", "status"]),
+            encode_insert(9, ["2", "Lin", "active"]),
+        ],
+        lsn0=10,
+    ).coalesce(1).write.mode("append").parquet(wire_dir)
+
+    stream = (
+        spark.readStream.schema("lsn bigint, ts timestamp, frame binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(wire_dir)
+    )
+    applier = StreamingWireApplyChanges(
+        spark,
+        str(tmp_path / "state"),
+        key_extractor=lambda ev: ev.withColumn(
+            "key", F.coalesce(F.col("new_values")["id"], F.col("old_values")["id"])
+        ),
+        n_buckets=4,
+    )
+    q = applier.start_wire(stream, str(tmp_path / "ckpt"), available_now=True)
+    q.awaitTermination(120)
+
+    state = {r["key"]: dict(r["values"]) for r in applier.current_state().collect()}
+    assert state["1"] == {"id": "1", "name": "Ada"}
+    assert state["2"] == {"id": "2", "name": "Lin", "status": "active"}
+    # registry persisted for restart: learned 3-column schema survives
+    fresh = StreamingWireApplyChanges(
+        spark, str(tmp_path / "state"), key_extractor=lambda ev: ev, n_buckets=4
+    )
+    assert fresh.registry[9]["columns"] == ["id", "name", "status"]
