@@ -145,6 +145,114 @@ def hyperplane_lsh_tables(
     )
 
 
+def kmeans_fit(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    iters: int = 3,
+    exact: bool = True,
+) -> DataFrame:
+    """Deterministic spherical k-means (Lloyd) — the IVF coarse quantizer.
+
+    Every step is distributed DataFrame work; only the k centroids (k
+    rows × dims doubles — metadata-scale) collect to the driver between
+    iterations, so the loop is ``iters`` Spark jobs, each one shuffle
+    (the per-cell mean), regardless of corpus size.
+
+    Deterministic + oracle-replayable by construction:
+
+    - init: the k vectors at evenly-strided positions in ``id_col``
+      order (rank ``floor(i·(n-1)/(k-1)) + 1``) — no RNG. The global
+      row_number is a one-off init cost; at extreme scale swap in any
+      deterministic id-based sample.
+    - assignment: argmax of dot(v, c)/‖c‖ (cosine is invariant to the
+      query's own norm), ties → lowest cell id. ``exact`` routes the
+      reduction through decimals so an external engine reproduces the
+      argmax bit-for-bit.
+    - update: per-dimension decimal-routed mean. Spherical k-means needs
+      no centroid normalization — cosine ignores centroid scale.
+
+    Returns a k-row DataFrame (cell int, cvec array<double>).
+    """
+    spark = corpus.sparkSession
+    n = corpus.count()
+    targets = {int(i * (n - 1) / (k - 1)) + 1: i for i in range(k)}
+    ranked = corpus.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__vec"),
+        F.row_number().over(Window.orderBy(id_col)).alias("__rn"),
+    ).filter(F.col("__rn").isin(list(targets)))
+    cell_of = F.create_map(
+        *[F.lit(x) for rn, cell in targets.items() for x in (rn, cell)]
+    )
+    init = ranked.select(
+        cell_of[F.col("__rn")].alias("cell"),
+        F.transform("__vec", lambda x: x.cast("double")).alias("cvec"),
+    )
+    cent = _collect_centroids(init)
+
+    dec = "decimal(30,12)"
+    for _ in range(iters):
+        cent_df = spark.createDataFrame(cent, "cell int, cvec array<double>")
+        assigned = kmeans_assign(corpus, cent_df, id_col, vec_col, exact=exact)
+        cdims = (
+            assigned.select("cell", F.posexplode(vec_col).alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(
+                (
+                    F.round(F.sum(F.col("val").cast("double").cast(dec)), 6).cast(
+                        "double"
+                    )
+                    / F.count("val")
+                ).alias("cval")
+            )
+        )
+        new_cent = cdims.groupBy("cell").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+                lambda s: s.getField("cval"),
+            ).alias("cvec")
+        )
+        cent = _collect_centroids(new_cent)
+    return spark.createDataFrame(cent, "cell int, cvec array<double>")
+
+
+def _collect_centroids(df: DataFrame) -> list[tuple[int, list[float]]]:
+    return sorted(
+        ((int(r["cell"]), [float(x) for x in r["cvec"]]) for r in df.collect()),
+        key=lambda t: t[0],
+    )
+
+
+def kmeans_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact: bool = True,
+    n_best: int = 1,
+) -> DataFrame:
+    """Assign each vector its ``n_best`` closest cells by centroid cosine
+    (``n_best > 1`` = the query-side multi-probe). Broadcast of k rows,
+    window argmax per vector — no corpus shuffle."""
+    from python_cdc_spark.functions.vectors import dec_dot_product, dot_product
+    from python_cdc_spark.functions.vectors import l2_norm as _l2
+
+    dot = dec_dot_product if exact else dot_product
+    score = dot(F.col(vec_col), F.col("cvec")) / _l2(F.col("cvec"), exact=exact)
+    w = Window.partitionBy(id_col).orderBy(F.desc("__score"), F.asc("cell"))
+    out = (
+        _spread(corpus)
+        .crossJoin(broadcast(centroids))
+        .withColumn("__score", score)
+        .withColumn("__arnk", F.row_number().over(w))
+        .filter(F.col("__arnk") <= n_best)
+        .drop("__score", "__arnk", "cvec")
+    )
+    return out
+
+
 def _sql_bucket_terms(vec_expr: str, ws_rows: list[list[int]]) -> str:
     parts = []
     for j, row in enumerate(ws_rows):

@@ -139,6 +139,17 @@ def similarity_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair in EVERY table. Candidate generation joins (table_id, bucket)
     stacks — shuffles ids, never vectors; exact cosine re-ranks the
     union (measured recall@5 vs brute force in tests)."""
+    return _ann_lsh_topk(spark, sf_dir, exact=True)
+
+
+def ann_lsh_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench/scale variant: identical plan shape, plain double math in
+    the re-rank (the decimal routing exists only for oracle hashing)."""
+    return _ann_lsh_topk(spark, sf_dir, exact=False)
+
+
+def _ann_lsh_topk(spark: SparkSession, sf_dir: str, exact: bool) -> DataFrame:
+    from python_cdc_spark.functions.vectors import dot_product
     from python_cdc_spark.operators.similarity import hyperplane_lsh_tables
 
     e = table(spark, sf_dir, "embeddings")
@@ -153,11 +164,23 @@ def similarity_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    # norms once per vector (not per pair) — same arithmetic as the
-    # oracle's norm CTE, 3x less decimal work in the re-rank
-    norms = e.select(
-        "vec_id", l2_norm(F.col("embedding"), exact=True).alias("nrm")
-    )
+    return _rerank_topk(e, cand, exact=exact)
+
+
+def _rerank_topk(e: DataFrame, cand: DataFrame, exact: bool, k: int = _TOPK) -> DataFrame:
+    """Exact-cosine re-rank of (query_id, neighbor_id) candidate pairs.
+
+    Norms computed once per vector (not per pair). Query side broadcasts
+    — queries are a bounded working set (the 1% sample here; in
+    production the user's query batch). The neighbor side must NOT
+    broadcast: it is the whole corpus. ``shuffle_hash`` co-partitions
+    candidates and corpus vectors on neighbor_id, so each vector ships
+    only to the partitions whose candidates reference it — bounded
+    memory at any corpus size, where a corpus broadcast OOMs every
+    executor."""
+    from python_cdc_spark.functions.vectors import dot_product
+
+    norms = e.select("vec_id", l2_norm(F.col("embedding"), exact=exact).alias("nrm"))
     qv = e.join(norms, "vec_id").select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
@@ -168,17 +191,15 @@ def similarity_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("cv"),
         F.col("nrm").alias("c_nrm"),
     )
-    cos = dec_dot_product(F.col("qv"), F.col("cv")) / (F.col("q_nrm") * F.col("c_nrm"))
+    dot = dec_dot_product if exact else dot_product
+    cos = dot(F.col("qv"), F.col("cv")) / (F.col("q_nrm") * F.col("c_nrm"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
-        # both vector lookups broadcast: the candidate pair stream never
-        # shuffles embeddings (at larger-than-memory corpus scale the
-        # neighbor lookup becomes a bucket-co-partitioned join instead)
         cand.join(broadcast(qv), "query_id")
-        .join(broadcast(ev), "neighbor_id")
+        .join(ev.hint("shuffle_hash"), "neighbor_id")
         .withColumn("cosine", cos)
         .withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= _TOPK)
+        .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "cosine", "rnk")
     )
 
@@ -210,114 +231,136 @@ def multimodal_doc_embedding_join(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-_SQL_CENTROIDS = f"""
-    cells AS (
-      SELECT label, i.i AS pos, CAST(embedding[i.i] AS DOUBLE) AS val
-      FROM embeddings, UNNEST(generate_series(1, {_DIMS})) i(i)
-    ),
-    cdims AS (
-      SELECT label, pos,
-             CAST(ROUND(SUM(CAST(val AS DECIMAL(30,12))), 6) AS DOUBLE) / COUNT(val)
-               AS cval
-      FROM cells GROUP BY label, pos
-    ),
-    centroids AS (
-      SELECT label AS c_label, list(cval ORDER BY pos) AS cvec
-      FROM cdims GROUP BY label
+_IVF_K, _IVF_ITERS, _NPROBE = 16, 3, 4
+
+
+def _sql_ivf_oracle(k: int, iters: int, nprobe: int, topk: int, dims: int) -> str:
+    """DuckDB replay of the distributed k-means IVF: the same strided
+    init, Lloyd iterations with decimal-routed assignment/means, query
+    multi-probe, and exact re-rank — bit-identical because every
+    floating reduction is decimal-routed on both engines."""
+
+    def score(vec: str, cent: str) -> str:
+        return f"{sql_dec_dot(vec, cent, dims)} / {sql_dec_norm(cent, dims)}"
+
+    ctes = [
+        """ranked AS (
+      SELECT vec_id, embedding,
+             ROW_NUMBER() OVER (ORDER BY vec_id) AS rn,
+             COUNT(*) OVER () AS n
+      FROM embeddings
+    )""",
+        f"""cent0 AS (
+      SELECT CAST(g.i AS INTEGER) AS cell, r.embedding AS cvec
+      FROM generate_series(0, {k - 1}) g(i)
+      JOIN ranked r
+        ON r.rn = CAST(FLOOR(CAST(g.i AS DOUBLE) * (r.n - 1) / {k - 1}) AS BIGINT) + 1
+    )""",
+    ]
+    assign_body = """
+      SELECT vec_id, embedding, cell FROM (
+        SELECT e.vec_id, e.embedding, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {score} DESC, c.cell) AS arnk
+        FROM embeddings e CROSS JOIN {cent} c
+      ) WHERE arnk = 1
+    """
+    for it in range(1, iters + 1):
+        ctes.append(
+            f"assign{it} AS ({assign_body.format(score=score('e.embedding', 'c.cvec'), cent=f'cent{it - 1}')})"
+        )
+        ctes.append(
+            f"""cd{it} AS (
+      SELECT cell, p.i AS pos,
+             CAST(ROUND(SUM(CAST(CAST(a.embedding[p.i] AS DOUBLE)
+                 AS DECIMAL(30,12))), 6) AS DOUBLE) / COUNT(*) AS cval
+      FROM assign{it} a, UNNEST(generate_series(1, {dims})) p(i)
+      GROUP BY cell, p.i
+    )"""
+        )
+        ctes.append(
+            f"cent{it} AS (SELECT cell, list(cval ORDER BY pos) AS cvec FROM cd{it} GROUP BY cell)"
+        )
+    ctes.append(
+        f"assignF AS ({assign_body.format(score=score('e.embedding', 'c.cvec'), cent=f'cent{iters}')})"
     )
-"""
+    ctes.append(
+        f"""probe AS (
+      SELECT query_id, cell FROM (
+        SELECT e.vec_id AS query_id, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {score('e.embedding', 'c.cvec')} DESC, c.cell) AS prnk
+        FROM embeddings e CROSS JOIN cent{iters} c
+        WHERE e.vec_id % 100 = 0
+      ) WHERE prnk <= {nprobe}
+    )"""
+    )
+    ctes.append(
+        """cand AS (
+      SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+      FROM probe p JOIN assignF a ON a.cell = p.cell AND a.vec_id <> p.query_id
+    )"""
+    )
+    ctes.append(
+        f"nrms AS (SELECT vec_id, {sql_dec_norm('embedding', dims)} AS nrm FROM embeddings)"
+    )
+    return f"""
+    WITH {','.join(ctes)}
+    SELECT query_id, neighbor_id, cosine, rnk FROM (
+      SELECT c.query_id, c.neighbor_id,
+             {sql_dec_dot('q.embedding', 'e.embedding', dims)} / (nq.nrm * ne.nrm)
+               AS cosine,
+             CAST(ROW_NUMBER() OVER (PARTITION BY c.query_id ORDER BY
+                    {sql_dec_dot('q.embedding', 'e.embedding', dims)} / (nq.nrm * ne.nrm)
+                    DESC, c.neighbor_id) AS BIGINT) AS rnk
+      FROM cand c
+      JOIN embeddings q ON q.vec_id = c.query_id
+      JOIN embeddings e ON e.vec_id = c.neighbor_id
+      JOIN nrms nq ON nq.vec_id = c.query_id
+      JOIN nrms ne ON ne.vec_id = c.neighbor_id
+    ) WHERE rnk <= {topk}
+    """
 
 
 @register(
     "similarity_ivf_topk",
-    oracle=f"""
-    WITH {_SQL_CENTROIDS},
-    q AS (
-      SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0
-    ),
-    probe AS (
-      SELECT query_id, qv, c_label FROM (
-        SELECT q.query_id, q.qv, c.c_label,
-               ROW_NUMBER() OVER (
-                 PARTITION BY q.query_id
-                 ORDER BY {sql_dec_dot('q.qv', 'c.cvec', _DIMS)}
-                          / ({sql_dec_norm('q.qv', _DIMS)} * {sql_dec_norm('c.cvec', _DIMS)})
-                          DESC, c.c_label
-               ) AS crnk
-        FROM q CROSS JOIN centroids c
-      ) WHERE crnk = 1
-    )
-    SELECT query_id, probed_label, neighbor_id, cosine, rnk FROM (
-      SELECT p.query_id, p.c_label AS probed_label, e.vec_id AS neighbor_id,
-             {sql_dec_dot('p.qv', 'e.embedding', _DIMS)}
-               / ({sql_dec_norm('p.qv', _DIMS)} * {sql_dec_norm('e.embedding', _DIMS)})
-               AS cosine,
-             CAST(ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY
-                    {sql_dec_dot('p.qv', 'e.embedding', _DIMS)}
-                      / ({sql_dec_norm('p.qv', _DIMS)} * {sql_dec_norm('e.embedding', _DIMS)})
-                    DESC, e.vec_id) AS BIGINT) AS rnk
-      FROM probe p JOIN embeddings e
-        ON e.label = p.c_label AND e.vec_id <> p.query_id
-    ) WHERE rnk <= {_TOPK}
-    """,
-    doc="E26: IVF-style ANN — label as coarse quantizer, nprobe=1, "
-    "exact re-rank within the probed cell",
+    oracle=_sql_ivf_oracle(_IVF_K, _IVF_ITERS, _NPROBE, _TOPK, _DIMS),
+    doc=f"E26: IVF ANN — distributed spherical k-means quantizer "
+    f"(k={_IVF_K}, {_IVF_ITERS} Lloyd iterations), nprobe={_NPROBE} "
+    "multi-probe, exact re-rank within probed cells",
 )
 def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The inverted-file ANN shape: centroids per cluster label (the
-    coarse quantizer a k-means pass would produce), each query probes
-    its best centroid and exact-ranks only that cell — search cost
-    drops from O(N) to O(N / n_cells) per query. Centroid means are
-    decimal-routed so the oracle reproduces them bit-exactly."""
-    from python_cdc_spark.functions.vectors import dec_dot_product, l2_norm
+    """Inverted-file ANN: a real k-means coarse quantizer (fitted
+    distributed, centroids collected between iterations — k rows), each
+    query probes its nprobe best cells and exact-ranks only those —
+    search cost O(N·nprobe/k) per query instead of O(N). Measured
+    recall@5 ≥ 0.5 vs brute force at sf0.1 (tests/test_operators.py)."""
+    return _ivf_topk(spark, sf_dir, exact=True)
+
+
+def ivf_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench/scale variant: identical pipeline, double math (no decimal
+    routing — that exists only for oracle hashing)."""
+    return _ivf_topk(spark, sf_dir, exact=False)
+
+
+def _ivf_topk(spark: SparkSession, sf_dir: str, exact: bool) -> DataFrame:
+    from python_cdc_spark.operators.similarity import kmeans_assign, kmeans_fit
 
     e = table(spark, sf_dir, "embeddings")
-    dec = "decimal(30,12)"
-    cdims = (
-        e.select("label", F.posexplode("embedding").alias("pos", "val"))
-        .groupBy("label", "pos")
-        .agg(
-            (
-                F.round(F.sum(F.col("val").cast("double").cast(dec)), 6).cast("double")
-                / F.count("val")
-            ).alias("cval")
-        )
+    cent = kmeans_fit(e, "vec_id", "embedding", k=_IVF_K, iters=_IVF_ITERS, exact=exact)
+    assigned = kmeans_assign(e, cent, "vec_id", "embedding", exact=exact).select(
+        F.col("vec_id").alias("neighbor_id"), "cell"
     )
-    centroids = cdims.groupBy(F.col("label").alias("c_label")).agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "cval"))),
-            lambda s: s.getField("cval"),
-        ).alias("cvec")
+    queries = e.filter(F.col("vec_id") % 100 == 0)
+    probes = kmeans_assign(
+        queries, cent, "vec_id", "embedding", exact=exact, n_best=_NPROBE
+    ).select(F.col("vec_id").alias("query_id"), "cell")
+    # candidate generation shuffles ids on cell — never vectors
+    cand = (
+        probes.join(assigned, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
     )
-    q = e.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
-    )
-    ccos = dec_dot_product(F.col("qv"), F.col("cvec")) / (
-        l2_norm(F.col("qv"), exact=True) * l2_norm(F.col("cvec"), exact=True)
-    )
-    wprobe = Window.partitionBy("query_id").orderBy(F.desc("__ccos"), F.asc("c_label"))
-    probe = (
-        q.crossJoin(broadcast(centroids))
-        .withColumn("__ccos", ccos)
-        .withColumn("crnk", F.row_number().over(wprobe))
-        .filter(F.col("crnk") == 1)
-        .select("query_id", "qv", F.col("c_label").alias("probed_label"))
-    )
-    ncos = dec_dot_product(F.col("qv"), F.col("embedding")) / (
-        l2_norm(F.col("qv"), exact=True) * l2_norm(F.col("embedding"), exact=True)
-    )
-    wk = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        e.join(
-            broadcast(probe),
-            (e.label == F.col("probed_label")) & (e.vec_id != F.col("query_id")),
-        )
-        .select(
-            "query_id",
-            "probed_label",
-            F.col("vec_id").alias("neighbor_id"),
-            ncos.alias("cosine"),
-        )
-        .withColumn("rnk", F.row_number().over(wk).cast("long"))
-        .filter(F.col("rnk") <= _TOPK)
-    )
+    return _rerank_topk(e, cand, exact=exact)

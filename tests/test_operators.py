@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from python_cdc_spark.functions.udfs import cosine_pandas, slug_udf, weighted_mean_pandas
 from python_cdc_spark.functions.vectors import cosine_similarity
+from python_cdc_spark.io import table
 from python_cdc_spark.operators.dedup import (
     lsh_candidate_pairs,
     minhash_signatures,
@@ -169,33 +170,46 @@ def test_sql_api_views(spark):
 
 def test_ann_recall_vs_brute_force(spark):
     """Measure (and floor) the recall of both ANN paths against the
-    exact brute-force top-5 at sf0.001 — the quality metric an ANN
-    operator must report, not assume."""
-    from python_cdc_spark.queries import QUERIES
+    exact brute-force top-5 at sf0.1 — the quality metric an ANN
+    operator must report, not assume. Uses the double-math fast variants
+    (recall measures candidate structure; decimal routing exists only
+    for oracle hashing)."""
+    from python_cdc_spark.operators.similarity import brute_force_top_k
+    from python_cdc_spark.queries.llm_similarity import (
+        ann_lsh_topk_fast,
+        ivf_topk_fast,
+    )
 
-    sf = "/root/testdata/sf0.001"
+    sf = "/root/testdata/sf0.1"
 
-    def topk_sets(name):
+    def topk_sets(df):
         out = {}
-        for r in QUERIES[name].fn(spark, sf).collect():
+        for r in df.collect():
             out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
         return out
 
-    brute = topk_sets("similarity_brute_topk")
-    # floors are method- and data-specific: multi-table LSH tracks cosine
-    # structure directly (measured 0.28 here; single-table was 0.04 —
-    # the reason the ANN query uses 4 tables). IVF's cells are the
-    # dataset's labels, which are only weakly cosine-coherent in this
-    # synthetic data, so nprobe=1 sits just above the 0.1 random-cell
-    # baseline — kept as the structural IVF demo, floored at random.
-    floors = {"similarity_ann_lsh_topk": 0.15, "similarity_ivf_topk": 0.05}
-    for name, floor in floors.items():
-        approx = topk_sets(name)
+    e = table(spark, sf, "embeddings")
+    brute = topk_sets(
+        brute_force_top_k(
+            e, e.filter(F.col("vec_id") % 100 == 0), "vec_id", "embedding", 5, exact=False
+        )
+    )
+    # floors are method- and data-specific: the corpus is near-uniform
+    # random unit vectors (label centroids have norm ~0.07), so recall
+    # comes from geometry alone. Measured here: multi-table LSH ~0.3;
+    # k-means IVF with nprobe=4 of k=16 cells ~0.6 while scanning ~25%
+    # of the corpus.
+    floors = {
+        "ann_lsh": (ann_lsh_topk_fast, 0.15),
+        "ivf_kmeans": (ivf_topk_fast, 0.5),
+    }
+    for name, (fn, floor) in floors.items():
+        approx = topk_sets(fn(spark, sf))
         hits = sum(len(brute[q] & approx.get(q, set())) for q in brute)
         total = sum(len(v) for v in brute.values())
         recall = hits / total if total else 0.0
         print(f"{name} recall@5 = {recall:.2f}")
-        assert recall > floor, f"{name} recall collapsed: {recall}"
+        assert recall >= floor, f"{name} recall collapsed: {recall}"
 
 
 def test_registry_hygiene(spark):

@@ -117,3 +117,18 @@ def test_bucketed_join_is_exchange_free(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bkt.li_b")
         spark.sql("DROP TABLE IF EXISTS bkt.o_b")
         spark.sql("DROP DATABASE IF EXISTS bkt")
+
+
+def test_ann_rerank_never_broadcasts_corpus(spark):
+    """The ANN re-rank's neighbor-vector lookup must be a co-partitioned
+    shuffle join, not a corpus broadcast (OOM at real corpus scale);
+    only the bounded query sample may broadcast."""
+    from python_cdc_spark.queries.llm_similarity import similarity_ann_lsh_topk
+
+    df = similarity_ann_lsh_topk(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the corpus-vector lookup keys on neighbor_id: must shuffle, not
+    # broadcast (other joins — tiny query sample, bucket stacks, norms —
+    # may broadcast freely)
+    assert "ShuffledHashJoin [neighbor_id" in plan, plan[:2000]
+    assert "BroadcastHashJoin [neighbor_id" not in plan, plan[:2000]
