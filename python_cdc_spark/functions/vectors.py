@@ -75,6 +75,29 @@ def cosine_similarity(a: Column, b: Column, exact: bool = False) -> Column:
     return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def dot_expr(a_col: str, b_col: str, dims: int) -> Column:
+    """Fast double dot product as ONE generated SQL expression over
+    named array columns. Same left-assoc term order as ``dot_product``'s
+    fold (identical IEEE result), but whole-stage-codegen'd instead of
+    interpreted per element, and a single driver call instead of a py4j
+    Column tree. Use in hot paths where the operand column names are
+    known; ``dot_product`` remains for arbitrary Column operands."""
+    terms = " + ".join(
+        f"CAST({a_col}[{i}] AS DOUBLE) * CAST({b_col}[{i}] AS DOUBLE)"
+        for i in range(dims)
+    )
+    return F.expr(terms)
+
+
+def norm_expr(a_col: str, dims: int) -> Column:
+    """Fast double L2 norm as one generated codegen'd SQL expression."""
+    terms = " + ".join(
+        f"CAST({a_col}[{i}] AS DOUBLE) * CAST({a_col}[{i}] AS DOUBLE)"
+        for i in range(dims)
+    )
+    return F.expr(f"SQRT({terms})")
+
+
 def sql_dec_dot(a_expr: str, b_expr: str, dims: int) -> str:
     """DuckDB twin of ``dec_dot_product`` via positional unnest-free
     list reduction (explicit element sum keeps evaluation order fixed)."""

@@ -105,6 +105,7 @@ def minhash_signatures(
     n: int = 3,
     k: int = 12,
     one_permutation: bool = False,
+    cells: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document MinHash signature (k permutation minima) as columns
     mh_0..mh_{k-1}. Documents too short for any n-gram are dropped (no
@@ -123,7 +124,7 @@ def minhash_signatures(
       ONE md5 per gram — the standard one-permutation-hashing trade
       (slightly dependent permutations, k× less hashing).
     """
-    cells = _gram_cells(df, text_col, id_col, n)
+    cells = cells if cells is not None else _gram_cells(df, text_col, id_col, n)
     if one_permutation:
         if k * 4 > 32:
             raise ValueError("one-permutation mode supports k<=8 (32 hex chars)")
@@ -166,7 +167,10 @@ def lsh_candidate_pairs(
                 F.array(*[F.col(f"band_{b}") for b in range(bands)]),
             )
         ).alias("band_id", "band_key"),
-    )
+    # the self-join below consumes ``stacked`` twice; checkpoint so the
+    # signature pipeline (gram explode + md5 per cell) runs once, not
+    # once per join side
+    ).localCheckpoint(eager=False)
     x = stacked.alias("x")
     y = stacked.alias("y")
     return (

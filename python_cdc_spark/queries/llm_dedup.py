@@ -214,9 +214,13 @@ def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     from python_cdc_spark.operators.dedup import _gram_cells
 
     docs = table(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs, "text", "doc_id", n=3, k=_K, one_permutation=True)
+    # the gram explode feeds the signature pipeline AND three verify-side
+    # consumers (sizes + both join sides) — checkpoint to compute it once
+    cells = _gram_cells(docs, "text", "doc_id", 3).localCheckpoint(eager=False)
+    sigs = minhash_signatures(
+        docs, "text", "doc_id", n=3, k=_K, one_permutation=True, cells=cells
+    )
     cand = lsh_candidate_pairs(sigs, k=_K, bands=_BANDS)
-    cells = _gram_cells(docs, "text", "doc_id", 3)
     sizes = cells.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"))
     ga = cells.select(F.col("id").alias("id_a"), "gram")
     gb = cells.select(F.col("id").alias("gb_id"), F.col("gram").alias("gram_b"))

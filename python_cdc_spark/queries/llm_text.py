@@ -215,15 +215,24 @@ def text_tf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     df_counts = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = d.count()  # scalar; one tiny job, not a per-row collect
-    scored = tf.join(df_counts, "token").select(
-        "doc_id",
-        "token",
-        "tf",
-        "df",
-        (F.col("tf").cast("double") * F.lit(n_docs + 1) / (F.col("df") + 1)).alias(
-            "weight"
-        ),
+    # corpus size as a 1-row aggregate broadcast into the plan — one job
+    # does everything (a driver-side d.count() here would be a second
+    # full scan of documents per query run)
+    n_docs = d.agg(F.count(F.lit(1)).alias("__n_docs"))
+    scored = (
+        tf.join(df_counts, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            (
+                F.col("tf").cast("double")
+                * (F.col("__n_docs") + 1)
+                / (F.col("df") + 1)
+            ).alias("weight"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("weight"), F.asc("token"))
     return (
