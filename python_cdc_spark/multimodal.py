@@ -107,6 +107,66 @@ def decode_media(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payl
     return df.select(*cols).mapInPandas(decode_batches, DECODED_SCHEMA)
 
 
+#: Output schema of the resize stage.
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_in", T.LongType()),
+        T.StructField("stride", T.IntegerType()),
+        T.StructField("n_out", T.LongType()),
+        T.StructField("resized", T.BinaryType()),
+    ]
+)
+
+
+def _fake_resize_kernel(buf: bytes, target: int) -> tuple[int, bytes]:
+    """STUB — deterministic stand-in for a real image resize.
+
+    A real implementation would be ``PIL.Image.resize``; unavailable in
+    this environment. Downsamples by strided byte sampling so the output
+    is a pure function of the input (oracle-reproducible): stride =
+    ceil(n/target), resized = buf[::stride].
+    """
+    import math
+
+    n = len(buf)
+    if n == 0:
+        return 1, b""
+    stride = max(1, math.ceil(n / target))
+    return stride, buf[::stride]
+
+
+def resize_media(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    target: int = 64,
+) -> DataFrame:
+    """Arrow-batched resize stage: payload → downsampled payload.
+
+    Same plumbing contract as ``decode_media``: ``mapInPandas`` over
+    columnar batches, partition-parallel, kernel swappable for a real
+    codec. Returns (doc_id, n_in, stride, n_out, resized)."""
+    cols = [id_col, payload_col]
+
+    def resize_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "n_in": [], "stride": [], "n_out": [], "resized": []}
+            for doc_id, buf in zip(pdf[id_col], pdf[payload_col]):
+                buf = bytes(buf) if buf is not None else b""
+                stride, resized = _fake_resize_kernel(buf, target)
+                out["doc_id"].append(doc_id)
+                out["n_in"].append(len(buf))
+                out["stride"].append(stride)
+                out["n_out"].append(len(resized))
+                out["resized"].append(resized)
+            yield pd.DataFrame(out)
+
+    return df.select(*cols).mapInPandas(resize_batches, RESIZED_SCHEMA)
+
+
 def frame_sample(
     df: DataFrame,
     id_col: str = "doc_id",

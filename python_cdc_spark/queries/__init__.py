@@ -50,6 +50,7 @@ set_priority_order(
         "dedup_minhash_lsh_pairs",
         "dedup_simhash",
         "dedup_lsh_verified",
+        "dedup_embedding_cosine",
         # Similarity search (E26, E28)
         "embedding_norms",
         "similarity_brute_topk",
@@ -88,7 +89,6 @@ set_priority_order(
         "join_anti",
         "join_range_theta",
         "agg_rollup",
-        "distinct_counts",
         "pivot_status_by_priority",
         "set_operations",
         "scalar_date_funcs",

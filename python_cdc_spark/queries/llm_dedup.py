@@ -241,3 +241,83 @@ def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.5)
     )
+
+
+def _emb_cosine_oracle() -> str:
+    from python_cdc_spark.functions.vectors import sql_dec_dot, sql_dec_norm
+    from python_cdc_spark.operators.similarity import sql_hyperplane_table_bucket
+
+    dims, tables, ppt = 64, 4, 4
+    stacked = " UNION ALL ".join(
+        f"SELECT vec_id AS id, {t} AS table_id, "
+        + sql_hyperplane_table_bucket("embedding", t, tables, ppt, dims)
+        + " AS bucket FROM embeddings"
+        for t in range(tables)
+    )
+    return f"""
+    WITH stacked AS ({stacked}),
+    cand AS (
+      SELECT DISTINCT x.id AS id_a, y.id AS id_b
+      FROM stacked x JOIN stacked y
+        ON x.table_id = y.table_id AND x.bucket = y.bucket AND x.id < y.id
+    ),
+    n AS (SELECT vec_id, {sql_dec_norm('embedding', dims)} AS nrm FROM embeddings)
+    SELECT id_a, id_b, cosine FROM (
+      SELECT c.id_a, c.id_b,
+             {sql_dec_dot('a.embedding', 'b.embedding', dims)} / (na.nrm * nb.nrm)
+               AS cosine
+      FROM cand c
+      JOIN embeddings a ON a.vec_id = c.id_a
+      JOIN embeddings b ON b.vec_id = c.id_b
+      JOIN n na ON na.vec_id = c.id_a
+      JOIN n nb ON nb.vec_id = c.id_b
+    ) WHERE cosine >= 0.25
+    """
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=_emb_cosine_oracle(),
+    doc="E25/E26: embedding-cosine near-dup pairs — LSH-bucketed "
+    "candidates (never all-pairs), exact cosine >= 0.25 verification",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vector-space twin of dedup_lsh_verified: hyperplane-LSH
+    proposes same-bucket pairs, exact cosine disposes. Both pair sides
+    are corpus-scale, so BOTH vector lookups are id-co-partitioned
+    shuffle joins — no broadcast anywhere (contrast the ANN query,
+    where the bounded query sample may broadcast)."""
+    from python_cdc_spark.functions.vectors import dec_dot_product, l2_norm
+    from python_cdc_spark.operators.similarity import hyperplane_lsh_tables
+
+    e = table(spark, sf_dir, "embeddings")
+    stacked = hyperplane_lsh_tables(
+        e, "vec_id", "embedding", tables=4, planes_per_table=4, dims=64
+    ).localCheckpoint(eager=False)
+    x = stacked.select(F.col("id").alias("id_a"), "table_id", "bucket")
+    y = stacked.select(F.col("id").alias("id_b"), "table_id", "bucket")
+    cand = (
+        x.join(y, ["table_id", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    norms = e.select("vec_id", l2_norm(F.col("embedding"), exact=True).alias("nrm"))
+    va = e.join(norms, "vec_id").select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    vb = e.join(norms, "vec_id").select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = dec_dot_product(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        cand.join(va.hint("shuffle_hash"), "id_a")
+        .join(vb.hint("shuffle_hash"), "id_b")
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= 0.25)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -12,7 +12,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from python_cdc_spark.io import table
-from python_cdc_spark.multimodal import attach_binary_payload, decode_media, frame_sample
+from python_cdc_spark.multimodal import (
+    attach_binary_payload,
+    decode_media,
+    frame_sample,
+    resize_media,
+)
 from python_cdc_spark.queries.registry import register
 
 
@@ -91,4 +96,52 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("frame_idx").cast("int").alias("frame_idx"),
         F.octet_length("frame").cast("long").alias("frame_bytes"),
+    )
+
+
+@register(
+    "multimodal_resize",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, hex(encode(text)) AS h,
+             octet_length(encode(text)) AS n
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, n,
+             CASE WHEN n = 0 THEN 1
+                  ELSE GREATEST(1, CAST(CEIL(n / 64.0) AS INTEGER)) END AS stride,
+             h
+      FROM b
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_in,
+           stride,
+           CAST(CASE WHEN n = 0 THEN 0
+                ELSE CAST(CEIL(CAST(n AS DOUBLE) / stride) AS BIGINT) END
+             AS BIGINT) AS n_out,
+           CONCAT(
+             CASE WHEN n > 0          THEN substr(h, 1, 2) ELSE '' END,
+             CASE WHEN stride * 1 < n THEN substr(h, stride * 2 + 1, 2) ELSE '' END,
+             CASE WHEN stride * 2 < n THEN substr(h, stride * 4 + 1, 2) ELSE '' END,
+             CASE WHEN stride * 3 < n THEN substr(h, stride * 6 + 1, 2) ELSE '' END
+           ) AS head_hex
+    FROM s
+    """,
+    doc="E28: Arrow-batched media resize (stub strided-resample kernel); "
+    "the oracle replays the kernel via hex-string slicing",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exercises the resize plumbing end-to-end: payload → mapInPandas
+    strided downsample → size stats + head bytes. The oracle reproduces
+    stride/sampling arithmetic on the hex string (2 chars/byte — DuckDB
+    cannot slice BLOBs directly)."""
+    d = attach_binary_payload(table(spark, sf_dir, "documents"))
+    resized = resize_media(d, "doc_id", "payload", target=64)
+    return resized.select(
+        "doc_id",
+        "n_in",
+        "stride",
+        "n_out",
+        F.hex(F.substring("resized", 1, 4)).alias("head_hex"),
     )
