@@ -18,6 +18,7 @@ from python_cdc_spark.queries.registry import (  # noqa: F401
 from python_cdc_spark.queries import (  # noqa: F401, E402
     tpch,
     tpch_extra,
+    tpch_patterns,
     relational,
     windows,
     cdc_queries,

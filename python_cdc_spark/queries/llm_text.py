@@ -174,6 +174,48 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BPE-ish pre-tokenizer: greedy alternation over the normalized text.
+# A letter run of length L matches `[a-z]{1,4}` ceil(L/4) times (greedy
+# left-to-right chunking), each digit is its own token (modern tokenizers
+# split digit runs), and every other non-space char is one token. Both
+# Java regex (Spark) and RE2 (DuckDB) chunk greedy alternation
+# identically, so the counts are exact twins.
+_BPE_PATTERN = "[a-z]{1,4}|[0-9]|[^a-z0-9 ]"
+
+
+@register(
+    "text_bpe_token_estimate",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_NORM} AS norm FROM documents)
+    SELECT doc_id,
+           CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(norm, '{_BPE_PATTERN}')) AS BIGINT)
+             AS n_bpe_tokens,
+           CAST(length(norm) AS DOUBLE)
+             / NULLIF(len(regexp_extract_all(norm, '{_BPE_PATTERN}')), 0)
+             AS chars_per_token
+    FROM t
+    """,
+    doc="E27: token counting — whitespace tokens vs a BPE-ish greedy "
+    "subword regex (4-char letter chunks, per-digit tokens, per-symbol "
+    "tokens), plus the chars-per-token compression ratio",
+)
+def text_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    norm = normalized_text(F.col("text"))
+    n_bpe = F.size(F.regexp_extract_all(norm, F.lit(_BPE_PATTERN), F.lit(0))).cast(
+        "long"
+    )
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        (
+            F.length(norm).cast("double") / F.nullif(n_bpe, F.lit(0))
+        ).alias("chars_per_token"),
+    )
+
+
 @register(
     "text_tf_topk",
     oracle=f"""
