@@ -10,13 +10,15 @@ Exactly-once story (the reference acks BEFORE processing → at-most-once,
 ``postgre_cdc_consumer.py:98-99``; we upgrade): the streaming checkpoint
 replays an uncommitted batch after a crash, and the merge is idempotent
 — replaying the same events cannot change the folded state (per-key
-max-lsn semantics), so replay converges. Durability of an individual
-state write uses bucket-partitioned dynamic overwrite; a transactional
-table format (Delta/Iceberg MERGE) is the drop-in production upgrade.
+max-lsn semantics), so replay converges. Each state write commits
+atomically through :class:`~python_cdc_spark.streaming.state_store.
+BucketedStateStore` (immutable version dirs + manifest swap) — a crash
+mid-write leaves the previous state intact; a transactional table
+format (Delta/Iceberg MERGE) remains the managed-production upgrade.
 
 Scale design: state is hash-bucketed on key into ``n_buckets``
 partitions; a micro-batch rewrites ONLY the buckets its keys touch
-(partition-pruned read + dynamic partition overwrite), so per-batch cost
+(the store reads and commits per-bucket directories), so per-batch cost
 is O(batch + touched_state), not O(total_state).
 """
 
@@ -29,6 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from python_cdc_spark.cdc.apply import apply_changes_with_tombstones
+from python_cdc_spark.streaming.state_store import BucketedStateStore
 
 
 class StreamingApplyChanges:
@@ -49,6 +52,7 @@ class StreamingApplyChanges:
         self.state_path = state_path
         self.key_col = key_col
         self.n_buckets = n_buckets
+        self.store = BucketedStateStore(spark, state_path)
 
     # -- state table ------------------------------------------------------
 
@@ -63,14 +67,14 @@ class StreamingApplyChanges:
         )
 
     def _raw_state(self) -> DataFrame:
-        try:
-            return self.spark.read.parquet(self.state_path).drop("bucket")
-        except Exception:
-            return self.spark.createDataFrame(
-                [],
-                f"{self.key_col} string, values map<string,string>, "
-                "last_lsn bigint, del_lsn bigint",
-            )
+        state = self.store.read()
+        if state is not None:
+            return state.drop("bucket")
+        return self.spark.createDataFrame(
+            [],
+            f"{self.key_col} string, values map<string,string>, "
+            "last_lsn bigint, del_lsn bigint",
+        )
 
     def _state_as_events(self, state: DataFrame) -> DataFrame:
         """Re-encode state rows as events so the batch fold's sentinel /
@@ -103,38 +107,22 @@ class StreamingApplyChanges:
         if not touched:
             return
 
-        try:
-            prior = self.spark.read.parquet(self.state_path).filter(
-                F.col("bucket").isin(touched)
-            )
-            prior_events = self._state_as_events(prior)
-        except Exception:  # first batch: no state yet
-            prior_events = None
-
+        prior = self.store.read(touched)
         events = batch.drop("bucket")
-        if prior_events is not None:
-            events = events.unionByName(prior_events)
+        if prior is not None:
+            events = events.unionByName(self._state_as_events(prior.drop("bucket")))
 
         # tombstoned fold: every previously-present key yields a row, so
-        # dynamic partition overwrite always rewrites each touched bucket
-        # (a delete-only bucket would otherwise be silently skipped)
+        # a touched bucket can never silently vanish from the commit
         new_state = apply_changes_with_tombstones(events, self.key_col).withColumn(
             "bucket", self._bucket(F.col(self.key_col))
-        )
-        # Materialize BEFORE overwriting: the fold lazily reads the same
-        # parquet files the write replaces; localCheckpoint cuts that
-        # lineage so the overwrite never scans files it is deleting.
-        # (A transactional table format — Delta/Iceberg MERGE — is the
-        # production upgrade for crash atomicity across the two steps.)
-        new_state = new_state.repartition(max(1, len(touched)), "bucket").localCheckpoint(
-            eager=True
-        )
-        (
-            new_state.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("bucket")
-            .parquet(self.state_path)
-        )
+        ).repartition(max(1, len(touched)), "bucket")
+        # The store writes a NEW immutable version dir while the fold's
+        # lineage reads the old one (no self-overwrite hazard), then the
+        # manifest swap commits atomically; vacuum reclaims superseded
+        # and orphaned versions.
+        self.store.commit(new_state, touched)
+        self.store.vacuum()
 
     # -- streaming driver -------------------------------------------------
 

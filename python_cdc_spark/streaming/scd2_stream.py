@@ -8,8 +8,10 @@ the history INCREMENTALLY per micro-batch:
 - each batch re-opens only the CURRENT version of touched keys, replays
   it together with the batch's events through the same window recipe,
   and renumbers the resulting versions to continue the key's sequence;
-- state layout mirrors ``StreamingApplyChanges``: hash-bucketed parquet,
-  partition-pruned reads, dynamic-overwrite rewrites of touched buckets.
+- state layout mirrors ``StreamingApplyChanges``: hash-bucketed parquet
+  behind :class:`~python_cdc_spark.streaming.state_store.
+  BucketedStateStore` — partition-pruned reads of touched buckets,
+  crash-atomic manifest-swap commits.
 
 Assumes per-key lsn-monotone batches (the order a replication slot
 delivers); an out-of-order event older than the open version is a
@@ -24,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from python_cdc_spark.cdc.scd2 import scd2_history
+from python_cdc_spark.streaming.state_store import BucketedStateStore
 
 
 class StreamingScd2:
@@ -38,20 +41,21 @@ class StreamingScd2:
         self.history_path = history_path
         self.key_col = key_col
         self.n_buckets = n_buckets
+        self.store = BucketedStateStore(spark, history_path)
 
     def _bucket(self, key: F.Column) -> F.Column:
         return F.pmod(F.xxhash64(key.cast("string")), F.lit(self.n_buckets))
 
     def history(self) -> DataFrame:
-        try:
-            return self.spark.read.parquet(self.history_path).drop("bucket")
-        except Exception:
-            return self.spark.createDataFrame(
-                [],
-                f"{self.key_col} string, version long, operation string, "
-                "values map<string,string>, valid_from timestamp, "
-                "valid_to timestamp, is_current boolean, lsn bigint",
-            )
+        state = self.store.read()
+        if state is not None:
+            return state.drop("bucket")
+        return self.spark.createDataFrame(
+            [],
+            f"{self.key_col} string, version long, operation string, "
+            "values map<string,string>, valid_from timestamp, "
+            "valid_to timestamp, is_current boolean, lsn bigint",
+        )
 
     def merge_batch(self, batch: DataFrame, batch_id: int | None = None) -> None:
         batch = batch.select(
@@ -61,12 +65,7 @@ class StreamingScd2:
         if not touched:
             return
 
-        try:
-            prior = self.spark.read.parquet(self.history_path).filter(
-                F.col("bucket").isin(touched)
-            )
-        except Exception:
-            prior = None
+        prior = self.store.read(touched)
 
         events = batch.drop("bucket")
         if prior is not None:
@@ -107,19 +106,14 @@ class StreamingScd2:
         )
         if closed is not None:
             out = closed.drop("bucket").unionByName(out)
-        # Materialize before overwriting the files the plan reads from
-        # (same rationale as StreamingApplyChanges.merge_batch).
-        out = (
-            out.withColumn("bucket", self._bucket(F.col(self.key_col)))
-            .repartition(max(1, len(touched)), "bucket")
-            .localCheckpoint(eager=True)
+        out = out.withColumn("bucket", self._bucket(F.col(self.key_col))).repartition(
+            max(1, len(touched)), "bucket"
         )
-        (
-            out.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("bucket")
-            .parquet(self.history_path)
-        )
+        # New immutable version dir + manifest swap: the plan reads the
+        # old version's files while writing the new one, and the commit
+        # is crash-atomic (see state_store module docs).
+        self.store.commit(out, touched)
+        self.store.vacuum()
 
     def start(
         self, events: DataFrame, checkpoint_path: str, available_now: bool = False

@@ -1,0 +1,159 @@
+"""Crash-atomic, bucket-pruned state storage for streaming operators.
+
+``StreamingApplyChanges`` / ``StreamingScd2`` keep their keyed state
+hash-bucketed so a micro-batch rewrites only the buckets it touches.
+Round-1 used parquet dynamic-partition overwrite for that rewrite, which
+is NOT atomic: a crash between deleting a bucket's old files and
+committing its new ones loses the bucket (flagged in round-1 ADVICE).
+
+This store fixes it with a miniature manifest log — the same idea
+transactional table formats (Delta/Iceberg) use, reduced to exactly what
+the bucketed-state access pattern needs:
+
+- Data files are IMMUTABLE. Version ``N`` of the state writes only the
+  touched buckets under ``<path>/v<N>/b=<bucket>/``; nothing is ever
+  overwritten in place.
+- A single JSON manifest maps bucket → the version that holds its
+  current data. Commit = write the new version's files, then swap the
+  manifest via write-temp + atomic rename. A crash anywhere before the
+  rename leaves the old manifest — and therefore a fully consistent
+  old state — in place; the orphaned ``v<N>`` directory is garbage,
+  reclaimed by :meth:`vacuum`.
+- Reads resolve the manifest to a list of bucket directories and read
+  exactly those (partition-pruned by construction: a touched-bucket
+  read lists only the touched buckets' paths).
+
+Single-writer by design: ``foreachBatch`` serializes micro-batches, so
+no manifest lock is needed. The atomic-rename primitive is
+``os.replace`` (POSIX-atomic); on HDFS the equivalent rename is atomic
+too, while S3 would need a DFS committer or a real table format — at
+which point Delta/Iceberg MERGE is the drop-in upgrade (interface
+unchanged: read / commit / vacuum).
+
+Scale: per-batch write cost stays O(touched buckets), manifest size is
+O(n_buckets) (a few KB at 64–4096 buckets), and vacuum is O(versions)
+directory removals — nothing here scans the full state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+_MANIFEST = "_manifest.json"
+
+
+class BucketedStateStore:
+    """Versioned bucket-partitioned parquet state with atomic commits."""
+
+    def __init__(self, spark: SparkSession, path: str) -> None:
+        self.spark = spark
+        self.path = path.rstrip("/")
+
+    # -- manifest ---------------------------------------------------------
+
+    @property
+    def _manifest_path(self) -> str:
+        return os.path.join(self.path, _MANIFEST)
+
+    def _load_manifest(self) -> dict:
+        if not os.path.isfile(self._manifest_path):
+            return {"version": 0, "buckets": {}}
+        with open(self._manifest_path) as fh:
+            return json.load(fh)
+
+    def _save_manifest(self, manifest: dict) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, self._manifest_path)  # the commit point
+
+    @property
+    def version(self) -> int:
+        return self._load_manifest()["version"]
+
+    # -- read -------------------------------------------------------------
+
+    def _bucket_dir(self, version: int, bucket: int) -> str:
+        return os.path.join(self.path, f"v{version}", f"b={bucket}")
+
+    def read(self, buckets: list[int] | None = None) -> DataFrame | None:
+        """Current state as a DataFrame (``bucket`` is a data column), or
+        ``None`` if the store holds no state. ``buckets`` restricts the
+        read to those buckets' directories — the partition-pruned path
+        used by touched-bucket merges."""
+        manifest = self._load_manifest()
+        live = manifest["buckets"]
+        if buckets is not None:
+            wanted = {str(b) for b in buckets}
+            live = {b: v for b, v in live.items() if b in wanted}
+        paths = [self._bucket_dir(v, int(b)) for b, v in live.items()]
+        if not paths:
+            return None
+        return self.spark.read.parquet(*paths)
+
+    # -- write ------------------------------------------------------------
+
+    def commit(self, state: DataFrame, touched: list[int]) -> int:
+        """Atomically replace the state of ``touched`` buckets.
+
+        ``state`` must carry an integral ``bucket`` column and contain
+        only rows for ``touched`` buckets. Returns the committed version.
+        A touched bucket with no surviving rows is dropped from the
+        manifest (its state is now empty)."""
+        manifest = self._load_manifest()
+        new_version = manifest["version"] + 1
+        vdir = os.path.join(self.path, f"v{new_version}")
+        # ``b`` duplicates ``bucket`` as the partition column so the data
+        # files keep ``bucket`` readable without partition discovery
+        # (per-bucket dirs are read individually, basePath-free).
+        (
+            state.withColumn("b", state["bucket"])
+            .write.mode("errorifexists")
+            .partitionBy("b")
+            .parquet(vdir)
+        )
+        written = {
+            int(d.split("=", 1)[1])
+            for d in os.listdir(vdir)
+            if d.startswith("b=")
+        }
+        buckets = dict(manifest["buckets"])
+        for b in touched:
+            if b in written:
+                buckets[str(b)] = new_version
+            else:
+                buckets.pop(str(b), None)  # bucket emptied by this batch
+        self._save_manifest({"version": new_version, "buckets": buckets})
+        return new_version
+
+    # -- maintenance ------------------------------------------------------
+
+    def vacuum(self) -> list[str]:
+        """Delete version directories no manifest entry references —
+        superseded bucket data and orphans from interrupted commits.
+        Safe under the single-writer model (nothing reads a version that
+        the current manifest does not reference). Returns removed dirs."""
+        if not os.path.isdir(self.path):
+            return []
+        manifest = self._load_manifest()
+        referenced = {v for v in manifest["buckets"].values()}
+        removed = []
+        for entry in os.listdir(self.path):
+            if not entry.startswith("v"):
+                continue
+            try:
+                version = int(entry[1:])
+            except ValueError:
+                continue
+            if version not in referenced:
+                full = os.path.join(self.path, entry)
+                shutil.rmtree(full)
+                removed.append(full)
+        return removed

@@ -1,0 +1,87 @@
+"""BucketedStateStore: crash-atomic manifest commits over immutable
+version dirs (the fix for round-1's non-atomic dynamic overwrite)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from python_cdc_spark.streaming.state_store import BucketedStateStore
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "key string, val long, bucket int")
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return BucketedStateStore(spark, str(tmp_path / "state"))
+
+
+def test_roundtrip_and_bucket_pruned_read(spark, store):
+    store.commit(_df(spark, [("a", 1, 0), ("b", 2, 1)]), touched=[0, 1])
+    got = {(r["key"], r["val"], r["bucket"]) for r in store.read().collect()}
+    assert got == {("a", 1, 0), ("b", 2, 1)}
+    only0 = store.read([0]).collect()
+    assert [(r["key"], r["bucket"]) for r in only0] == [("a", 0)]
+
+
+def test_untouched_buckets_survive_later_commits(spark, store):
+    store.commit(_df(spark, [("a", 1, 0), ("b", 2, 1)]), touched=[0, 1])
+    store.commit(_df(spark, [("b", 20, 1)]), touched=[1])
+    got = {(r["key"], r["val"]) for r in store.read().collect()}
+    assert got == {("a", 1), ("b", 20)}
+    manifest = json.load(open(os.path.join(store.path, "_manifest.json")))
+    assert manifest["buckets"] == {"0": 1, "1": 2}
+
+
+def test_crash_before_manifest_swap_preserves_old_state(spark, store):
+    store.commit(_df(spark, [("a", 1, 0)]), touched=[0])
+    # simulate a crash mid-commit: the new version's files land on disk
+    # but the process dies before the manifest rename
+    doomed = _df(spark, [("a", 99, 0)])
+    doomed.withColumn("b", doomed["bucket"]).write.partitionBy("b").parquet(
+        os.path.join(store.path, "v2")
+    )
+    got = [(r["key"], r["val"]) for r in store.read().collect()]
+    assert got == [("a", 1)]  # old manifest, old state — fully consistent
+    # recovery: the orphan is unreferenced garbage, vacuum reclaims it
+    removed = store.vacuum()
+    assert removed == [os.path.join(store.path, "v2")]
+    assert [(r["key"], r["val"]) for r in store.read().collect()] == [("a", 1)]
+
+
+def test_emptied_bucket_leaves_manifest(spark, store):
+    store.commit(_df(spark, [("a", 1, 0), ("b", 2, 1)]), touched=[0, 1])
+    # bucket 0 folds to zero rows (e.g. every key fully expired)
+    store.commit(_df(spark, [("b", 3, 1)]), touched=[0, 1])
+    got = {(r["key"], r["val"]) for r in store.read().collect()}
+    assert got == {("b", 3)}
+    manifest = json.load(open(os.path.join(store.path, "_manifest.json")))
+    assert "0" not in manifest["buckets"]
+
+
+def test_vacuum_reclaims_superseded_versions(spark, store):
+    store.commit(_df(spark, [("a", 1, 0)]), touched=[0])
+    store.commit(_df(spark, [("a", 2, 0)]), touched=[0])
+    removed = store.vacuum()
+    assert removed == [os.path.join(store.path, "v1")]
+    assert [(r["key"], r["val"]) for r in store.read().collect()] == [("a", 2)]
+
+
+def test_empty_store_reads_none(store):
+    assert store.read() is None
+    assert store.read([0, 5]) is None
+    assert store.vacuum() == []
+
+
+def test_read_filters_are_path_pruned(spark, store):
+    """A touched-bucket read lists only the touched buckets' dirs — the
+    scan never opens untouched buckets' files."""
+    store.commit(_df(spark, [("a", 1, 0), ("b", 2, 1), ("c", 3, 2)]), [0, 1, 2])
+    df = store.read([1])
+    files = [r[0] for r in df.select(F.input_file_name()).distinct().collect()]
+    assert files and all("/b=1/" in f for f in files)
