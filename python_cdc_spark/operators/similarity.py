@@ -174,10 +174,13 @@ def kmeans_fit(
 
     Deterministic + oracle-replayable by construction:
 
-    - init: the k vectors at evenly-strided positions in ``id_col``
-      order (rank ``floor(i·(n-1)/(k-1)) + 1``) — no RNG. The global
-      row_number is a one-off init cost; at extreme scale swap in any
-      deterministic id-based sample.
+    - init: hash-partitioned reservoir pick — cell ``i`` seeds from the
+      vector whose ``md5(id)`` is smallest among ids hashing to ``i``
+      (two leading hex digits mod k). No RNG, no global sort/window,
+      no corpus count: ONE hash aggregation regardless of corpus size,
+      and md5 keeps it replayable by any engine. (A cell with no id
+      hashing to it — only possible when n is not ≫ k — simply starts
+      empty and the fit proceeds with the populated cells.)
     - assignment: argmax of dot(v, c)/‖c‖ (cosine is invariant to the
       query's own norm), ties → lowest cell id. ``exact`` routes the
       reduction through decimals so an external engine reproduces the
@@ -188,19 +191,20 @@ def kmeans_fit(
     Returns a k-row DataFrame (cell int, cvec array<double>).
     """
     spark = corpus.sparkSession
-    n = corpus.count()
-    targets = {int(i * (n - 1) / (k - 1)) + 1: i for i in range(k)}
-    ranked = corpus.select(
-        F.col(id_col).alias("__id"),
-        F.col(vec_col).alias("__vec"),
-        F.row_number().over(Window.orderBy(id_col)).alias("__rn"),
-    ).filter(F.col("__rn").isin(list(targets)))
-    cell_of = F.create_map(
-        *[F.lit(x) for rn, cell in targets.items() for x in (rn, cell)]
+    hexa = "0123456789abcdef"
+    cell_expr = (
+        f"CAST((  (locate(substring(md5(cast({id_col} as string)), 1, 1), '{hexa}') - 1) * 16"
+        f"      + (locate(substring(md5(cast({id_col} as string)), 2, 1), '{hexa}') - 1)"
+        f"     ) % {k} AS INT)"
     )
-    init = ranked.select(
-        cell_of[F.col("__rn")].alias("cell"),
-        F.transform("__vec", lambda x: x.cast("double")).alias("cvec"),
+    init = (
+        corpus.select(
+            F.expr(cell_expr).alias("cell"),
+            F.md5(F.col(id_col).cast("string")).alias("__h"),
+            F.transform(vec_col, lambda x: x.cast("double")).alias("__vec"),
+        )
+        .groupBy("cell")
+        .agg(F.min_by("__vec", "__h").alias("cvec"))
     )
     cent = _collect_centroids(init)
 

@@ -243,26 +243,24 @@ _IVF_K, _IVF_ITERS, _NPROBE = 16, 3, 4
 
 
 def _sql_ivf_oracle(k: int, iters: int, nprobe: int, topk: int, dims: int) -> str:
-    """DuckDB replay of the distributed k-means IVF: the same strided
-    init, Lloyd iterations with decimal-routed assignment/means, query
-    multi-probe, and exact re-rank — bit-identical because every
-    floating reduction is decimal-routed on both engines."""
+    """DuckDB replay of the distributed k-means IVF: the same
+    hash-partitioned init (min-md5 per two-hex-digit cell), Lloyd
+    iterations with decimal-routed assignment/means, query multi-probe,
+    and exact re-rank — bit-identical because every floating reduction
+    is decimal-routed on both engines."""
 
     def score(vec: str, cent: str) -> str:
         return f"{sql_dec_dot(vec, cent, dims)} / {sql_dec_norm(cent, dims)}"
 
     ctes = [
-        """ranked AS (
-      SELECT vec_id, embedding,
-             ROW_NUMBER() OVER (ORDER BY vec_id) AS rn,
-             COUNT(*) OVER () AS n
-      FROM embeddings
-    )""",
         f"""cent0 AS (
-      SELECT CAST(g.i AS INTEGER) AS cell, r.embedding AS cvec
-      FROM generate_series(0, {k - 1}) g(i)
-      JOIN ranked r
-        ON r.rn = CAST(FLOOR(CAST(g.i AS DOUBLE) * (r.n - 1) / {k - 1}) AS BIGINT) + 1
+      SELECT CAST((  (strpos('0123456789abcdef',
+                             substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)) - 1) * 16
+                   + (strpos('0123456789abcdef',
+                             substr(md5(CAST(vec_id AS VARCHAR)), 2, 1)) - 1)
+                  ) % {k} AS INTEGER) AS cell,
+             min_by(embedding, md5(CAST(vec_id AS VARCHAR))) AS cvec
+      FROM embeddings GROUP BY 1
     )""",
     ]
     assign_body = """
