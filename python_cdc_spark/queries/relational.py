@@ -162,6 +162,34 @@ def join_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_range_banded",
+    oracle="""
+    SELECT s_suppkey, s_name, COUNT(*) AS n_close_customers
+    FROM supplier JOIN customer
+      ON c_acctbal BETWEEN s_acctbal - 100 AND s_acctbal + 100
+    GROUP BY s_suppkey, s_name
+    """,
+    doc="E8 at scale: the same band predicate as join_range_theta, "
+    "executed as a banded equi-join (no nested-loop) — the path for "
+    "when BOTH sides are corpus-scale",
+)
+def join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band-binned range join: suppliers explode to the <=2 width-200
+    bands their +-100 window overlaps, customers hash into their own
+    band, and the join is a keyed shuffle join + exact re-filter —
+    identical semantics to the BNL plan, but shuffle-partitioned so it
+    survives two large inputs (see operators/rangejoin.py)."""
+    from python_cdc_spark.operators.rangejoin import banded_range_join
+
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    pairs = banded_range_join(s, c, "s_acctbal", "c_acctbal", radius=100.0)
+    return pairs.groupBy("s_suppkey", "s_name").agg(
+        F.count(F.lit(1)).alias("n_close_customers")
+    )
+
+
+@register(
     "agg_rollup",
     oracle=f"""
     SELECT r_name, n_name,

@@ -132,3 +132,16 @@ def test_ann_rerank_never_broadcasts_corpus(spark):
     # may broadcast freely)
     assert "ShuffledHashJoin [neighbor_id" in plan, plan[:2000]
     assert "BroadcastHashJoin [neighbor_id" not in plan, plan[:2000]
+
+
+def test_banded_range_join_avoids_nested_loop(spark):
+    """The banded rewrite must plan as a keyed shuffle join — no
+    BroadcastNestedLoopJoin, no cartesian — or it isn't the big-big
+    scale path it claims to be."""
+    from python_cdc_spark.plans.checks import explain_str
+
+    df = QUERIES["join_range_banded"].fn(spark, SF_SMOKE)
+    plan = explain_str(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert not has_cartesian(df)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
