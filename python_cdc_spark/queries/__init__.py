@@ -28,6 +28,7 @@ from python_cdc_spark.queries import (  # noqa: F401, E402
     streaming_queries,
     multimodal_queries,
     udf_queries,
+    llm_curation,
 )
 
 # The driver's correctness gate checks the FIRST 50 registry entries, so

@@ -1,0 +1,220 @@
+"""Corpus-curation queries: the pipeline stage AFTER dedup/scoring.
+
+A training-data build ends with four mechanical ops the rest of this
+package doesn't cover: deterministic train/holdout splitting, stratified
+per-source sampling, the quality-filter funnel (which stage dropped each
+doc), and packing docs into token-budget shards. All are pure Column
+expressions; every randomness source is an md5 hash of a stable key, so
+the DuckDB oracle replays the "random" choices bit-identically (same
+convention as queries/llm_dedup.py).
+
+Scale notes (100 TB):
+- split/funnel are embarrassingly parallel scans (no shuffle beyond the
+  final tiny aggregate);
+- stratified sampling and shard packing use a window per stratum — one
+  hash shuffle on ``source``; a hot stratum is an AQE-skew key. At real
+  corpus scale you'd sub-salt the stratum and sample per salt, then
+  re-rank the union (bounded rows); the per-stratum window here keeps
+  the oracle exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from python_cdc_spark.functions.text import quality_features, token_count, tokens
+from python_cdc_spark.io import table
+from python_cdc_spark.queries.llm_text import _SQL_TOKS  # noqa: F401 — shared dialect fragment
+from python_cdc_spark.queries.registry import register
+
+# md5 of the doc key decides every "random" assignment. Hex strings are
+# lowercase in both engines and fixed-width, so lexicographic compares
+# and substring bucketing agree bit-for-bit.
+_SPLIT_SALT = "split-v1"
+_SAMPLE_SALT = "samp-v1"
+
+
+def _doc_hash(salt: str) -> Column:
+    return F.md5(F.concat_ws("|", F.lit(salt), F.col("doc_id").cast("string")))
+
+
+def _sql_doc_hash(salt: str) -> str:
+    return f"md5('{salt}' || '|' || CAST(doc_id AS VARCHAR))"
+
+
+@register(
+    "corpus_split_train_holdout",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang, length(text) AS n_chars,
+             substr({_sql_doc_hash(_SPLIT_SALT)}, 1, 2) AS h2
+      FROM documents
+    )
+    SELECT CASE WHEN h2 < 'cd' THEN 'train'
+                WHEN h2 < 'e6' THEN 'val'
+                ELSE 'test' END AS split,
+           lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS mean_chars
+    FROM t
+    GROUP BY 1, 2
+    """,
+    doc="curation: deterministic 80/10/10 train/val/test split — "
+    "membership is a pure function of doc_id (md5 bucket), so the split "
+    "is stable across runs, cluster sizes, and re-partitioning",
+)
+def corpus_split_train_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-split: first hex byte of md5(salt|doc_id) buckets each doc
+    into train (< 0xcd, ~80.1%), val (< 0xe6, ~9.8%), test (rest).
+    No RNG, no shuffle for the assignment itself — the only exchange is
+    the final (split, lang) aggregate, which is O(#groups)."""
+    d = table(spark, sf_dir, "documents")
+    h2 = F.substring(_doc_hash(_SPLIT_SALT), 1, 2)
+    split = (
+        F.when(h2 < "cd", "train").when(h2 < "e6", "val").otherwise("test")
+    )
+    return (
+        d.select(
+            split.alias("split"), "lang", F.length("text").cast("long").alias("n_chars")
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("mean_chars"),
+        )
+    )
+
+
+@register(
+    "corpus_stratified_sample",
+    oracle=f"""
+    WITH r AS (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY {_sql_doc_hash(_SAMPLE_SALT)}, doc_id
+             ) AS sample_rank
+      FROM documents
+    )
+    SELECT source, doc_id, sample_rank FROM r WHERE sample_rank <= 10
+    """,
+    doc="curation: uniform-without-replacement sample of 10 docs per "
+    "source stratum, deterministic via md5 ordering (reproducible "
+    "eval-set carving)",
+)
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sample: rank docs inside each source by
+    md5(salt|doc_id) (a uniform permutation independent of storage
+    order) and keep the first 10. One shuffle on ``source``; the rank
+    window never materializes more than a stratum per task."""
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(_doc_hash(_SAMPLE_SALT), "doc_id")
+    return (
+        d.select("source", "doc_id", F.row_number().over(w).alias("sample_rank"))
+        .filter(F.col("sample_rank") <= 10)
+    )
+
+
+@register(
+    "corpus_quality_funnel",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, {_SQL_TOKS} AS w FROM documents
+    ), s AS (
+      SELECT source,
+             CASE WHEN len(w) < 20 THEN 'too_short'
+                  WHEN len(w) > 90 THEN 'too_long'
+                  WHEN CAST(len(list_distinct(w)) AS DOUBLE) / len(w) < 0.35
+                    THEN 'low_diversity'
+                  ELSE 'kept' END AS stage
+      FROM t
+    )
+    SELECT source, stage, COUNT(*) AS n_docs,
+           CAST(COUNT(*) AS DOUBLE)
+             / SUM(COUNT(*)) OVER (PARTITION BY source) AS source_frac
+    FROM s
+    GROUP BY source, stage
+    """,
+    doc="curation: quality-filter funnel — attributes every dropped doc "
+    "to the FIRST failing filter stage (length bounds, lexical "
+    "diversity), per source, with in-source fractions",
+)
+def corpus_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-funnel attribution: each doc lands in the first stage that
+    rejects it (too_short → too_long → low_diversity) or 'kept'. The
+    stage expression is a single scan; the per-source fraction reuses
+    the aggregate via a window over the tiny grouped result."""
+    d = table(spark, sf_dir, "documents")
+    qf = quality_features(F.col("text"))
+    toks = tokens(F.col("text"))
+    ttr = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    stage = (
+        F.when(qf["n_tokens"] < 20, "too_short")
+        .when(qf["n_tokens"] > 90, "too_long")
+        .when(ttr < 0.35, "low_diversity")
+        .otherwise("kept")
+    )
+    grouped = (
+        d.select("source", stage.alias("stage"))
+        .groupBy("source", "stage")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    w = Window.partitionBy("source")
+    return grouped.select(
+        "source",
+        "stage",
+        "n_docs",
+        (F.col("n_docs").cast("double") / F.sum("n_docs").over(w)).alias("source_frac"),
+    )
+
+
+@register(
+    "corpus_pack_shards",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, doc_id, len({_SQL_TOKS}) AS n_tok FROM documents
+    ), r AS (
+      SELECT source, doc_id, n_tok,
+             SUM(n_tok) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) - n_tok AS tok_offset
+      FROM t
+    )
+    SELECT source,
+           CAST(FLOOR(CAST(tok_offset AS DOUBLE) / 512) AS BIGINT) AS shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS shard_tokens
+    FROM r
+    GROUP BY 1, 2
+    """,
+    doc="curation: pack docs into ~512-token training shards by "
+    "cumulative token offset within each source (deterministic "
+    "sequence-packing assignment)",
+)
+def corpus_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard packing: a doc's shard is floor(token_offset / 512) where
+    token_offset is the running token count of all earlier docs (by
+    doc_id) in its source — the assignment a sequential packer writing
+    512-token shards would produce, computed as one window + one
+    aggregate. Integer token counts keep both engines exact; the
+    offsets (≪ 2^53) are exact in the double floor-division."""
+    d = table(spark, sf_dir, "documents")
+    n_tok = token_count(F.col("text")).cast("long")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_off = d.select("source", "doc_id", n_tok.alias("n_tok")).withColumn(
+        "tok_offset", F.sum("n_tok").over(w) - F.col("n_tok")
+    )
+    shard = F.floor(F.col("tok_offset").cast("double") / 512).cast("long")
+    return (
+        with_off.select("source", shard.alias("shard"), "n_tok")
+        .groupBy("source", "shard")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("shard_tokens"))
+    )
