@@ -7,7 +7,7 @@ than an engine-native (murmur) hash. See operators/dedup.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from python_cdc_spark.io import table
@@ -163,10 +163,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(table(spark, sf_dir, "documents"), "text", "doc_id", bits=16)
 
 
-@register(
-    "dedup_lsh_verified",
-    oracle=f"""
-    WITH {_sql_sigs()},
+# The full pairs pipeline as a reusable CTE chain: dedup_lsh_verified
+# selects from it directly; dedup_components_canonical extends it with a
+# recursive closure.
+_VERIFIED_PAIRS_CTES = f"""{_sql_sigs()},
     bands AS (
       SELECT id,
              {", ".join(
@@ -194,15 +194,24 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN cells ga ON ga.id = c.id_a
       JOIN cells gb ON gb.id = c.id_b AND gb.gram = ga.gram
       GROUP BY c.id_a, c.id_b
-    )
-    SELECT s.id_a, s.id_b,
-           CAST(s.shared AS DOUBLE)
-             / CAST(sa.set_size + sb.set_size - s.shared AS DOUBLE) AS jaccard
-    FROM shared s
-    JOIN sizes sa ON sa.id = s.id_a
-    JOIN sizes sb ON sb.id = s.id_b
-    WHERE CAST(s.shared AS DOUBLE)
-            / CAST(sa.set_size + sb.set_size - s.shared AS DOUBLE) >= 0.5
+    ),
+    pairs AS (
+      SELECT s.id_a, s.id_b,
+             CAST(s.shared AS DOUBLE)
+               / CAST(sa.set_size + sb.set_size - s.shared AS DOUBLE) AS jaccard
+      FROM shared s
+      JOIN sizes sa ON sa.id = s.id_a
+      JOIN sizes sb ON sb.id = s.id_b
+      WHERE CAST(s.shared AS DOUBLE)
+              / CAST(sa.set_size + sb.set_size - s.shared AS DOUBLE) >= 0.5
+    )"""
+
+
+@register(
+    "dedup_lsh_verified",
+    oracle=f"""
+    WITH {_VERIFIED_PAIRS_CTES}
+    SELECT id_a, id_b, jaccard FROM pairs
     """,
     doc="E26: full near-dup pipeline — LSH candidates verified by exact "
     "Jaccard (candidate-only verification, never all-pairs)",
@@ -240,6 +249,56 @@ def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sb, "id_b")
         .select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+@register(
+    "dedup_components_canonical",
+    oracle=f"""
+    WITH RECURSIVE {_VERIFIED_PAIRS_CTES},
+    sym AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b AS a, id_a AS b FROM pairs
+    ),
+    reach(v, l) AS (
+      SELECT DISTINCT a, a FROM sym
+      UNION
+      SELECT s.a, r.l FROM sym s JOIN reach r ON r.v = s.b
+    ),
+    comp AS (SELECT v, MIN(l) AS component FROM reach GROUP BY v)
+    SELECT doc_id, canonical_id, doc_id = canonical_id AS is_canonical,
+           COUNT(*) OVER (PARTITION BY canonical_id) AS cluster_size
+    FROM (
+      SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS canonical_id
+      FROM documents d LEFT JOIN comp c ON c.v = d.doc_id
+    )
+    """,
+    doc="E25/E26: near-dup CLUSTERS via distributed connected components "
+    "— pairs are not enough to dedup (transitivity); every doc gets a "
+    "deterministic canonical id (component-min) and a keep/drop flag",
+)
+def dedup_components_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End of the near-dup pipeline: verified pairs → min-label-
+    propagation connected components (operators/components.py) → one
+    canonical doc per duplicate cluster. Docs in no pair are their own
+    singleton cluster. The oracle replays the closure as a recursive
+    CTE, so the transitive semantics — not just the pair set — are
+    gate-checked."""
+    from python_cdc_spark.operators.components import connected_components
+
+    pairs = dedup_lsh_verified(spark, sf_dir).select("id_a", "id_b")
+    comp = connected_components(pairs, "id_a", "id_b")
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    joined = docs.join(comp, docs["doc_id"] == comp["v"], "left").select(
+        "doc_id", F.coalesce(F.col("component"), F.col("doc_id")).alias("canonical_id")
+    )
+    w = Window.partitionBy("canonical_id")
+    return joined.select(
+        "doc_id",
+        "canonical_id",
+        (F.col("doc_id") == F.col("canonical_id")).alias("is_canonical"),
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
     )
 
 

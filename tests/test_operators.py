@@ -235,3 +235,26 @@ def test_registry_hygiene(spark):
                 ) or re.search(rf"(?i)\(\s*SELECT", spec.oracle), (
                     f"{name}: oracle references unknown relation {t}"
                 )
+
+
+def test_connected_components_chain_and_clique(spark):
+    """A 5-node chain needs multi-round propagation (diameter 4); a
+    separate triangle and an isolated pair check component separation."""
+    from python_cdc_spark.operators.components import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),      # chain -> component 1
+         (10, 11), (11, 12), (10, 12),        # triangle -> component 10
+         (20, 21)],                           # pair -> component 20
+        ["s", "d"],
+    )
+    got = {
+        (r["v"], r["component"])
+        for r in connected_components(edges, "s", "d").collect()
+    }
+    want = (
+        {(v, 1) for v in (1, 2, 3, 4, 5)}
+        | {(v, 10) for v in (10, 11, 12)}
+        | {(v, 20) for v in (20, 21)}
+    )
+    assert got == want
