@@ -46,13 +46,16 @@ set_priority_order(
         "cdc_latest_per_key",
         "cdc_op_counts",
         "cdc_schema_registry",
-        # Dedup family (E25, E26)
+        # Dedup family (E25, E26) — signatures themselves are exercised
+        # inside the lsh_pairs/verified oracles (same CTE chain), so the
+        # standalone signature dump yields its window slot to the
+        # transitive-closure clustering query
         "dedup_exact",
         "dedup_ngram_jaccard",
-        "dedup_minhash_signatures",
         "dedup_minhash_lsh_pairs",
         "dedup_simhash",
         "dedup_lsh_verified",
+        "dedup_components_canonical",
         "dedup_embedding_cosine",
         # Similarity search (E26, E28)
         "embedding_norms",
@@ -80,7 +83,10 @@ set_priority_order(
         "sessionize_events",
         "dedup_keep_first",
         "window_topk_per_group",
-        "window_running_total",
+        # running-total's E13 slot goes to the curation split (a class
+        # the window otherwise lacks); E13 stays represented by the
+        # topk/sessionize/keep-first/median rows
+        "corpus_split_train_holdout",
         "median_exact_order_stat",
         "percentile_order_values",
         "approx_distinct_users",
