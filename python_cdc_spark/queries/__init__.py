@@ -46,6 +46,9 @@ set_priority_order(
         "cdc_latest_per_key",
         "cdc_op_counts",
         "cdc_schema_registry",
+        # IVM: signed-delta aggregate maintenance (takes embedding_norms'
+        # slot — vector math stays verified via every similarity query)
+        "cdc_incremental_agg",
         # Dedup family (E25, E26) — signatures themselves are exercised
         # inside the lsh_pairs/verified oracles (same CTE chain), so the
         # standalone signature dump yields its window slot to the
@@ -58,7 +61,6 @@ set_priority_order(
         "dedup_components_canonical",
         "dedup_embedding_cosine",
         # Similarity search (E26, E28)
-        "embedding_norms",
         "similarity_brute_topk",
         "similarity_lsh_buckets",
         "similarity_ann_lsh_topk",

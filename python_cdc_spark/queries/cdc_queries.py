@@ -177,6 +177,52 @@ def cdc_op_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_incremental_agg",
+    oracle=f"""
+    WITH {_FEED_CTE},
+    bound AS (
+      SELECT key,
+             COALESCE(MAX(CASE WHEN operation = 'DELETE' THEN lsn END), -1) AS last_del
+      FROM feed GROUP BY key
+    ),
+    live AS (
+      SELECT f.* FROM feed f JOIN bound b USING (key)
+      WHERE f.operation <> 'DELETE' AND f.lsn > b.last_del
+    ),
+    state AS (
+      SELECT key,
+             arg_max(v_event_type, lsn) AS event_type,
+             CAST(arg_max(v_value, lsn) AS DOUBLE) AS value
+      FROM live GROUP BY key
+    )
+    SELECT event_type, COUNT(*) AS n_rows,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(30,10))), 4) AS DOUBLE)
+             AS sum_value
+    FROM state GROUP BY event_type
+    """,
+    doc="E18+ incremental view maintenance: per-group COUNT/SUM of the "
+    "applied state, computed from SIGNED FEED DELTAS only (no state "
+    "recompute); the oracle aggregates the fully-applied state, so the "
+    "gate proves incremental == full recompute",
+)
+def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintain the state aggregate without materializing state: every
+    feed event becomes ±image deltas (cdc/ivm.py), whose exact-decimal
+    signed sum telescopes to the aggregate of the final state. This is
+    the refresh plan that stays O(changes) at 100 TB instead of
+    O(state)."""
+    from python_cdc_spark.cdc.ivm import incremental_group_aggregate
+
+    feed = events_as_cdc_feed(spark, sf_dir)
+    out = incremental_group_aggregate(
+        feed, key="key", lsn="lsn", op="operation",
+        group_col=F.col("new_values")["event_type"],
+        value_col=F.col("new_values")["value"],
+    )
+    return out.select(F.col("grp").alias("event_type"), "n_rows", "sum_value")
+
+
+@register(
     "cdc_schema_registry",
     oracle="""
     SELECT 'public' AS "schema", 'users_activity' AS "table", col AS "column",

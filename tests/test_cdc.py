@@ -197,3 +197,38 @@ def test_scd2_sentinel_carry_forward(spark):
     ]
     # genuine NULL is preserved, not skipped over, by the carry
     assert dict(hist[2]["values"])["s"] is None
+
+
+def test_incremental_agg_lifecycle_edges(spark):
+    """Signed-delta maintenance must survive group moves, delete
+    retraction, double deletes, deletes of dead keys, and reinserts —
+    and equal the aggregate of the final applied state."""
+    from python_cdc_spark.cdc.ivm import incremental_group_aggregate
+
+    rows = [
+        # key 1: insert a=1.0, move to group b=2.0, delete, reinsert a=5.0
+        ("1", 1, "INSERT", "a", "1.0"),
+        ("1", 2, "UPDATE", "b", "2.0"),
+        ("1", 3, "DELETE", None, None),
+        ("1", 4, "INSERT", "a", "5.0"),
+        # key 2: double delete (second delete retracts nothing)
+        ("2", 5, "INSERT", "b", "3.0"),
+        ("2", 6, "DELETE", None, None),
+        ("2", 7, "DELETE", None, None),
+        # key 3: delete of a never-live key (retracts nothing)
+        ("3", 8, "DELETE", None, None),
+        # key 4: plain update chain within one generation
+        ("4", 9, "INSERT", "a", "10.0"),
+        ("4", 10, "UPDATE", "a", "11.5"),
+    ]
+    feed = spark.createDataFrame(rows, ["key", "lsn", "operation", "g", "v"])
+    got = {
+        r["grp"]: (r["n_rows"], r["sum_value"])
+        for r in incremental_group_aggregate(
+            feed, key="key", lsn="lsn", op="operation",
+            group_col="g", value_col="v",
+        ).collect()
+    }
+    # final state: key1 -> (a, 5.0), key4 -> (a, 11.5); keys 2,3 dead;
+    # group b nets to zero support and must be absent
+    assert got == {"a": (2, 16.5)}
