@@ -97,15 +97,17 @@ class StreamingApplyChanges:
 
     # -- merge ------------------------------------------------------------
 
-    def merge_batch(self, batch: DataFrame, batch_id: int | None = None) -> None:
-        """Merge one (micro-)batch of events into the state table."""
+    def merge_batch(self, batch: DataFrame, batch_id: int | None = None) -> list[int]:
+        """Merge one (micro-)batch of events into the state table.
+        Returns the bucket ids the batch touched (for derived-state
+        maintainers layered on top, e.g. StreamingIncrementalAgg)."""
         batch = batch.select(
             "lsn", "operation", "new_values", F.col(self.key_col)
         ).withColumn("bucket", self._bucket(F.col(self.key_col)))
 
         touched = [r["bucket"] for r in batch.select("bucket").distinct().collect()]
         if not touched:
-            return
+            return []
 
         prior = self.store.read(touched)
         events = batch.drop("bucket")
@@ -123,6 +125,7 @@ class StreamingApplyChanges:
         # and orphaned versions.
         self.store.commit(new_state, touched)
         self.store.vacuum()
+        return touched
 
     # -- streaming driver -------------------------------------------------
 

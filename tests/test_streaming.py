@@ -395,3 +395,60 @@ def test_wire_stream_mid_stream_ddl_refreshes_registry(spark, tmp_path):
         spark, str(tmp_path / "state"), key_extractor=lambda ev: ev, n_buckets=4
     )
     assert fresh.registry[9]["columns"] == ["id", "name", "status"]
+
+
+def test_streaming_incremental_agg_matches_state(spark, tmp_path, feed_dir):
+    """The continuously-maintained group aggregate (bucket-level IVM)
+    must equal a direct aggregate of the final applied state, across
+    micro-batch boundaries, group moves, and deletes."""
+    from python_cdc_spark.streaming.ivm_stream import StreamingIncrementalAgg
+
+    batch1 = [
+        _ev(1, "INSERT", "1", {"id": "1", "grade": "a", "score": "1.5"}),
+        _ev(2, "INSERT", "2", {"id": "2", "grade": "b", "score": "2.0"}),
+        _ev(3, "INSERT", "3", {"id": "3", "grade": "b", "score": "4.0"}),
+    ]
+    batch2 = [
+        # key 1 moves group a -> b (cross-batch retraction)
+        _ev(4, "UPDATE", "1", {"id": "1", "grade": "b", "score": "1.0"}),
+        # key 3's group vanishes entirely? no - key 2 deleted, b keeps 1,3
+        _ev(5, "DELETE", "2", None),
+        _ev(6, "INSERT", "4", {"id": "4", "grade": "c", "score": "8.25"}),
+    ]
+    _write_feed_file(os.path.join(feed_dir, "f1.json"), batch1)
+    _write_feed_file(os.path.join(feed_dir, "f2.json"), batch2)
+
+    stream = read_feed_stream(spark, feed_dir, max_files_per_trigger=1).withColumn(
+        "key", F.coalesce(F.col("new_values")["id"], F.col("old_values")["id"])
+    )
+    maintainer = StreamingIncrementalAgg(
+        spark,
+        str(tmp_path / "state"),
+        str(tmp_path / "agg"),
+        group_field="grade",
+        value_field="score",
+        n_buckets=8,
+    )
+    q = maintainer.start(stream, str(tmp_path / "ckpt"), available_now=True)
+    q.awaitTermination(120)
+
+    got = {
+        r["grp"]: (r["n_rows"], r["sum_value"])
+        for r in maintainer.aggregate().collect()
+    }
+    assert got == {"b": (2, 5.0), "c": (1, 8.25)}
+
+    # must equal a direct aggregate over the final state
+    direct = {
+        r["grp"]: (r["n_rows"], r["sum_value"])
+        for r in maintainer.current_state()
+        .groupBy(F.col("values")["grade"].alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum(F.col("values")["score"].cast("decimal(30,10)")), 4)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .collect()
+    }
+    assert got == direct
