@@ -73,6 +73,31 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+    target_files_per_partition: int = 1,
+) -> None:
+    """Hive-style partitioned parquet sink — the layout that makes
+    partition PRUNING (not just row-group pushdown) work on re-read: a
+    filter on a partition column eliminates whole directories before
+    any file is opened (``PartitionFilters`` in the scan node).
+
+    ``repartition(partition_cols)`` co-locates each output partition's
+    rows into ``target_files_per_partition`` tasks first — without it,
+    every task writes a file into every partition directory, the classic
+    small-files explosion (tasks × partitions files; at 100 TB that's
+    millions of tiny files and a crushed namenode/listing path).
+    """
+    cols = [F.col(c) for c in partition_cols]
+    if target_files_per_partition > 1:
+        # salt so each output partition spreads over N write tasks
+        cols.append(F.spark_partition_id() % target_files_per_partition)
+    df.repartition(*cols).write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Read all driver tables as a dict of DataFrames."""
     return {name: table(spark, sf_dir, name) for name in ANALYTIC_TABLES}

@@ -119,6 +119,69 @@ def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_weighted_mixture",
+    oracle=f"""
+    WITH t AS (
+      SELECT source,
+             CAST(regexp_replace(source, 'src', '') AS INTEGER) % 3 AS tier,
+             substr({_sql_doc_hash("mix-v1")}, 1, 4) AS h4
+      FROM documents
+    )
+    SELECT source,
+           CAST(CASE tier WHEN 0 THEN 1.0 WHEN 1 THEN 0.5 ELSE 0.25 END
+                AS DOUBLE) AS target_rate,
+           COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN tier = 0 OR (tier = 1 AND h4 < '8000')
+                          OR (tier = 2 AND h4 < '4000')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN tier = 0 OR (tier = 1 AND h4 < '8000')
+                          OR (tier = 2 AND h4 < '4000')
+                     THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS kept_frac
+    FROM t GROUP BY source, tier
+    """,
+    doc="curation: mixture weighting — per-source sampling rates "
+    "(upsample scarce sources, downsample bulk crawl) applied as a "
+    "deterministic hash threshold; reports achieved vs target rate",
+)
+def corpus_weighted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mixture downsampling: each source tier keeps docs whose
+    md5 prefix falls under the tier's hex threshold (1.0 / 0.5 / 0.25).
+    Membership is a pure row-local hash predicate — no shuffle before
+    the final per-source aggregate, and the same doc survives any
+    re-run, repartition, or engine swap."""
+    d = table(spark, sf_dir, "documents")
+    tier = (
+        F.regexp_replace("source", "src", "").cast("int") % 3
+    ).alias("tier")
+    h4 = F.substring(_doc_hash("mix-v1"), 1, 4)
+    keep = (
+        (F.col("tier") == 0)
+        | ((F.col("tier") == 1) & (h4 < "8000"))
+        | ((F.col("tier") == 2) & (h4 < "4000"))
+    )
+    rate = (
+        F.when(F.col("tier") == 0, F.lit(1.0))
+        .when(F.col("tier") == 1, F.lit(0.5))
+        .otherwise(F.lit(0.25))
+    )
+    return (
+        d.select("source", tier, keep.cast("int").alias("k"))
+        .groupBy("source", "tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum("k").alias("n_kept"),
+        )
+        .select(
+            "source",
+            rate.alias("target_rate"),
+            "n_total",
+            "n_kept",
+            (F.col("n_kept").cast("double") / F.col("n_total")).alias("kept_frac"),
+        )
+    )
+
+
+@register(
     "corpus_quality_funnel",
     oracle=f"""
     WITH t AS (

@@ -145,3 +145,33 @@ def test_banded_range_join_avoids_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert not has_cartesian(df)
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_partitioned_write_prunes_on_read(spark, tmp_path):
+    """write_partitioned must produce a layout where a filter on the
+    partition column eliminates directories (PartitionFilters), and
+    must not explode into tasks x partitions small files."""
+    import glob
+
+    from python_cdc_spark.io import write_partitioned
+    from python_cdc_spark.plans.checks import explain_str
+
+    ev = table(spark, SF_SMOKE, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    out = str(tmp_path / "events_by_date")
+    write_partitioned(ev, out, ["event_date"])
+
+    part_dirs = glob.glob(out + "/event_date=*")
+    assert len(part_dirs) > 1, "expected multiple date partitions"
+    # one data file per partition dir (target_files_per_partition=1)
+    for d in part_dirs:
+        files = [f for f in glob.glob(d + "/*") if f.endswith(".parquet")]
+        assert len(files) == 1, (d, files)
+
+    back = spark.read.parquet(out)
+    one_date = back.select("event_date").first()["event_date"]
+    plan = explain_str(back.filter(F.col("event_date") == F.lit(one_date)))
+    assert "PartitionFilters" in plan and "event_date" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]
