@@ -98,6 +98,39 @@ def write_partitioned(
     df.repartition(*cols).write.mode(mode).partitionBy(*partition_cols).parquet(path)
 
 
+def compact_parquet(
+    spark: SparkSession, path: str, target_file_bytes: int = 128 * 1024 * 1024
+) -> int:
+    """Rewrite a parquet directory into ~``target_file_bytes`` files.
+
+    Streaming sinks and touched-bucket merges accrete small files; at
+    scale the file LISTING becomes the bottleneck long before the bytes
+    do. Compaction = read → repartition to ceil(bytes/target) → write
+    new dir → swap. The swap is rename-based: readers holding the old
+    DataFrame keep their snapshot (immutable files moved, not edited),
+    but it is not atomic against concurrent writers — single-maintainer
+    by design, like the state store. Returns the new file count.
+    """
+    import shutil
+
+    total = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, -(-total // target_file_bytes))
+    tmp = path.rstrip("/") + ".compact.tmp"
+    old = path.rstrip("/") + ".compact.old"
+    spark.read.parquet(path).repartition(n_files).write.mode(
+        "errorifexists"
+    ).parquet(tmp)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return n_files
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Read all driver tables as a dict of DataFrames."""
     return {name: table(spark, sf_dir, name) for name in ANALYTIC_TABLES}

@@ -175,3 +175,23 @@ def test_partitioned_write_prunes_on_read(spark, tmp_path):
     assert "PartitionFilters" in plan and "event_date" in plan.split(
         "PartitionFilters"
     )[1].split("]")[0]
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
+    """Compaction must shrink a many-small-files dir to the computed
+    count without changing the data."""
+    import glob
+
+    from python_cdc_spark.io import compact_parquet
+
+    out = str(tmp_path / "frag")
+    ev = table(spark, SF_SMOKE, "events")
+    ev.repartition(24).write.parquet(out)
+    before_files = glob.glob(out + "/*.parquet")
+    before_rows = spark.read.parquet(out).count()
+    assert len(before_files) == 24
+
+    n = compact_parquet(spark, out, target_file_bytes=1 << 40)  # force 1
+    after_files = glob.glob(out + "/*.parquet")
+    assert n == 1 and len(after_files) == 1
+    assert spark.read.parquet(out).count() == before_rows
