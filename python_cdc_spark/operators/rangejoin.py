@@ -54,3 +54,45 @@ def banded_range_join(
         F.col(probe_val) - radius, F.col(probe_val) + radius
     )
     return probe_b.join(build_b, "__band").filter(exact).drop("__band")
+
+
+def interval_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    a_start: str,
+    a_end: str,
+    b_start: str,
+    b_end: str,
+    band_width: float,
+) -> DataFrame:
+    """Inner join on interval overlap: ``[a_start, a_end] ∩ [b_start,
+    b_end] ≠ ∅`` (closed endpoints), as a banded equi-join. Column sets
+    must be disjoint; endpoints numeric (cast dates to epoch days).
+
+    Both sides explode to every width-``w`` band their interval touches
+    (``len/w + 2`` rows worst case — pick ``w`` near the typical
+    interval length). A pair overlapping several shared bands would
+    match once per band; instead of a DISTINCT over the (large) match
+    output, each pair is emitted ONLY in the first band both intervals
+    occupy — ``floor(max(starts)/w)`` — a pure predicate, so the join
+    stays a streaming hash/sort-merge join with no dedup shuffle.
+    """
+    w = float(band_width)
+
+    def bands(df: DataFrame, start: str, end: str) -> DataFrame:
+        lo = F.floor(F.col(start) / w).cast("long")
+        hi = F.floor(F.col(end) / w).cast("long")
+        return df.withColumn("__band", F.explode(F.sequence(lo, hi)))
+
+    overlap = (F.col(a_start) <= F.col(b_end)) & (
+        F.col(b_start) <= F.col(a_end)
+    )
+    first_shared = F.floor(
+        F.greatest(F.col(a_start), F.col(b_start)) / w
+    ).cast("long")
+    return (
+        bands(a, a_start, a_end)
+        .join(bands(b, b_start, b_end), "__band")
+        .filter(overlap & (F.col("__band") == first_shared))
+        .drop("__band")
+    )

@@ -14,7 +14,7 @@ a DuckDB oracle twin. Cross-engine determinism notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
@@ -187,6 +187,45 @@ def join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("s_suppkey", "s_name").agg(
         F.count(F.lit(1)).alias("n_close_customers")
     )
+
+
+@register(
+    "interval_concurrency",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, 1 AS delta FROM orders
+      UNION ALL
+      SELECT CAST(o_orderdate AS DATE) + 31 AS d, -1 AS delta FROM orders
+    ),
+    daily AS (
+      SELECT d, CAST(SUM(delta) AS BIGINT) AS net FROM b GROUP BY d
+    )
+    SELECT d, net,
+           CAST(SUM(net) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS in_flight
+    FROM daily
+    """,
+    doc="E8/E13 at scale: interval-stabbing aggregation (orders inside "
+    "their 30-day fulfillment window per day) via the boundary-sweep "
+    "rewrite — +1/-1 boundary events, distributed daily aggregate, "
+    "cumulative sum over the tiny date spine (never an interval×date "
+    "join)",
+)
+def interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many orders are inside their 30-day fulfillment window on
+    each calendar day. The naive plan joins every interval to every day
+    it covers (O(rows × days)); the sweep emits two boundary events per
+    interval, aggregates per day distributed, and runs the cumulative
+    sum over the ~2.4k-row date spine — the global orderBy window
+    touches only that metadata-scale frame."""
+    o = table(spark, sf_dir, "orders")
+    start = F.to_date("o_orderdate")
+    bounds = o.select(start.alias("d"), F.lit(1).alias("delta")).unionAll(
+        o.select(F.date_add(start, 31).alias("d"), F.lit(-1).alias("delta"))
+    )
+    daily = bounds.groupBy("d").agg(F.sum("delta").cast("long").alias("net"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select("d", "net", F.sum("net").over(w).alias("in_flight"))
 
 
 @register(

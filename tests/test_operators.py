@@ -258,3 +258,29 @@ def test_connected_components_chain_and_clique(spark):
         | {(v, 20) for v in (20, 21)}
     )
     assert got == want
+
+
+def test_interval_overlap_join_matches_bruteforce(spark):
+    """Banded interval-overlap join (first-shared-band dedup, no
+    DISTINCT) must equal the brute-force cross-join filter — including
+    pairs spanning several shared bands (forced by tiny band_width)."""
+    from python_cdc_spark.operators.rangejoin import interval_overlap_join
+
+    ivs_a = [(1, 0.0, 10.0), (2, 5.0, 6.0), (3, 20.0, 30.0), (4, 9.5, 21.0)]
+    ivs_b = [(10, 8.0, 25.0), (11, 0.5, 1.5), (12, 31.0, 40.0), (13, 6.5, 6.9)]
+    a = spark.createDataFrame(ivs_a, ["aid", "a_lo", "a_hi"])
+    b = spark.createDataFrame(ivs_b, ["bid", "b_lo", "b_hi"])
+
+    got = {
+        (r["aid"], r["bid"])
+        for r in interval_overlap_join(
+            a, b, "a_lo", "a_hi", "b_lo", "b_hi", band_width=2.0
+        ).collect()
+    }
+    brute = {
+        (ai, bi)
+        for ai, alo, ahi in ivs_a
+        for bi, blo, bhi in ivs_b
+        if alo <= bhi and blo <= ahi
+    }
+    assert got == brute
