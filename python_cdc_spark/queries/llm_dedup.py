@@ -220,15 +220,30 @@ def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production near-dup shape: banded LSH proposes, exact Jaccard
     over ONLY the candidate pairs disposes. Verification work is
     O(candidates · grams), never O(n²)."""
+    return lsh_verified_pairs(spark, sf_dir)
+
+
+def lsh_verified_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    cells: DataFrame | None = None,
+    sigs: DataFrame | None = None,
+) -> DataFrame:
+    """Verified near-dup pairs; ``cells``/``sigs`` let a caller running
+    several dedup stages (bench, a real pipeline) reuse one materialized
+    gram/signature pass instead of recomputing it per stage."""
     from python_cdc_spark.operators.dedup import _gram_cells
 
     docs = table(spark, sf_dir, "documents")
-    # the gram explode feeds the signature pipeline AND three verify-side
-    # consumers (sizes + both join sides) — checkpoint to compute it once
-    cells = _gram_cells(docs, "text", "doc_id", 3).localCheckpoint(eager=False)
-    sigs = minhash_signatures(
-        docs, "text", "doc_id", n=3, k=_K, one_permutation=True, cells=cells
-    )
+    if cells is None:
+        # the gram explode feeds the signature pipeline AND three
+        # verify-side consumers (sizes + both join sides) — checkpoint
+        # to compute it once
+        cells = _gram_cells(docs, "text", "doc_id", 3).localCheckpoint(eager=False)
+    if sigs is None:
+        sigs = minhash_signatures(
+            docs, "text", "doc_id", n=3, k=_K, one_permutation=True, cells=cells
+        )
     cand = lsh_candidate_pairs(sigs, k=_K, bands=_BANDS)
     sizes = cells.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"))
     ga = cells.select(F.col("id").alias("id_a"), "gram")
