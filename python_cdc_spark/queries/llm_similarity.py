@@ -148,15 +148,23 @@ def ann_lsh_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_lsh_topk(spark, sf_dir, exact=False)
 
 
-def _ann_lsh_topk(spark: SparkSession, sf_dir: str, exact: bool) -> DataFrame:
+def _ann_lsh_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    exact: bool,
+    stacked: DataFrame | None = None,
+) -> DataFrame:
     from python_cdc_spark.operators.similarity import hyperplane_lsh_tables
 
     e = table(spark, sf_dir, "embeddings")
-    # both join sides below read ``stacked``; checkpoint so the 16
-    # hyperplane projections run once over the corpus, not twice
-    stacked = hyperplane_lsh_tables(
-        e, "vec_id", "embedding", _TABLES, _PPT, _DIMS
-    ).localCheckpoint(eager=False)
+    if stacked is None:
+        # both join sides below read ``stacked``; checkpoint so the 16
+        # hyperplane projections run once over the corpus, not twice.
+        # (A caller amortizing index build across queries passes a
+        # pre-materialized table — the ANN build/query convention.)
+        stacked = hyperplane_lsh_tables(
+            e, "vec_id", "embedding", _TABLES, _PPT, _DIMS
+        ).localCheckpoint(eager=False)
     x = stacked.filter(F.col("id") % 100 == 0).select(
         F.col("id").alias("query_id"), "table_id", "bucket"
     )
@@ -370,14 +378,22 @@ def _fitted_centroids(spark: SparkSession, sf_dir: str, exact: bool) -> DataFram
     return spark.createDataFrame(_IVF_CENT_CACHE[key], "cell int, cvec array<double>")
 
 
-def _ivf_topk(spark: SparkSession, sf_dir: str, exact: bool) -> DataFrame:
+def _ivf_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    exact: bool,
+    assigned: DataFrame | None = None,
+) -> DataFrame:
     from python_cdc_spark.operators.similarity import kmeans_assign
 
     e = table(spark, sf_dir, "embeddings")
     cent = _fitted_centroids(spark, sf_dir, exact)
-    assigned = kmeans_assign(e, cent, "vec_id", "embedding", exact=exact).select(
-        F.col("vec_id").alias("neighbor_id"), "cell"
-    )
+    if assigned is None:
+        # corpus → cell inverted lists are the other half of the IVF
+        # index; callers amortizing build across queries pass them in
+        assigned = kmeans_assign(e, cent, "vec_id", "embedding", exact=exact).select(
+            F.col("vec_id").alias("neighbor_id"), "cell"
+        )
     queries = e.filter(F.col("vec_id") % 100 == 0)
     probes = kmeans_assign(
         queries, cent, "vec_id", "embedding", exact=exact, n_best=_NPROBE
