@@ -7,8 +7,13 @@ from __future__ import annotations
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+import pytest
+
 from python_cdc_spark.cdc.ivm import incremental_group_aggregate
-from python_cdc_spark.operators.components import connected_components
+from python_cdc_spark.operators.components import (
+    connected_components,
+    connected_components_star,
+)
 
 edges_st = st.lists(
     st.tuples(st.integers(0, 11), st.integers(0, 11)),
@@ -35,17 +40,17 @@ def _uf_components(edges):
 
 
 @settings(
-    max_examples=12,
+    max_examples=8,
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow],
 )
+@pytest.mark.parametrize(
+    "algo", [connected_components, connected_components_star]
+)
 @given(edges=edges_st)
-def test_components_match_union_find(spark, edges):
+def test_components_match_union_find(spark, algo, edges):
     df = spark.createDataFrame(edges, ["s", "d"])
-    got = {
-        r["v"]: r["component"]
-        for r in connected_components(df, "s", "d").collect()
-    }
+    got = {r["v"]: r["component"] for r in algo(df, "s", "d").collect()}
     assert got == _uf_components(edges)
 
 

@@ -284,3 +284,18 @@ def test_interval_overlap_join_matches_bruteforce(spark):
         if alo <= bhi and blo <= ahi
     }
     assert got == brute
+
+
+def test_star_components_long_chain(spark):
+    """Star contraction must collapse a 12-node path (diameter 11) —
+    the adversarial case for diameter-bounded propagation."""
+    from python_cdc_spark.operators.components import connected_components_star
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)] + [(50, 51)], ["s", "d"]
+    )
+    got = {
+        (r["v"], r["component"])
+        for r in connected_components_star(edges, "s", "d").collect()
+    }
+    assert got == {(v, 0) for v in range(12)} | {(50, 50), (51, 50)}
