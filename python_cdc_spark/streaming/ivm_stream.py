@@ -76,15 +76,21 @@ class StreamingIncrementalAgg(StreamingApplyChanges):
         )
         if live is None:
             return touched
+        val = F.col("values")[self.value_field].cast(DEC)
+        # any ALGEBRAIC aggregate works here: partials are per (bucket,
+        # group) and merge across buckets at read (sum/sum, min/min,
+        # max/max; avg derives from sum+count) — the recompute-per-
+        # touched-bucket design never needs per-aggregate retraction
+        # logic, which is what makes non-invertible aggs (min/max) free
         per_bucket = (
             live.groupBy(
                 "bucket", F.col("values")[self.group_field].alias("grp")
             )
             .agg(
                 F.count(F.lit(1)).alias("n_rows"),
-                F.sum(F.col("values")[self.value_field].cast(DEC)).alias(
-                    "sum_dec"
-                ),
+                F.sum(val).alias("sum_dec"),
+                F.min(val).alias("min_dec"),
+                F.max(val).alias("max_dec"),
             )
             .repartition(max(1, len(touched)), "bucket")
         )
@@ -93,17 +99,26 @@ class StreamingIncrementalAgg(StreamingApplyChanges):
         return touched
 
     def aggregate(self) -> DataFrame:
-        """The maintained view: (grp, n_rows, sum_value) over live keys."""
+        """The maintained view: (grp, n_rows, sum_value, min_value,
+        max_value, avg_value) over live keys — per-bucket partials
+        merged per group."""
         partials = self.agg_store.read()
         if partials is None:
             return self.spark.createDataFrame(
-                [], "grp string, n_rows bigint, sum_value double"
+                [],
+                "grp string, n_rows bigint, sum_value double, "
+                "min_value double, max_value double, avg_value double",
             )
+        total = F.sum("sum_dec")
+        n = F.sum("n_rows")
         return (
             partials.groupBy("grp")
             .agg(
-                F.sum("n_rows").alias("n_rows"),
-                F.round(F.sum("sum_dec"), 4).cast("double").alias("sum_value"),
+                n.alias("n_rows"),
+                F.round(total, 4).cast("double").alias("sum_value"),
+                F.min("min_dec").cast("double").alias("min_value"),
+                F.max("max_dec").cast("double").alias("max_value"),
+                (F.round(total, 4).cast("double") / n).alias("avg_value"),
             )
             .filter(F.col("n_rows") > 0)
         )

@@ -433,21 +433,33 @@ def test_streaming_incremental_agg_matches_state(spark, tmp_path, feed_dir):
     q.awaitTermination(120)
 
     got = {
-        r["grp"]: (r["n_rows"], r["sum_value"])
+        r["grp"]: (
+            r["n_rows"], r["sum_value"], r["min_value"], r["max_value"],
+            r["avg_value"],
+        )
         for r in maintainer.aggregate().collect()
     }
-    assert got == {"b": (2, 5.0), "c": (1, 8.25)}
+    assert got == {
+        "b": (2, 5.0, 1.0, 4.0, 2.5),
+        "c": (1, 8.25, 8.25, 8.25, 8.25),
+    }
 
     # must equal a direct aggregate over the final state
+    sc = F.col("values")["score"].cast("decimal(30,10)")
     direct = {
-        r["grp"]: (r["n_rows"], r["sum_value"])
+        r["grp"]: (
+            r["n_rows"], r["sum_value"], r["min_value"], r["max_value"],
+            r["avg_value"],
+        )
         for r in maintainer.current_state()
         .groupBy(F.col("values")["grade"].alias("grp"))
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.round(F.sum(F.col("values")["score"].cast("decimal(30,10)")), 4)
-            .cast("double")
-            .alias("sum_value"),
+            F.round(F.sum(sc), 4).cast("double").alias("sum_value"),
+            F.min(sc).cast("double").alias("min_value"),
+            F.max(sc).cast("double").alias("max_value"),
+            (F.round(F.sum(sc), 4).cast("double") / F.count(F.lit(1)))
+            .alias("avg_value"),
         )
         .collect()
     }
