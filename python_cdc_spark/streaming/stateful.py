@@ -63,3 +63,58 @@ def running_per_key_stats(events: DataFrame, key_col: str = "key") -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def running_per_key_stats_tws(events: DataFrame, key_col: str = "key") -> DataFrame:
+    """Same per-key (count, Σvalue, max lsn) fold on the Spark 4
+    ``transformWithStateInPandas`` API — typed composable state
+    (ValueState/ListState/MapState per key, independent TTLs) instead of
+    ``applyInPandasWithState``'s single state tuple. Requires the
+    RocksDB state-store provider; the applyInPandasWithState path above
+    stays the default where only HDFS-backed state is available.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            if self._agg.exists():
+                n, total, last_lsn = self._agg.get()
+            else:
+                n, total, last_lsn = 0, 0.0, -1
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].fillna(0.0).sum())
+                if len(pdf):
+                    last_lsn = max(last_lsn, int(pdf["lsn"].max()))
+            self._agg.update((n, total, last_lsn))
+            yield pd.DataFrame(
+                {
+                    "key": [key[0]],
+                    "n_events": [n],
+                    "total_value": [total],
+                    "last_lsn": [last_lsn],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    cols = events.select(
+        events[key_col].alias("key"),
+        events["lsn"],
+        events["new_values"].getItem("value").cast("double").alias("value"),
+    )
+    return cols.groupBy("key").transformWithStateInPandas(
+        RunningStats(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

