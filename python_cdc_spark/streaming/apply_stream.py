@@ -47,11 +47,15 @@ class StreamingApplyChanges:
         state_path: str,
         key_col: str = "key",
         n_buckets: int = 64,
+        retention: int = 2,
     ) -> None:
         self.spark = spark
         self.state_path = state_path
         self.key_col = key_col
         self.n_buckets = n_buckets
+        # versions of history read_at() can time-travel to (storage
+        # cost: superseded bucket files for that many commits)
+        self.retention = retention
         self.store = BucketedStateStore(spark, state_path)
 
     # -- state table ------------------------------------------------------
@@ -124,7 +128,7 @@ class StreamingApplyChanges:
         # manifest swap commits atomically; vacuum reclaims superseded
         # and orphaned versions.
         self.store.commit(new_state, touched)
-        self.store.vacuum()
+        self.store.vacuum(retain_last=self.retention)
         return touched
 
     # -- streaming driver -------------------------------------------------

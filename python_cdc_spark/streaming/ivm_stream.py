@@ -95,7 +95,7 @@ class StreamingIncrementalAgg(StreamingApplyChanges):
             .repartition(max(1, len(touched)), "bucket")
         )
         self.agg_store.commit(per_bucket, touched)
-        self.agg_store.vacuum()
+        self.agg_store.vacuum(retain_last=self.retention)
         return touched
 
     def aggregate(self) -> DataFrame:

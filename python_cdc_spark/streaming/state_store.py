@@ -67,6 +67,13 @@ class BucketedStateStore:
 
     def _save_manifest(self, manifest: dict) -> None:
         os.makedirs(self.path, exist_ok=True)
+        # snapshot first: each committed version's manifest is kept (a
+        # few hundred bytes) so read_at() can time-travel until vacuum
+        # reclaims the data files it references
+        snap = os.path.join(self.path, f"_manifest_v{manifest['version']}.json")
+        with open(snap + ".tmp", "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(snap + ".tmp", snap)
         tmp = self._manifest_path + ".tmp"
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
@@ -89,6 +96,27 @@ class BucketedStateStore:
         read to those buckets' directories — the partition-pruned path
         used by touched-bucket merges."""
         manifest = self._load_manifest()
+        live = manifest["buckets"]
+        if buckets is not None:
+            wanted = {str(b) for b in buckets}
+            live = {b: v for b, v in live.items() if b in wanted}
+        paths = [self._bucket_dir(v, int(b)) for b, v in live.items()]
+        if not paths:
+            return None
+        return self.spark.read.parquet(*paths)
+
+    def read_at(self, version: int, buckets: list[int] | None = None) -> DataFrame | None:
+        """Time travel: the state exactly as committed at ``version``.
+
+        Works while the referenced data files survive (``vacuum``
+        reclaims superseded versions — run it lazily/retention-windowed
+        where history matters, exactly the Delta/Iceberg trade). Raises
+        ``FileNotFoundError`` for a never-committed version."""
+        snap = os.path.join(self.path, f"_manifest_v{version}.json")
+        if not os.path.isfile(snap):
+            raise FileNotFoundError(f"no committed manifest for version {version}")
+        with open(snap) as fh:
+            manifest = json.load(fh)
         live = manifest["buckets"]
         if buckets is not None:
             wanted = {str(b) for b in buckets}
@@ -135,15 +163,26 @@ class BucketedStateStore:
 
     # -- maintenance ------------------------------------------------------
 
-    def vacuum(self) -> list[str]:
+    def vacuum(self, retain_last: int = 0) -> list[str]:
         """Delete version directories no manifest entry references —
         superseded bucket data and orphans from interrupted commits.
         Safe under the single-writer model (nothing reads a version that
-        the current manifest does not reference). Returns removed dirs."""
+        the current manifest does not reference). Returns removed dirs.
+
+        ``retain_last=N`` additionally keeps every version the last N
+        committed manifests reference, so ``read_at`` can time-travel
+        that far back — the retention-window knob transactional table
+        formats expose for the same storage-vs-history trade."""
         if not os.path.isdir(self.path):
             return []
         manifest = self._load_manifest()
         referenced = {v for v in manifest["buckets"].values()}
+        cur = manifest["version"]
+        for version in range(max(1, cur - retain_last + 1), cur + 1) if retain_last else []:
+            snap = os.path.join(self.path, f"_manifest_v{version}.json")
+            if os.path.isfile(snap):
+                with open(snap) as fh:
+                    referenced |= set(json.load(fh)["buckets"].values())
         removed = []
         for entry in os.listdir(self.path):
             if not entry.startswith("v"):

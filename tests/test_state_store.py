@@ -85,3 +85,32 @@ def test_read_filters_are_path_pruned(spark, store):
     df = store.read([1])
     files = [r[0] for r in df.select(F.input_file_name()).distinct().collect()]
     assert files and all("/b=1/" in f for f in files)
+
+
+def test_time_travel_read_at(spark, tmp_path):
+    """read_at(v) must reproduce the state as of commit v while the
+    retention window keeps its files; vacuum(retain_last) preserves
+    exactly that window."""
+    import pytest
+
+    from python_cdc_spark.streaming.state_store import BucketedStateStore
+
+    store = BucketedStateStore(spark, str(tmp_path / "st"))
+    df1 = spark.createDataFrame([(0, "a", 1)], ["bucket", "k", "x"])
+    v1 = store.commit(df1, [0])
+    df2 = spark.createDataFrame([(0, "a", 2), (1, "b", 9)], ["bucket", "k", "x"])
+    v2 = store.commit(df2, [0, 1])
+    store.vacuum(retain_last=2)
+
+    at1 = {(r["k"], r["x"]) for r in store.read_at(v1).collect()}
+    at2 = {(r["k"], r["x"]) for r in store.read_at(v2).collect()}
+    assert at1 == {("a", 1)}
+    assert at2 == {("a", 2), ("b", 9)}
+
+    with pytest.raises(FileNotFoundError):
+        store.read_at(99)
+
+    # zero-retention vacuum reclaims v1's superseded bucket data
+    store.vacuum()
+    cur = {(r["k"], r["x"]) for r in store.read().collect()}
+    assert cur == at2
