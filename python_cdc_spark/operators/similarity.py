@@ -164,6 +164,7 @@ def kmeans_fit(
     k: int = 16,
     iters: int = 3,
     exact: bool = True,
+    dims: int = 64,
 ) -> DataFrame:
     """Deterministic spherical k-means (Lloyd) — the IVF coarse quantizer.
 
@@ -211,7 +212,7 @@ def kmeans_fit(
     dec = "decimal(30,12)"
     for _ in range(iters):
         cent_df = spark.createDataFrame(cent, "cell int, cvec array<double>")
-        assigned = kmeans_assign(corpus, cent_df, id_col, vec_col, exact=exact)
+        assigned = kmeans_assign(corpus, cent_df, id_col, vec_col, exact=exact, dims=dims)
         if exact:
             mean_val = (
                 F.round(F.sum(F.col("val").cast("double").cast(dec)), 6).cast("double")
