@@ -197,8 +197,8 @@ def asof_join_latest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     sess AS (
-      SELECT *, SUM(is_new_session) OVER (PARTITION BY user_id
-                   ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_seq
+      SELECT *, CAST(SUM(is_new_session) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
       FROM seq
     )
     SELECT user_id, session_seq, COUNT(*) AS n_events,

@@ -41,13 +41,37 @@ def spark_rows(df):
     )
 
 
+# DuckDB integer widths the driver's hash can match against Spark output.
+# Spark emits INT (32) / BIGINT (64); DuckDB promotes integer SUMs to
+# HUGEINT and smaller literals to TINYINT/SMALLINT — any of those widths
+# hash differently driver-side even when the *values* are equal (this bit
+# us twice: r1 q12_priority_class, r2 sessionize_events). Oracles must
+# CAST to BIGINT/INTEGER explicitly.
+_ALLOWED_INT_TYPES = {"BIGINT", "INTEGER"}
+_DUCK_INT_TYPES = _ALLOWED_INT_TYPES | {
+    "TINYINT", "SMALLINT", "HUGEINT",
+    "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT", "UHUGEINT",
+}
+
+
 def duck_rows(con, sql):
-    cur = con.execute(sql)
-    names = [d[0] for d in cur.description]
+    rel = con.sql(sql)
+    names = list(rel.columns)
+    bad = [
+        (n, str(t).upper())
+        for n, t in zip(names, rel.types)
+        if str(t).upper() in _DUCK_INT_TYPES
+        and str(t).upper() not in _ALLOWED_INT_TYPES
+    ]
+    assert not bad, (
+        f"oracle emits non-BIGINT/INTEGER integer columns {bad}; "
+        "str-normalization hides the width skew locally but the driver's "
+        "hash encodes it - CAST(... AS BIGINT) in the oracle SQL"
+    )
     order = sorted(range(len(names)), key=lambda i: names[i])
     cols = [names[i] for i in order]
     return cols, sorted(
-        tuple(str(_norm(row[i])) for i in order) for row in cur.fetchall()
+        tuple(str(_norm(row[i])) for i in order) for row in rel.fetchall()
     )
 
 
