@@ -31,6 +31,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -82,6 +84,16 @@ def connected_components(
         labels = new
         if changed == 0:
             break
+    else:
+        # rounds needed = diameter; exhausting the budget means labels
+        # are still moving and component ids would be silently WRONG
+        warnings.warn(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(graph diameter exceeds max_iter); labels are partial — "
+            "raise max_iter or use connected_components_star (O(log n))",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels
 
 
@@ -156,6 +168,14 @@ def connected_components_star(
             e = ne
             break
         e = ne
+    else:
+        warnings.warn(
+            f"connected_components_star did not reach its star-forest "
+            f"fixpoint in {max_iter} rounds; component ids are partial — "
+            "raise max_iter (rounds needed are O(log n))",
+            RuntimeWarning,
+            stacklevel=2,
+        )
 
     mapping = e.select(F.col("a").alias("v"), F.col("b").alias("component"))
     # vertices with no surviving edge (roots, singletons, self-loop-only)

@@ -197,10 +197,22 @@ def _rerank_topk(e: DataFrame, cand: DataFrame, exact: bool, k: int = _TOPK) -> 
         else norm_expr("embedding", _DIMS)
     )
     norms = e.select("vec_id", nrm.alias("nrm"))
-    qv = e.join(norms, "vec_id").select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qv"),
-        F.col("nrm").alias("q_nrm"),
+    # Bound the broadcast side BEFORE broadcasting: semi-join the corpus
+    # down to the distinct query ids that actually appear in ``cand``.
+    # Without this, ``qv`` is the full corpus joined to its norms and the
+    # broadcast below ships every vector to every executor — exactly the
+    # OOM the neighbor-side shuffle_hash exists to avoid (ADVICE r2).
+    # The semi-join's small side is the bounded query-id list, so it
+    # broadcasts ids, never vectors.
+    qids = cand.select("query_id").distinct()
+    qv = (
+        e.join(norms, "vec_id")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            F.col("nrm").alias("q_nrm"),
+        )
+        .join(qids, "query_id", "left_semi")
     )
     ev = e.join(norms, "vec_id").select(
         F.col("vec_id").alias("neighbor_id"),

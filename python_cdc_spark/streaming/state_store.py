@@ -67,19 +67,20 @@ class BucketedStateStore:
 
     def _save_manifest(self, manifest: dict) -> None:
         os.makedirs(self.path, exist_ok=True)
-        # snapshot first: each committed version's manifest is kept (a
-        # few hundred bytes) so read_at() can time-travel until vacuum
-        # reclaims the data files it references
-        snap = os.path.join(self.path, f"_manifest_v{manifest['version']}.json")
-        with open(snap + ".tmp", "w") as fh:
-            json.dump(manifest, fh)
-        os.replace(snap + ".tmp", snap)
         tmp = self._manifest_path + ".tmp"
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
             fh.flush()
             os.fsync(fh.fileno())
         os.replace(tmp, self._manifest_path)  # the commit point
+        # Per-version snapshot (a few hundred bytes) AFTER the commit
+        # point, so a crash in between loses only this version's
+        # read_at() — it can never advertise an uncommitted version.
+        # read_at additionally refuses versions above the committed one.
+        snap = os.path.join(self.path, f"_manifest_v{manifest['version']}.json")
+        with open(snap + ".tmp", "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(snap + ".tmp", snap)
 
     @property
     def version(self) -> int:
@@ -112,6 +113,10 @@ class BucketedStateStore:
         reclaims superseded versions — run it lazily/retention-windowed
         where history matters, exactly the Delta/Iceberg trade). Raises
         ``FileNotFoundError`` for a never-committed version."""
+        if version > self._load_manifest()["version"]:
+            # a snapshot above the committed version can only be debris
+            # from a pre-reorder layout; never serve uncommitted state
+            raise FileNotFoundError(f"version {version} was never committed")
         snap = os.path.join(self.path, f"_manifest_v{version}.json")
         if not os.path.isfile(snap):
             raise FileNotFoundError(f"no committed manifest for version {version}")
@@ -138,6 +143,13 @@ class BucketedStateStore:
         manifest = self._load_manifest()
         new_version = manifest["version"] + 1
         vdir = os.path.join(self.path, f"v{new_version}")
+        # A crash after the v<N> write but before the manifest swap
+        # leaves an orphaned v<N>; the replayed micro-batch recomputes
+        # the same new_version, and errorifexists would wedge the stream
+        # forever. The orphan is unreferenced by the committed manifest
+        # (the swap never happened), so reclaiming it here is safe.
+        if os.path.isdir(vdir):
+            shutil.rmtree(vdir)
         # ``b`` duplicates ``bucket`` as the partition column so the data
         # files keep ``bucket`` readable without partition discovery
         # (per-bucket dirs are read individually, basePath-free).
@@ -178,13 +190,26 @@ class BucketedStateStore:
         manifest = self._load_manifest()
         referenced = {v for v in manifest["buckets"].values()}
         cur = manifest["version"]
-        for version in range(max(1, cur - retain_last + 1), cur + 1) if retain_last else []:
+        retained = set(range(max(1, cur - retain_last + 1), cur + 1)) if retain_last else {cur}
+        for version in retained:
             snap = os.path.join(self.path, f"_manifest_v{version}.json")
             if os.path.isfile(snap):
                 with open(snap) as fh:
                     referenced |= set(json.load(fh)["buckets"].values())
         removed = []
         for entry in os.listdir(self.path):
+            full = os.path.join(self.path, entry)
+            # snapshots outside the retention window: their data files
+            # are about to go, so the time-travel entry goes with them
+            # (otherwise one file per commit accumulates forever)
+            if entry.startswith("_manifest_v") and entry.endswith(".json"):
+                try:
+                    version = int(entry[len("_manifest_v"):-len(".json")])
+                except ValueError:
+                    continue
+                if version not in retained:
+                    os.remove(full)  # housekeeping; not a data dir, not reported
+                continue
             if not entry.startswith("v"):
                 continue
             try:
@@ -192,7 +217,6 @@ class BucketedStateStore:
             except ValueError:
                 continue
             if version not in referenced:
-                full = os.path.join(self.path, entry)
                 shutil.rmtree(full)
                 removed.append(full)
         return removed

@@ -132,6 +132,10 @@ def test_ann_rerank_never_broadcasts_corpus(spark):
     # may broadcast freely)
     assert "ShuffledHashJoin [neighbor_id" in plan, plan[:2000]
     assert "BroadcastHashJoin [neighbor_id" not in plan, plan[:2000]
+    # the query-vector side that DOES broadcast must be pre-bounded by a
+    # semi-join to the candidate query ids — broadcasting corpus⋈norms
+    # unfiltered is the same OOM through the other door (ADVICE r2)
+    assert "LeftSemi" in plan, plan[:2000]
 
 
 def test_banded_range_join_avoids_nested_loop(spark):

@@ -87,6 +87,48 @@ def test_read_filters_are_path_pruned(spark, store):
     assert files and all("/b=1/" in f for f in files)
 
 
+def test_crash_replay_commits_over_orphan(spark, store):
+    """ADVICE r2: a crash after the v<N> write but before the manifest
+    swap used to wedge the stream — the replayed micro-batch recomputes
+    the same new_version and errorifexists threw. commit() now reclaims
+    the orphan first."""
+    store.commit(_df(spark, [("a", 1, 0)]), touched=[0])
+    doomed = _df(spark, [("a", 99, 0)])
+    doomed.withColumn("b", doomed["bucket"]).write.partitionBy("b").parquet(
+        os.path.join(store.path, "v2")
+    )  # crash happened here: v2 on disk, manifest still at v1
+    # the replayed batch (possibly with different data) must succeed
+    v = store.commit(_df(spark, [("a", 2, 0)]), touched=[0])
+    assert v == 2
+    assert [(r["key"], r["val"]) for r in store.read().collect()] == [("a", 2)]
+
+
+def test_snapshot_written_after_commit_point(spark, store):
+    """ADVICE r2: the per-version snapshot must not exist for a version
+    the main manifest never committed — read_at may never serve
+    uncommitted state."""
+    store.commit(_df(spark, [("a", 1, 0)]), touched=[0])
+    # simulate pre-fix debris: a snapshot for a version beyond the
+    # committed manifest (crash between snapshot and swap, old layout)
+    snap = os.path.join(store.path, "_manifest_v9.json")
+    json.dump({"version": 9, "buckets": {"0": 9}}, open(snap, "w"))
+    with pytest.raises(FileNotFoundError):
+        store.read_at(9)
+
+
+def test_vacuum_prunes_old_snapshots(spark, store):
+    for i in range(4):
+        store.commit(_df(spark, [("a", i, 0)]), touched=[0])
+    snaps = lambda: sorted(
+        f for f in os.listdir(store.path) if f.startswith("_manifest_v")
+    )
+    assert len(snaps()) == 4
+    store.vacuum(retain_last=2)
+    assert snaps() == ["_manifest_v3.json", "_manifest_v4.json"]
+    store.vacuum()
+    assert snaps() == ["_manifest_v4.json"]
+
+
 def test_time_travel_read_at(spark, tmp_path):
     """read_at(v) must reproduce the state as of commit v while the
     retention window keeps its files; vacuum(retain_last) preserves
