@@ -98,6 +98,30 @@ def norm_expr(a_col: str, dims: int) -> Column:
     return F.expr(f"SQRT({terms})")
 
 
+def dec_dot_terms(a_col: str, b_col: str, dims: int) -> Column:
+    """Decimal dot product with NO final round/cast — stays DECIMAL so a
+    downstream ``SUM`` across rows (PQ's ADC partial-sum accumulation)
+    is still exact and order-independent. Generated-SQL form (one
+    ``F.expr``, 0-based element access) for the same codegen/driver-call
+    reasons as ``dot_expr``."""
+    terms = " + ".join(
+        f"CAST(CAST({a_col}[{i}] AS DOUBLE) * CAST({b_col}[{i}] AS DOUBLE)"
+        f" AS DECIMAL(18,12))"
+        for i in range(dims)
+    )
+    return F.expr(terms)
+
+
+def sql_dec_dot_terms(a_expr: str, b_expr: str, dims: int) -> str:
+    """DuckDB twin of ``dec_dot_terms`` (1-based element access)."""
+    terms = " + ".join(
+        f"CAST(CAST({a_expr}[{i}] AS DOUBLE) * CAST({b_expr}[{i}] AS DOUBLE)"
+        f" AS DECIMAL(18,12))"
+        for i in range(1, dims + 1)
+    )
+    return f"({terms})"
+
+
 def sql_dec_dot(a_expr: str, b_expr: str, dims: int) -> str:
     """DuckDB twin of ``dec_dot_product`` via positional unnest-free
     list reduction (explicit element sum keeps evaluation order fixed)."""

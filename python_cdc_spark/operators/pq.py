@@ -99,6 +99,7 @@ def pq_adc_topk(
     shortlist: int = 64,
     m: int = 4,
     dims: int = 64,
+    exact: bool = False,
 ) -> DataFrame:
     """ADC scan + exact re-rank: approximate-cosine shortlist per query
     from the CODES table only, then exact cosine on the shortlist.
@@ -107,8 +108,19 @@ def pq_adc_topk(
     ``k_top``. The scan-side join touches (id, sub, code) rows and a
     broadcast LUT; true vectors are read only for ``shortlist`` ids per
     query in the re-rank — the memory contract that makes PQ the
-    trillion-vector path."""
-    from python_cdc_spark.functions.vectors import dot_expr, norm_expr
+    trillion-vector path.
+
+    ``exact=True`` routes the LUT partials and the cross-subspace sums
+    through decimals (order-independent, bit-replayable by the DuckDB
+    oracle); the default double math is the bench/scale path — identical
+    plan shape, the decimal routing exists only for oracle hashing."""
+    from python_cdc_spark.functions.vectors import (
+        dec_dot_product,
+        dec_dot_terms,
+        dot_expr,
+        l2_norm,
+        norm_expr,
+    )
 
     d = dims // m
     qsubs = None
@@ -120,22 +132,36 @@ def pq_adc_topk(
         )
         qsubs = part if qsubs is None else qsubs.unionByName(part)
     # LUT: per (query, subspace, codeword): partial dot + codeword norm²
-    lut = qsubs.join(broadcast(codebook), "sub").select(
-        "query_id",
-        "sub",
-        F.col("cell").alias("code"),
-        dot_expr("qsub", "cvec", d).alias("pdot"),
-        F.expr(
+    if exact:
+        pdot = dec_dot_terms("qsub", "cvec", d)
+        cn2 = dec_dot_terms("cvec", "cvec", d)
+    else:
+        pdot = dot_expr("qsub", "cvec", d)
+        cn2 = F.expr(
             " + ".join(
                 f"CAST(cvec[{i}] AS DOUBLE) * CAST(cvec[{i}] AS DOUBLE)"
                 for i in range(d)
             )
-        ).alias("cn2"),
+        )
+    lut = qsubs.join(broadcast(codebook), "sub").select(
+        "query_id",
+        "sub",
+        F.col("cell").alias("code"),
+        pdot.alias("pdot"),
+        cn2.alias("cn2"),
     )
+    if exact:
+        # decimal partials sum exactly in any order; one final round →
+        # the same double on both engines
+        qdot_out = F.round(F.sum("pdot"), 6).cast("double").alias("qdot")
+        n2_out = F.round(F.sum("cn2"), 6).cast("double").alias("n2")
+    else:
+        qdot_out = F.sum("pdot").alias("qdot")
+        n2_out = F.sum("cn2").alias("n2")
     scored = (
         codes.join(broadcast(lut), ["sub", "code"])
         .groupBy("query_id", F.col(id_col).alias("neighbor_id"))
-        .agg(F.sum("pdot").alias("qdot"), F.sum("cn2").alias("n2"))
+        .agg(qdot_out, n2_out)
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("approx", F.col("qdot") / F.sqrt(F.col("n2")))
     )
@@ -149,15 +175,21 @@ def pq_adc_topk(
     )
     # exact re-rank: vectors read ONLY for shortlist ids (co-partitioned
     # join on neighbor_id — never a corpus broadcast)
+    qn = l2_norm(F.col(vec_col), exact=True) if exact else norm_expr(vec_col, dims)
     qv = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-        norm_expr(vec_col, dims).alias("qn"),
+        qn.alias("qn"),
     )
     nv = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("nv"),
-        norm_expr(vec_col, dims).alias("nn"),
+        qn.alias("nn"),
+    )
+    rdot = (
+        dec_dot_product(F.col("qv"), F.col("nv"))
+        if exact
+        else dot_expr("qv", "nv", dims)
     )
     wr = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
@@ -165,8 +197,8 @@ def pq_adc_topk(
     return (
         short.join(broadcast(qv), "query_id")
         .join(nv.hint("shuffle_hash"), "neighbor_id")
-        .withColumn("cosine", dot_expr("qv", "nv", dims) / (F.col("qn") * F.col("nn")))
-        .withColumn("rank", F.row_number().over(wr))
+        .withColumn("cosine", rdot / (F.col("qn") * F.col("nn")))
+        .withColumn("rank", F.row_number().over(wr).cast("long"))
         .filter(F.col("rank") <= k_top)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )

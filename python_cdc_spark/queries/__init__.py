@@ -35,9 +35,18 @@ from python_cdc_spark.queries import (  # noqa: F401, E402
 # the first 50 are chosen for SURVEY.md §2 component breadth: the flagship
 # CDC operator set, every LLM-pipeline algorithm (dedup / similarity /
 # text / multimodal), the streaming batch-twins, then one representative
-# per relational component (join kinds, rollup, pivot, set ops, scalar
-# families, approx/percentile). Redundant TPC-H variants and extra window
-# drills follow after the window — still registered, still pytest-covered.
+# per relational component. Redundant TPC-H variants and extra window
+# drills follow after the window — still registered, still covered by the
+# local differ in tests/test_queries_oracle.py (ALL registered queries).
+#
+# Round-3 rotation (VERDICT r2 items #2 and #9): similarity_pq_topk —
+# the one mandated-area algorithm the driver had never checked — plus
+# five never-driver-checked entries (agg_cube, grouping_sets_sql,
+# window_rank_dense_ntile, corpus_pack_shards, multimodal_resize) enter
+# the window; six twice-green rows rotate out (projection_compute,
+# filter_predicates, join_anti, set_operations, text_fingerprint,
+# multimodal_decode_meta) — each stays registered and local-differ-green,
+# and its component keeps an in-window representative.
 set_priority_order(
     [
         # CDC core (R3-R10, R17-analog, E18, E19)
@@ -65,17 +74,17 @@ set_priority_order(
         "similarity_lsh_buckets",
         "similarity_ann_lsh_topk",
         "similarity_ivf_topk",
+        "similarity_pq_topk",
         "multimodal_doc_embedding_join",
-        # Text analysis (E27)
+        # Text analysis (E27; fingerprint rotated out after 2 green rounds)
         "text_token_stats",
         "text_quality_score",
         "text_lang_id",
-        "text_fingerprint",
         "text_tf_topk",
-        # Multimodal plumbing (E28)
+        # Multimodal plumbing (E28; decode_meta → resize rotation)
         "multimodal_binary_metadata",
-        "multimodal_decode_meta",
         "multimodal_frame_sample",
+        "multimodal_resize",
         # Streaming batch-twins (E20-E23)
         "streaming_tumbling_hourly",
         "streaming_sliding_1h_30m",
@@ -85,28 +94,28 @@ set_priority_order(
         "sessionize_events",
         "dedup_keep_first",
         "window_topk_per_group",
-        # running-total's E13 slot goes to the curation split (a class
-        # the window otherwise lacks); E13 stays represented by the
-        # topk/sessionize/keep-first/median rows
+        "window_rank_dense_ntile",
+        # running-total's E13 slot goes to the curation pair (a class
+        # the window otherwise lacks)
         "corpus_split_train_holdout",
+        "corpus_pack_shards",
         "median_exact_order_stat",
         "percentile_order_values",
         "approx_distinct_users",
         # UDF surface (E29): UDTF + Arrow pandas_udf under the gate
         "udf_udtf_token_explode",
         "udf_pandas_token_count",
-        # Relational representatives (E3-E8, E11, E12, E15-E17; E16 is
+        # Relational representatives (E5-E8, E11, E12, E15-E17; E16 is
         # represented by json/array/map — the round-1 harness-crash pair
-        # stays in-window to keep its fix visible)
-        "projection_compute",
-        "filter_predicates",
+        # stays in-window to keep its fix visible; E12 gains the
+        # never-checked cube/grouping-sets alongside rollup)
         "join_left_outer",
         "join_semi",
-        "join_anti",
         "join_range_theta",
         "agg_rollup",
+        "agg_cube",
+        "grouping_sets_sql",
         "pivot_status_by_priority",
-        "set_operations",
         "array_functions",
         "map_functions",
     ]

@@ -390,6 +390,203 @@ def _fitted_centroids(spark: SparkSession, sf_dir: str, exact: bool) -> DataFram
     return spark.createDataFrame(_IVF_CENT_CACHE[key], "cell int, cvec array<double>")
 
 
+_PQ_M, _PQ_K, _PQ_ITERS, _PQ_SHORTLIST = 4, 16, 2, 64
+
+
+def _sql_pq_oracle(m: int, k: int, iters: int, shortlist: int, topk: int, dims: int) -> str:
+    """DuckDB replay of the full PQ pipeline: m independent sub-space
+    k-means fits (identical init/Lloyd machinery to the IVF oracle,
+    applied to list_slice sub-vectors), corpus encoding, the ADC
+    lookup-table scan with decimal-routed partial sums, the approx
+    shortlist, and the exact re-rank — bit-identical end-to-end because
+    every floating reduction is decimal-routed on both engines."""
+    from python_cdc_spark.functions.vectors import sql_dec_dot_terms
+
+    d = dims // m
+
+    def score(vec: str, cent: str) -> str:
+        return f"{sql_dec_dot(vec, cent, d)} / {sql_dec_norm(cent, d)}"
+
+    cell_of = (
+        "CAST((  (strpos('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)) - 1) * 16"
+        "      + (strpos('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 2, 1)) - 1)"
+        f"     ) % {k} AS INTEGER)"
+    )
+    assign_body = """
+      SELECT vec_id, subv, cell FROM (
+        SELECT e.vec_id, e.subv, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {score} DESC, c.cell) AS arnk
+        FROM sub{s} e CROSS JOIN {cent} c
+      ) WHERE arnk = 1
+    """
+    ctes = []
+    for s in range(m):
+        lo = s * d
+        ctes.append(
+            f"sub{s} AS (SELECT vec_id, list_slice(embedding, {lo + 1}, {lo + d}) AS subv FROM embeddings)"
+        )
+        ctes.append(
+            f"""cent{s}_0 AS (
+      SELECT {cell_of} AS cell,
+             min_by(subv, md5(CAST(vec_id AS VARCHAR))) AS cvec
+      FROM sub{s} GROUP BY 1
+    )"""
+        )
+        for it in range(1, iters + 1):
+            ctes.append(
+                f"asg{s}_{it} AS ({assign_body.format(score=score('e.subv', 'c.cvec'), s=s, cent=f'cent{s}_{it - 1}')})"
+            )
+            ctes.append(
+                f"""cd{s}_{it} AS (
+      SELECT cell, p.i AS pos,
+             CAST(ROUND(SUM(CAST(CAST(a.subv[p.i] AS DOUBLE)
+                 AS DECIMAL(30,12))), 6) AS DOUBLE) / COUNT(*) AS cval
+      FROM asg{s}_{it} a, UNNEST(generate_series(1, {d})) p(i)
+      GROUP BY cell, p.i
+    )"""
+            )
+            ctes.append(
+                f"cent{s}_{it} AS (SELECT cell, list(cval ORDER BY pos) AS cvec FROM cd{s}_{it} GROUP BY cell)"
+            )
+        ctes.append(
+            f"asg{s}_F AS ({assign_body.format(score=score('e.subv', 'c.cvec'), s=s, cent=f'cent{s}_{iters}')})"
+        )
+        ctes.append(
+            f"qsub{s} AS (SELECT vec_id, subv FROM sub{s} WHERE vec_id % 100 = 0)"
+        )
+    ctes.append(
+        "codes AS ("
+        + " UNION ALL ".join(
+            f"SELECT vec_id, {s} AS sub, cell AS code FROM asg{s}_F" for s in range(m)
+        )
+        + ")"
+    )
+    ctes.append(
+        "lut AS ("
+        + " UNION ALL ".join(
+            f"SELECT q.vec_id AS query_id, {s} AS sub, c.cell AS code, "
+            f"{sql_dec_dot_terms('q.subv', 'c.cvec', d)} AS pdot, "
+            f"{sql_dec_dot_terms('c.cvec', 'c.cvec', d)} AS cn2 "
+            f"FROM qsub{s} q CROSS JOIN cent{s}_{iters} c"
+            for s in range(m)
+        )
+        + ")"
+    )
+    ctes.append(
+        """scored AS (
+      SELECT l.query_id, c.vec_id AS neighbor_id,
+             CAST(ROUND(SUM(l.pdot), 6) AS DOUBLE) AS qdot,
+             CAST(ROUND(SUM(l.cn2), 6) AS DOUBLE) AS n2
+      FROM codes c JOIN lut l ON l.sub = c.sub AND l.code = c.code
+      WHERE c.vec_id <> l.query_id
+      GROUP BY 1, 2
+    )"""
+    )
+    ctes.append(
+        f"""shortl AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY qdot / sqrt(n2) DESC, neighbor_id) AS srnk
+        FROM scored
+      ) WHERE srnk <= {shortlist}
+    )"""
+    )
+    ctes.append(
+        f"nrms AS (SELECT vec_id, {sql_dec_norm('embedding', dims)} AS nrm FROM embeddings)"
+    )
+    return f"""
+    WITH {','.join(ctes)}
+    SELECT query_id, neighbor_id, cosine, rnk FROM (
+      SELECT s.query_id, s.neighbor_id,
+             {sql_dec_dot('q.embedding', 'e.embedding', dims)} / (nq.nrm * ne.nrm)
+               AS cosine,
+             CAST(ROW_NUMBER() OVER (PARTITION BY s.query_id ORDER BY
+                    {sql_dec_dot('q.embedding', 'e.embedding', dims)} / (nq.nrm * ne.nrm)
+                    DESC, s.neighbor_id) AS BIGINT) AS rnk
+      FROM shortl s
+      JOIN embeddings q ON q.vec_id = s.query_id
+      JOIN embeddings e ON e.vec_id = s.neighbor_id
+      JOIN nrms nq ON nq.vec_id = s.query_id
+      JOIN nrms ne ON ne.vec_id = s.neighbor_id
+    ) WHERE rnk <= {topk}
+    """
+
+
+@register(
+    "similarity_pq_topk",
+    oracle=_sql_pq_oracle(_PQ_M, _PQ_K, _PQ_ITERS, _PQ_SHORTLIST, _TOPK, _DIMS),
+    doc=f"E26: product-quantization ANN — m={_PQ_M} sub-codebooks "
+    f"(k={_PQ_K}, {_PQ_ITERS} Lloyd iterations each), ADC codes-only "
+    f"scan, shortlist={_PQ_SHORTLIST}, exact re-rank",
+)
+def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ANN: vectors compressed to m 1-byte codes (128× at this
+    setting); query scoring reads ONLY the codes table via a broadcast
+    ADC lookup table, true vectors touched just for the per-query
+    shortlist re-rank — the memory shape that scales to corpora whose
+    raw vectors no longer fit anywhere (operators/pq.py). Recall@5 vs
+    brute force asserted in tests/test_operators.py."""
+    return _pq_topk(spark, sf_dir, exact=True)
+
+
+def pq_topk_fast(
+    spark: SparkSession, sf_dir: str, codes: DataFrame | None = None
+) -> DataFrame:
+    """Bench/scale variant: identical pipeline, double math (decimal
+    routing exists only for oracle hashing); a caller amortizing index
+    build across queries passes pre-materialized codes."""
+    return _pq_topk(spark, sf_dir, exact=False, codes=codes)
+
+
+_PQ_BOOK_CACHE: dict[tuple, list] = {}
+
+
+def _pq_codebook(spark: SparkSession, sf_dir: str, exact: bool) -> DataFrame:
+    """PQ index-build step, cached like the IVF centroids: the collected
+    codebook is m×k rows of (dims/m)-double codewords — metadata-scale
+    — and the fit is deterministic (md5-seeded k-means), so the cache
+    is value-stable across sessions."""
+    from python_cdc_spark.operators.pq import pq_fit
+
+    key = (sf_dir, exact, _PQ_M, _PQ_K, _PQ_ITERS)
+    if key not in _PQ_BOOK_CACHE:
+        e = table(spark, sf_dir, "embeddings")
+        book = pq_fit(
+            e, "vec_id", "embedding",
+            m=_PQ_M, dims=_DIMS, k=_PQ_K, iters=_PQ_ITERS, exact=exact,
+        )
+        _PQ_BOOK_CACHE[key] = sorted(
+            (int(r["sub"]), int(r["cell"]), [float(x) for x in r["cvec"]])
+            for r in book.collect()
+        )
+    return spark.createDataFrame(
+        _PQ_BOOK_CACHE[key], "sub int, cell int, cvec array<double>"
+    )
+
+
+def _pq_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    exact: bool,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    from python_cdc_spark.operators.pq import pq_adc_topk, pq_encode
+
+    e = table(spark, sf_dir, "embeddings")
+    book = _pq_codebook(spark, sf_dir, exact)
+    if codes is None:
+        # the corpus codes table is the other half of the PQ index;
+        # callers amortizing build across queries pass it in
+        codes = pq_encode(e, book, "vec_id", "embedding", m=_PQ_M, dims=_DIMS, exact=exact)
+    queries = e.filter(F.col("vec_id") % 100 == 0)
+    out = pq_adc_topk(
+        e, codes, book, queries, "vec_id", "embedding",
+        k_top=_TOPK, shortlist=_PQ_SHORTLIST, m=_PQ_M, dims=_DIMS, exact=exact,
+    )
+    return out.withColumnRenamed("rank", "rnk")
+
+
 def _ivf_topk(
     spark: SparkSession,
     sf_dir: str,
