@@ -51,10 +51,13 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     push down to the parquet scan (verify with ``.explain``: PushedFilters,
     ReadSchema).
 
-    ``events.parquet`` is written with TIMESTAMP(NANOS), which Spark's
-    parquet reader rejects; we read nanos as long (legacy conf) and
-    rebuild a micros timestamp — lossless here because the generator's
-    datetimes are microsecond-resolution.
+    Timestamp normalization: the driver's generator has shipped both
+    TIMESTAMP(NANOS) (read as long via the legacy conf, rebuilt to
+    micros) and plain ``timestamp[us]`` with no timezone (which Spark 4
+    infers as TIMESTAMP_NTZ). All timestamps are normalized to
+    session-timezone TIMESTAMP (the session runs UTC) so instant
+    semantics — ``unix_micros``, window arithmetic — work uniformly and
+    match DuckDB's naive-timestamp oracle reading.
     """
     cached = _TABLE_CACHE.get((sf_dir, name))
     if cached is not None:
@@ -69,8 +72,18 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(path)
+        return _ntz_to_ltz(df)
+    return _ntz_to_ltz(spark.read.parquet(path))
+
+
+def _ntz_to_ltz(df: DataFrame) -> DataFrame:
+    """Cast any TIMESTAMP_NTZ column to TIMESTAMP. The session timezone
+    is pinned to UTC, so the wall-clock values are reinterpreted as UTC
+    instants — byte-identical micros, same values DuckDB sees."""
+    ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
 
 
 def write_partitioned(
