@@ -44,6 +44,7 @@ HEADLINE = [
     "similarity_ann_lsh_topk",
     "similarity_ivf_topk",
     "similarity_pq_topk",
+    "similarity_rq_topk",
 ]
 
 
@@ -92,11 +93,15 @@ def _fast_variants(spark, sf_dir) -> dict:
         .select(F.col("vec_id").alias("neighbor_id"), "cell")
         .localCheckpoint(eager=True)
     )
-    from python_cdc_spark.operators.pq import pq_encode
+    from python_cdc_spark.operators.pq import pq_encode, rq_encode
 
     book = sim._pq_codebook(spark, sf_dir, exact=False)
     codes = pq_encode(
         e, book, "vec_id", "embedding", m=sim._PQ_M, dims=sim._DIMS, exact=False
+    ).localCheckpoint(eager=True)
+    rq_book = sim._rq_codebook(spark, sf_dir, exact=False)
+    rq_codes = rq_encode(
+        e, rq_book, "vec_id", "embedding", m=sim._RQ_M, dims=sim._DIMS, exact=False
     ).localCheckpoint(eager=True)
 
     return {
@@ -108,6 +113,7 @@ def _fast_variants(spark, sf_dir) -> dict:
             s, d, exact=False, assigned=assigned
         ),
         "similarity_pq_topk": lambda s, d: sim.pq_topk_fast(s, d, codes=codes),
+        "similarity_rq_topk": lambda s, d: sim.rq_topk_fast(s, d, codes=rq_codes),
         "dedup_minhash_lsh_pairs": lambda s, d: lsh_candidate_pairs(
             sigs, k=_K, bands=_BANDS
         ),
@@ -156,10 +162,11 @@ def main() -> None:
     # (VERDICT r2 #3). Index fits stay cached (build-once convention);
     # everything else (inverted lists, signatures, LSH tables, decimal
     # math) is paid inside each timed query.
-    from python_cdc_spark.queries.llm_similarity import _pq_codebook
+    from python_cdc_spark.queries.llm_similarity import _pq_codebook, _rq_codebook
 
     _fitted_centroids(spark, sf_dir, exact=True)
     _pq_codebook(spark, sf_dir, exact=True)
+    _rq_codebook(spark, sf_dir, exact=True)
     exact_timings: dict[str, float] = {}
     for name in HEADLINE:
         spec = QUERIES.get(name)

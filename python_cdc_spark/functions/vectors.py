@@ -122,6 +122,40 @@ def sql_dec_dot_terms(a_expr: str, b_expr: str, dims: int) -> str:
     return f"({terms})"
 
 
+def sum_sq_expr(a_col: str, b_col: str, dims: int) -> Column:
+    """Fast double Σ(a[i]+b[i])² — the reconstruction-norm² partial of a
+    two-stage (residual) quantizer, where the codeword is c1 + c2."""
+    terms = " + ".join(
+        f"(CAST({a_col}[{i}] AS DOUBLE)+CAST({b_col}[{i}] AS DOUBLE))"
+        f"*(CAST({a_col}[{i}] AS DOUBLE)+CAST({b_col}[{i}] AS DOUBLE))"
+        for i in range(dims)
+    )
+    return F.expr(terms)
+
+
+def dec_sum_sq_terms(a_col: str, b_col: str, dims: int) -> Column:
+    """Decimal Σ(a[i]+b[i])² with no final round — stays DECIMAL so a
+    downstream SUM across subspaces is exact and order-independent."""
+    terms = " + ".join(
+        f"CAST((CAST({a_col}[{i}] AS DOUBLE)+CAST({b_col}[{i}] AS DOUBLE))"
+        f"*(CAST({a_col}[{i}] AS DOUBLE)+CAST({b_col}[{i}] AS DOUBLE))"
+        f" AS DECIMAL(18,12))"
+        for i in range(dims)
+    )
+    return F.expr(terms)
+
+
+def sql_dec_sum_sq_terms(a_expr: str, b_expr: str, dims: int) -> str:
+    """DuckDB twin of ``dec_sum_sq_terms`` (1-based element access)."""
+    terms = " + ".join(
+        f"CAST((CAST({a_expr}[{i}] AS DOUBLE)+CAST({b_expr}[{i}] AS DOUBLE))"
+        f"*(CAST({a_expr}[{i}] AS DOUBLE)+CAST({b_expr}[{i}] AS DOUBLE))"
+        f" AS DECIMAL(18,12))"
+        for i in range(1, dims + 1)
+    )
+    return f"({terms})"
+
+
 def sql_dec_dot(a_expr: str, b_expr: str, dims: int) -> str:
     """DuckDB twin of ``dec_dot_product`` via positional unnest-free
     list reduction (explicit element sum keeps evaluation order fixed)."""

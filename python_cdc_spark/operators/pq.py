@@ -202,3 +202,198 @@ def pq_adc_topk(
         .filter(F.col("rank") <= k_top)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def rq_fit(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    dims: int = 64,
+    k: int = 16,
+    iters: int = 2,
+    exact: bool = False,
+) -> DataFrame:
+    """Residual quantization: per subspace, a stage-1 codebook over the
+    sub-vectors plus a stage-2 codebook over the RESIDUALS (sub-vector
+    minus its stage-1 codeword). Two codes per subspace ≈ doubling the
+    quantizer's bit budget at the same codebook size — measured on the
+    driver corpus it lifts codes-only shortlist recall@5 0.74 → 0.92 at
+    m=8 (see tests/test_operators.py::test_rq_adc_recall).
+
+    Returns ``(sub int, stage int, cell int, cvec array<double>)`` —
+    m × 2 × k rows, metadata-scale. All fits reuse the deterministic
+    md5-seeded k-means, so the codebook is replayable by the oracle.
+    """
+    d = dims // m
+    parts = []
+    for s in range(m):
+        sub = corpus.select(
+            F.col(id_col), F.slice(vec_col, s * d + 1, d).alias("subv")
+        )
+        b1 = kmeans_fit(sub, id_col, "subv", k=k, iters=iters, exact=exact, dims=d)
+        b1 = b1.localCheckpoint()  # k rows; reused by residual + return
+        res = _stage1_residuals(sub, b1, id_col, exact=exact, dims=d)
+        b2 = kmeans_fit(
+            res.select(id_col, "resv"), id_col, "resv", k=k, iters=iters,
+            exact=exact, dims=d,
+        )
+        parts.append(b1.select(F.lit(s).alias("sub"), F.lit(1).alias("stage"), "cell", "cvec"))
+        parts.append(b2.select(F.lit(s).alias("sub"), F.lit(2).alias("stage"), "cell", "cvec"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _stage1_residuals(
+    sub: DataFrame, book1: DataFrame, id_col: str, exact: bool, dims: int
+) -> DataFrame:
+    """(id, code1, resv): each sub-vector's stage-1 code and residual.
+    The subtraction widens to double first so the residual is the same
+    IEEE double on any engine (float−double would round differently)."""
+    a1 = kmeans_assign(sub, book1, id_col, "subv", exact=exact, dims=dims)
+    return (
+        a1.withColumnRenamed("cell", "code1")
+        .join(broadcast(book1.withColumnRenamed("cell", "code1")), "code1")
+        .select(
+            id_col,
+            "code1",
+            F.zip_with("subv", "cvec", lambda x, y: x.cast("double") - y).alias("resv"),
+        )
+    )
+
+
+def rq_encode(
+    corpus: DataFrame,
+    codebook: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    dims: int = 64,
+    exact: bool = False,
+) -> DataFrame:
+    """Quantize: each vector → m (code1, code2) pairs = 2m small codes
+    (8 bytes at m=8, k=16 → 64× compression). Returns
+    ``(id, sub, code1, code2)`` — the table the 100 TB scan reads."""
+    d = dims // m
+    outs = []
+    for s in range(m):
+        sub = corpus.select(
+            F.col(id_col), F.slice(vec_col, s * d + 1, d).alias("subv")
+        )
+        b1 = codebook.filter((F.col("sub") == s) & (F.col("stage") == 1)).select("cell", "cvec")
+        b2 = codebook.filter((F.col("sub") == s) & (F.col("stage") == 2)).select("cell", "cvec")
+        res = _stage1_residuals(sub, b1, id_col, exact=exact, dims=d)
+        a2 = kmeans_assign(res, b2, id_col, "resv", exact=exact, dims=d)
+        outs.append(
+            a2.select(
+                F.col(id_col), F.lit(s).alias("sub"), "code1",
+                F.col("cell").alias("code2"),
+            )
+        )
+    out = outs[0]
+    for p in outs[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def rq_adc_topk(
+    corpus: DataFrame,
+    codes: DataFrame,
+    codebook: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_top: int = 5,
+    shortlist: int = 128,
+    m: int = 8,
+    dims: int = 64,
+    exact: bool = False,
+) -> DataFrame:
+    """Two-stage ADC scan + exact re-rank. The approximate codeword is
+    c1 + c2, so the per-(query, sub, code1, code2) LUT carries
+    dot(q, c1) + dot(q, c2) and the reconstruction-norm² partial
+    |c1 + c2|². LUT size is |Q|·m·k² rows (bounded: the query working
+    set is bounded by design, the codebooks are metadata) — broadcast;
+    the scan touches only the 8-byte codes table; true vectors are read
+    just for the ``shortlist`` re-rank ids per query.
+    """
+    from python_cdc_spark.functions.vectors import (
+        dec_dot_product,
+        dec_dot_terms,
+        dec_sum_sq_terms,
+        dot_expr,
+        l2_norm,
+        norm_expr,
+        sum_sq_expr,
+    )
+
+    d = dims // m
+    b1 = codebook.filter(F.col("stage") == 1).select(
+        "sub", F.col("cell").alias("code1"), F.col("cvec").alias("c1")
+    )
+    b2 = codebook.filter(F.col("stage") == 2).select(
+        "sub", F.col("cell").alias("code2"), F.col("cvec").alias("c2")
+    )
+    if exact:
+        n2p = dec_sum_sq_terms("c1", "c2", d)
+    else:
+        n2p = sum_sq_expr("c1", "c2", d)
+    pair = b1.join(b2, "sub").select("sub", "code1", "code2", "c1", "c2", n2p.alias("n2p"))
+
+    qsubs = None
+    for s in range(m):
+        part = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.lit(s).alias("sub"),
+            F.slice(vec_col, s * d + 1, d).alias("qsub"),
+        )
+        qsubs = part if qsubs is None else qsubs.unionByName(part)
+    if exact:
+        pdot = dec_dot_terms("qsub", "c1", d) + dec_dot_terms("qsub", "c2", d)
+    else:
+        pdot = dot_expr("qsub", "c1", d) + dot_expr("qsub", "c2", d)
+    lut = qsubs.join(broadcast(pair), "sub").select(
+        "query_id", "sub", "code1", "code2", pdot.alias("pdot"), "n2p"
+    )
+    if exact:
+        qdot_out = F.round(F.sum("pdot"), 6).cast("double").alias("qdot")
+        n2_out = F.round(F.sum("n2p"), 6).cast("double").alias("n2")
+    else:
+        qdot_out = F.sum("pdot").alias("qdot")
+        n2_out = F.sum("n2p").alias("n2")
+    scored = (
+        codes.join(broadcast(lut), ["sub", "code1", "code2"])
+        .groupBy("query_id", F.col(id_col).alias("neighbor_id"))
+        .agg(qdot_out, n2_out)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("approx", F.col("qdot") / F.sqrt(F.col("n2")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("approx"), F.asc("neighbor_id"))
+    short = (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    qn = l2_norm(F.col(vec_col), exact=True) if exact else norm_expr(vec_col, dims)
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), qn.alias("qn")
+    )
+    nv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"), qn.alias("nn")
+    )
+    rdot = (
+        dec_dot_product(F.col("qv"), F.col("nv"))
+        if exact
+        else dot_expr("qv", "nv", dims)
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        short.join(broadcast(qv), "query_id")
+        .join(nv.hint("shuffle_hash"), "neighbor_id")
+        .withColumn("cosine", rdot / (F.col("qn") * F.col("nn")))
+        .withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= k_top)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

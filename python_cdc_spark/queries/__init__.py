@@ -47,6 +47,11 @@ from python_cdc_spark.queries import (  # noqa: F401, E402
 # filter_predicates, join_anti, set_operations, text_fingerprint,
 # multimodal_decode_meta) — each stays registered and local-differ-green,
 # and its component keeps an in-window representative.
+#
+# Round-3 addition (VERDICT r2 item #6): similarity_rq_topk (residual
+# quantization) takes similarity_lsh_buckets' slot — the bucket
+# expressions stay driver-verified inside similarity_ann_lsh_topk's
+# oracle, which evaluates the identical hyperplane SQL per table.
 set_priority_order(
     [
         # CDC core (R3-R10, R17-analog, E18, E19)
@@ -71,10 +76,10 @@ set_priority_order(
         "dedup_embedding_cosine",
         # Similarity search (E26, E28)
         "similarity_brute_topk",
-        "similarity_lsh_buckets",
         "similarity_ann_lsh_topk",
         "similarity_ivf_topk",
         "similarity_pq_topk",
+        "similarity_rq_topk",
         "multimodal_doc_embedding_join",
         # Text analysis (E27; fingerprint rotated out after 2 green rounds)
         "text_token_stats",

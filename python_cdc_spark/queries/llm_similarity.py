@@ -587,6 +587,228 @@ def _pq_topk(
     return out.withColumnRenamed("rank", "rnk")
 
 
+_RQ_M, _RQ_K, _RQ_ITERS, _RQ_SHORTLIST = 8, 16, 2, 128
+
+
+def _sql_rq_oracle(m: int, k: int, iters: int, shortlist: int, topk: int, dims: int) -> str:
+    """DuckDB replay of residual quantization end-to-end: per subspace a
+    stage-1 k-means fit (identical Lloyd machinery to the PQ oracle),
+    the residual computation (sub-vector minus its stage-1 codeword,
+    double-widened exactly as Spark's ``zip_with``), a stage-2 fit over
+    the residuals, two-code encoding, the two-stage ADC lookup-table
+    scan (pdot = dot(q,c1)+dot(q,c2), norm² = |c1+c2|², all
+    decimal-routed), the shortlist, and the exact re-rank."""
+    from python_cdc_spark.functions.vectors import (
+        sql_dec_dot_terms,
+        sql_dec_sum_sq_terms,
+    )
+
+    d = dims // m
+
+    def score(vec: str, cent: str) -> str:
+        return f"{sql_dec_dot(vec, cent, d)} / {sql_dec_norm(cent, d)}"
+
+    cell_of = (
+        "CAST((  (strpos('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)) - 1) * 16"
+        "      + (strpos('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 2, 1)) - 1)"
+        f"     ) % {k} AS INTEGER)"
+    )
+
+    def assign(src: str, cent: str) -> str:
+        return f"""
+      SELECT vec_id, subv, cell FROM (
+        SELECT e.vec_id, e.subv, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {score('e.subv', 'c.cvec')} DESC, c.cell) AS arnk
+        FROM {src} e CROSS JOIN {cent} c
+      ) WHERE arnk = 1
+    """
+
+    def lloyd(prefix: str, src: str) -> list[str]:
+        """CTEs for one full fit over ``src`` (vec_id, subv): init +
+        ``iters`` Lloyd rounds + the final assignment ``{prefix}F``."""
+        out = [
+            f"""{prefix}0 AS MATERIALIZED (
+      SELECT {cell_of} AS cell,
+             min_by(subv, md5(CAST(vec_id AS VARCHAR))) AS cvec
+      FROM {src} GROUP BY 1
+    )"""
+        ]
+        for it in range(1, iters + 1):
+            out.append(f"{prefix}a{it} AS MATERIALIZED ({assign(src, f'{prefix}{it - 1}')})")
+            out.append(
+                f"""{prefix}d{it} AS MATERIALIZED (
+      SELECT cell, p.i AS pos,
+             CAST(ROUND(SUM(CAST(CAST(a.subv[p.i] AS DOUBLE)
+                 AS DECIMAL(30,12))), 6) AS DOUBLE) / COUNT(*) AS cval
+      FROM {prefix}a{it} a, UNNEST(generate_series(1, {d})) p(i)
+      GROUP BY cell, p.i
+    )"""
+            )
+            out.append(
+                f"{prefix}{it} AS MATERIALIZED (SELECT cell, list(cval ORDER BY pos) AS cvec FROM {prefix}d{it} GROUP BY cell)"
+            )
+        out.append(f"{prefix}F AS MATERIALIZED ({assign(src, f'{prefix}{iters}')})")
+        return out
+
+    ctes = []
+    for s in range(m):
+        lo = s * d
+        ctes.append(
+            f"sub{s} AS (SELECT vec_id, list_slice(embedding, {lo + 1}, {lo + d}) AS subv FROM embeddings)"
+        )
+        ctes.extend(lloyd(f"c{s}_", f"sub{s}"))
+        # residual: double-widened subtraction, exactly Spark's zip_with
+        ctes.append(
+            f"""res{s} AS MATERIALIZED (
+      SELECT a.vec_id, list(CAST(a.subv[p.i] AS DOUBLE) - c.cvec[p.i] ORDER BY p.i) AS subv
+      FROM c{s}_F a JOIN c{s}_{iters} c ON c.cell = a.cell,
+           UNNEST(generate_series(1, {d})) p(i)
+      GROUP BY a.vec_id
+    )"""
+        )
+        ctes.extend(lloyd(f"r{s}_", f"res{s}"))
+        ctes.append(
+            f"qsub{s} AS (SELECT vec_id, subv FROM sub{s} WHERE vec_id % 100 = 0)"
+        )
+        ctes.append(
+            f"""pair{s} AS MATERIALIZED (
+      SELECT c1.cell AS code1, c2.cell AS code2, c1.cvec AS v1, c2.cvec AS v2,
+             {sql_dec_sum_sq_terms('c1.cvec', 'c2.cvec', d)} AS n2p
+      FROM c{s}_{iters} c1 CROSS JOIN r{s}_{iters} c2
+    )"""
+        )
+    ctes.append(
+        "codes AS MATERIALIZED ("
+        + " UNION ALL ".join(
+            f"SELECT a1.vec_id, {s} AS sub, a1.cell AS code1, a2.cell AS code2 "
+            f"FROM c{s}_F a1 JOIN r{s}_F a2 USING (vec_id)"
+            for s in range(m)
+        )
+        + ")"
+    )
+    ctes.append(
+        "lut AS MATERIALIZED ("
+        + " UNION ALL ".join(
+            f"SELECT q.vec_id AS query_id, {s} AS sub, p.code1, p.code2, "
+            f"({sql_dec_dot_terms('q.subv', 'p.v1', d)} + {sql_dec_dot_terms('q.subv', 'p.v2', d)}) AS pdot, "
+            f"p.n2p "
+            f"FROM qsub{s} q CROSS JOIN pair{s} p"
+            for s in range(m)
+        )
+        + ")"
+    )
+    ctes.append(
+        """scored AS MATERIALIZED (
+      SELECT l.query_id, c.vec_id AS neighbor_id,
+             CAST(ROUND(SUM(l.pdot), 6) AS DOUBLE) AS qdot,
+             CAST(ROUND(SUM(l.n2p), 6) AS DOUBLE) AS n2
+      FROM codes c JOIN lut l ON l.sub = c.sub AND l.code1 = c.code1 AND l.code2 = c.code2
+      WHERE c.vec_id <> l.query_id
+      GROUP BY 1, 2
+    )"""
+    )
+    ctes.append(
+        f"""shortl AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY qdot / sqrt(n2) DESC, neighbor_id) AS srnk
+        FROM scored
+      ) WHERE srnk <= {shortlist}
+    )"""
+    )
+    ctes.append(
+        f"nrms AS (SELECT vec_id, {sql_dec_norm('embedding', dims)} AS nrm FROM embeddings)"
+    )
+    return f"""
+    WITH {','.join(ctes)}
+    SELECT query_id, neighbor_id, cosine, rnk FROM (
+      SELECT s.query_id, s.neighbor_id,
+             {sql_dec_dot('q.embedding', 'e.embedding', dims)} / (nq.nrm * ne.nrm)
+               AS cosine,
+             CAST(ROW_NUMBER() OVER (PARTITION BY s.query_id ORDER BY
+                    {sql_dec_dot('q.embedding', 'e.embedding', dims)} / (nq.nrm * ne.nrm)
+                    DESC, s.neighbor_id) AS BIGINT) AS rnk
+      FROM shortl s
+      JOIN embeddings q ON q.vec_id = s.query_id
+      JOIN embeddings e ON e.vec_id = s.neighbor_id
+      JOIN nrms nq ON nq.vec_id = s.query_id
+      JOIN nrms ne ON ne.vec_id = s.neighbor_id
+    ) WHERE rnk <= {topk}
+    """
+
+
+@register(
+    "similarity_rq_topk",
+    oracle=_sql_rq_oracle(_RQ_M, _RQ_K, _RQ_ITERS, _RQ_SHORTLIST, _TOPK, _DIMS),
+    doc=f"E26: residual-quantization ANN — m={_RQ_M} subspaces × 2 stages "
+    f"(k={_RQ_K} each), two-code ADC scan, shortlist={_RQ_SHORTLIST}, "
+    "exact re-rank; recall@5 ≥ 0.9 vs brute force at sf0.1",
+)
+def similarity_rq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RQ ANN: each vector carries 2m 4-bit codes (8 B at m=8 — 64×
+    compression); the stage-2 residual codebooks double ADC fidelity at
+    the same codebook size, lifting codes-only shortlist recall@5 from
+    0.74 (single-stage, same bits-per-stage) to ≥0.9 measured vs brute
+    force at sf0.1 (tests/test_operators.py::test_rq_adc_recall). The
+    scan touches only the codes table (~1.6% of corpus bytes); true
+    vectors are read for the 128-id-per-query re-rank only."""
+    return _rq_topk(spark, sf_dir, exact=True)
+
+
+def rq_topk_fast(
+    spark: SparkSession, sf_dir: str, codes: DataFrame | None = None
+) -> DataFrame:
+    """Bench/scale variant: identical pipeline, double math (decimal
+    routing exists only for oracle hashing); a caller amortizing index
+    build across queries passes pre-materialized codes."""
+    return _rq_topk(spark, sf_dir, exact=False, codes=codes)
+
+
+_RQ_BOOK_CACHE: dict[tuple, list] = {}
+
+
+def _rq_codebook(spark: SparkSession, sf_dir: str, exact: bool) -> DataFrame:
+    """RQ index-build step, cached like the PQ codebook: m×2×k rows of
+    (dims/m)-double codewords — metadata-scale, deterministic fit."""
+    from python_cdc_spark.operators.pq import rq_fit
+
+    key = (sf_dir, exact, _RQ_M, _RQ_K, _RQ_ITERS)
+    if key not in _RQ_BOOK_CACHE:
+        e = table(spark, sf_dir, "embeddings")
+        book = rq_fit(
+            e, "vec_id", "embedding",
+            m=_RQ_M, dims=_DIMS, k=_RQ_K, iters=_RQ_ITERS, exact=exact,
+        )
+        _RQ_BOOK_CACHE[key] = sorted(
+            (int(r["sub"]), int(r["stage"]), int(r["cell"]), [float(x) for x in r["cvec"]])
+            for r in book.collect()
+        )
+    return spark.createDataFrame(
+        _RQ_BOOK_CACHE[key], "sub int, stage int, cell int, cvec array<double>"
+    )
+
+
+def _rq_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    exact: bool,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    from python_cdc_spark.operators.pq import rq_adc_topk, rq_encode
+
+    e = table(spark, sf_dir, "embeddings")
+    book = _rq_codebook(spark, sf_dir, exact)
+    if codes is None:
+        codes = rq_encode(e, book, "vec_id", "embedding", m=_RQ_M, dims=_DIMS, exact=exact)
+    queries = e.filter(F.col("vec_id") % 100 == 0)
+    out = rq_adc_topk(
+        e, codes, book, queries, "vec_id", "embedding",
+        k_top=_TOPK, shortlist=_RQ_SHORTLIST, m=_RQ_M, dims=_DIMS, exact=exact,
+    )
+    return out.withColumnRenamed("rank", "rnk")
+
+
 def _ivf_topk(
     spark: SparkSession,
     sf_dir: str,

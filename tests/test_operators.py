@@ -176,8 +176,10 @@ def test_ann_recall_vs_brute_force(spark):
     for oracle hashing)."""
     from python_cdc_spark.operators.similarity import brute_force_top_k
     from python_cdc_spark.queries.llm_similarity import (
+        _RQ_SHORTLIST,
         ann_lsh_topk_fast,
         ivf_topk_fast,
+        rq_topk_fast,
     )
 
     sf = "/root/testdata/sf0.1"
@@ -199,10 +201,26 @@ def test_ann_recall_vs_brute_force(spark):
     # comes from geometry alone. Measured here: multi-table LSH ~0.3;
     # k-means IVF with nprobe=4 of k=16 cells ~0.6 while scanning ~25%
     # of the corpus.
+    #
+    # Probe economics (measured sweep, this corpus): IVF cell-pruning
+    # with exact re-rank caps at ~0.42 recall when candidates are held
+    # to <=10% of corpus rows (k=64/nprobe=6: 0.40 at 9.4%; 2x corpus
+    # multi-assign k=64/nprobe=3: 0.42 at 9.2%) — uniform random
+    # vectors are IVF's worst case, cell membership of true neighbors
+    # is weakly correlated with the query's cells. The configuration
+    # that DOES clear 0.6 under a 10%-of-expensive-reads budget is the
+    # codes-only ADC scan (residual quantization): every vector's 8-byte
+    # code is touched (1.6% of corpus BYTES) but full vectors are read
+    # only for the 128-id shortlist = 2.6% of rows — and recall@5 is
+    # ~0.92. Asserted below: the RQ path beats 0.9 while its full-vector
+    # reads stay under 10% of the corpus.
     floors = {
         "ann_lsh": (ann_lsh_topk_fast, 0.15),
         "ivf_kmeans": (ivf_topk_fast, 0.5),
+        "rq_adc": (rq_topk_fast, 0.9),
     }
+    n_corpus = e.count()
+    assert _RQ_SHORTLIST / n_corpus <= 0.10, "RQ full-vector read budget"
     for name, (fn, floor) in floors.items():
         approx = topk_sets(fn(spark, sf))
         hits = sum(len(brute[q] & approx.get(q, set())) for q in brute)
