@@ -58,6 +58,55 @@ def pq_fit(
     return out
 
 
+def _explode_subspaces(
+    corpus: DataFrame, id_col: str, vec_col: str, m: int, d: int
+) -> DataFrame:
+    """(id, sub, subv): one row per (vector, subspace) — the layout that
+    lets ALL m subspace assignments run as ONE pass over the corpus
+    (single scan + single broadcast join) instead of m separate jobs.
+    Same total pair-work; m× fewer stages, and at 100 TB one scan of
+    the corpus instead of m."""
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("sub"), F.slice(vec_col, s * d + 1, d).alias("subv")
+            )
+            for s in range(m)
+        ]
+    )
+    return corpus.select(F.col(id_col), F.inline(entries))
+
+
+def _assign_all_subspaces(
+    subs: DataFrame,
+    codebook: DataFrame,
+    id_col: str,
+    vec_col: str,
+    exact: bool,
+    d: int,
+) -> DataFrame:
+    """Nearest codeword per (id, sub) in one broadcast join + one
+    hash-agg argmax — the multi-subspace twin of ``kmeans_assign``
+    (same score, same max_by(score, ties → lowest cell) reduction, so
+    codes are bit-identical to the per-subspace loop)."""
+    from python_cdc_spark.functions.vectors import dec_dot_product, dot_expr
+    from python_cdc_spark.functions.vectors import l2_norm as _l2
+
+    cent = codebook.withColumn("cnrm", _l2(F.col("cvec"), exact=exact))
+    if exact:
+        dot = dec_dot_product(F.col(vec_col), F.col("cvec"))
+    else:
+        dot = dot_expr(vec_col, "cvec", d)
+    payload = [c for c in subs.columns if c not in (id_col, "sub")] + ["cell"]
+    key = F.struct((dot / F.col("cnrm")).alias("__s"), (F.lit(0) - F.col("cell")).alias("__nc"))
+    return (
+        subs.join(broadcast(cent), "sub")
+        .groupBy(id_col, "sub")
+        .agg(F.max_by(F.struct(*payload), key).alias("__best"))
+        .select(id_col, "sub", "__best.*")
+    )
+
+
 def pq_encode(
     corpus: DataFrame,
     codebook: DataFrame,
@@ -68,24 +117,15 @@ def pq_encode(
     exact: bool = False,
 ) -> DataFrame:
     """Quantize: each vector → ``m`` codes. Returns ``(id, sub, code)``
-    — the 4-byte-per-vector representation the 100 TB scan reads."""
+    — the 4-byte-per-vector representation the 100 TB scan reads.
+    All m subspaces encode in ONE corpus pass (exploded layout +
+    broadcast codebook + hash-agg argmax)."""
     d = dims // m
-    outs = []
-    for s in range(m):
-        sub = corpus.select(
-            F.col(id_col), F.slice(vec_col, s * d + 1, d).alias("subv")
-        )
-        cb = codebook.filter(F.col("sub") == s).select("cell", "cvec")
-        assigned = kmeans_assign(sub, cb, id_col, "subv", exact=exact, dims=d)
-        outs.append(
-            assigned.select(
-                F.col(id_col), F.lit(s).alias("sub"), F.col("cell").alias("code")
-            )
-        )
-    out = outs[0]
-    for p in outs[1:]:
-        out = out.unionByName(p)
-    return out
+    subs = _explode_subspaces(corpus, id_col, vec_col, m, d)
+    assigned = _assign_all_subspaces(
+        subs, codebook.select("sub", "cell", "cvec"), id_col, "subv", exact, d
+    )
+    return assigned.select(F.col(id_col), "sub", F.col("cell").alias("code"))
 
 
 def pq_adc_topk(
@@ -275,27 +315,31 @@ def rq_encode(
 ) -> DataFrame:
     """Quantize: each vector → m (code1, code2) pairs = 2m small codes
     (8 bytes at m=8, k=16 → 64× compression). Returns
-    ``(id, sub, code1, code2)`` — the table the 100 TB scan reads."""
+    ``(id, sub, code1, code2)`` — the table the 100 TB scan reads.
+
+    Both stages encode ALL m subspaces in one corpus pass each
+    (exploded layout + broadcast codebook + hash-agg argmax): two scans
+    and two shuffles total instead of 2m jobs — codes bit-identical to
+    the per-subspace loop (same score, same tie-break)."""
     d = dims // m
-    outs = []
-    for s in range(m):
-        sub = corpus.select(
-            F.col(id_col), F.slice(vec_col, s * d + 1, d).alias("subv")
+    subs = _explode_subspaces(corpus, id_col, vec_col, m, d)
+    b1 = codebook.filter(F.col("stage") == 1).select("sub", "cell", "cvec")
+    b2 = codebook.filter(F.col("stage") == 2).select("sub", "cell", "cvec")
+    a1 = _assign_all_subspaces(subs, b1, id_col, "subv", exact, d)
+    res = (
+        a1.withColumnRenamed("cell", "code1")
+        .join(
+            broadcast(b1.withColumnRenamed("cell", "code1")), ["sub", "code1"]
         )
-        b1 = codebook.filter((F.col("sub") == s) & (F.col("stage") == 1)).select("cell", "cvec")
-        b2 = codebook.filter((F.col("sub") == s) & (F.col("stage") == 2)).select("cell", "cvec")
-        res = _stage1_residuals(sub, b1, id_col, exact=exact, dims=d)
-        a2 = kmeans_assign(res, b2, id_col, "resv", exact=exact, dims=d)
-        outs.append(
-            a2.select(
-                F.col(id_col), F.lit(s).alias("sub"), "code1",
-                F.col("cell").alias("code2"),
-            )
+        .select(
+            id_col,
+            "sub",
+            "code1",
+            F.zip_with("subv", "cvec", lambda x, y: x.cast("double") - y).alias("resv"),
         )
-    out = outs[0]
-    for p in outs[1:]:
-        out = out.unionByName(p)
-    return out
+    )
+    a2 = _assign_all_subspaces(res, b2, id_col, "resv", exact, d)
+    return a2.select(F.col(id_col), "sub", "code1", F.col("cell").alias("code2"))
 
 
 def rq_adc_topk(
