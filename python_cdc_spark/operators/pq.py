@@ -384,7 +384,10 @@ def rq_adc_topk(
         n2p = dec_sum_sq_terms("c1", "c2", d)
     else:
         n2p = sum_sq_expr("c1", "c2", d)
-    pair = b1.join(b2, "sub").select("sub", "code1", "code2", "c1", "c2", n2p.alias("n2p"))
+    # both sides are m*k codeword rows (metadata) — broadcast, never SMJ
+    pair = b1.join(broadcast(b2), "sub").select(
+        "sub", "code1", "code2", "c1", "c2", n2p.alias("n2p")
+    )
 
     qsubs = None
     for s in range(m):
