@@ -45,6 +45,7 @@ HEADLINE = [
     "similarity_ivf_topk",
     "similarity_pq_topk",
     "similarity_rq_topk",
+    "similarity_ivfpq_topk",
 ]
 
 
@@ -114,6 +115,9 @@ def _fast_variants(spark, sf_dir) -> dict:
         ),
         "similarity_pq_topk": lambda s, d: sim.pq_topk_fast(s, d, codes=codes),
         "similarity_rq_topk": lambda s, d: sim.rq_topk_fast(s, d, codes=rq_codes),
+        "similarity_ivfpq_topk": lambda s, d: sim.ivfpq_topk_fast(
+            s, d, assigned=assigned, codes=codes
+        ),
         "dedup_minhash_lsh_pairs": lambda s, d: lsh_candidate_pairs(
             sigs, k=_K, bands=_BANDS
         ),

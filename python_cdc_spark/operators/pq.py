@@ -444,3 +444,119 @@ def rq_adc_topk(
         .filter(F.col("rank") <= k_top)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    assigned: DataFrame,
+    codes: DataFrame,
+    codebook: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_top: int = 5,
+    nprobe: int = 8,
+    shortlist: int = 64,
+    m: int = 4,
+    dims: int = 64,
+    exact: bool = False,
+) -> DataFrame:
+    """IVF-PQ composite — the standard trillion-vector layout: the IVF
+    coarse quantizer bounds WHICH rows are considered (inverted lists of
+    the ``nprobe`` probed cells), and PQ bounds WHAT is read for them
+    (m 1-byte codes, ADC lookup-table scoring); true vectors are read
+    only for the per-query ``shortlist`` re-rank.
+
+    Inputs are the two index halves built once and amortized across
+    queries: ``centroids``/``assigned`` (cell int, and (neighbor_id,
+    cell) inverted lists) from the coarse fit, ``codes``/``codebook``
+    from the PQ fit. At 100 TB the codes table is the only per-row
+    structure the scan touches — nprobe/k of it — and the candidate
+    generation shuffles ids, never vectors.
+    """
+    from python_cdc_spark.functions.vectors import (
+        dec_dot_product,
+        dec_dot_terms,
+        dot_expr,
+        l2_norm,
+        norm_expr,
+    )
+
+    d = dims // m
+    probes = kmeans_assign(
+        queries, centroids, id_col, vec_col, exact=exact, n_best=nprobe, dims=dims
+    ).select(F.col(id_col).alias("query_id"), "cell")
+    # probes are bounded (|Q|·nprobe) — broadcast; the corpus-size
+    # inverted lists never shuffle
+    cand = (
+        broadcast(probes).join(assigned, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    # ADC over candidates only: codes restricted to probed-cell members
+    qsubs = None
+    for s in range(m):
+        part = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.lit(s).alias("sub"),
+            F.slice(vec_col, s * d + 1, d).alias("qsub"),
+        )
+        qsubs = part if qsubs is None else qsubs.unionByName(part)
+    if exact:
+        pdot = dec_dot_terms("qsub", "cvec", d)
+        cn2 = dec_dot_terms("cvec", "cvec", d)
+    else:
+        pdot = dot_expr("qsub", "cvec", d)
+        cn2 = F.expr(
+            " + ".join(
+                f"CAST(cvec[{i}] AS DOUBLE) * CAST(cvec[{i}] AS DOUBLE)"
+                for i in range(d)
+            )
+        )
+    lut = qsubs.join(broadcast(codebook), "sub").select(
+        "query_id", "sub", F.col("cell").alias("code"),
+        pdot.alias("pdot"), cn2.alias("cn2"),
+    )
+    if exact:
+        qdot_out = F.round(F.sum("pdot"), 6).cast("double").alias("qdot")
+        n2_out = F.round(F.sum("cn2"), 6).cast("double").alias("n2")
+    else:
+        qdot_out = F.sum("pdot").alias("qdot")
+        n2_out = F.sum("cn2").alias("n2")
+    scored = (
+        codes.withColumnRenamed(id_col, "neighbor_id")
+        .join(cand.hint("shuffle_hash"), "neighbor_id")
+        .join(broadcast(lut), ["query_id", "sub", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(qdot_out, n2_out)
+        .withColumn("approx", F.col("qdot") / F.sqrt(F.col("n2")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("approx"), F.asc("neighbor_id"))
+    short = (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    qn = l2_norm(F.col(vec_col), exact=True) if exact else norm_expr(vec_col, dims)
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), qn.alias("qn")
+    )
+    nv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"), qn.alias("nn")
+    )
+    rdot = (
+        dec_dot_product(F.col("qv"), F.col("nv"))
+        if exact
+        else dot_expr("qv", "nv", dims)
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        short.join(broadcast(qv), "query_id")
+        .join(nv.hint("shuffle_hash"), "neighbor_id")
+        .withColumn("cosine", rdot / (F.col("qn") * F.col("nn")))
+        .withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= k_top)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -212,7 +212,7 @@ def _rerank_topk(e: DataFrame, cand: DataFrame, exact: bool, k: int = _TOPK) -> 
             F.col("embedding").alias("qv"),
             F.col("nrm").alias("q_nrm"),
         )
-        .join(qids, "query_id", "left_semi")
+        .join(broadcast(qids), "query_id", "left_semi")
     )
     ev = e.join(norms, "vec_id").select(
         F.col("vec_id").alias("neighbor_id"),
@@ -829,11 +829,254 @@ def _ivf_topk(
     probes = kmeans_assign(
         queries, cent, "vec_id", "embedding", exact=exact, n_best=_NPROBE
     ).select(F.col("vec_id").alias("query_id"), "cell")
-    # candidate generation shuffles ids on cell — never vectors
+    # candidate generation: probes are the bounded query working set ×
+    # nprobe — broadcast them so the corpus-size inverted lists never
+    # shuffle (was an SMJ sorting both sides on a k-value key)
     cand = (
-        probes.join(assigned, "cell")
+        broadcast(probes).join(assigned, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
         .distinct()
     )
     return _rerank_topk(e, cand, exact=exact)
+
+
+_IVFPQ_NPROBE, _IVFPQ_SHORTLIST = 8, 128
+
+
+def _sql_ivfpq_oracle(
+    coarse_k: int, coarse_iters: int, nprobe: int,
+    m: int, k: int, iters: int, shortlist: int, topk: int, dims: int,
+) -> str:
+    """DuckDB replay of the IVF-PQ composite: the coarse Lloyd fit +
+    query multi-probe + inverted-list candidates (identical machinery to
+    the IVF oracle), the m sub-space PQ fits + encoding + ADC lookup
+    tables (identical to the PQ oracle), with the ADC scan restricted to
+    the candidate pairs, then shortlist + exact re-rank. All reductions
+    decimal-routed; heavy CTEs MATERIALIZED (the composite references
+    the coarse/code chains repeatedly and binder inlining explodes)."""
+    from python_cdc_spark.functions.vectors import sql_dec_dot_terms
+
+    d = dims // m
+
+    def score(vec: str, cent: str, nd: int) -> str:
+        return f"{sql_dec_dot(vec, cent, nd)} / {sql_dec_norm(cent, nd)}"
+
+    def cell_of(n: int) -> str:
+        return (
+            "CAST((  (strpos('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)) - 1) * 16"
+            "      + (strpos('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 2, 1)) - 1)"
+            f"     ) % {n} AS INTEGER)"
+        )
+
+    ctes = []
+    # ---- coarse quantizer over the full vectors (dims) ----
+    coarse_assign = """
+      SELECT vec_id, embedding, cell FROM (
+        SELECT e.vec_id, e.embedding, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {score} DESC, c.cell) AS arnk
+        FROM embeddings e CROSS JOIN {cent} c
+      ) WHERE arnk = 1
+    """
+    ctes.append(
+        f"""g0 AS MATERIALIZED (
+      SELECT {cell_of(coarse_k)} AS cell,
+             min_by(embedding, md5(CAST(vec_id AS VARCHAR))) AS cvec
+      FROM embeddings GROUP BY 1
+    )"""
+    )
+    for it in range(1, coarse_iters + 1):
+        ctes.append(
+            f"ga{it} AS MATERIALIZED ({coarse_assign.format(score=score('e.embedding', 'c.cvec', dims), cent=f'g{it - 1}')})"
+        )
+        ctes.append(
+            f"""gd{it} AS MATERIALIZED (
+      SELECT cell, p.i AS pos,
+             CAST(ROUND(SUM(CAST(CAST(a.embedding[p.i] AS DOUBLE)
+                 AS DECIMAL(30,12))), 6) AS DOUBLE) / COUNT(*) AS cval
+      FROM ga{it} a, UNNEST(generate_series(1, {dims})) p(i)
+      GROUP BY cell, p.i
+    )"""
+        )
+        ctes.append(
+            f"g{it} AS MATERIALIZED (SELECT cell, list(cval ORDER BY pos) AS cvec FROM gd{it} GROUP BY cell)"
+        )
+    ctes.append(
+        f"gF AS MATERIALIZED ({coarse_assign.format(score=score('e.embedding', 'c.cvec', dims), cent=f'g{coarse_iters}')})"
+    )
+    ctes.append(
+        f"""probe AS MATERIALIZED (
+      SELECT query_id, cell FROM (
+        SELECT e.vec_id AS query_id, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {score('e.embedding', 'c.cvec', dims)} DESC, c.cell) AS prnk
+        FROM embeddings e CROSS JOIN g{coarse_iters} c
+        WHERE e.vec_id % 100 = 0
+      ) WHERE prnk <= {nprobe}
+    )"""
+    )
+    ctes.append(
+        """cand AS MATERIALIZED (
+      SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+      FROM probe p JOIN gF a ON a.cell = p.cell AND a.vec_id <> p.query_id
+    )"""
+    )
+    # ---- PQ sub-space fits + codes + LUT (same machinery as PQ oracle) ----
+    sub_assign = """
+      SELECT vec_id, subv, cell FROM (
+        SELECT e.vec_id, e.subv, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {score} DESC, c.cell) AS arnk
+        FROM sub{s} e CROSS JOIN {cent} c
+      ) WHERE arnk = 1
+    """
+    for s in range(m):
+        lo = s * d
+        ctes.append(
+            f"sub{s} AS MATERIALIZED (SELECT vec_id, list_slice(embedding, {lo + 1}, {lo + d}) AS subv FROM embeddings)"
+        )
+        ctes.append(
+            f"""p{s}_0 AS MATERIALIZED (
+      SELECT {cell_of(k)} AS cell,
+             min_by(subv, md5(CAST(vec_id AS VARCHAR))) AS cvec
+      FROM sub{s} GROUP BY 1
+    )"""
+        )
+        for it in range(1, iters + 1):
+            ctes.append(
+                f"p{s}_a{it} AS MATERIALIZED ({sub_assign.format(score=score('e.subv', 'c.cvec', d), s=s, cent=f'p{s}_{it - 1}')})"
+            )
+            ctes.append(
+                f"""p{s}_d{it} AS MATERIALIZED (
+      SELECT cell, p.i AS pos,
+             CAST(ROUND(SUM(CAST(CAST(a.subv[p.i] AS DOUBLE)
+                 AS DECIMAL(30,12))), 6) AS DOUBLE) / COUNT(*) AS cval
+      FROM p{s}_a{it} a, UNNEST(generate_series(1, {d})) p(i)
+      GROUP BY cell, p.i
+    )"""
+            )
+            ctes.append(
+                f"p{s}_{it} AS MATERIALIZED (SELECT cell, list(cval ORDER BY pos) AS cvec FROM p{s}_d{it} GROUP BY cell)"
+            )
+        ctes.append(
+            f"p{s}_F AS MATERIALIZED ({sub_assign.format(score=score('e.subv', 'c.cvec', d), s=s, cent=f'p{s}_{iters}')})"
+        )
+        ctes.append(
+            f"qsub{s} AS (SELECT vec_id, subv FROM sub{s} WHERE vec_id % 100 = 0)"
+        )
+    ctes.append(
+        "codes AS MATERIALIZED ("
+        + " UNION ALL ".join(
+            f"SELECT vec_id, {s} AS sub, cell AS code FROM p{s}_F" for s in range(m)
+        )
+        + ")"
+    )
+    ctes.append(
+        "lut AS MATERIALIZED ("
+        + " UNION ALL ".join(
+            f"SELECT q.vec_id AS query_id, {s} AS sub, c.cell AS code, "
+            f"{sql_dec_dot_terms('q.subv', 'c.cvec', d)} AS pdot, "
+            f"{sql_dec_dot_terms('c.cvec', 'c.cvec', d)} AS cn2 "
+            f"FROM qsub{s} q CROSS JOIN p{s}_{iters} c"
+            for s in range(m)
+        )
+        + ")"
+    )
+    ctes.append(
+        """scored AS MATERIALIZED (
+      SELECT n.query_id, n.neighbor_id,
+             CAST(ROUND(SUM(l.pdot), 6) AS DOUBLE) AS qdot,
+             CAST(ROUND(SUM(l.cn2), 6) AS DOUBLE) AS n2
+      FROM cand n
+      JOIN codes c ON c.vec_id = n.neighbor_id
+      JOIN lut l ON l.query_id = n.query_id AND l.sub = c.sub AND l.code = c.code
+      GROUP BY 1, 2
+    )"""
+    )
+    ctes.append(
+        f"""shortl AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY qdot / sqrt(n2) DESC, neighbor_id) AS srnk
+        FROM scored
+      ) WHERE srnk <= {shortlist}
+    )"""
+    )
+    ctes.append(
+        f"nrms AS (SELECT vec_id, {sql_dec_norm('embedding', dims)} AS nrm FROM embeddings)"
+    )
+    return f"""
+    WITH {','.join(ctes)}
+    SELECT query_id, neighbor_id, cosine, rnk FROM (
+      SELECT s.query_id, s.neighbor_id,
+             {sql_dec_dot('q.embedding', 'e.embedding', dims)} / (nq.nrm * ne.nrm)
+               AS cosine,
+             CAST(ROW_NUMBER() OVER (PARTITION BY s.query_id ORDER BY
+                    {sql_dec_dot('q.embedding', 'e.embedding', dims)} / (nq.nrm * ne.nrm)
+                    DESC, s.neighbor_id) AS BIGINT) AS rnk
+      FROM shortl s
+      JOIN embeddings q ON q.vec_id = s.query_id
+      JOIN embeddings e ON e.vec_id = s.neighbor_id
+      JOIN nrms nq ON nq.vec_id = s.query_id
+      JOIN nrms ne ON ne.vec_id = s.neighbor_id
+    ) WHERE rnk <= {topk}
+    """
+
+
+@register(
+    "similarity_ivfpq_topk",
+    oracle=_sql_ivfpq_oracle(
+        _IVF_K, _IVF_ITERS, _IVFPQ_NPROBE,
+        _PQ_M, _PQ_K, _PQ_ITERS, _IVFPQ_SHORTLIST, _TOPK, _DIMS,
+    ),
+    doc=f"E26: IVF-PQ composite ANN — coarse k={_IVF_K} quantizer bounds "
+    f"WHICH rows (nprobe={_IVFPQ_NPROBE} inverted lists), PQ m={_PQ_M} "
+    f"codes bound WHAT is read (ADC), shortlist={_IVFPQ_SHORTLIST} exact re-rank",
+)
+def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standard trillion-vector composite: IVF inverted lists bound
+    the candidate set (nprobe/k of the corpus), PQ codes bound the bytes
+    read for it (1 B per subspace), exact re-rank reads true vectors for
+    the shortlist only. Shares the cached IVF centroids and PQ codebook
+    with the standalone queries (one index, many access paths)."""
+    return _ivfpq_topk(spark, sf_dir, exact=True)
+
+
+def ivfpq_topk_fast(
+    spark: SparkSession,
+    sf_dir: str,
+    assigned: DataFrame | None = None,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """Bench/scale variant: double math; amortizing callers pass the
+    prebuilt inverted lists + codes."""
+    return _ivfpq_topk(spark, sf_dir, exact=False, assigned=assigned, codes=codes)
+
+
+def _ivfpq_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    exact: bool,
+    assigned: DataFrame | None = None,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    from python_cdc_spark.operators.pq import ivf_pq_topk, pq_encode
+    from python_cdc_spark.operators.similarity import kmeans_assign
+
+    e = table(spark, sf_dir, "embeddings")
+    cent = _fitted_centroids(spark, sf_dir, exact)
+    book = _pq_codebook(spark, sf_dir, exact)
+    if assigned is None:
+        assigned = kmeans_assign(e, cent, "vec_id", "embedding", exact=exact).select(
+            F.col("vec_id").alias("neighbor_id"), "cell"
+        )
+    if codes is None:
+        codes = pq_encode(e, book, "vec_id", "embedding", m=_PQ_M, dims=_DIMS, exact=exact)
+    queries = e.filter(F.col("vec_id") % 100 == 0)
+    out = ivf_pq_topk(
+        e, cent, assigned, codes, book, queries, "vec_id", "embedding",
+        k_top=_TOPK, nprobe=_IVFPQ_NPROBE, shortlist=_IVFPQ_SHORTLIST,
+        m=_PQ_M, dims=_DIMS, exact=exact,
+    )
+    return out.withColumnRenamed("rank", "rnk")

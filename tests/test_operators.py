@@ -179,6 +179,7 @@ def test_ann_recall_vs_brute_force(spark):
         _RQ_SHORTLIST,
         ann_lsh_topk_fast,
         ivf_topk_fast,
+        ivfpq_topk_fast,
         rq_topk_fast,
     )
 
@@ -214,10 +215,16 @@ def test_ann_recall_vs_brute_force(spark):
     # only for the 128-id shortlist = 2.6% of rows — and recall@5 is
     # ~0.92. Asserted below: the RQ path beats 0.9 while its full-vector
     # reads stay under 10% of the corpus.
+    # The IVF-PQ composite bounds BOTH which rows (nprobe=8/16 inverted
+    # lists) and what is read for them (m=4 codes): measured 0.45 at
+    # 6.4% full-vector reads — candidate cap × 16-bit ADC dilution; the
+    # knobs are nprobe, m, and shortlist (swap in the RQ codes for the
+    # 2-stage fidelity at the same join shape).
     floors = {
         "ann_lsh": (ann_lsh_topk_fast, 0.15),
         "ivf_kmeans": (ivf_topk_fast, 0.5),
         "rq_adc": (rq_topk_fast, 0.9),
+        "ivfpq": (ivfpq_topk_fast, 0.4),
     }
     n_corpus = e.count()
     assert _RQ_SHORTLIST / n_corpus <= 0.10, "RQ full-vector read budget"
