@@ -37,7 +37,21 @@ RELATIONAL_11 = [
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+# LLM-pipeline headliners whose DuckDB oracles stay tractable at sf1
+# (the ANN oracles replay decimal k-means/brute-force — O(|Q|·N·dims)
+# decimal ops in DuckDB — and are bench'd at sf0.1 in bench.py instead)
+LLM_8 = [
+    "dedup_exact",
+    "dedup_simhash",
+    "dedup_minhash_lsh_pairs",
+    "dedup_keep_first",
+    "text_token_stats",
+    "text_quality_score",
+    "text_lang_id",
+    "text_tf_topk",
 ]
 
 
@@ -52,7 +66,7 @@ def _duck_views(con, sf_dir: str) -> None:
         con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
 
 
-def _run_scale(spark, sf_dir: str) -> dict:
+def _run_scale(spark, sf_dir: str, names: list[str] | None = None) -> dict:
     import duckdb
 
     from python_cdc_spark.queries import QUERIES
@@ -66,7 +80,7 @@ def _run_scale(spark, sf_dir: str) -> dict:
 
     spark_t: dict[str, float] = {}
     duck_t: dict[str, float] = {}
-    for name in RELATIONAL_11:
+    for name in (names or RELATIONAL_11):
         spec = QUERIES[name]
         t0 = time.perf_counter()
         spec.fn(spark, sf_dir).count()
@@ -99,12 +113,15 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     out = {
-        "metric": "relational11_spark_vs_duckdb",
+        "metric": "relational11_plus_llm8_spark_vs_duckdb",
         "unit": "sec",
         "sf0.1": _run_scale(spark, "/root/testdata/sf0.1"),
         "sf1": _run_scale(spark, sf1_dir),
+        "llm_sf0.1": _run_scale(spark, "/root/testdata/sf0.1", LLM_8),
+        "llm_sf1": _run_scale(spark, sf1_dir, LLM_8),
     }
     out["ratio_trend"] = [out["sf0.1"]["ratio"], out["sf1"]["ratio"]]
+    out["llm_ratio_trend"] = [out["llm_sf0.1"]["ratio"], out["llm_sf1"]["ratio"]]
     print(json.dumps(out))
 
 

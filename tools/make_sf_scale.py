@@ -83,6 +83,39 @@ def main() -> None:
         n = con.sql(f"SELECT COUNT(*) FROM read_parquet('{d}/*.parquet')").fetchone()[0]
         print(f"{t}: {n} rows in {factor} files")
 
+    # LLM tables: keys shift like the facts; content is perturbed per
+    # replica (a replica token appended to text, a tiny per-replica
+    # epsilon on embeddings) so dedup/similarity structure scales
+    # instead of becoming 10x exact duplicates of the originals.
+    d = os.path.join(out, "documents.parquet")
+    os.makedirs(d, exist_ok=True)
+    for i in range(factor):
+        con.execute(
+            f"""COPY (
+              SELECT doc_id + {i * OFFSET} AS doc_id,
+                     text || ' r{i}' AS text,
+                     lang, source,
+                     CAST(length(text || ' r{i}') AS BIGINT) AS n_chars
+              FROM read_parquet('{src}/documents.parquet')
+            ) TO '{d}/part-{i}.parquet' (FORMAT PARQUET)"""
+        )
+    n = con.sql(f"SELECT COUNT(*) FROM read_parquet('{d}/*.parquet')").fetchone()[0]
+    print(f"documents: {n} rows in {factor} files")
+    d = os.path.join(out, "embeddings.parquet")
+    os.makedirs(d, exist_ok=True)
+    for i in range(factor):
+        con.execute(
+            f"""COPY (
+              SELECT vec_id + {i * OFFSET} AS vec_id,
+                     list_transform(embedding,
+                       x -> CAST(x + {i} * 0.000001 AS FLOAT)) AS embedding,
+                     label
+              FROM read_parquet('{src}/embeddings.parquet')
+            ) TO '{d}/part-{i}.parquet' (FORMAT PARQUET)"""
+        )
+    n = con.sql(f"SELECT COUNT(*) FROM read_parquet('{d}/*.parquet')").fetchone()[0]
+    print(f"embeddings: {n} rows in {factor} files")
+
 
 if __name__ == "__main__":
     main()
