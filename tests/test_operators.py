@@ -381,3 +381,49 @@ def test_pq_adc_recall_vs_brute_force(spark):
     # random-unit-vector corpus: geometry is nearly structureless, so
     # the shortlist (64 of ~1.6k) carries most of the recall
     assert recall >= 0.5, f"PQ recall@5 too low: {recall:.2f}"
+
+
+def test_ivfpq_persistent_index_roundtrip(spark, tmp_path):
+    """Persisted IVF-PQ index: query-from-disk must equal query-from-
+    memory, and the probed read must PRUNE cell partitions (directory-
+    level PartitionFilters), not scan the whole codes table."""
+    from python_cdc_spark.operators.ann_index import (
+        ivf_pq_topk_from_index,
+        load_ivfpq_index,
+        save_ivfpq_index,
+    )
+    from python_cdc_spark.operators.pq import ivf_pq_topk, pq_encode, pq_fit
+    from python_cdc_spark.operators.similarity import kmeans_assign, kmeans_fit
+
+    sf = "/root/testdata/sf0.01"
+    e = table(spark, sf, "embeddings")
+    cent = kmeans_fit(e, k=16, iters=1, exact=False).localCheckpoint()
+    assigned = kmeans_assign(e, cent, exact=False).select(
+        F.col("vec_id").alias("neighbor_id"), "cell"
+    )
+    book = pq_fit(e, m=4, dims=64, k=16, iters=1, exact=False).localCheckpoint()
+    codes = pq_encode(e, book, m=4, dims=64, exact=False)
+    queries = e.filter(F.col("vec_id") % 100 == 0)
+
+    mem = ivf_pq_topk(
+        e, cent, assigned, codes, book, queries,
+        k_top=5, nprobe=4, shortlist=32, m=4, dims=64,
+    ).collect()
+
+    idx_dir = str(tmp_path / "ivfpq_index")
+    save_ivfpq_index(idx_dir, cent, assigned, codes, book)
+    disk = ivf_pq_topk_from_index(
+        spark, e, idx_dir, queries,
+        k_top=5, nprobe=4, shortlist=32, m=4, dims=64,
+    ).collect()
+    assert sorted(map(tuple, mem)) == sorted(map(tuple, disk))
+
+    # pruning: a cell filter on the persisted layout must reach the scan
+    # as a partition filter covering only the requested directories
+    cells = load_ivfpq_index(spark, idx_dir)["cells"].filter(F.col("cell").isin([0, 1]))
+    plan = cells._sc._jvm.PythonSQLUtils.explainString(
+        cells._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters", 1)[1][:200]
+    got_cells = {r["cell"] for r in cells.select("cell").distinct().collect()}
+    assert got_cells <= {0, 1}
