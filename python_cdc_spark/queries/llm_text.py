@@ -282,3 +282,103 @@ def text_tf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 5)
         .select("doc_id", "token", "tf", "df", "weight", "rnk")
     )
+
+
+_BM25_TERMS = ("join", "scan", "filter", "merge")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+@register(
+    "text_bm25_search",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS w FROM documents),
+    tok AS (SELECT doc_id, UNNEST(w) AS token FROM t),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (
+      SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+             COUNT(*) AS n_docs
+      FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM tok
+      WHERE token IN {str(tuple(_BM25_TERMS))}
+      GROUP BY doc_id, token
+    ),
+    df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY token),
+    contrib AS (
+      SELECT tf.doc_id, tf.token,
+             CAST(
+               ((s.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * (tf.tf * ({_BM25_K1} + 1.0))
+               / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl.dl / s.avgdl))
+             AS DECIMAL(18,9)) AS c
+      FROM tf
+      JOIN df USING (token)
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats s
+    )
+    SELECT doc_id, n_terms, score, rnk FROM (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_terms,
+             CAST(SUM(c) AS DOUBLE) AS score,
+             CAST(ROW_NUMBER() OVER (
+               ORDER BY CAST(SUM(c) AS DOUBLE) DESC, doc_id) AS BIGINT) AS rnk
+      FROM contrib GROUP BY doc_id
+    ) WHERE rnk <= 20
+    """,
+    doc=f"E27: BM25 retrieval — query {list(_BM25_TERMS)}, rational idf "
+    f"(no log, engine-exact), k1={_BM25_K1} b={_BM25_B}, decimal-routed "
+    "term sum, top-20 docs",
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus retrieval: BM25 over the documents table for a fixed query
+    term set. Shapes for scale: token explode → (doc, term) tf is one
+    shuffle; document length and corpus stats are aggregates broadcast
+    into the plan (no driver count); the per-term contribution routes
+    through DECIMAL(18,9) before the per-doc sum so the cross-term
+    reduction is order-independent (the established oracle convention —
+    idf uses the rational (N-df+0.5)/(df+0.5), not a log, so both
+    engines compute identical IEEE doubles)."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    tf = (
+        tok.filter(F.col("token").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    contrib = (
+        tf.join(F.broadcast(df_t), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                ((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+                * (F.col("tf") * (_BM25_K1 + 1.0))
+                / (
+                    F.col("tf")
+                    + _BM25_K1
+                    * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+                )
+            ).cast("decimal(18,9)").alias("c"),
+        )
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        contrib.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.sum("c").cast("double").alias("score"),
+        )
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 20)
+        .select("doc_id", "n_terms", "score", "rnk")
+    )
