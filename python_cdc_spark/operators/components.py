@@ -182,3 +182,64 @@ def connected_components_star(
     # are their own component
     alone = verts.subtract(mapping.select("v"))
     return mapping.union(alone.withColumn("component", F.col("v")))
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    iters: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank over the undirected graph of ``edges`` — fixed
+    ``iters`` power iterations (no convergence test: deterministic and
+    oracle-replayable; size ``iters`` to the graph like ``max_iter`` in
+    the components loop).
+
+    Returns (v long, pr double). Engine-exact by construction: each
+    neighbor contribution pr/deg routes through DECIMAL(18,12) before
+    the per-vertex sum (order-independent), and the teleport/damping
+    constants are single IEEE doubles computed once driver-side. Every
+    step is distributed (edge join + keyed sum); the only driver values
+    are the vertex COUNT and the iteration loop itself — per-iteration
+    state is one (v, pr) row per vertex, checkpointed to keep lineage
+    flat. At 100 TB this is ``iters`` shuffles keyed on vertex id.
+    """
+    sym = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .unionByName(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nodes = sym.select(F.col("s").alias("v")).distinct()
+    n = nodes.count()
+    if n == 0:
+        spark = edges.sparkSession
+        return spark.createDataFrame([], "v long, pr double")
+    init = 1.0 / n
+    teleport = (1.0 - damping) / n
+    deg = sym.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    pr = nodes.withColumn("pr", F.lit(init))
+    for _ in range(iters):
+        contribs = (
+            sym.join(pr.withColumnRenamed("v", "s"), "s")
+            .join(deg, "s")
+            .select(
+                "d",
+                (F.col("pr") / F.col("deg")).cast("decimal(18,12)").alias("c"),
+            )
+        )
+        agg = contribs.groupBy("d").agg(F.sum("c").alias("csum"))
+        pr = (
+            nodes.join(agg, nodes["v"] == agg["d"], "left")
+            .select(
+                nodes["v"],
+                (
+                    F.lit(teleport)
+                    + F.lit(damping)
+                    * F.coalesce(F.col("csum").cast("double"), F.lit(0.0))
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return pr

@@ -52,6 +52,10 @@ from python_cdc_spark.queries import (  # noqa: F401, E402
 # quantization) takes similarity_lsh_buckets' slot — the bucket
 # expressions stay driver-verified inside similarity_ann_lsh_topk's
 # oracle, which evaluates the identical hyperplane SQL per table.
+# graph_pagerank_neardup takes dedup_simhash's slot on the same
+# principle: the pagerank oracle replays the full SimHash fingerprint
+# chain before the power iterations, so the fingerprints stay
+# driver-verified transitively.
 set_priority_order(
     [
         # CDC core (R3-R10, R17-analog, E18, E19)
@@ -70,7 +74,7 @@ set_priority_order(
         "dedup_exact",
         "dedup_ngram_jaccard",
         "dedup_minhash_lsh_pairs",
-        "dedup_simhash",
+        "graph_pagerank_neardup",
         "dedup_lsh_verified",
         "dedup_components_canonical",
         "dedup_embedding_cosine",

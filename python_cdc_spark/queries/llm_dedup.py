@@ -395,3 +395,82 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= 0.25)
         .select("id_a", "id_b", "cosine")
     )
+
+
+_PR_ITERS, _PR_DAMPING = 5, 0.85
+
+
+def _sql_pagerank_oracle(iters: int, damping: float) -> str:
+    """DuckDB replay of ``operators.components.pagerank`` over the
+    same-SimHash near-dup graph: the fingerprint CTE chain, the
+    symmetric edge list, then ``iters`` power iterations with each
+    neighbor contribution routed through DECIMAL(18,12) (the engine-
+    exact reduction) and the teleport/damping constants written as
+    exact Python-double reprs so both engines do the identical IEEE
+    arithmetic. CTEs MATERIALIZED: each iteration references the
+    previous one plus the shared edge/degree tables."""
+    tel = repr(1.0 - damping)  # e.g. 0.15000000000000002 — exact IEEE
+    dmp = repr(damping)
+    ctes = [
+        f"t AS (SELECT doc_id, {_SQL_TOKS} AS w FROM documents)",
+        f"wts AS (SELECT doc_id, {_WT} AS wt FROM t)",
+        f"fps AS MATERIALIZED (SELECT doc_id AS id, CAST({_FP} AS BIGINT) AS fp FROM wts)",
+        """e0 AS MATERIALIZED (
+      SELECT a.id AS s, b.id AS d FROM fps a
+      JOIN fps b ON a.fp = b.fp AND a.id <> b.id
+    )""",
+        "nodes AS MATERIALIZED (SELECT DISTINCT s AS v FROM e0)",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes)",
+        "deg AS MATERIALIZED (SELECT s, COUNT(*) AS deg FROM e0 GROUP BY s)",
+        """pr0 AS MATERIALIZED (
+      SELECT v, CAST(1 AS DOUBLE) / CAST(nn.n AS DOUBLE) AS pr
+      FROM nodes CROSS JOIN nn
+    )""",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""pr{i} AS MATERIALIZED (
+      SELECT n.v,
+             CAST('{tel}' AS DOUBLE) / CAST(nn.n AS DOUBLE)
+             + CAST('{dmp}' AS DOUBLE)
+               * COALESCE(CAST(x.csum AS DOUBLE), CAST(0 AS DOUBLE)) AS pr
+      FROM nodes n CROSS JOIN nn
+      LEFT JOIN (
+        SELECT e.d, SUM(CAST(p.pr / dg.deg AS DECIMAL(18,12))) AS csum
+        FROM e0 e JOIN pr{i - 1} p ON p.v = e.s JOIN deg dg ON dg.s = e.s
+        GROUP BY e.d
+      ) x ON x.d = n.v
+    )"""
+        )
+    return f"""
+    WITH {','.join(ctes)}
+    SELECT v AS doc_id, pr FROM pr{iters}
+    """
+
+
+@register(
+    "graph_pagerank_neardup",
+    oracle=_sql_pagerank_oracle(_PR_ITERS, _PR_DAMPING),
+    doc=f"E26/graph: PageRank centrality over the same-SimHash near-dup "
+    f"graph ({_PR_ITERS} power iterations, damping {_PR_DAMPING}) — the "
+    "canonical-document-selection signal for duplicate clusters",
+)
+def graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centrality over the near-dup graph: docs whose fingerprint
+    collides with many others rank higher — a principled canonical-pick
+    (and spam-cluster detection) signal for curation pipelines. Edges
+    are same-SimHash pairs; the operator symmetrizes and runs fixed
+    power iterations (operators/components.py:pagerank)."""
+    from python_cdc_spark.operators.components import pagerank
+    from python_cdc_spark.operators.dedup import simhash
+
+    fps = simhash(table(spark, sf_dir, "documents"), "text", "doc_id", bits=16)
+    a = fps.select(F.col("id").alias("id_a"), F.col("simhash").alias("fp"))
+    b = fps.select(F.col("id").alias("id_b"), F.col("simhash").alias("fp"))
+    edges = (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    pr = pagerank(edges, "id_a", "id_b", iters=_PR_ITERS, damping=_PR_DAMPING)
+    return pr.select(F.col("v").alias("doc_id"), "pr")

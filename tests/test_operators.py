@@ -427,3 +427,17 @@ def test_ivfpq_persistent_index_roundtrip(spark, tmp_path):
     assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters", 1)[1][:200]
     got_cells = {r["cell"] for r in cells.select("cell").distinct().collect()}
     assert got_cells <= {0, 1}
+
+
+def test_pagerank_mass_and_ordering(spark):
+    """Symmetric graph ⇒ no dangling mass: total PR ≈ 1; a star center
+    must outrank its leaves."""
+    from python_cdc_spark.operators.components import pagerank
+
+    edges = spark.createDataFrame([(0, i) for i in range(1, 6)], ["s", "d"])
+    pr = {r["v"]: r["pr"] for r in pagerank(edges, "s", "d", iters=10).collect()}
+    assert abs(sum(pr.values()) - 1.0) < 1e-6
+    assert pr[0] > max(pr[i] for i in range(1, 6))
+    # empty graph: empty result, not a division by zero
+    empty = spark.createDataFrame([], "s long, d long")
+    assert pagerank(empty, "s", "d").count() == 0
