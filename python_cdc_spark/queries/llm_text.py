@@ -382,3 +382,82 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 20)
         .select("doc_id", "n_terms", "score", "rnk")
     )
+
+
+@register(
+    "text_bigram_lm_score",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS w FROM documents),
+    big AS (
+      SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+      FROM t, UNNEST(generate_series(1, len(w) - 1)) p(i)
+      WHERE len(w) >= 2
+    ),
+    c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY w1, w2),
+    c1 AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY w1),
+    v AS (SELECT COUNT(DISTINCT w2) AS vocab FROM big),
+    scored AS (
+      SELECT b.doc_id,
+             CAST(
+               (c12.c12 + 0.5) / (c1.c1 + 0.5 * v.vocab)
+             AS DECIMAL(18,12)) AS p
+      FROM big b
+      JOIN c12 ON c12.w1 = b.w1 AND c12.w2 = b.w2
+      JOIN c1 ON c1.w1 = b.w1
+      CROSS JOIN v
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(p) AS DOUBLE) / COUNT(*) AS avg_bigram_p
+    FROM scored GROUP BY doc_id
+    """,
+    doc="E27: corpus bigram-LM fluency score — add-1/2-smoothed "
+    "P(w2|w1) trained on the corpus itself, per-doc mean probability "
+    "(rational, log-free: the engine-exact analog of perplexity "
+    "filtering)",
+)
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality filtering the CCNet way, Spark-first: train the bigram
+    model ON the corpus (two grouped counts), score every document by
+    its mean smoothed bigram probability — low scorers are the
+    word-salad/spam tail. Log-free rational smoothing keeps both
+    engines bit-identical (the perplexity exp/log is monotone in this
+    mean, so the FILTER decision is the same signal); per-bigram
+    probabilities route through DECIMAL(18,12) so the per-doc mean is
+    order-independent. Plan: one explode + three keyed shuffles,
+    vocabulary count broadcast — no driver-side model state at any
+    corpus size."""
+    from python_cdc_spark.functions.text import tokens as _tokens
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", _tokens(F.col("text")).alias("w")).filter(
+        F.size("w") >= 2
+    )
+    big = toks.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("w", 1, F.size("w") - 1),
+                F.slice("w", 2, F.size("w") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+    c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = big.agg(F.countDistinct("w2").alias("vocab"))
+    scored = (
+        big.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            (
+                (F.col("c12") + 0.5) / (F.col("c1") + 0.5 * F.col("vocab"))
+            ).cast("decimal(18,12)").alias("p"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        (F.sum("p").cast("double") / F.count(F.lit(1))).alias("avg_bigram_p"),
+    )
