@@ -281,3 +281,85 @@ def corpus_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "shard")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("shard_tokens"))
     )
+
+
+_DECON_K = 8
+_SQL_GRAMS_K = (
+    f"CASE WHEN len(w) >= {_DECON_K} THEN "
+    f"list_transform(generate_series(1, len(w) - {_DECON_K - 1}), "
+    "i -> " + " || ' ' || ".join(f"w[i+{j}]" for j in range(_DECON_K)) + ") "
+    "ELSE [] END"
+)
+
+
+@register(
+    "corpus_decontaminate_holdout",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, substr({_sql_doc_hash(_SPLIT_SALT)}, 1, 2) AS h2,
+             {_SQL_TOKS} AS w
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, h2, UNNEST({_SQL_GRAMS_K}) AS gram FROM t
+    ),
+    train_grams AS (SELECT DISTINCT gram FROM g WHERE h2 < 'cd'),
+    test_grams AS (
+      SELECT DISTINCT doc_id, gram FROM g WHERE h2 >= 'e6'
+    ),
+    per_doc AS (
+      SELECT doc_id, COUNT(*) AS n_grams FROM test_grams GROUP BY doc_id
+    ),
+    shared AS (
+      SELECT tg.doc_id, COUNT(*) AS n_shared
+      FROM test_grams tg JOIN train_grams USING (gram)
+      GROUP BY tg.doc_id
+    )
+    SELECT p.doc_id,
+           CAST(s.n_shared AS BIGINT) AS n_shared,
+           CAST(p.n_grams AS BIGINT) AS n_grams,
+           CAST(s.n_shared AS DOUBLE) / p.n_grams AS contamination
+    FROM per_doc p JOIN shared s USING (doc_id)
+    """,
+    doc=f"curation: holdout decontamination — test-split docs sharing "
+    f"{_DECON_K}-gram fingerprints with ANY train doc (the leakage check "
+    "run before any eval on held-out data)",
+)
+def corpus_decontaminate_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test leakage detection the way LLM data pipelines do it:
+    explode each doc into 8-gram fingerprints, reuse the deterministic
+    hash split, and semi-join the holdout's grams against the distinct
+    train-gram set. Scale shape: the gram explode is the only wide
+    stage; the join is keyed on the gram string (train side distinct —
+    at 100 TB you'd bucket it by gram hash and this join is
+    exchange-free on re-use). Output: contaminated test docs with
+    shared-gram counts and ratio."""
+    d = table(spark, sf_dir, "documents")
+    h2 = F.substring(_doc_hash(_SPLIT_SALT), 1, 2)
+    toks = d.select("doc_id", h2.alias("h2"), tokens(F.col("text")).alias("w"))
+    grams = toks.filter(F.size("w") >= _DECON_K).select(
+        "doc_id",
+        "h2",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("w") - _DECON_K),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at("w", (i + j + 1).cast("int")) for j in range(_DECON_K)]
+                ),
+            )
+        ).alias("gram"),
+    )
+    train_grams = grams.filter(F.col("h2") < "cd").select("gram").distinct()
+    test_grams = grams.filter(F.col("h2") >= "e6").select("doc_id", "gram").distinct()
+    per_doc = test_grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    shared = (
+        test_grams.join(train_grams, "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return per_doc.join(shared, "doc_id").select(
+        "doc_id",
+        F.col("n_shared").cast("long").alias("n_shared"),
+        F.col("n_grams").cast("long").alias("n_grams"),
+        (F.col("n_shared").cast("double") / F.col("n_grams")).alias("contamination"),
+    )
