@@ -441,3 +441,32 @@ def test_pagerank_mass_and_ordering(spark):
     # empty graph: empty result, not a division by zero
     empty = spark.createDataFrame([], "s long, d long")
     assert pagerank(empty, "s", "d").count() == 0
+
+
+def test_table_normalizes_ntz_timestamps(spark, tmp_path):
+    """The driver's generator has shipped events.ts as TIMESTAMP(NANOS),
+    timestamp[us] with tz, and plain timestamp[us] (no tz → Spark 4
+    infers TIMESTAMP_NTZ, which unix_micros rejects). table() must
+    normalize every flavor to session-UTC TIMESTAMP."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime
+
+    from python_cdc_spark.io import table as _table
+
+    sf = str(tmp_path)
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array(
+                [datetime(2024, 1, 1, 0, 0, 0), datetime(2024, 1, 1, 0, 30, 1)],
+                pa.timestamp("us"),  # no timezone → NTZ inference
+            ),
+        }
+    )
+    pq.write_table(t, f"{sf}/events.parquet")
+    df = _table(spark, sf, "events")
+    assert dict(df.dtypes)["ts"] == "timestamp", df.dtypes
+    # instant semantics must work (this raised DATATYPE_MISMATCH on NTZ)
+    micros = [r["m"] for r in df.select(F.unix_micros("ts").alias("m")).orderBy("event_id").collect()]
+    assert micros[1] - micros[0] == 1_801_000_000
