@@ -364,3 +364,125 @@ def window_trailing_range_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
         """
     )
+
+
+@register(
+    "events_funnel_ordered",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, MIN(ts) AS s_ts FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS c_ts
+      FROM events e JOIN s ON s.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts >= s.s_ts
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS p_ts
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts
+      GROUP BY e.user_id
+    )
+    SELECT stage, n_users FROM (
+      SELECT 'signup' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users, 1 AS o FROM s
+      UNION ALL
+      SELECT 'click_after_signup', CAST(COUNT(*) AS BIGINT), 2 FROM c
+      UNION ALL
+      SELECT 'purchase_after_click', CAST(COUNT(*) AS BIGINT), 3 FROM p
+    ) ORDER BY o
+    """,
+    doc="E13/analytics: ordered conversion funnel — users reaching "
+    "signup → later click → later purchase, each stage anchored to the "
+    "previous stage's first completion time",
+)
+def events_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: stage N counts only events at-or-after the
+    user's first stage-N-1 completion (a filter on ts, not mere
+    membership). Three keyed aggregations + broadcast-friendly joins on
+    user_id — no windows over the full event stream, so the plan is
+    three hash shuffles regardless of history depth."""
+    ev = table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .filter(F.col("ts") >= F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    spark_ = spark
+    rows = [
+        s.agg(F.count(F.lit(1)).cast("long").alias("n_users")).select(
+            F.lit("signup").alias("stage"), "n_users", F.lit(1).alias("o")
+        ),
+        c.agg(F.count(F.lit(1)).cast("long").alias("n_users")).select(
+            F.lit("click_after_signup").alias("stage"), "n_users", F.lit(2).alias("o")
+        ),
+        p.agg(F.count(F.lit(1)).cast("long").alias("n_users")).select(
+            F.lit("purchase_after_click").alias("stage"), "n_users", F.lit(3).alias("o")
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("o").drop("o")
+
+
+@register(
+    "events_retention_cohorts",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week FROM events
+    )
+    SELECT f.cohort_week,
+           CAST(date_diff('day', CAST(f.cohort_week AS DATE),
+                          CAST(a.act_week AS DATE)) // 7 AS BIGINT) AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM first_seen f JOIN activity a USING (user_id)
+    GROUP BY 1, 2
+    """,
+    doc="E13/analytics: weekly cohort retention — users grouped by "
+    "first-seen week, counted per subsequent active week offset",
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: cohort = week of each user's first event;
+    n_users active per (cohort, week-offset). Two keyed aggregations +
+    one join on user_id; week arithmetic stays integral (day diff
+    div 7) so both engines agree exactly."""
+    ev = table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("act_week")
+    ).distinct()
+    return (
+        first_seen.join(activity, "user_id")
+        .select(
+            "cohort_week",
+            (
+                F.datediff(F.col("act_week").cast("date"), F.col("cohort_week").cast("date"))
+                / F.lit(7)
+            ).cast("long").alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
