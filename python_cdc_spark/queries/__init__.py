@@ -31,101 +31,72 @@ from python_cdc_spark.queries import (  # noqa: F401, E402
     llm_curation,
 )
 
-# The driver's correctness gate checks the FIRST 50 registry entries, so
-# the first 50 are chosen for SURVEY.md §2 component breadth: the flagship
-# CDC operator set, every LLM-pipeline algorithm (dedup / similarity /
-# text / multimodal), the streaming batch-twins, then one representative
-# per relational component. Redundant TPC-H variants and extra window
-# drills follow after the window — still registered, still covered by the
-# local differ in tests/test_queries_oracle.py (ALL registered queries).
+# The driver's correctness gate checks the FIRST 50 registry entries;
+# registration order decides which queries earn a driver CORRECTNESS row.
 #
-# Round-3 rotation (VERDICT r2 items #2 and #9): similarity_pq_topk —
-# the one mandated-area algorithm the driver had never checked — plus
-# five never-driver-checked entries (agg_cube, grouping_sets_sql,
-# window_rank_dense_ntile, corpus_pack_shards, multimodal_resize) enter
-# the window; six twice-green rows rotate out (projection_compute,
-# filter_predicates, join_anti, set_operations, text_fingerprint,
-# multimodal_decode_meta) — each stays registered and local-differ-green,
-# and its component keeps an in-window representative.
-#
-# Round-3 addition (VERDICT r2 item #6): similarity_rq_topk (residual
-# quantization) takes similarity_lsh_buckets' slot — the bucket
-# expressions stay driver-verified inside similarity_ann_lsh_topk's
-# oracle, which evaluates the identical hyperplane SQL per table.
-# graph_pagerank_neardup takes dedup_simhash's slot on the same
-# principle: the pagerank oracle replays the full SimHash fingerprint
-# chain before the power iterations, so the fingerprints stay
-# driver-verified transitively.
+# Round-4 rotation (VERDICT r3 item #1): finish driver verification of
+# the registry. Slots 1-21 are the 21 queries with no green driver row —
+# q12_priority_class FIRST (the only ever-red query; its HUGEINT-class
+# fix from r2 has been self-attested two rounds) followed by the 20
+# never-driver-checked entries. Slots 22-50 are once-green queries
+# banking their second green row (rotation-out eligibility). The 37
+# queries rotated out all hold 1-2 green rows already and stay covered
+# by the local differ in tests/test_queries_oracle.py (ALL registered
+# queries, sf0.01 and the end-of-round sf0.1 sweep). Ten once-green
+# TPC-H variants (q4 q6 q7 q8 q9 q14 q15 q16 q17 q22) wait for r5.
 set_priority_order(
     [
-        # CDC core (R3-R10, R17-analog, E18, E19)
-        "cdc_apply_changes",
-        "cdc_scd2_history",
-        "cdc_latest_per_key",
-        "cdc_op_counts",
-        "cdc_schema_registry",
-        # IVM: signed-delta aggregate maintenance (takes embedding_norms'
-        # slot — vector math stays verified via every similarity query)
-        "cdc_incremental_agg",
-        # Dedup family (E25, E26) — signatures themselves are exercised
-        # inside the lsh_pairs/verified oracles (same CTE chain), so the
-        # standalone signature dump yields its window slot to the
-        # transitive-closure clustering query
-        "dedup_exact",
-        "dedup_ngram_jaccard",
-        "dedup_minhash_lsh_pairs",
-        "graph_pagerank_neardup",
-        "dedup_lsh_verified",
-        "dedup_components_canonical",
-        "dedup_embedding_cosine",
-        # Similarity search (E26, E28)
-        "similarity_brute_topk",
-        "similarity_ann_lsh_topk",
-        "similarity_ivf_topk",
+        # --- Never-green / never-checked block (21) ---
+        "q12_priority_class",  # ever-red in r01; fixed r2; must go green
+        "q2_min_cost_supplier",
+        "q11_important_parts",
+        "q20_outsized_share_suppliers",
+        "q21_sole_blame_supplier",
+        "join_range_banded",
+        "interval_concurrency",
+        "timeseries_moving_avg",
+        "window_trailing_range_1h",
+        "events_funnel_ordered",
+        "events_retention_cohorts",
+        "text_bpe_token_estimate",
+        "text_bm25_search",
+        "text_bigram_lm_score",
+        "dedup_minhash_signatures",
+        "embedding_norms",
+        "similarity_ivfpq_topk",
+        "corpus_stratified_sample",
+        "corpus_weighted_mixture",
+        "corpus_quality_funnel",
+        "corpus_decontaminate_holdout",
+        # --- Once-green block (29): bank the second green row ---
+        "sessionize_events",
         "similarity_pq_topk",
         "similarity_rq_topk",
-        "multimodal_doc_embedding_join",
-        # Text analysis (E27; fingerprint rotated out after 2 green rounds)
-        "text_token_stats",
-        "text_quality_score",
-        "text_lang_id",
-        "text_tf_topk",
-        # Multimodal plumbing (E28; decode_meta → resize rotation)
-        "multimodal_binary_metadata",
-        "multimodal_frame_sample",
-        "multimodal_resize",
-        # Streaming batch-twins (E20-E23)
-        "streaming_tumbling_hourly",
-        "streaming_sliding_1h_30m",
-        "streaming_session_window_30m",
-        # Windows / ordered analytics (E9, E13, E14, E21, E23, E11)
-        "asof_join_latest_click",
-        "sessionize_events",
-        "dedup_keep_first",
-        "window_topk_per_group",
-        "window_rank_dense_ntile",
-        # running-total's E13 slot goes to the curation pair (a class
-        # the window otherwise lacks)
-        "corpus_split_train_holdout",
+        "graph_pagerank_neardup",
         "corpus_pack_shards",
-        "median_exact_order_stat",
-        "percentile_order_values",
-        "approx_distinct_users",
-        # UDF surface (E29): UDTF + Arrow pandas_udf under the gate
-        "udf_udtf_token_explode",
-        "udf_pandas_token_count",
-        # Relational representatives (E5-E8, E11, E12, E15-E17; E16 is
-        # represented by json/array/map — the round-1 harness-crash pair
-        # stays in-window to keep its fix visible; E12 gains the
-        # never-checked cube/grouping-sets alongside rollup)
-        "join_left_outer",
-        "join_semi",
-        "join_range_theta",
-        "agg_rollup",
-        "agg_cube",
-        "grouping_sets_sql",
-        "pivot_status_by_priority",
-        "array_functions",
-        "map_functions",
+        "multimodal_resize",
+        "dedup_simhash",
+        "similarity_lsh_buckets",
+        "text_fingerprint",
+        "multimodal_decode_meta",
+        "case_when_bucketing",
+        "distinct_counts",
+        "json_extraction",
+        "salted_agg_returnflag",
+        "scalar_date_funcs",
+        "scalar_math_funcs",
+        "scalar_string_funcs2",
+        "stats_deterministic_moments",
+        "table_row_counts",
+        "window_lag_lead",
+        "window_running_total",
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_local_supplier_volume",
+        "q10_returned_items",
+        "q13_customer_distribution",
+        "q18_large_volume_customers",
+        "q19_discounted_revenue",
+        "revenue_by_nation_region",
     ]
 )
