@@ -21,12 +21,44 @@ Layout under ``<dir>/``: ``centroids.parquet``, ``codebook.parquet``,
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from python_cdc_spark.io import write_partitioned
+
+
+def source_fingerprint(*paths: str) -> str:
+    """Cheap staleness key for a persisted index: size+mtime of each
+    source parquet file (the driver regenerates testdata between rounds
+    — an index built against last round's embeddings must NOT be loaded
+    against this round's). Stat-only: no data read."""
+    parts = []
+    for p in sorted(paths):
+        st = os.stat(p)
+        parts.append(f"{os.path.basename(p)}:{st.st_size}:{int(st.st_mtime_ns)}")
+    return "|".join(parts)
+
+
+def _write_meta(out_dir: str, fingerprint: str, params: dict) -> None:
+    with open(os.path.join(out_dir, "_meta.json"), "w") as f:
+        json.dump({"fingerprint": fingerprint, "params": params}, f)
+
+
+def index_is_current(out_dir: str, fingerprint: str, params: dict) -> bool:
+    """True iff a persisted index exists at ``out_dir`` and was built
+    from sources matching ``fingerprint`` with the same ``params``."""
+    meta_path = os.path.join(out_dir, "_meta.json")
+    if not os.path.exists(meta_path):
+        return False
+    try:
+        with open(meta_path) as f:
+            meta = json.load(f)
+    except (OSError, ValueError):
+        return False
+    return meta.get("fingerprint") == fingerprint and meta.get("params") == params
 
 
 def save_ivfpq_index(
@@ -36,16 +68,59 @@ def save_ivfpq_index(
     codes: DataFrame,
     codebook: DataFrame,
     id_col: str = "vec_id",
+    fingerprint: str = "",
+    params: dict | None = None,
+    validate: bool = True,
 ) -> None:
     """Persist a built IVF-PQ index. ``assigned`` is (neighbor_id, cell)
     inverted lists; ``codes`` is (id, sub, code). The join runs once at
-    build time so query jobs never touch the unpartitioned codes."""
+    build time so query jobs never touch the unpartitioned codes.
+
+    INVARIANT: ``assigned`` must hold exactly ONE cell per vector
+    (coarse assignment with n_best=1). Readers rebuild the codes table
+    from the cells without a distinct — a multi-assign index would
+    double-count ADC partial sums. ``validate=True`` checks this with
+    one build-time aggregation (build-once cost, query-many safety)."""
+    if validate:
+        dup = (
+            assigned.groupBy("neighbor_id").count().filter(F.col("count") > 1).limit(1).count()
+        )
+        if dup:
+            raise ValueError(
+                "save_ivfpq_index: assigned has >1 cell for some vector; "
+                "persisted indexes must be built with n_best=1"
+            )
     centroids.write.mode("overwrite").parquet(os.path.join(out_dir, "centroids.parquet"))
     codebook.write.mode("overwrite").parquet(os.path.join(out_dir, "codebook.parquet"))
     cells = codes.withColumnRenamed(id_col, "neighbor_id").join(
         assigned, "neighbor_id"
     )
     write_partitioned(cells, os.path.join(out_dir, "cells.parquet"), ["cell"])
+    _write_meta(out_dir, fingerprint, params or {})
+
+
+def save_flat_index(
+    out_dir: str,
+    codebook: DataFrame,
+    codes: DataFrame,
+    fingerprint: str = "",
+    params: dict | None = None,
+) -> None:
+    """Persist a flat (non-IVF) quantization index: the metadata-scale
+    codebook plus the per-vector codes table — the two halves a PQ/RQ
+    ADC scan reads. Codes stay unpartitioned: a flat ADC scan reads all
+    of them by design (that IS the compressed full scan)."""
+    codebook.write.mode("overwrite").parquet(os.path.join(out_dir, "codebook.parquet"))
+    codes.write.mode("overwrite").parquet(os.path.join(out_dir, "codes.parquet"))
+    _write_meta(out_dir, fingerprint, params or {})
+
+
+def load_flat_index(spark: SparkSession, out_dir: str) -> dict[str, DataFrame]:
+    """Load a flat PQ/RQ index persisted by ``save_flat_index``."""
+    return {
+        "codebook": spark.read.parquet(os.path.join(out_dir, "codebook.parquet")),
+        "codes": spark.read.parquet(os.path.join(out_dir, "codes.parquet")),
+    }
 
 
 def load_ivfpq_index(spark: SparkSession, out_dir: str) -> dict[str, DataFrame]:
@@ -85,10 +160,17 @@ def ivf_pq_topk_from_index(
         queries, idx["centroids"], id_col, vec_col,
         exact=exact, n_best=nprobe, dims=dims,
     ).select(F.col(id_col).alias("query_id"), "cell")
+    # the probe assignment feeds two consumers (the touched-cell collect
+    # below and ivf_pq_topk's candidate join) — checkpoint the |Q|·nprobe
+    # rows so the assignment job runs once, not once per consumer
+    probes = probes.localCheckpoint()
     # bounded collect: |Q|·nprobe cell ids → a literal IN-list the scan
     # can prune directories with (PartitionFilters, not post-scan filter)
     touched = sorted({int(r["cell"]) for r in probes.select("cell").distinct().collect()})
     cells = idx["cells"].filter(F.col("cell").isin(touched))
+    # no distinct on the rebuild: save_ivfpq_index validates the
+    # one-cell-per-vector invariant, so (neighbor_id, sub, code) rows
+    # appear exactly once per cell directory
     assigned = cells.select("neighbor_id", "cell").distinct()
     codes = cells.select(
         F.col("neighbor_id").alias(id_col), "sub", "code"
@@ -96,5 +178,5 @@ def ivf_pq_topk_from_index(
     return ivf_pq_topk(
         corpus, idx["centroids"], assigned, codes, idx["codebook"], queries,
         id_col, vec_col, k_top=k_top, nprobe=nprobe, shortlist=shortlist,
-        m=m, dims=dims, exact=exact,
+        m=m, dims=dims, exact=exact, probes=probes,
     )

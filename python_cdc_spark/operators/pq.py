@@ -461,6 +461,7 @@ def ivf_pq_topk(
     m: int = 4,
     dims: int = 64,
     exact: bool = False,
+    probes: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ composite — the standard trillion-vector layout: the IVF
     coarse quantizer bounds WHICH rows are considered (inverted lists of
@@ -474,6 +475,10 @@ def ivf_pq_topk(
     from the PQ fit. At 100 TB the codes table is the only per-row
     structure the scan touches — nprobe/k of it — and the candidate
     generation shuffles ids, never vectors.
+
+    A caller that already computed the coarse query assignment (e.g. to
+    collect the touched-cell list for partition pruning) passes it as
+    ``probes`` (query_id, cell) so the assignment job runs once.
     """
     from python_cdc_spark.functions.vectors import (
         dec_dot_product,
@@ -484,9 +489,10 @@ def ivf_pq_topk(
     )
 
     d = dims // m
-    probes = kmeans_assign(
-        queries, centroids, id_col, vec_col, exact=exact, n_best=nprobe, dims=dims
-    ).select(F.col(id_col).alias("query_id"), "cell")
+    if probes is None:
+        probes = kmeans_assign(
+            queries, centroids, id_col, vec_col, exact=exact, n_best=nprobe, dims=dims
+        ).select(F.col(id_col).alias("query_id"), "cell")
     # probes are bounded (|Q|·nprobe) — broadcast; the corpus-size
     # inverted lists never shuffle
     cand = (

@@ -7,6 +7,8 @@ are deterministic md5-parity constants shared with the SQL twin).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
@@ -539,6 +541,123 @@ def pq_topk_fast(
     return _pq_topk(spark, sf_dir, exact=False, codes=codes)
 
 
+# ---------------------------------------------------------------------------
+# Persistent index plumbing — the build-once / query-many contract.
+#
+# The registered ANN queries LOAD the on-disk index when a current one
+# exists and only fit on miss (then save, so the next session loads).
+# At 100 TB an index build per query is the anti-pattern; the query path
+# must read a prebuilt structure. The fit is deterministic (md5-seeded
+# k-means) and doubles round-trip parquet bit-exactly, so load-vs-fit
+# yields identical results — the DuckDB oracles replay the fit-on-miss
+# path and stay green either way. Indexes are keyed by a stat-only
+# fingerprint of the source parquet (testdata regenerates between
+# rounds; a stale index must never be loaded).
+# ---------------------------------------------------------------------------
+
+
+def _ann_index_root() -> str:
+    env = os.environ.get("SPARK_GRAFT_ANN_DIR")
+    if env:
+        return env
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    return os.path.join(repo, ".ann_index")
+
+
+def _index_dir(sf_dir: str, kind: str, exact: bool) -> str:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(
+        _ann_index_root(), base, f"{kind}_{'exact' if exact else 'fast'}"
+    )
+
+
+def _emb_fingerprint(sf_dir: str) -> str:
+    from python_cdc_spark.operators.ann_index import source_fingerprint
+
+    return source_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _pq_index(
+    spark: SparkSession, sf_dir: str, exact: bool
+) -> tuple[DataFrame, DataFrame]:
+    """(codebook, codes) for the flat PQ scan — loaded from the persisted
+    index when current, fit-and-saved on miss."""
+    from python_cdc_spark.operators.ann_index import (
+        index_is_current,
+        load_flat_index,
+        save_flat_index,
+    )
+    from python_cdc_spark.operators.pq import pq_encode
+
+    params = {"kind": "pq", "m": _PQ_M, "k": _PQ_K, "iters": _PQ_ITERS, "exact": exact}
+    fp = _emb_fingerprint(sf_dir)
+    d = _index_dir(sf_dir, "pq", exact)
+    if not index_is_current(d, fp, params):
+        e = table(spark, sf_dir, "embeddings")
+        book = _pq_codebook(spark, sf_dir, exact)
+        codes = pq_encode(e, book, "vec_id", "embedding", m=_PQ_M, dims=_DIMS, exact=exact)
+        save_flat_index(d, book, codes, fingerprint=fp, params=params)
+    idx = load_flat_index(spark, d)
+    return idx["codebook"], idx["codes"]
+
+
+def _rq_index(
+    spark: SparkSession, sf_dir: str, exact: bool
+) -> tuple[DataFrame, DataFrame]:
+    """(codebook, codes) for the two-stage RQ scan — persisted flat
+    layout; the codebook carries the stage column, the codes carry
+    (code1, code2)."""
+    from python_cdc_spark.operators.ann_index import (
+        index_is_current,
+        load_flat_index,
+        save_flat_index,
+    )
+    from python_cdc_spark.operators.pq import rq_encode
+
+    params = {"kind": "rq", "m": _RQ_M, "k": _RQ_K, "iters": _RQ_ITERS, "exact": exact}
+    fp = _emb_fingerprint(sf_dir)
+    d = _index_dir(sf_dir, "rq", exact)
+    if not index_is_current(d, fp, params):
+        e = table(spark, sf_dir, "embeddings")
+        book = _rq_codebook(spark, sf_dir, exact)
+        codes = rq_encode(e, book, "vec_id", "embedding", m=_RQ_M, dims=_DIMS, exact=exact)
+        save_flat_index(d, book, codes, fingerprint=fp, params=params)
+    idx = load_flat_index(spark, d)
+    return idx["codebook"], idx["codes"]
+
+
+def _ivfpq_index_dir(spark: SparkSession, sf_dir: str, exact: bool) -> str:
+    """Ensure a current persisted IVF-PQ index exists; return its dir.
+    The cells table is Hive-partitioned by coarse cell, so probe-time
+    reads prune whole directories (see operators/ann_index.py)."""
+    from python_cdc_spark.operators.ann_index import (
+        index_is_current,
+        save_ivfpq_index,
+    )
+    from python_cdc_spark.operators.pq import pq_encode
+    from python_cdc_spark.operators.similarity import kmeans_assign
+
+    params = {
+        "kind": "ivfpq", "ivf_k": _IVF_K, "ivf_iters": _IVF_ITERS,
+        "m": _PQ_M, "k": _PQ_K, "iters": _PQ_ITERS, "exact": exact,
+    }
+    fp = _emb_fingerprint(sf_dir)
+    d = _index_dir(sf_dir, "ivfpq", exact)
+    if not index_is_current(d, fp, params):
+        e = table(spark, sf_dir, "embeddings")
+        cent = _fitted_centroids(spark, sf_dir, exact)
+        book = _pq_codebook(spark, sf_dir, exact)
+        assigned = kmeans_assign(e, cent, "vec_id", "embedding", exact=exact).select(
+            F.col("vec_id").alias("neighbor_id"), "cell"
+        )
+        codes = pq_encode(e, book, "vec_id", "embedding", m=_PQ_M, dims=_DIMS, exact=exact)
+        save_ivfpq_index(
+            d, cent, assigned, codes, book,
+            fingerprint=fp, params=params,
+        )
+    return d
+
+
 _PQ_BOOK_CACHE: dict[tuple, list] = {}
 
 
@@ -571,14 +690,16 @@ def _pq_topk(
     exact: bool,
     codes: DataFrame | None = None,
 ) -> DataFrame:
-    from python_cdc_spark.operators.pq import pq_adc_topk, pq_encode
+    from python_cdc_spark.operators.pq import pq_adc_topk
 
     e = table(spark, sf_dir, "embeddings")
-    book = _pq_codebook(spark, sf_dir, exact)
     if codes is None:
-        # the corpus codes table is the other half of the PQ index;
-        # callers amortizing build across queries pass it in
-        codes = pq_encode(e, book, "vec_id", "embedding", m=_PQ_M, dims=_DIMS, exact=exact)
+        # load the persisted PQ index (codebook + codes), fitting only
+        # on miss — the query path reads a prebuilt structure; callers
+        # with their own prebuilt codes pass them in
+        book, codes = _pq_index(spark, sf_dir, exact)
+    else:
+        book = _pq_codebook(spark, sf_dir, exact)
     queries = e.filter(F.col("vec_id") % 100 == 0)
     out = pq_adc_topk(
         e, codes, book, queries, "vec_id", "embedding",
@@ -795,12 +916,14 @@ def _rq_topk(
     exact: bool,
     codes: DataFrame | None = None,
 ) -> DataFrame:
-    from python_cdc_spark.operators.pq import rq_adc_topk, rq_encode
+    from python_cdc_spark.operators.pq import rq_adc_topk
 
     e = table(spark, sf_dir, "embeddings")
-    book = _rq_codebook(spark, sf_dir, exact)
     if codes is None:
-        codes = rq_encode(e, book, "vec_id", "embedding", m=_RQ_M, dims=_DIMS, exact=exact)
+        # persisted RQ index: load when current, fit on miss
+        book, codes = _rq_index(spark, sf_dir, exact)
+    else:
+        book = _rq_codebook(spark, sf_dir, exact)
     queries = e.filter(F.col("vec_id") % 100 == 0)
     out = rq_adc_topk(
         e, codes, book, queries, "vec_id", "embedding",
@@ -1061,19 +1184,23 @@ def _ivfpq_topk(
     assigned: DataFrame | None = None,
     codes: DataFrame | None = None,
 ) -> DataFrame:
-    from python_cdc_spark.operators.pq import ivf_pq_topk, pq_encode
-    from python_cdc_spark.operators.similarity import kmeans_assign
+    from python_cdc_spark.operators.ann_index import ivf_pq_topk_from_index
+    from python_cdc_spark.operators.pq import ivf_pq_topk
 
     e = table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % 100 == 0)
+    if assigned is None and codes is None:
+        # persisted IVF-PQ index: probe-time directory pruning on the
+        # cell-partitioned cells table; fit-and-save on miss
+        d = _ivfpq_index_dir(spark, sf_dir, exact)
+        out = ivf_pq_topk_from_index(
+            spark, e, d, queries, "vec_id", "embedding",
+            k_top=_TOPK, nprobe=_IVFPQ_NPROBE, shortlist=_IVFPQ_SHORTLIST,
+            m=_PQ_M, dims=_DIMS, exact=exact,
+        )
+        return out.withColumnRenamed("rank", "rnk")
     cent = _fitted_centroids(spark, sf_dir, exact)
     book = _pq_codebook(spark, sf_dir, exact)
-    if assigned is None:
-        assigned = kmeans_assign(e, cent, "vec_id", "embedding", exact=exact).select(
-            F.col("vec_id").alias("neighbor_id"), "cell"
-        )
-    if codes is None:
-        codes = pq_encode(e, book, "vec_id", "embedding", m=_PQ_M, dims=_DIMS, exact=exact)
-    queries = e.filter(F.col("vec_id") % 100 == 0)
     out = ivf_pq_topk(
         e, cent, assigned, codes, book, queries, "vec_id", "embedding",
         k_top=_TOPK, nprobe=_IVFPQ_NPROBE, shortlist=_IVFPQ_SHORTLIST,

@@ -429,6 +429,58 @@ def test_ivfpq_persistent_index_roundtrip(spark, tmp_path):
     assert got_cells <= {0, 1}
 
 
+def test_registered_ann_query_loads_persistent_index(spark, tmp_path, monkeypatch):
+    """The registered PQ query path must be build-once/query-many: the
+    first call fits and persists the index, the second call LOADS it
+    (no rebuild — the index files stay untouched), and a fingerprint
+    mismatch (source data changed, e.g. regenerated testdata) forces a
+    rebuild rather than serving a stale index."""
+    import json as _json
+    import os as _os
+
+    from python_cdc_spark.queries import llm_similarity as sim
+
+    monkeypatch.setenv("SPARK_GRAFT_ANN_DIR", str(tmp_path / "ann"))
+    sf = "/root/testdata/sf0.01"
+
+    cold = sim.pq_topk_fast(spark, sf).collect()
+    d = sim._index_dir(sf, "pq", exact=False)
+    meta_path = _os.path.join(d, "_meta.json")
+    assert _os.path.exists(meta_path)
+    built_at = _os.stat(meta_path).st_mtime_ns
+
+    warm = sim.pq_topk_fast(spark, sf).collect()
+    assert sorted(map(tuple, cold)) == sorted(map(tuple, warm))
+    assert _os.stat(meta_path).st_mtime_ns == built_at, "index was rebuilt on warm call"
+
+    # stale fingerprint → must rebuild, not load
+    with open(meta_path) as f:
+        meta = _json.load(f)
+    meta["fingerprint"] = "stale"
+    with open(meta_path, "w") as f:
+        _json.dump(meta, f)
+    rebuilt = sim.pq_topk_fast(spark, sf).collect()
+    assert sorted(map(tuple, cold)) == sorted(map(tuple, rebuilt))
+    with open(meta_path) as f:
+        assert _json.load(f)["fingerprint"] != "stale", "stale index was not rebuilt"
+
+
+def test_save_ivfpq_index_rejects_multi_assign(spark, tmp_path):
+    """Readers rebuild codes from the cells table without a distinct —
+    legal only under the one-cell-per-vector invariant, so save must
+    reject a multi-assigned inverted list."""
+    import pytest as _pytest
+
+    from python_cdc_spark.operators.ann_index import save_ivfpq_index
+
+    cent = spark.createDataFrame([(0, [0.0]), (1, [1.0])], "cell int, cvec array<double>")
+    book = spark.createDataFrame([(0, 0, [0.0])], "sub int, cell int, cvec array<double>")
+    codes = spark.createDataFrame([(1, 0, 3)], "vec_id long, sub int, code int")
+    multi = spark.createDataFrame([(1, 0), (1, 1)], "neighbor_id long, cell int")
+    with _pytest.raises(ValueError, match="n_best=1"):
+        save_ivfpq_index(str(tmp_path / "bad"), cent, multi, codes, book)
+
+
 def test_pagerank_mass_and_ordering(spark):
     """Symmetric graph ⇒ no dangling mass: total PR ≈ 1; a star center
     must outrank its leaves."""
