@@ -180,3 +180,42 @@ def ivf_pq_topk_from_index(
         id_col, vec_col, k_top=k_top, nprobe=nprobe, shortlist=shortlist,
         m=m, dims=dims, exact=exact, probes=probes,
     )
+
+
+def ivf_rq_topk_from_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    index_dir: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_top: int = 5,
+    nprobe: int = 40,
+    shortlist: int = 128,
+    m: int = 8,
+    dims: int = 64,
+    exact: bool = False,
+) -> DataFrame:
+    """IVF-RQ query against a persisted index: same probe-collect /
+    directory-prune shape as ``ivf_pq_topk_from_index``, but the cells
+    carry two-stage residual codes (code1, code2) and the scan uses the
+    RQ pair LUT."""
+    from python_cdc_spark.operators.pq import ivf_rq_topk
+    from python_cdc_spark.operators.similarity import kmeans_assign
+
+    idx = load_ivfpq_index(spark, index_dir)
+    probes = kmeans_assign(
+        queries, idx["centroids"], id_col, vec_col,
+        exact=exact, n_best=nprobe, dims=dims,
+    ).select(F.col(id_col).alias("query_id"), "cell").localCheckpoint()
+    touched = sorted({int(r["cell"]) for r in probes.select("cell").distinct().collect()})
+    cells = idx["cells"].filter(F.col("cell").isin(touched))
+    assigned = cells.select("neighbor_id", "cell").distinct()
+    codes = cells.select(
+        F.col("neighbor_id").alias(id_col), "sub", "code1", "code2"
+    )
+    return ivf_rq_topk(
+        corpus, idx["centroids"], assigned, codes, idx["codebook"], queries,
+        id_col, vec_col, k_top=k_top, nprobe=nprobe, shortlist=shortlist,
+        m=m, dims=dims, exact=exact, probes=probes,
+    )

@@ -107,6 +107,74 @@ def _assign_all_subspaces(
     )
 
 
+def _query_subspaces(
+    queries: DataFrame, id_col: str, vec_col: str, m: int, d: int
+) -> DataFrame:
+    """(query_id, sub, qsub): the query-side twin of
+    ``_explode_subspaces`` — one slicing implementation shared by every
+    ADC scan (flat PQ, two-stage RQ, and the IVF composites)."""
+    return _explode_subspaces(queries, id_col, vec_col, m, d).select(
+        F.col(id_col).alias("query_id"), "sub", F.col("subv").alias("qsub")
+    )
+
+
+def _adc_shortlist(scored: DataFrame, shortlist: int) -> DataFrame:
+    """Top-``shortlist`` candidates per query by approximate cosine
+    (deterministic tiebreak on neighbor_id)."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("approx"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+
+
+def _exact_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    short: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k_top: int,
+    dims: int,
+    exact: bool,
+) -> DataFrame:
+    """Exact-cosine re-rank of a (query_id, neighbor_id) shortlist:
+    vectors are read ONLY for shortlist ids (broadcast query side,
+    co-partitioned hash join on neighbor_id — never a corpus
+    broadcast). Shared by every ADC scan."""
+    from python_cdc_spark.functions.vectors import (
+        dec_dot_product,
+        dot_expr,
+        l2_norm,
+        norm_expr,
+    )
+
+    qn = l2_norm(F.col(vec_col), exact=True) if exact else norm_expr(vec_col, dims)
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), qn.alias("qn")
+    )
+    nv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"), qn.alias("nn")
+    )
+    rdot = (
+        dec_dot_product(F.col("qv"), F.col("nv"))
+        if exact
+        else dot_expr("qv", "nv", dims)
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        short.join(broadcast(qv), "query_id")
+        .join(nv.hint("shuffle_hash"), "neighbor_id")
+        .withColumn("cosine", rdot / (F.col("qn") * F.col("nn")))
+        .withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= k_top)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def pq_encode(
     corpus: DataFrame,
     codebook: DataFrame,
@@ -154,23 +222,10 @@ def pq_adc_topk(
     through decimals (order-independent, bit-replayable by the DuckDB
     oracle); the default double math is the bench/scale path — identical
     plan shape, the decimal routing exists only for oracle hashing."""
-    from python_cdc_spark.functions.vectors import (
-        dec_dot_product,
-        dec_dot_terms,
-        dot_expr,
-        l2_norm,
-        norm_expr,
-    )
+    from python_cdc_spark.functions.vectors import dec_dot_terms, dot_expr
 
     d = dims // m
-    qsubs = None
-    for s in range(m):
-        part = queries.select(
-            F.col(id_col).alias("query_id"),
-            F.lit(s).alias("sub"),
-            F.slice(vec_col, s * d + 1, d).alias("qsub"),
-        )
-        qsubs = part if qsubs is None else qsubs.unionByName(part)
+    qsubs = _query_subspaces(queries, id_col, vec_col, m, d)
     # LUT: per (query, subspace, codeword): partial dot + codeword norm²
     if exact:
         pdot = dec_dot_terms("qsub", "cvec", d)
@@ -205,43 +260,8 @@ def pq_adc_topk(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("approx", F.col("qdot") / F.sqrt(F.col("n2")))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("approx"), F.asc("neighbor_id")
-    )
-    short = (
-        scored.withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") <= shortlist)
-        .select("query_id", "neighbor_id")
-    )
-    # exact re-rank: vectors read ONLY for shortlist ids (co-partitioned
-    # join on neighbor_id — never a corpus broadcast)
-    qn = l2_norm(F.col(vec_col), exact=True) if exact else norm_expr(vec_col, dims)
-    qv = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        qn.alias("qn"),
-    )
-    nv = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("nv"),
-        qn.alias("nn"),
-    )
-    rdot = (
-        dec_dot_product(F.col("qv"), F.col("nv"))
-        if exact
-        else dot_expr("qv", "nv", dims)
-    )
-    wr = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id")
-    )
-    return (
-        short.join(broadcast(qv), "query_id")
-        .join(nv.hint("shuffle_hash"), "neighbor_id")
-        .withColumn("cosine", rdot / (F.col("qn") * F.col("nn")))
-        .withColumn("rank", F.row_number().over(wr).cast("long"))
-        .filter(F.col("rank") <= k_top)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    short = _adc_shortlist(scored, shortlist)
+    return _exact_rerank(corpus, queries, short, id_col, vec_col, k_top, dims, exact)
 
 
 def rq_fit(
@@ -363,47 +383,8 @@ def rq_adc_topk(
     the scan touches only the 8-byte codes table; true vectors are read
     just for the ``shortlist`` re-rank ids per query.
     """
-    from python_cdc_spark.functions.vectors import (
-        dec_dot_product,
-        dec_dot_terms,
-        dec_sum_sq_terms,
-        dot_expr,
-        l2_norm,
-        norm_expr,
-        sum_sq_expr,
-    )
-
     d = dims // m
-    b1 = codebook.filter(F.col("stage") == 1).select(
-        "sub", F.col("cell").alias("code1"), F.col("cvec").alias("c1")
-    )
-    b2 = codebook.filter(F.col("stage") == 2).select(
-        "sub", F.col("cell").alias("code2"), F.col("cvec").alias("c2")
-    )
-    if exact:
-        n2p = dec_sum_sq_terms("c1", "c2", d)
-    else:
-        n2p = sum_sq_expr("c1", "c2", d)
-    # both sides are m*k codeword rows (metadata) — broadcast, never SMJ
-    pair = b1.join(broadcast(b2), "sub").select(
-        "sub", "code1", "code2", "c1", "c2", n2p.alias("n2p")
-    )
-
-    qsubs = None
-    for s in range(m):
-        part = queries.select(
-            F.col(id_col).alias("query_id"),
-            F.lit(s).alias("sub"),
-            F.slice(vec_col, s * d + 1, d).alias("qsub"),
-        )
-        qsubs = part if qsubs is None else qsubs.unionByName(part)
-    if exact:
-        pdot = dec_dot_terms("qsub", "c1", d) + dec_dot_terms("qsub", "c2", d)
-    else:
-        pdot = dot_expr("qsub", "c1", d) + dot_expr("qsub", "c2", d)
-    lut = qsubs.join(broadcast(pair), "sub").select(
-        "query_id", "sub", "code1", "code2", pdot.alias("pdot"), "n2p"
-    )
+    lut = _rq_pair_lut(queries, codebook, id_col, vec_col, m, d, exact)
     if exact:
         qdot_out = F.round(F.sum("pdot"), 6).cast("double").alias("qdot")
         n2_out = F.round(F.sum("n2p"), 6).cast("double").alias("n2")
@@ -417,32 +398,48 @@ def rq_adc_topk(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("approx", F.col("qdot") / F.sqrt(F.col("n2")))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("approx"), F.asc("neighbor_id"))
-    short = (
-        scored.withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") <= shortlist)
-        .select("query_id", "neighbor_id")
+    short = _adc_shortlist(scored, shortlist)
+    return _exact_rerank(corpus, queries, short, id_col, vec_col, k_top, dims, exact)
+
+
+def _rq_pair_lut(
+    queries: DataFrame,
+    codebook: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int,
+    d: int,
+    exact: bool,
+) -> DataFrame:
+    """The two-stage RQ lookup table: per (query, sub, code1, code2) the
+    partial dot against the reconstructed codeword c1+c2 and the
+    reconstruction-norm² partial. |Q|·m·k² rows — bounded, broadcast by
+    callers. Shared by the flat RQ scan and the IVF-RQ composite."""
+    from python_cdc_spark.functions.vectors import (
+        dec_dot_terms,
+        dec_sum_sq_terms,
+        dot_expr,
+        sum_sq_expr,
     )
-    qn = l2_norm(F.col(vec_col), exact=True) if exact else norm_expr(vec_col, dims)
-    qv = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), qn.alias("qn")
+
+    b1 = codebook.filter(F.col("stage") == 1).select(
+        "sub", F.col("cell").alias("code1"), F.col("cvec").alias("c1")
     )
-    nv = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"), qn.alias("nn")
+    b2 = codebook.filter(F.col("stage") == 2).select(
+        "sub", F.col("cell").alias("code2"), F.col("cvec").alias("c2")
     )
-    rdot = (
-        dec_dot_product(F.col("qv"), F.col("nv"))
-        if exact
-        else dot_expr("qv", "nv", dims)
+    n2p = dec_sum_sq_terms("c1", "c2", d) if exact else sum_sq_expr("c1", "c2", d)
+    # both sides are m*k codeword rows (metadata) — broadcast, never SMJ
+    pair = b1.join(broadcast(b2), "sub").select(
+        "sub", "code1", "code2", "c1", "c2", n2p.alias("n2p")
     )
-    wr = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        short.join(broadcast(qv), "query_id")
-        .join(nv.hint("shuffle_hash"), "neighbor_id")
-        .withColumn("cosine", rdot / (F.col("qn") * F.col("nn")))
-        .withColumn("rank", F.row_number().over(wr).cast("long"))
-        .filter(F.col("rank") <= k_top)
-        .select("query_id", "neighbor_id", "cosine", "rank")
+    qsubs = _query_subspaces(queries, id_col, vec_col, m, d)
+    if exact:
+        pdot = dec_dot_terms("qsub", "c1", d) + dec_dot_terms("qsub", "c2", d)
+    else:
+        pdot = dot_expr("qsub", "c1", d) + dot_expr("qsub", "c2", d)
+    return qsubs.join(broadcast(pair), "sub").select(
+        "query_id", "sub", "code1", "code2", pdot.alias("pdot"), "n2p"
     )
 
 
@@ -480,13 +477,7 @@ def ivf_pq_topk(
     collect the touched-cell list for partition pruning) passes it as
     ``probes`` (query_id, cell) so the assignment job runs once.
     """
-    from python_cdc_spark.functions.vectors import (
-        dec_dot_product,
-        dec_dot_terms,
-        dot_expr,
-        l2_norm,
-        norm_expr,
-    )
+    from python_cdc_spark.functions.vectors import dec_dot_terms, dot_expr
 
     d = dims // m
     if probes is None:
@@ -502,14 +493,7 @@ def ivf_pq_topk(
         .distinct()
     )
     # ADC over candidates only: codes restricted to probed-cell members
-    qsubs = None
-    for s in range(m):
-        part = queries.select(
-            F.col(id_col).alias("query_id"),
-            F.lit(s).alias("sub"),
-            F.slice(vec_col, s * d + 1, d).alias("qsub"),
-        )
-        qsubs = part if qsubs is None else qsubs.unionByName(part)
+    qsubs = _query_subspaces(queries, id_col, vec_col, m, d)
     if exact:
         pdot = dec_dot_terms("qsub", "cvec", d)
         cn2 = dec_dot_terms("cvec", "cvec", d)
@@ -539,30 +523,69 @@ def ivf_pq_topk(
         .agg(qdot_out, n2_out)
         .withColumn("approx", F.col("qdot") / F.sqrt(F.col("n2")))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("approx"), F.asc("neighbor_id"))
-    short = (
-        scored.withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") <= shortlist)
+    short = _adc_shortlist(scored, shortlist)
+    return _exact_rerank(corpus, queries, short, id_col, vec_col, k_top, dims, exact)
+
+
+def ivf_rq_topk(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    assigned: DataFrame,
+    codes: DataFrame,
+    codebook: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_top: int = 5,
+    nprobe: int = 8,
+    shortlist: int = 128,
+    m: int = 8,
+    dims: int = 64,
+    exact: bool = False,
+    probes: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-RQ composite: IVF inverted lists bound WHICH rows (nprobe
+    probed cells), the two-stage RESIDUAL codebooks bound what fidelity
+    the codes carry (8 B/vector at m=8, k=16 — 64× compression, but
+    double the effective bit budget of single-stage PQ at the same
+    codebook size). Same join shape as ``ivf_pq_topk``; only the LUT is
+    the two-code RQ pair table.
+
+    Why this composite: on hard (near-uniform) corpora the coarse
+    quantizer's candidate recall — not code fidelity — is the ceiling,
+    so the winning configuration probes MANY cells (codes are cheap to
+    scan: 8 B/vector) while the RQ fidelity keeps the shortlist honest;
+    full-vector reads stay bounded by ``shortlist`` per query. Measured
+    against brute force in tests/test_operators.py (floored recall).
+
+    ``codes`` is ``(id, sub, code1, code2)`` from ``rq_encode``;
+    ``codebook`` is the staged ``rq_fit`` output.
+    """
+    d = dims // m
+    if probes is None:
+        probes = kmeans_assign(
+            queries, centroids, id_col, vec_col, exact=exact, n_best=nprobe, dims=dims
+        ).select(F.col(id_col).alias("query_id"), "cell")
+    cand = (
+        broadcast(probes).join(assigned, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
+        .distinct()
     )
-    qn = l2_norm(F.col(vec_col), exact=True) if exact else norm_expr(vec_col, dims)
-    qv = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), qn.alias("qn")
+    lut = _rq_pair_lut(queries, codebook, id_col, vec_col, m, d, exact)
+    if exact:
+        qdot_out = F.round(F.sum("pdot"), 6).cast("double").alias("qdot")
+        n2_out = F.round(F.sum("n2p"), 6).cast("double").alias("n2")
+    else:
+        qdot_out = F.sum("pdot").alias("qdot")
+        n2_out = F.sum("n2p").alias("n2")
+    scored = (
+        codes.withColumnRenamed(id_col, "neighbor_id")
+        .join(cand.hint("shuffle_hash"), "neighbor_id")
+        .join(broadcast(lut), ["query_id", "sub", "code1", "code2"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(qdot_out, n2_out)
+        .withColumn("approx", F.col("qdot") / F.sqrt(F.col("n2")))
     )
-    nv = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"), qn.alias("nn")
-    )
-    rdot = (
-        dec_dot_product(F.col("qv"), F.col("nv"))
-        if exact
-        else dot_expr("qv", "nv", dims)
-    )
-    wr = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        short.join(broadcast(qv), "query_id")
-        .join(nv.hint("shuffle_hash"), "neighbor_id")
-        .withColumn("cosine", rdot / (F.col("qn") * F.col("nn")))
-        .withColumn("rank", F.row_number().over(wr).cast("long"))
-        .filter(F.col("rank") <= k_top)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    short = _adc_shortlist(scored, shortlist)
+    return _exact_rerank(corpus, queries, short, id_col, vec_col, k_top, dims, exact)

@@ -64,6 +64,10 @@ set_priority_order(
         "dedup_minhash_signatures",
         "embedding_norms",
         "similarity_ivfpq_topk",
+        # new this round: recall-lifted IVF-RQ composite — in-window so
+        # its first driver row lands the round it ships (takes the slot
+        # of once-green revenue_by_nation_region)
+        "similarity_ivfrq_topk",
         "corpus_stratified_sample",
         "corpus_weighted_mixture",
         "corpus_quality_funnel",
@@ -97,6 +101,5 @@ set_priority_order(
         "q13_customer_distribution",
         "q18_large_volume_customers",
         "q19_discounted_revenue",
-        "revenue_by_nation_region",
     ]
 )
