@@ -192,6 +192,55 @@ def test_monitor_lag_metrics(spark, tmp_path):
     assert isinstance(list_streams(spark), list)
 
 
+def test_health_endpoint_serves_while_stream_runs(spark, tmp_path, feed_dir):
+    """R15 parity: the HTTP health endpoint must answer DURING a running
+    StreamingApplyChanges query (200 + status=healthy, real lag metrics
+    on /metrics) and flip to 503/stopped once the query ends — unlike
+    the reference's static-OK server, a probe here actually probes."""
+    import urllib.request
+
+    from python_cdc_spark.cdc.monitor import HealthServer
+
+    _write_feed_file(
+        os.path.join(feed_dir, "f1.json"),
+        [_ev(1, "INSERT", "1", {"id": "1", "v": "x"})],
+    )
+    stream = read_feed_stream(spark, feed_dir, max_files_per_trigger=1).withColumn(
+        "key", F.coalesce(F.col("new_values")["id"], F.col("old_values")["id"])
+    )
+    applier = StreamingApplyChanges(spark, str(tmp_path / "state"), "key", n_buckets=4)
+    # processingTime trigger: the query stays ACTIVE so the probe hits a
+    # live stream (availableNow would race the assertion)
+    q = applier.start(stream, str(tmp_path / "ckpt"), available_now=False)
+    try:
+        with HealthServer(spark, q, port=0) as srv:
+            url = f"http://127.0.0.1:{srv.port}"
+            with urllib.request.urlopen(f"{url}/health", timeout=10) as resp:
+                assert resp.status == 200
+                assert json.loads(resp.read())["status"] == "healthy"
+            with urllib.request.urlopen(f"{url}/metrics", timeout=10) as resp:
+                m = json.loads(resp.read())
+                assert m["query_id"] == str(q.id) and m["is_active"] is True
+            with urllib.request.urlopen(f"{url}/streams", timeout=10) as resp:
+                assert any(s["id"] == str(q.id) for s in json.loads(resp.read()))
+            try:
+                urllib.request.urlopen(f"{url}/nope", timeout=10)
+                assert False, "unknown route must 404"
+            except urllib.error.HTTPError as e:
+                assert e.code == 404
+            q.stop()
+            q.awaitTermination(60)
+            try:
+                urllib.request.urlopen(f"{url}/health", timeout=10)
+                assert False, "stopped query must 503"
+            except urllib.error.HTTPError as e:
+                assert e.code == 503
+                assert json.loads(e.read())["status"] == "stopped"
+    finally:
+        if q.isActive:
+            q.stop()
+
+
 def test_streaming_late_event_no_resurrection(spark, tmp_path, feed_dir):
     """A late event (lsn below a prior batch's delete boundary) must NOT
     resurrect the deleted row — the tombstone carries the boundary."""
