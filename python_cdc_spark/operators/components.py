@@ -214,8 +214,10 @@ def pagerank(
     nodes = sym.select(F.col("s").alias("v")).distinct()
     n = nodes.count()
     if n == 0:
-        spark = edges.sparkSession
-        return spark.createDataFrame([], "v long, pr double")
+        # empty-graph schema must match the non-empty case for ANY
+        # vertex id type (string doc ids, not just longs): derive v from
+        # the edges schema instead of hardcoding it
+        return nodes.withColumn("pr", F.lit(None).cast("double")).limit(0)
     init = 1.0 / n
     teleport = (1.0 - damping) / n
     deg = sym.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))

@@ -436,6 +436,61 @@ def test_ivfpq_persistent_index_roundtrip(spark, tmp_path):
     assert got_cells <= {0, 1}
 
 
+def test_skew_mitigations_preserve_answers(spark):
+    """Regression guard for the sf1 skew benchmark (tools/bench_skew.py):
+    on a pathological distribution (one key = 50% of rows, uniform cold
+    tail) the salted two-phase aggregate and the replicated skew join
+    must produce IDENTICAL answers to their direct counterparts — a
+    mitigation that changes results is a bug, not an optimization."""
+    from python_cdc_spark.operators.skew import replicated_skew_join, salted_groupby
+
+    n = 100_000
+    ev = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("event_id"),
+            F.when(F.pmod(F.xxhash64("id"), 2) == 0, F.lit(0))
+            .otherwise(1 + F.pmod(F.xxhash64("id", F.lit(1)), 999))
+            .alias("user_id"),
+            (F.col("id") % 100).cast("double").alias("value"),
+        )
+    )
+    hot = ev.filter(F.col("user_id") == 0).count()
+    assert 0.4 < hot / n < 0.6, "fixture lost its hot key"
+
+    direct = {
+        r["user_id"]: (round(r["s"], 6), r["n"])
+        for r in ev.groupBy("user_id")
+        .agg(F.sum("value").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    salted = {
+        r["user_id"]: (round(r["s"], 6), r["n"])
+        for r in salted_groupby(
+            ev, ["user_id"],
+            [(F.col("value"), "sum", "s"), (F.lit(1), "count", "n")],
+            salt_buckets=16,
+        ).collect()
+    }
+    assert direct == salted
+
+    dim = spark.range(1000).select(
+        F.col("id").alias("user_id"), (F.col("id") % 7).alias("segment")
+    )
+    plain = {
+        r["segment"]: r["count"]
+        for r in ev.join(dim, "user_id").groupBy("segment").count().collect()
+    }
+    repl = {
+        r["segment"]: r["count"]
+        for r in replicated_skew_join(ev, dim, "user_id", salt_buckets=16)
+        .groupBy("segment")
+        .count()
+        .collect()
+    }
+    assert plain == repl
+
+
 def test_registered_ann_query_loads_persistent_index(spark, tmp_path, monkeypatch):
     """The registered PQ query path must be build-once/query-many: the
     first call fits and persists the index, the second call LOADS it
@@ -497,9 +552,14 @@ def test_pagerank_mass_and_ordering(spark):
     pr = {r["v"]: r["pr"] for r in pagerank(edges, "s", "d", iters=10).collect()}
     assert abs(sum(pr.values()) - 1.0) < 1e-6
     assert pr[0] > max(pr[i] for i in range(1, 6))
-    # empty graph: empty result, not a division by zero
+    # empty graph: empty result, not a division by zero — and the empty
+    # schema must track the vertex id type (string doc ids included)
     empty = spark.createDataFrame([], "s long, d long")
     assert pagerank(empty, "s", "d").count() == 0
+    empty_str = spark.createDataFrame([], "s string, d string")
+    out = pagerank(empty_str, "s", "d")
+    assert out.count() == 0
+    assert dict(out.dtypes)["v"] == "string"
 
 
 def test_table_normalizes_ntz_timestamps(spark, tmp_path):

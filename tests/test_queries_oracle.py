@@ -26,3 +26,19 @@ def test_rows_only_runs(spark, name):
     df = spec.fn(spark, SF_CORRECT)
     n = df.count()
     assert n >= 0
+
+
+def test_registry_count_matches_coverage_doc():
+    """COVERAGE.md is the audit trail — its registry total must track
+    the actual registry (it went stale once: said 99 at 108)."""
+    import os
+    import re
+
+    doc = open(
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), "COVERAGE.md")
+    ).read()
+    m = re.search(r"Registry totals: (\d+) queries", doc)
+    assert m, "COVERAGE.md lost its registry-totals line"
+    assert int(m.group(1)) == len(QUERIES), (
+        f"COVERAGE.md says {m.group(1)} queries; registry has {len(QUERIES)}"
+    )

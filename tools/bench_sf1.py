@@ -54,6 +54,66 @@ LLM_8 = [
     "text_tf_topk",
 ]
 
+# ANN similarity: DuckDB-side replay is intractable at sf1, so this is a
+# SPARK-ONLY scale trend (fast variants, persistent index prebuilt in a
+# warm phase — the build-once/query-many contract; the timed number is
+# load + probe + re-rank). The claim under test: query time grows far
+# slower than 10× because the scan side is codes/buckets, not vectors.
+ANN_SPARK_ONLY = [
+    "similarity_ann_lsh_topk",
+    "similarity_ivf_topk",
+    "similarity_pq_topk",
+    "similarity_rq_topk",
+    "similarity_ivfpq_topk",
+    "similarity_ivfrq_topk",
+]
+
+
+def _run_ann_spark_only(spark, sf_dir: str) -> dict:
+    from pyspark.sql import functions as F
+
+    from python_cdc_spark.io import table
+    from python_cdc_spark.operators.similarity import (
+        hyperplane_lsh_tables,
+        kmeans_assign,
+    )
+    from python_cdc_spark.queries import llm_similarity as sim
+
+    # warm phase: build/persist every index once (disclosed, untimed)
+    e = table(spark, sf_dir, "embeddings")
+    stacked = hyperplane_lsh_tables(
+        e, "vec_id", "embedding", sim._TABLES, sim._PPT, sim._DIMS
+    ).localCheckpoint(eager=True)
+    cent = sim._fitted_centroids(spark, sf_dir, exact=False)
+    assigned = (
+        kmeans_assign(e, cent, "vec_id", "embedding", exact=False)
+        .select(F.col("vec_id").alias("neighbor_id"), "cell")
+        .localCheckpoint(eager=True)
+    )
+    sim._pq_index(spark, sf_dir, exact=False)
+    sim._rq_index(spark, sf_dir, exact=False)
+    sim._ivfpq_index_dir(spark, sf_dir, exact=False)
+    sim._ivfrq_index_dir(spark, sf_dir, exact=False)
+    runners = {
+        "similarity_ann_lsh_topk": lambda: sim._ann_lsh_topk(
+            spark, sf_dir, exact=False, stacked=stacked
+        ),
+        "similarity_ivf_topk": lambda: sim._ivf_topk(
+            spark, sf_dir, exact=False, assigned=assigned
+        ),
+        "similarity_pq_topk": lambda: sim.pq_topk_fast(spark, sf_dir),
+        "similarity_rq_topk": lambda: sim.rq_topk_fast(spark, sf_dir),
+        "similarity_ivfpq_topk": lambda: sim.ivfpq_topk_fast(spark, sf_dir),
+        "similarity_ivfrq_topk": lambda: sim.ivfrq_topk_fast(spark, sf_dir),
+    }
+    spark_t: dict[str, float] = {}
+    for name in ANN_SPARK_ONLY:
+        t0 = time.perf_counter()
+        runners[name]().count()
+        spark_t[name] = round(time.perf_counter() - t0, 4)
+        print(f"# {name}: spark {spark_t[name]:.3f}s", file=sys.stderr)
+    return {"spark_total": round(sum(spark_t.values()), 4), "spark": spark_t}
+
 
 def _duck_views(con, sf_dir: str) -> None:
     import glob as _g
@@ -119,9 +179,16 @@ def main() -> None:
         "sf1": _run_scale(spark, sf1_dir),
         "llm_sf0.1": _run_scale(spark, "/root/testdata/sf0.1", LLM_8),
         "llm_sf1": _run_scale(spark, sf1_dir, LLM_8),
+        "ann_sf0.1": _run_ann_spark_only(spark, "/root/testdata/sf0.1"),
+        "ann_sf1": _run_ann_spark_only(spark, sf1_dir),
     }
     out["ratio_trend"] = [out["sf0.1"]["ratio"], out["sf1"]["ratio"]]
     out["llm_ratio_trend"] = [out["llm_sf0.1"]["ratio"], out["llm_sf1"]["ratio"]]
+    # spark-only: how much slower is 10x the data? (vs the 10x a
+    # vector-scanning design would pay)
+    out["ann_scaleup"] = round(
+        out["ann_sf1"]["spark_total"] / out["ann_sf0.1"]["spark_total"], 3
+    )
     print(json.dumps(out))
 
 

@@ -90,6 +90,17 @@ def main() -> None:
     d = os.path.join(out, "documents.parquet")
     os.makedirs(d, exist_ok=True)
     for i in range(factor):
+        if i == 0:
+            # replica 0 is the PRISTINE base corpus on both LLM tables
+            # (embeddings' epsilon is i*1e-6 = 0 at i=0; perturbing the
+            # text here too would make the two tables inconsistent —
+            # scaled corpus would contain the original vectors but not
+            # the original texts)
+            con.execute(
+                f"""COPY (SELECT * FROM read_parquet('{src}/documents.parquet'))
+                TO '{d}/part-0.parquet' (FORMAT PARQUET)"""
+            )
+            continue
         con.execute(
             f"""COPY (
               SELECT doc_id + {i * OFFSET} AS doc_id,
@@ -115,6 +126,43 @@ def main() -> None:
         )
     n = con.sql(f"SELECT COUNT(*) FROM read_parquet('{d}/*.parquet')").fetchone()[0]
     print(f"embeddings: {n} rows in {factor} files")
+
+    # Skew sidecar: the scaled events with a PATHOLOGICAL user_id
+    # distribution — one hot key holding 50% of all rows, the rest
+    # uniform over 100k cold keys (the power-law shape operators/skew.py
+    # exists for). Deterministic: the hot/cold draw and the cold key both
+    # come from md5(event_id), so regeneration is bit-stable. Used by
+    # tools/bench_skew.py to MEASURE salted vs unsalted at sf1.
+    # 10× the sf1 row count (factor² replicas of the sf0.1 events): at
+    # 1M rows every strategy finishes sub-second on local[32] and the
+    # measurement is noise; the hot reducer needs real volume to hurt.
+    d = os.path.join(out, "events_zipf.parquet")
+    os.makedirs(d, exist_ok=True)
+    eid = f"event_id + {OFFSET} * ri.i"
+    u1 = f"(strpos('0123456789abcdef', substr(md5(CAST({eid} AS VARCHAR)), 1, 1)) - 1) / 16.0"
+    u2 = (
+        f"((strpos('0123456789abcdef', substr(md5(CAST({eid} AS VARCHAR)), 3, 1)) - 1) * 16 * 16 * 16"
+        f" + (strpos('0123456789abcdef', substr(md5(CAST({eid} AS VARCHAR)), 4, 1)) - 1) * 16 * 16"
+        f" + (strpos('0123456789abcdef', substr(md5(CAST({eid} AS VARCHAR)), 5, 1)) - 1) * 16"
+        f" + (strpos('0123456789abcdef', substr(md5(CAST({eid} AS VARCHAR)), 6, 1)) - 1)) / 65536.0"
+    )
+    for i in range(factor):
+        con.execute(
+            f"""COPY (
+              SELECT {eid} AS event_id,
+                     CAST(ts AS TIMESTAMPTZ) AS ts,
+                     CASE WHEN {u1} < 0.5 THEN CAST(0 AS BIGINT)
+                          ELSE CAST(1 + floor({u2} * 99999) AS BIGINT) END AS user_id,
+                     event_type, value, props
+              FROM read_parquet('{src}/events.parquet'),
+                   UNNEST(generate_series({i * factor}, {i * factor + factor - 1})) ri(i)
+            ) TO '{d}/part-{i}.parquet' (FORMAT PARQUET)"""
+        )
+    stats = con.sql(
+        f"SELECT COUNT(*), COUNT(*) FILTER (user_id = 0) * 1.0 / COUNT(*) "
+        f"FROM read_parquet('{d}/*.parquet')"
+    ).fetchone()
+    print(f"events_zipf: {stats[0]} rows, hot-key share {stats[1]:.3f}")
 
 
 if __name__ == "__main__":
