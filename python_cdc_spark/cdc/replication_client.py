@@ -1,0 +1,411 @@
+"""Live logical-replication source: a pure-stdlib PostgreSQL client.
+
+The reference consumes `pgoutput` over a psycopg2 logical-replication
+connection (`/root/reference/utils/postgre_cdc_consumer.py:32-45,68-110`:
+connect with ``connection_factory=LogicalReplicationConnection``, create
+the slot, ``start_replication(... plugin='pgoutput' ...)``, then a
+``consume_stream`` loop that feeds each ``msg.payload`` to the parser
+and acks ``msg.data_start``). This container has no psycopg2 and no
+Postgres, but the wire protocol is public and small, so this module
+implements the frontend side directly on a TCP socket:
+
+- startup + auth (trust / cleartext / MD5; SCRAM is rejected with a
+  clear error — use a md5/trust HBA entry for the replication role),
+- ``CREATE_REPLICATION_SLOT``/``START_REPLICATION`` simple queries,
+- the CopyBoth stream: XLogData ('w') payloads are RAW pgoutput frames
+  — exactly what ``cdc/pgoutput.py`` decodes — and keepalives ('k')
+  are answered with Standby Status Update ('r') messages carrying the
+  flushed LSN, which is what advances the slot on the server (the
+  reference acks via ``send_feedback``; same protocol message).
+
+The bridge to Spark is ``dump_parquet``: micro-batches of
+``(lsn, ts, frame)`` rows appended as parquet files that the streaming
+pipeline tails (``spark.readStream.schema("lsn bigint, ts timestamp,
+frame binary")`` → ``decode_frames`` → ``StreamingApplyChanges`` — see
+tests/test_pgoutput.py::test_full_wire_to_state_streaming_pipeline).
+The client itself is deliberately driver-side and single-connection:
+replication is a serial protocol (one slot, one stream, in-LSN-order);
+SCALE comes from Spark fanning the decoded frames out, not from here.
+
+Message formats follow the public PostgreSQL documentation
+(protocol.sgml: "Frontend/Backend Protocol", "Streaming Replication
+Protocol", "Logical Streaming Replication Protocol").
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import hashlib
+import os
+import socket
+import struct
+import time
+from typing import Any, Callable, Iterator
+
+#: microseconds between the PostgreSQL epoch (2000-01-01) and the Unix
+#: epoch — XLogData/keepalive timestamps are PG-epoch micros
+PG_EPOCH_OFFSET_US = 946_684_800_000_000
+
+
+def _cstr(s: str) -> bytes:
+    return s.encode("utf-8") + b"\x00"
+
+
+def lsn_str(lsn: int) -> str:
+    """Format an LSN the way Postgres prints them (e.g. '0/16B3748')."""
+    return f"{lsn >> 32:X}/{lsn & 0xFFFFFFFF:X}"
+
+
+def parse_lsn(s: str) -> int:
+    hi, lo = s.split("/")
+    return (int(hi, 16) << 32) | int(lo, 16)
+
+
+class ReplicationError(RuntimeError):
+    """Server ErrorResponse, with the severity/code/message fields."""
+
+    def __init__(self, fields: dict[str, str]) -> None:
+        self.fields = fields
+        super().__init__(
+            f"{fields.get('S', 'ERROR')} {fields.get('C', '')}: {fields.get('M', '')}"
+        )
+
+
+class LogicalReplicationClient:
+    """Minimal frontend for ``START_REPLICATION ... LOGICAL`` streams.
+
+    Usage::
+
+        with LogicalReplicationClient(host, port, dbname, user, pw) as c:
+            c.create_slot("cdc_slot")          # idempotent-ish helper
+            c.start_replication("cdc_slot", publication="cdc_publication")
+            for lsn, ts, frame in c.frames():  # raw pgoutput payloads
+                ...
+            # or: c.dump_parquet(out_dir, max_frames=..., max_seconds=...)
+    """
+
+    def __init__(
+        self,
+        host: str,
+        port: int,
+        dbname: str,
+        user: str,
+        password: str | None = None,
+        connect_timeout: float = 10.0,
+    ) -> None:
+        self.host, self.port = host, port
+        self.dbname, self.user, self.password = dbname, user, password
+        self.connect_timeout = connect_timeout
+        self._sock: socket.socket | None = None
+        self._buf = b""
+        self.parameters: dict[str, str] = {}
+        #: highest LSN fully written out by the consumer; reported to the
+        #: server in standby status updates (= the reference's ack)
+        self.flushed_lsn = 0
+
+    # -- low-level I/O ----------------------------------------------------
+
+    def _send(self, data: bytes) -> None:
+        assert self._sock is not None
+        self._sock.sendall(data)
+
+    def _recv_exact(self, n: int) -> bytes:
+        assert self._sock is not None
+        while len(self._buf) < n:
+            chunk = self._sock.recv(65536)
+            if not chunk:
+                raise ConnectionError("server closed the connection")
+            self._buf += chunk
+        out, self._buf = self._buf[:n], self._buf[n:]
+        return out
+
+    def _read_message(self) -> tuple[bytes, bytes]:
+        """One backend message: (type byte, payload)."""
+        mtype = self._recv_exact(1)
+        (length,) = struct.unpack(">i", self._recv_exact(4))
+        return mtype, self._recv_exact(length - 4)
+
+    @staticmethod
+    def _error_fields(payload: bytes) -> dict[str, str]:
+        fields: dict[str, str] = {}
+        pos = 0
+        while pos < len(payload) and payload[pos] != 0:
+            code = chr(payload[pos])
+            end = payload.index(b"\x00", pos + 1)
+            fields[code] = payload[pos + 1 : end].decode("utf-8", "replace")
+            pos = end + 1
+        return fields
+
+    # -- connection + auth ------------------------------------------------
+
+    def connect(self) -> None:
+        self._sock = socket.create_connection(
+            (self.host, self.port), timeout=self.connect_timeout
+        )
+        # StartupMessage: replication=database switches the connection
+        # into the replication command set against a real database (the
+        # mode logical replication requires)
+        params = b"".join(
+            _cstr(k) + _cstr(v)
+            for k, v in [
+                ("user", self.user),
+                ("database", self.dbname),
+                ("replication", "database"),
+                ("application_name", "python_cdc_spark"),
+            ]
+        ) + b"\x00"
+        body = struct.pack(">i", 196608) + params  # protocol 3.0
+        self._send(struct.pack(">i", len(body) + 4) + body)
+        self._auth_loop()
+
+    def _auth_loop(self) -> None:
+        while True:
+            mtype, payload = self._read_message()
+            if mtype == b"E":
+                raise ReplicationError(self._error_fields(payload))
+            if mtype == b"R":
+                (code,) = struct.unpack(">i", payload[:4])
+                if code == 0:  # AuthenticationOk
+                    continue
+                if code == 3:  # cleartext
+                    if self.password is None:
+                        raise ReplicationError({"M": "password required"})
+                    pw = _cstr(self.password)
+                    self._send(b"p" + struct.pack(">i", len(pw) + 4) + pw)
+                    continue
+                if code == 5:  # MD5: md5( md5(password+user) + salt )
+                    if self.password is None:
+                        raise ReplicationError({"M": "password required"})
+                    salt = payload[4:8]
+                    inner = hashlib.md5(
+                        self.password.encode() + self.user.encode()
+                    ).hexdigest()
+                    digest = "md5" + hashlib.md5(inner.encode() + salt).hexdigest()
+                    pw = _cstr(digest)
+                    self._send(b"p" + struct.pack(">i", len(pw) + 4) + pw)
+                    continue
+                raise ReplicationError(
+                    {"M": f"unsupported auth method {code} (SCRAM needs md5/trust "
+                          "HBA for the replication role)"}
+                )
+            elif mtype == b"S":  # ParameterStatus
+                end = payload.index(b"\x00")
+                key = payload[:end].decode()
+                val = payload[end + 1 : payload.index(b"\x00", end + 1)].decode()
+                self.parameters[key] = val
+            elif mtype == b"K":  # BackendKeyData — irrelevant here
+                pass
+            elif mtype == b"Z":  # ReadyForQuery
+                return
+            else:  # NoticeResponse etc.
+                pass
+
+    # -- replication commands ---------------------------------------------
+
+    def _simple_query(self, sql: str) -> list[tuple]:
+        """Run a replication-command query; collect DataRow tuples."""
+        q = _cstr(sql)
+        self._send(b"Q" + struct.pack(">i", len(q) + 4) + q)
+        rows: list[tuple] = []
+        while True:
+            mtype, payload = self._read_message()
+            if mtype == b"E":
+                # drain to ReadyForQuery so the connection stays usable
+                fields = self._error_fields(payload)
+                while self._read_message()[0] != b"Z":
+                    pass
+                raise ReplicationError(fields)
+            if mtype == b"D":
+                (ncols,) = struct.unpack(">h", payload[:2])
+                pos, vals = 2, []
+                for _ in range(ncols):
+                    (ln,) = struct.unpack(">i", payload[pos : pos + 4])
+                    pos += 4
+                    if ln == -1:
+                        vals.append(None)
+                    else:
+                        vals.append(payload[pos : pos + ln].decode("utf-8"))
+                        pos += ln
+                rows.append(tuple(vals))
+            elif mtype == b"Z":
+                return rows
+            # 'T' RowDescription / 'C' CommandComplete / notices: skip
+
+    def identify_system(self) -> dict[str, Any]:
+        rows = self._simple_query("IDENTIFY_SYSTEM")
+        sysid, timeline, xlogpos, dbname = rows[0]
+        return {
+            "systemid": sysid,
+            "timeline": int(timeline),
+            "xlogpos": parse_lsn(xlogpos),
+            "dbname": dbname,
+        }
+
+    def create_slot(self, slot: str) -> dict[str, Any] | None:
+        """CREATE_REPLICATION_SLOT ... LOGICAL pgoutput. Returns None if
+        the slot already exists (the reference's try/except-and-continue,
+        postgre_cdc_consumer.py:47-58)."""
+        try:
+            rows = self._simple_query(
+                f"CREATE_REPLICATION_SLOT {slot} LOGICAL pgoutput"
+            )
+        except ReplicationError as e:
+            if e.fields.get("C") == "42710":  # duplicate_object
+                return None
+            raise
+        name, lsn, snapshot, plugin = rows[0]
+        return {"slot": name, "consistent_point": parse_lsn(lsn)}
+
+    def start_replication(
+        self,
+        slot: str,
+        publication: str,
+        start_lsn: int = 0,
+        proto_version: int = 1,
+    ) -> None:
+        """Enter the CopyBoth stream. After this, use frames()/dump_*."""
+        sql = (
+            f"START_REPLICATION SLOT {slot} LOGICAL {lsn_str(start_lsn)} "
+            f"(proto_version '{proto_version}', "
+            f"publication_names '{publication}')"
+        )
+        q = _cstr(sql)
+        self._send(b"Q" + struct.pack(">i", len(q) + 4) + q)
+        while True:
+            mtype, payload = self._read_message()
+            if mtype == b"E":
+                raise ReplicationError(self._error_fields(payload))
+            if mtype == b"W":  # CopyBothResponse — streaming begins
+                return
+
+    # -- the stream -------------------------------------------------------
+
+    def _standby_status(self, reply_requested: bool = False) -> None:
+        now_us = int(time.time() * 1_000_000) - PG_EPOCH_OFFSET_US
+        body = b"r" + struct.pack(
+            ">QQQQB",
+            self.flushed_lsn,  # written
+            self.flushed_lsn,  # flushed — this advances the slot
+            self.flushed_lsn,  # applied
+            now_us,
+            1 if reply_requested else 0,
+        )
+        self._send(b"d" + struct.pack(">i", len(body) + 4) + body)
+
+    def frames(
+        self,
+        max_seconds: float | None = None,
+        status_interval: float = 10.0,
+    ) -> Iterator[tuple[int, _dt.datetime, bytes]]:
+        """Yield (lsn, server_send_time, raw pgoutput frame) until the
+        server ends the copy (CopyDone) or ``max_seconds`` elapses.
+        Keepalives are answered inline; a status update also goes out
+        every ``status_interval`` seconds (the reference's
+        status_interval=10, postgre_cdc_consumer.py:83)."""
+        deadline = None if max_seconds is None else time.monotonic() + max_seconds
+        last_status = time.monotonic()
+        while True:
+            if deadline is not None and time.monotonic() >= deadline:
+                return
+            if time.monotonic() - last_status >= status_interval:
+                self._standby_status()
+                last_status = time.monotonic()
+            mtype, payload = self._read_message()
+            if mtype == b"E":
+                raise ReplicationError(self._error_fields(payload))
+            if mtype == b"c":  # CopyDone: stream over
+                return
+            if mtype != b"d":  # CommandComplete/ReadyForQuery after 'c'
+                continue
+            kind = payload[:1]
+            if kind == b"w":  # XLogData
+                start, _end, send_us = struct.unpack(">QQQ", payload[1:25])
+                frame = payload[25:]
+                ts = _dt.datetime.fromtimestamp(
+                    (send_us + PG_EPOCH_OFFSET_US) / 1e6, tz=_dt.timezone.utc
+                )
+                self.flushed_lsn = max(self.flushed_lsn, start)
+                yield start, ts, frame
+            elif kind == b"k":  # keepalive
+                _wal_end, _ts = struct.unpack(">QQ", payload[1:17])
+                if payload[17:18] == b"\x01":
+                    self._standby_status(reply_requested=False)
+                    last_status = time.monotonic()
+
+    def dump_parquet(
+        self,
+        out_dir: str,
+        batch_rows: int = 10_000,
+        max_frames: int | None = None,
+        max_seconds: float | None = None,
+        on_batch: Callable[[str, int], None] | None = None,
+    ) -> int:
+        """Consume the stream into ``(lsn, ts, frame)`` parquet files —
+        the exact schema the Spark streaming pipeline tails. Each batch
+        becomes one immutable file (streaming file sources require
+        files to appear atomically: write temp, rename). The flushed
+        LSN is only advanced-to-server AFTER a batch file is durable,
+        so a crash between receive and write replays those frames
+        instead of losing them (at-least-once, like the reference's
+        post-processing ack)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(out_dir, exist_ok=True)
+        schema = pa.schema(
+            [
+                ("lsn", pa.int64()),
+                ("ts", pa.timestamp("us", tz="UTC")),
+                ("frame", pa.binary()),
+            ]
+        )
+        total, batch_no = 0, 0
+        lsns: list[int] = []
+        tss: list[_dt.datetime] = []
+        frames_: list[bytes] = []
+
+        def flush() -> None:
+            nonlocal batch_no, lsns, tss, frames_
+            if not lsns:
+                return
+            tbl = pa.table(
+                {"lsn": lsns, "ts": tss, "frame": frames_}, schema=schema
+            )
+            final = os.path.join(out_dir, f"batch-{batch_no:06d}.parquet")
+            tmp = final + ".tmp"
+            pq.write_table(tbl, tmp)
+            os.replace(tmp, final)
+            if on_batch is not None:
+                on_batch(final, len(lsns))
+            batch_no += 1
+            lsns, tss, frames_ = [], [], []
+            # durable on disk → safe to ack
+            self._standby_status()
+
+        for lsn, ts, frame in self.frames(max_seconds=max_seconds):
+            lsns.append(lsn)
+            tss.append(ts)
+            frames_.append(frame)
+            total += 1
+            if len(lsns) >= batch_rows:
+                flush()
+            if max_frames is not None and total >= max_frames:
+                break
+        flush()
+        return total
+
+    # -- lifecycle --------------------------------------------------------
+
+    def close(self) -> None:
+        if self._sock is not None:
+            try:
+                self._sock.close()
+            finally:
+                self._sock = None
+
+    def __enter__(self) -> "LogicalReplicationClient":
+        self.connect()
+        return self
+
+    def __exit__(self, *exc: Any) -> None:
+        self.close()
