@@ -241,6 +241,87 @@ def test_replication_client_socket_to_state(spark, tmp_path):
     assert got == {"1": {"id": "1", "name": "Ada L", "status": "inactive"}}
 
 
+def test_live_capture_streaming_apply_with_health(spark, tmp_path):
+    """The reference's whole main program, live: wire capture, streaming
+    decode+apply, and the HTTP health endpoint all running AT THE SAME
+    TIME. The client dumps small parquet batches while the fake server
+    streams; Spark tails the directory as a stream and applies changes
+    continuously; /health answers 200 while the query runs. Final state
+    equals the demo sequence's outcome."""
+    import time as _time
+    import urllib.request
+
+    import pyspark.sql.functions as SF
+
+    from python_cdc_spark.cdc.monitor import HealthServer
+    from python_cdc_spark.cdc.pgoutput import decode_frames, relation_registry
+    from python_cdc_spark.streaming import StreamingApplyChanges
+
+    frames = _demo_frames()
+    srv = FakePG(frames, password="sekret")
+    srv.start()
+    wire = tmp_path / "wire"
+    wire.mkdir()
+
+    captured = {}
+
+    def capture() -> None:
+        with LogicalReplicationClient(
+            "127.0.0.1", srv.port, "testdb", "cdc_user", "sekret"
+        ) as client:
+            client.create_slot("cdc_slot")
+            client.start_replication("cdc_slot", publication="cdc_publication")
+            # batch_rows=2 → several files appear over the stream's life
+            captured["n"] = client.dump_parquet(
+                str(wire), batch_rows=2, max_seconds=30
+            )
+
+    cap = threading.Thread(target=capture, daemon=True)
+    cap.start()
+
+    # wait for the first batch file (contains the Relation frame — it
+    # always precedes its rows in a pgoutput stream)
+    deadline = _time.monotonic() + 30
+    while not list(wire.glob("*.parquet")) and _time.monotonic() < deadline:
+        _time.sleep(0.1)
+    assert list(wire.glob("*.parquet")), "no wire batches appeared"
+
+    reg = relation_registry(spark.read.parquet(str(wire)))
+    stream = spark.readStream.schema("lsn bigint, ts timestamp, frame binary").parquet(
+        str(wire)
+    )
+    events = decode_frames(spark, stream, registry=reg).withColumn(
+        "key", SF.coalesce(SF.col("new_values")["id"], SF.col("old_values")["id"])
+    )
+    applier = StreamingApplyChanges(spark, str(tmp_path / "state"), "key", n_buckets=4)
+    q = applier.start(events, str(tmp_path / "ckpt"))
+    try:
+        with HealthServer(spark, q, port=0) as hs:
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{hs.port}/health", timeout=10
+            ) as resp:
+                assert resp.status == 200
+            expected = {"1": {"id": "1", "name": "Ada L", "status": "inactive"}}
+            deadline = _time.monotonic() + 60
+            got: dict = {}
+            while _time.monotonic() < deadline:
+                got = {
+                    r["key"]: dict(r["values"])
+                    for r in applier.current_state().collect()
+                }
+                if got == expected:
+                    break
+                _time.sleep(0.5)
+            assert got == expected, f"state never converged: {got}"
+    finally:
+        q.stop()
+        q.awaitTermination(60)
+    cap.join(timeout=30)
+    srv.join(timeout=30)
+    assert srv.error is None, srv.error
+    assert captured["n"] == len(frames)
+
+
 def test_replication_client_rejects_scram():
     """SCRAM (auth code 10) is out of scope — the client must fail with
     a clear message, not hang or mis-auth."""
