@@ -61,6 +61,10 @@ set_priority_order(
         "text_bpe_token_estimate",
         "text_bm25_search",
         "text_bigram_lm_score",
+        # new this round: Gopher-style repetition filter — in-window so
+        # its first driver row lands now (slot from once-green
+        # q19_discounted_revenue)
+        "text_repetition_filter",
         "dedup_minhash_signatures",
         "embedding_norms",
         "similarity_ivfpq_topk",
@@ -100,6 +104,5 @@ set_priority_order(
         "q10_returned_items",
         "q13_customer_distribution",
         "q18_large_volume_customers",
-        "q19_discounted_revenue",
     ]
 )

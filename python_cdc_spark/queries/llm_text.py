@@ -149,6 +149,52 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_repetition_filter",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS w FROM documents),
+    g AS (SELECT doc_id, {_SQL_GRAMS3} AS grams FROM t)
+    SELECT doc_id,
+           CAST(len(grams) AS BIGINT) AS n_grams,
+           CAST(CASE WHEN len(grams) > 0
+                THEN ((len(grams) - len(list_distinct(grams))) * 1000000) // len(grams)
+                ELSE 0 END AS BIGINT) AS dup_ppm,
+           (CASE WHEN len(grams) > 0
+                THEN ((len(grams) - len(list_distinct(grams))) * 1000000) // len(grams)
+                ELSE 0 END) <= 200000 AS keep
+    FROM g
+    """,
+    doc="E27: within-document repetition filter (Gopher-style duplicate "
+    "word-trigram fraction, exact integer parts-per-million — docs past "
+    "20% duplicated trigrams are flagged for removal)",
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signal: the fraction of a document's word
+    trigrams that are duplicates of another trigram in the SAME document
+    — boilerplate/keyword-stuffed/looping text scores high and is cut in
+    standard pretraining pipelines (the duplicate-n-gram family of
+    filters alongside [Gopher]-style duplicate-line fractions). The
+    ratio is computed in exact integer parts-per-million (``x*1e6 div
+    n``) so the Spark and DuckDB sides agree bit-for-bit with no float
+    rounding convention in play. Pure column expressions — one scan, no
+    shuffle, no UDF."""
+    d = table(spark, sf_dir, "documents")
+    grams = word_ngrams(F.col("text"), 3)
+    n = F.size(grams).cast("long")
+    ppm = F.when(n > 0, F.expr(
+        "CAST((size(g) - size(array_distinct(g))) * CAST(1000000 AS BIGINT) DIV size(g) AS BIGINT)"
+    )).otherwise(F.lit(0).cast("long"))
+    return (
+        d.withColumn("g", grams)
+        .select(
+            "doc_id",
+            n.alias("n_grams"),
+            ppm.alias("dup_ppm"),
+            (ppm <= 200000).alias("keep"),
+        )
+    )
+
+
+@register(
     "text_fingerprint",
     oracle=f"""
     WITH t AS (SELECT doc_id, text, {_SQL_TOKS} AS w FROM documents),
