@@ -76,6 +76,9 @@ set_priority_order(
         "corpus_weighted_mixture",
         "corpus_quality_funnel",
         "corpus_decontaminate_holdout",
+        # new this round: sliding-window chunker — in-window (slot from
+        # once-green q18_large_volume_customers)
+        "corpus_chunk_sliding",
         # --- Once-green block (29): bank the second green row ---
         "sessionize_events",
         "similarity_pq_topk",
@@ -103,6 +106,5 @@ set_priority_order(
         "q5_local_supplier_volume",
         "q10_returned_items",
         "q13_customer_distribution",
-        "q18_large_volume_customers",
     ]
 )

@@ -363,3 +363,52 @@ def corpus_decontaminate_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_grams").cast("long").alias("n_grams"),
         (F.col("n_shared").cast("double") / F.col("n_grams")).alias("contamination"),
     )
+
+
+_CHUNK_WINDOW, _CHUNK_STRIDE = 32, 24
+
+
+@register(
+    "corpus_chunk_sliding",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS w FROM documents),
+    s AS (
+      SELECT doc_id, w, UNNEST(generate_series(0, len(w) - 1, {_CHUNK_STRIDE})) AS start
+      FROM t WHERE len(w) > 0
+    )
+    SELECT doc_id,
+           CAST(start // {_CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+           CAST(len(list_slice(w, start + 1, start + {_CHUNK_WINDOW})) AS BIGINT) AS n_tokens,
+           array_to_string(list_slice(w, start + 1, start + {_CHUNK_WINDOW}), ' ') AS chunk_text
+    FROM s
+    """,
+    doc=f"corpus curation: sliding-window chunker — {_CHUNK_WINDOW}-token "
+    f"windows at stride {_CHUNK_STRIDE} ({_CHUNK_WINDOW - _CHUNK_STRIDE}-token "
+    "overlap), the RAG/pretraining context-window prep op",
+)
+def corpus_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk every document into fixed token windows with overlap — the
+    mechanical prep step before embedding (RAG) or sequence packing
+    (pretraining). One row per (doc, window start); the trailing window
+    is shorter (standard sliding-window semantics — downstream packing
+    re-pads). Pure column expressions: tokenize once, explode the
+    bounded start sequence, slice — one scan, the explode fan-out is
+    len/stride (~2-3× rows here), no UDF, no shuffle. At 100 TB this is
+    the shape you want: chunking is map-only and parallelizes with the
+    input splits."""
+    d = table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    starts = F.when(
+        n > 0, F.sequence(F.lit(0), n - 1, F.lit(_CHUNK_STRIDE))
+    ).otherwise(F.array().cast("array<int>"))
+    chunk = F.slice("w", F.col("start") + 1, _CHUNK_WINDOW)
+    return (
+        d.select("doc_id", toks.alias("w"), F.explode(starts).alias("start"))
+        .select(
+            "doc_id",
+            (F.col("start") / _CHUNK_STRIDE).cast("long").alias("chunk_id"),
+            F.size(chunk).cast("long").alias("n_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+    )
