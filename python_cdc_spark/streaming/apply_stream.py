@@ -99,6 +99,43 @@ class StreamingApplyChanges:
         )
         return inserts.unionByName(deletes)
 
+    # -- initial snapshot --------------------------------------------------
+
+    def bootstrap(self, snapshot: DataFrame, snapshot_lsn: int) -> None:
+        """Initial-snapshot load: seed the state table from an existing
+        source table BEFORE attaching the change stream — the
+        snapshot-then-stream pattern (the reference has no equivalent;
+        its consumers start from WAL only, so a pre-existing table never
+        reaches the sink). Every snapshot row becomes a live state row
+        at ``snapshot_lsn``; when the stream attaches, events with
+        ``lsn > snapshot_lsn`` win the per-key fold and events at or
+        below it (late WAL from before the snapshot point) lose to the
+        snapshot image — the max-lsn fold gives exactly the right
+        overlap semantics with no filtering step.
+
+        ``snapshot`` carries ``key_col`` plus the row columns; all
+        columns (key included, matching the decode path's new_values)
+        are string-cast into the values map. Call once on an empty
+        state; committing over all buckets makes the bootstrap itself
+        crash-atomic (same manifest swap as every other commit)."""
+        if self.store.read() is not None:
+            raise ValueError("bootstrap requires an empty state store")
+        values = F.map_from_arrays(
+            F.array(*[F.lit(c) for c in snapshot.columns]),
+            F.array(*[F.col(c).cast("string") for c in snapshot.columns]),
+        )
+        state = (
+            snapshot.select(
+                F.col(self.key_col).cast("string").alias(self.key_col),
+                values.alias("values"),
+                F.lit(snapshot_lsn).cast("long").alias("last_lsn"),
+                F.lit(None).cast("long").alias("del_lsn"),
+            )
+            .withColumn("bucket", self._bucket(F.col(self.key_col)))
+            .repartition(max(1, self.n_buckets // 4), "bucket")
+        )
+        self.store.commit(state, list(range(self.n_buckets)))
+
     # -- merge ------------------------------------------------------------
 
     def merge_batch(self, batch: DataFrame, batch_id: int | None = None) -> list[int]:

@@ -192,6 +192,46 @@ def test_monitor_lag_metrics(spark, tmp_path):
     assert isinstance(list_streams(spark), list)
 
 
+def test_snapshot_bootstrap_then_stream(spark, tmp_path, feed_dir):
+    """Snapshot-then-stream: state seeded from an existing table at a
+    snapshot LSN, then the change stream attaches. Post-snapshot events
+    apply (update with TOAST sentinel coalesces from the SNAPSHOT image,
+    delete removes, insert adds); a late pre-snapshot event must lose to
+    the snapshot row — the max-lsn fold handles the overlap with no
+    explicit filtering."""
+    snapshot = spark.createDataFrame(
+        [("1", "Ada", "big"), ("2", "Lin", "blob2")], ["id", "name", "blob"]
+    )
+    _write_feed_file(
+        os.path.join(feed_dir, "f1.json"),
+        [
+            # late WAL from before the snapshot point: must NOT apply
+            _ev(90, "UPDATE", "1", {"id": "1", "name": "stale", "blob": "old"}),
+            # sentinel coalesces from the snapshot image, not from WAL
+            _ev(150, "UPDATE", "1", {"id": "1", "name": "Ada L", "blob": "[unchanged]"}),
+            _ev(160, "DELETE", "2", None),
+            _ev(170, "INSERT", "3", {"id": "3", "name": "New", "blob": "b3"}),
+        ],
+    )
+    stream = read_feed_stream(spark, feed_dir, max_files_per_trigger=1).withColumn(
+        "key", F.coalesce(F.col("new_values")["id"], F.col("old_values")["id"])
+    )
+    applier = StreamingApplyChanges(spark, str(tmp_path / "state"), "key", n_buckets=4)
+    applier.bootstrap(snapshot.withColumnRenamed("id", "key"), snapshot_lsn=100)
+    # seeded state is immediately queryable, before the stream attaches
+    assert {r["key"] for r in applier.current_state().collect()} == {"1", "2"}
+    q = applier.start(stream, str(tmp_path / "ckpt"), available_now=True)
+    q.awaitTermination(120)
+    got = {r["key"]: dict(r["values"]) for r in applier.current_state().collect()}
+    assert got == {
+        "1": {"key": "1", "id": "1", "name": "Ada L", "blob": "big"},
+        "3": {"id": "3", "name": "New", "blob": "b3"},
+    }
+    # double bootstrap is an error, not silent state loss
+    with pytest.raises(ValueError, match="empty state"):
+        applier.bootstrap(snapshot.withColumnRenamed("id", "key"), snapshot_lsn=100)
+
+
 def test_health_endpoint_serves_while_stream_runs(spark, tmp_path, feed_dir):
     """R15 parity: the HTTP health endpoint must answer DURING a running
     StreamingApplyChanges query (200 + status=healthy, real lag metrics
