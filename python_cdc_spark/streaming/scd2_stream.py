@@ -57,6 +57,40 @@ class StreamingScd2:
             "valid_to timestamp, is_current boolean, lsn bigint",
         )
 
+    def bootstrap(
+        self, snapshot: DataFrame, snapshot_lsn: int, snapshot_ts: str
+    ) -> None:
+        """Initial-snapshot load for the history table: every snapshot
+        row becomes version 1, open (``is_current``, ``valid_to`` NULL)
+        as of ``snapshot_ts``/``snapshot_lsn`` — the snapshot-then-stream
+        pattern, mirroring ``StreamingApplyChanges.bootstrap``. When the
+        stream attaches, ``merge_batch`` replays the open version
+        together with the new events through the same window recipe, so
+        the first post-snapshot change CLOSES version 1 at its event
+        time and opens version 2 — exactly as if the snapshot row had
+        arrived as an INSERT. Call once on an empty store."""
+        if self.store.read() is not None:
+            raise ValueError("bootstrap requires an empty history store")
+        values = F.map_from_arrays(
+            F.array(*[F.lit(c) for c in snapshot.columns]),
+            F.array(*[F.col(c).cast("string") for c in snapshot.columns]),
+        )
+        state = (
+            snapshot.select(
+                F.col(self.key_col).cast("string").alias(self.key_col),
+                F.lit(1).cast("long").alias("version"),
+                F.lit("INSERT").alias("operation"),
+                values.alias("values"),
+                F.lit(snapshot_ts).cast("timestamp").alias("valid_from"),
+                F.lit(None).cast("timestamp").alias("valid_to"),
+                F.lit(True).alias("is_current"),
+                F.lit(snapshot_lsn).cast("long").alias("lsn"),
+            )
+            .withColumn("bucket", self._bucket(F.col(self.key_col)))
+            .repartition(max(1, self.n_buckets // 4), "bucket")
+        )
+        self.store.commit(state, list(range(self.n_buckets)))
+
     def merge_batch(self, batch: DataFrame, batch_id: int | None = None) -> None:
         batch = batch.select(
             "lsn", "operation", "new_values", "ts", F.col(self.key_col)

@@ -421,6 +421,58 @@ def test_streaming_scd2_matches_batch(spark, tmp_path, feed_dir):
     assert [c for k, *_, c in got if k == "3"] == [True]
 
 
+def test_scd2_snapshot_bootstrap_then_stream(spark, tmp_path, feed_dir):
+    """SCD2 snapshot-then-stream: history seeded with one OPEN version 1
+    per snapshot row; the first post-snapshot change must CLOSE that
+    version at its event time and open version 2 — exactly as if the
+    snapshot row had arrived as an INSERT."""
+    from python_cdc_spark.streaming.scd2_stream import StreamingScd2
+
+    snapshot = spark.createDataFrame([("1", "a"), ("2", "x")], ["id", "s"])
+    _write_feed_file(
+        os.path.join(feed_dir, "f1.json"),
+        [
+            _ev(150, "UPDATE", "1", {"id": "1", "s": "b"}, ts="2024-06-01T00:00:00"),
+            _ev(160, "DELETE", "2", None, ts="2024-06-01T00:00:01"),
+            _ev(170, "INSERT", "3", {"id": "3", "s": "n"}, ts="2024-06-01T00:00:02"),
+        ],
+    )
+    stream = read_feed_stream(spark, feed_dir, max_files_per_trigger=1).withColumn(
+        "key", F.coalesce(F.col("new_values")["id"], F.col("old_values")["id"])
+    )
+    scd2 = StreamingScd2(spark, str(tmp_path / "hist"), "key", n_buckets=4)
+    scd2.bootstrap(
+        snapshot.withColumnRenamed("id", "key"),
+        snapshot_lsn=100,
+        snapshot_ts="2024-01-01T00:00:00",
+    )
+    # seeded history: one open version per snapshot row
+    seeded = {(r["key"], r["version"], r["is_current"]) for r in scd2.history().collect()}
+    assert seeded == {("1", 1, True), ("2", 1, True)}
+    q = scd2.start(stream, str(tmp_path / "ckpt"), available_now=True)
+    q.awaitTermination(120)
+    rows = sorted(
+        (r["key"], r["version"], str(r["valid_from"]), str(r["valid_to"]),
+         r["is_current"], r["operation"])
+        for r in scd2.history().collect()
+    )
+    assert rows == [
+        # snapshot version closed by the update at the update's ts
+        ("1", 1, "2024-01-01 00:00:00", "2024-06-01 00:00:00", False, "INSERT"),
+        ("1", 2, "2024-06-01 00:00:00", "None", True, "UPDATE"),
+        # snapshot version closed by the delete (the recipe closes the
+        # open version; deletes emit no history row of their own)
+        ("2", 1, "2024-01-01 00:00:00", "2024-06-01 00:00:01", False, "INSERT"),
+        ("3", 1, "2024-06-01 00:00:02", "None", True, "INSERT"),
+    ]
+    with pytest.raises(ValueError, match="empty history"):
+        scd2.bootstrap(
+            snapshot.withColumnRenamed("id", "key"),
+            snapshot_lsn=100,
+            snapshot_ts="2024-01-01T00:00:00",
+        )
+
+
 def test_wire_stream_mid_stream_ddl_refreshes_registry(spark, tmp_path):
     """An R-frame arriving mid-stream (ADD COLUMN DDL) must refresh the
     relation registry before later batches decode — the reference's
