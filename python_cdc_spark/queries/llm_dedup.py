@@ -474,3 +474,90 @@ def graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pr = pagerank(edges, "id_a", "id_b", iters=_PR_ITERS, damping=_PR_DAMPING)
     return pr.select(F.col("v").alias("doc_id"), "pr")
+
+
+def _sql_grams_n(n: int) -> str:
+    """DuckDB word n-gram fragment over token list ``w`` (mirrors
+    functions/text.py word_ngrams: len(w)-n+1 grams, [] when short)."""
+    joined = " || ' ' || ".join(f"w[i+{j}]" for j in range(n))
+    return (
+        f"CASE WHEN len(w) >= {n} THEN "
+        f"list_transform(generate_series(1, len(w) - {n - 1}), i -> {joined}) "
+        "ELSE [] END"
+    )
+
+
+@register(
+    "text_duplicate_span_coverage",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS w FROM documents),
+    g AS (
+      SELECT doc_id, substr(md5(gram), 1, 16) AS gh
+      FROM (SELECT doc_id, UNNEST({_sql_grams_n(8)}) AS gram FROM t)
+    ),
+    dupg AS (
+      SELECT gh FROM g GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans FROM g GROUP BY 1),
+    dup AS (
+      SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS dup_spans
+      FROM g JOIN dupg USING (gh) GROUP BY 1
+    )
+    SELECT d.doc_id,
+           COALESCE(tot.n_spans, 0) AS n_spans,
+           COALESCE(dup.dup_spans, 0) AS dup_spans,
+           CASE WHEN COALESCE(tot.n_spans, 0) > 0
+                THEN (COALESCE(dup.dup_spans, 0) * 1000000) // tot.n_spans
+           END AS coverage_ppm
+    FROM documents d
+    LEFT JOIN tot ON tot.doc_id = d.doc_id
+    LEFT JOIN dup ON dup.doc_id = d.doc_id
+    """,
+    doc="E25/E27: exact-substring dedup coverage (Lee et al. style) — "
+    "fraction of each doc's 8-gram positions whose gram recurs in "
+    "another document, exact integer ppm",
+)
+def text_duplicate_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span coverage, the doc-level signal behind exact
+    substring dedup ("what fraction of this doc is copied text?").
+
+    Positional 8-grams (multiset, not distinct — coverage weights
+    repeated spans) are keyed by a 64-bit md5 prefix so the inverted
+    index shuffles 16-byte keys instead of full gram strings — at
+    corpus scale the gram text never leaves the map side. One shuffle
+    builds the cross-doc gram index, one hash join + per-doc aggregate
+    scores coverage; ppm is exact integer arithmetic on both engines.
+    """
+    from python_cdc_spark.functions.text import word_ngrams
+
+    d = table(spark, sf_dir, "documents")
+    g = d.select(
+        "doc_id", F.explode(word_ngrams(F.col("text"), 8)).alias("gram")
+    ).select("doc_id", F.substring(F.md5("gram"), 1, 16).alias("gh"))
+    g = g.localCheckpoint(eager=False)  # feeds the index AND both scores
+    dupg = (
+        g.groupBy("gh")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gh")
+    )
+    tot = g.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_spans"))
+    dup = (
+        g.join(dupg, "gh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("dup_spans"))
+    )
+    return (
+        d.select("doc_id")
+        .join(tot, "doc_id", "left")
+        .join(dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_spans", F.lit(0).cast("long")).alias("n_spans"),
+            F.coalesce("dup_spans", F.lit(0).cast("long")).alias("dup_spans"),
+            F.when(
+                F.coalesce("n_spans", F.lit(0)) > 0,
+                F.expr("coalesce(dup_spans, 0) * 1000000 DIV n_spans"),
+            ).alias("coverage_ppm"),
+        )
+    )

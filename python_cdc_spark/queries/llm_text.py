@@ -507,3 +507,131 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),
         (F.sum("p").cast("double") / F.count(F.lit(1))).alias("avg_bigram_p"),
     )
+
+
+# Quality-classifier weights: a frozen "model" shipped as data. Real
+# corpus pipelines broadcast a trained linear head (fastText / logreg
+# over doc features) exactly like this — the model is a tiny table, the
+# scan side never shuffles. Values chosen so the decision boundary
+# lands inside this corpus's feature range (both classes non-empty).
+_QC_WEIGHTS: list[tuple[str, float]] = [
+    ("intercept", -3.0),
+    ("sqrt_tokens", 0.25),
+    ("stopword_ratio", 6.0),
+    ("punct_ratio", -8.0),
+    ("mean_token_len", 0.2),
+    ("type_token_ratio", 1.5),
+]
+
+_SQL_QC_WEIGHTS = ", ".join(f"('{f}', {w})" for f, w in _QC_WEIGHTS)
+
+
+@register(
+    "text_quality_classifier",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, {_SQL_TOKS} AS w FROM documents),
+    feats AS (
+      SELECT doc_id,
+             1.0 AS intercept,
+             sqrt(CAST(len(w) AS DOUBLE)) AS sqrt_tokens,
+             CAST(len(list_filter(w, x -> x IN ({_SQL_STOPLIST}))) AS DOUBLE)
+               / len(w) AS stopword_ratio,
+             CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g'))
+                  AS DOUBLE) / length(text) AS punct_ratio,
+             CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w)
+               AS mean_token_len,
+             CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS type_token_ratio
+      FROM t
+    ),
+    x AS (
+      SELECT doc_id, 'intercept' AS feat, intercept AS x FROM feats
+      UNION ALL SELECT doc_id, 'sqrt_tokens', sqrt_tokens FROM feats
+      UNION ALL SELECT doc_id, 'stopword_ratio', stopword_ratio FROM feats
+      UNION ALL SELECT doc_id, 'punct_ratio', punct_ratio FROM feats
+      UNION ALL SELECT doc_id, 'mean_token_len', mean_token_len FROM feats
+      UNION ALL SELECT doc_id, 'type_token_ratio', type_token_ratio FROM feats
+    ),
+    wt(feat, w) AS (VALUES {_SQL_QC_WEIGHTS})
+    SELECT x.doc_id,
+           CAST(ROUND(SUM(CAST(wt.w * x.x AS DECIMAL(30,10))), 4) AS DOUBLE)
+             AS logit,
+           CAST(ROUND(SUM(CAST(wt.w * x.x AS DECIMAL(30,10))), 4) AS DOUBLE) >= 0
+             AS keep
+    FROM x JOIN wt USING (feat)
+    GROUP BY x.doc_id
+    """,
+    doc="E27: model-based quality filter — linear classifier head over "
+    "doc features, weights broadcast as a 6-row model table",
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring (the DCLM / fastText-classifier
+    pipeline stage): features are pure column expressions, the trained
+    head is a 6-row broadcast weights table, the logit is a
+    decimal-routed dot product so partial-aggregation order can't
+    perturb the decision. No sigmoid on purpose — libm exp() is not
+    bit-portable across engines, and thresholding the logit is the
+    same decision boundary.
+
+    Scale: feature extraction is a map-only scan; the unpivot multiplies
+    rows by n_features but stays map-side; the per-doc sum is the only
+    shuffle; the model joins as a broadcast hash join.
+    """
+    from python_cdc_spark.queries.helpers import DEC
+
+    d = table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_tok = F.size(toks).cast("double")
+    stop_hits = F.size(
+        F.filter(
+            toks,
+            lambda t: t.isin([s for v in LANG_STOPWORDS.values() for s in v]),
+        )
+    ).cast("double")
+    n_chars = F.length("text").cast("double")
+    n_punct = (
+        F.length("text") - F.length(F.regexp_replace("text", r"[.!?,;:]", ""))
+    ).cast("double")
+    tok_chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t).cast("long")
+    ).cast("double")
+    feats = d.select(
+        "doc_id",
+        F.lit(1.0).alias("intercept"),
+        F.sqrt(n_tok).alias("sqrt_tokens"),
+        (stop_hits / n_tok).alias("stopword_ratio"),
+        (n_punct / n_chars).alias("punct_ratio"),
+        (tok_chars / n_tok).alias("mean_token_len"),
+        (F.size(F.array_distinct(toks)).cast("double") / n_tok).alias(
+            "type_token_ratio"
+        ),
+    )
+    feat_names = [f for f, _ in _QC_WEIGHTS]
+    x = feats.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(f).alias("feat"), F.col(f).alias("x"))
+                    for f in feat_names
+                ]
+            )
+        ).alias("fx"),
+    ).select("doc_id", "fx.feat", "fx.x")
+    # VALUES keeps the model table JVM-side — createDataFrame on local
+    # Python rows would round-trip through pickled RDD partitions.
+    wt = F.broadcast(
+        spark.sql(
+            "SELECT feat, CAST(w AS DOUBLE) AS w FROM (VALUES "
+            + ", ".join(f"('{f}', {w})" for f, w in _QC_WEIGHTS)
+            + ") AS wt(feat, w)"
+        )
+    )
+    logit = F.round(
+        F.sum((F.col("w") * F.col("x")).cast(DEC)), 4
+    ).cast("double")
+    return (
+        x.join(wt, "feat")
+        .groupBy("doc_id")
+        .agg(logit.alias("logit"))
+        .select("doc_id", "logit", (F.col("logit") >= 0).alias("keep"))
+    )

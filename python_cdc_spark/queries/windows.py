@@ -486,3 +486,154 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
     )
+
+
+@register(
+    "timeseries_gapfill_locf",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(30,10))), 4) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT min(bucket_ts) AS lo, max(bucket_ts) AS hi FROM b
+    ),
+    spine AS (
+      SELECT t.event_type, g.bucket_ts
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_ts
+        FROM bounds
+      ) g
+    ),
+    j AS (
+      SELECT s.event_type, s.bucket_ts,
+             COALESCE(b.n_events, 0) AS n_events,
+             b.sum_value
+      FROM spine s LEFT JOIN b
+        ON b.event_type = s.event_type AND b.bucket_ts = s.bucket_ts
+    ),
+    f AS (
+      SELECT event_type, bucket_ts, n_events, sum_value,
+             last_value(sum_value IGNORE NULLS) OVER wprev AS prev_val,
+             last_value(CASE WHEN sum_value IS NOT NULL THEN bucket_ts END
+                        IGNORE NULLS) OVER wprev AS prev_ts,
+             first_value(sum_value IGNORE NULLS) OVER wnext AS next_val,
+             first_value(CASE WHEN sum_value IS NOT NULL THEN bucket_ts END
+                         IGNORE NULLS) OVER wnext AS next_ts
+      FROM j
+      WINDOW
+        wprev AS (PARTITION BY event_type ORDER BY bucket_ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        wnext AS (PARTITION BY event_type ORDER BY bucket_ts
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, bucket_ts, n_events, sum_value,
+           prev_val AS locf_value,
+           CASE
+             WHEN sum_value IS NOT NULL THEN sum_value
+             WHEN prev_val IS NULL OR next_val IS NULL THEN NULL
+             ELSE prev_val + (next_val - prev_val)
+                  * (CAST(date_diff('hour', prev_ts, bucket_ts) AS DOUBLE)
+                     / CAST(date_diff('hour', prev_ts, next_ts) AS DOUBLE))
+           END AS interp_value,
+           CAST(CASE WHEN sum_value IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_gap
+    FROM f
+    """,
+    doc="E13/timeseries: hypertable-style gap-fill — dense hourly bucket "
+    "spine per event_type, LOCF and linear interpolation across gaps",
+)
+def timeseries_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly rollup (the time_bucket_gapfill / locf /
+    interpolate trio of timeseries stores) as pure DataFrame ops:
+
+    - bucket aggregate: one hash shuffle on (event_type, hour) —
+      map-side partial agg absorbs hot hours;
+    - spine: bounds are a 1-row global aggregate (broadcast) crossed
+      with the distinct types (metadata-scale, 5 rows) and exploded
+      with ``sequence`` — the spine is generated, never shuffled at
+      corpus scale;
+    - fill: LOCF = ``last(ignorenulls)`` over the per-type window,
+      linear interpolation from the bracketing observations. Interp
+      arithmetic is double ops over identical operands on both engines
+      (hour offsets are exact integers), so results are bit-identical.
+
+    At 100 TB the spine is O(types x buckets) — output-scale, not
+    input-scale; the only corpus-wide exchange is the bucket aggregate.
+    """
+    from python_cdc_spark.queries.helpers import dec_sum
+
+    ev = table(spark, sf_dir, "events")
+    b = (
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket_ts")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            dec_sum(F.col("value"), "sum_value"),
+        )
+    )
+    bounds = b.agg(
+        F.min("bucket_ts").alias("lo"), F.max("bucket_ts").alias("hi")
+    )
+    types = ev.select("event_type").distinct()
+    spine = types.crossJoin(
+        bounds.select(
+            F.explode(
+                F.expr("sequence(lo, hi, interval 1 hour)")
+            ).alias("bucket_ts")
+        )
+    )
+    j = spine.join(b, ["event_type", "bucket_ts"], "left").select(
+        "event_type",
+        "bucket_ts",
+        F.coalesce("n_events", F.lit(0).cast("long")).alias("n_events"),
+        "sum_value",
+    )
+    wprev = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wnext = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_ts")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    observed_ts = F.when(F.col("sum_value").isNotNull(), F.col("bucket_ts"))
+    f = j.select(
+        "event_type",
+        "bucket_ts",
+        "n_events",
+        "sum_value",
+        F.last("sum_value", ignorenulls=True).over(wprev).alias("prev_val"),
+        F.last(observed_ts, ignorenulls=True).over(wprev).alias("prev_ts"),
+        F.first("sum_value", ignorenulls=True).over(wnext).alias("next_val"),
+        F.first(observed_ts, ignorenulls=True).over(wnext).alias("next_ts"),
+    )
+    hours = lambda a, b: (  # noqa: E731
+        (F.unix_timestamp(b) - F.unix_timestamp(a)) / F.lit(3600)
+    ).cast("long")
+    interp = (
+        F.when(F.col("sum_value").isNotNull(), F.col("sum_value"))
+        .when(F.col("prev_val").isNull() | F.col("next_val").isNull(), F.lit(None))
+        .otherwise(
+            F.col("prev_val")
+            + (F.col("next_val") - F.col("prev_val"))
+            * (
+                hours(F.col("prev_ts"), F.col("bucket_ts")).cast("double")
+                / hours(F.col("prev_ts"), F.col("next_ts")).cast("double")
+            )
+        )
+    )
+    return f.select(
+        "event_type",
+        "bucket_ts",
+        "n_events",
+        "sum_value",
+        F.col("prev_val").alias("locf_value"),
+        interp.alias("interp_value"),
+        (F.col("sum_value").isNull()).cast("int").alias("is_gap"),
+    )
