@@ -79,7 +79,14 @@ set_priority_order(
         # new this round: sliding-window chunker — in-window (slot from
         # once-green q18_large_volume_customers)
         "corpus_chunk_sliding",
-        # --- Once-green block (29): bank the second green row ---
+        # --- New this session (5): first driver rows land this round ---
+        "timeseries_gapfill_locf",
+        "text_duplicate_span_coverage",
+        "text_quality_classifier",
+        "profile_column_stats",
+        "dedup_semantic_clusters",
+        # --- Once-green block: bank the second green row (entries past
+        # position 50 simply wait for the next rotation) ---
         "sessionize_events",
         "similarity_pq_topk",
         "similarity_rq_topk",

@@ -1503,3 +1503,161 @@ def _ivfrq_topk(spark: SparkSession, sf_dir: str, exact: bool) -> DataFrame:
         m=_RQ_M, dims=_DIMS, exact=exact,
     )
     return out.withColumnRenamed("rank", "rnk")
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup, Abbas et al. 2023): k-means the embedding
+# space, then compare only WITHIN each cluster — the cluster pass turns
+# the O(n²) all-pairs cosine into Σ cᵢ², with k chosen so cᵢ stays
+# bounded (k grows with n at real scale; the fit cost is the same
+# distributed Lloyd the IVF index already pays, and the cache shares it).
+
+
+def _sql_full_lloyd_ctes(k: int, iters: int, dims: int) -> list[str]:
+    """CTE list replaying kmeans_fit + final assignment over the full
+    64-dim embeddings in DuckDB: ``cent0``..``cent{iters}`` and
+    ``assignF`` (vec_id, embedding, cell). Same init (min-md5 per
+    two-hex-digit cell) and decimal-routed math as the Spark fit.
+    MATERIALIZED throughout — each round references the previous CTE
+    more than once and binder inlining would re-expand the chain."""
+
+    def score(vec: str, cent: str) -> str:
+        return f"{sql_dec_dot(vec, cent, dims)} / {sql_dec_norm(cent, dims)}"
+
+    assign_body = """
+      SELECT vec_id, embedding, cell FROM (
+        SELECT e.vec_id, e.embedding, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {score} DESC, c.cell) AS arnk
+        FROM embeddings e CROSS JOIN {cent} c
+      ) WHERE arnk = 1
+    """
+    ctes = [
+        f"""cent0 AS MATERIALIZED (
+      SELECT CAST((  (strpos('0123456789abcdef',
+                             substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)) - 1) * 16
+                   + (strpos('0123456789abcdef',
+                             substr(md5(CAST(vec_id AS VARCHAR)), 2, 1)) - 1)
+                  ) % {k} AS INTEGER) AS cell,
+             min_by(embedding, md5(CAST(vec_id AS VARCHAR))) AS cvec
+      FROM embeddings GROUP BY 1
+    )""",
+    ]
+    for it in range(1, iters + 1):
+        ctes.append(
+            f"assign{it} AS MATERIALIZED ({assign_body.format(score=score('e.embedding', 'c.cvec'), cent=f'cent{it - 1}')})"
+        )
+        ctes.append(
+            f"""cd{it} AS MATERIALIZED (
+      SELECT cell, p.i AS pos,
+             CAST(ROUND(SUM(CAST(CAST(a.embedding[p.i] AS DOUBLE)
+                 AS DECIMAL(30,12))), 6) AS DOUBLE) / COUNT(*) AS cval
+      FROM assign{it} a, UNNEST(generate_series(1, {dims})) p(i)
+      GROUP BY cell, p.i
+    )"""
+        )
+        ctes.append(
+            f"cent{it} AS MATERIALIZED (SELECT cell, list(cval ORDER BY pos) AS cvec FROM cd{it} GROUP BY cell)"
+        )
+    ctes.append(
+        f"assignF AS MATERIALIZED ({assign_body.format(score=score('e.embedding', 'c.cvec'), cent=f'cent{iters}')})"
+    )
+    return ctes
+
+
+_SEM_K, _SEM_ITERS, _SEM_TAU = 64, 3, 0.25
+
+
+def _sql_semdedup_oracle(k: int, iters: int, tau: float, dims: int) -> str:
+    ctes = _sql_full_lloyd_ctes(k, iters, dims)
+    ctes.append(
+        f"nrms AS MATERIALIZED (SELECT vec_id, {sql_dec_norm('embedding', dims)} AS nrm FROM embeddings)"
+    )
+    ctes.append(
+        f"""pairs AS (
+      SELECT b.vec_id AS vec_id,
+             {sql_dec_dot('a.embedding', 'b.embedding', dims)} / (na.nrm * nb.nrm)
+               AS cos
+      FROM assignF a
+      JOIN assignF b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      JOIN nrms na ON na.vec_id = a.vec_id
+      JOIN nrms nb ON nb.vec_id = b.vec_id
+    )"""
+    )
+    ctes.append(
+        "sim AS (SELECT vec_id, MAX(cos) AS max_sim_prev FROM pairs GROUP BY 1)"
+    )
+    return f"""
+    WITH {','.join(ctes)}
+    SELECT f.vec_id, f.cell, s.max_sim_prev,
+           COALESCE(s.max_sim_prev >= {tau}, FALSE) AS is_dup
+    FROM assignF f LEFT JOIN sim s USING (vec_id)
+    """
+
+
+@register(
+    "dedup_semantic_clusters",
+    oracle=_sql_semdedup_oracle(_SEM_K, _SEM_ITERS, _SEM_TAU, _DIMS),
+    doc=f"E26: semantic dedup (SemDeDup) — k-means cluster pass "
+    f"(k={_SEM_K}) then within-cluster cosine; a vector is a dup when a "
+    f"smaller-id cluster-mate is within tau={_SEM_TAU}",
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: embeddings are clustered with the shared distributed
+    k-means (same fit+cache the IVF index uses), then cosine runs ONLY
+    within clusters — pair count is Σ cᵢ² instead of n², and the keep
+    rule (survivor = lowest vec_id among mutual near-dups) is a pure
+    per-pair predicate, no iterative closure.
+
+    Scale: the fit is the amortized IVF quantizer; the self-join
+    shuffles on cell (cluster id), so each cluster's pairs materialize
+    on one executor — bound cᵢ by raising k with n (SemDeDup's own
+    recipe) or salting oversized cells into sub-blocks. max_sim_prev is
+    a MAX over doubles: order-independent, engine-exact."""
+    from python_cdc_spark.operators.similarity import kmeans_assign
+
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent = _fitted_centroids(spark, sf_dir, exact=True, k=_SEM_K, iters=_SEM_ITERS)
+    assigned = kmeans_assign(
+        e, cent, "vec_id", "embedding", exact=True, dims=_DIMS
+    ).localCheckpoint(eager=False)
+    norms = e.select(
+        "vec_id", l2_norm(F.col("embedding"), exact=True).alias("nrm")
+    )
+    a = (
+        assigned.join(norms, "vec_id")
+        .select(
+            F.col("vec_id").alias("id_a"),
+            F.col("embedding").alias("va"),
+            F.col("nrm").alias("na"),
+            "cell",
+        )
+    )
+    b = (
+        assigned.join(norms, "vec_id")
+        .select(
+            F.col("vec_id").alias("id_b"),
+            F.col("embedding").alias("vb"),
+            F.col("nrm").alias("nb"),
+            F.col("cell").alias("cell_b"),
+        )
+    )
+    cos = dec_dot_product(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    sim = (
+        a.join(b, (F.col("cell") == F.col("cell_b")) & (F.col("id_a") < F.col("id_b")))
+        .select(F.col("id_b").alias("vec_id"), cos.alias("cos"))
+        .groupBy("vec_id")
+        .agg(F.max("cos").alias("max_sim_prev"))
+    )
+    return (
+        assigned.select("vec_id", "cell")
+        .join(sim, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            "max_sim_prev",
+            F.coalesce(F.col("max_sim_prev") >= _SEM_TAU, F.lit(False)).alias(
+                "is_dup"
+            ),
+        )
+    )

@@ -680,3 +680,94 @@ def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(m, "k").cast("long").alias("k_value"),
         F.element_at(m, "missing").alias("missing_value"),
     )
+
+
+# (col, kind) for the profiler; kind picks which min/max slot is filled.
+_PROFILE_COLS: list[tuple[str, str]] = [
+    ("o_orderkey", "num"),
+    ("o_custkey", "num"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "num"),
+    ("o_orderdate", "str"),  # timestamp → ISO string min/max
+    ("o_orderpriority", "str"),
+]
+
+
+def _profile_oracle() -> str:
+    aggs = ["CAST(COUNT(*) AS BIGINT) AS n_rows"]
+    for c, kind in _PROFILE_COLS:
+        aggs.append(f"CAST(COUNT({c}) AS BIGINT) AS {c}__nn")
+        aggs.append(f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS {c}__nd")
+        if kind == "num":
+            aggs.append(f"CAST(MIN({c}) AS DOUBLE) AS {c}__mn")
+            aggs.append(f"CAST(MAX({c}) AS DOUBLE) AS {c}__mx")
+        else:
+            aggs.append(f"MIN(CAST({c} AS VARCHAR)) AS {c}__mn")
+            aggs.append(f"MAX(CAST({c} AS VARCHAR)) AS {c}__mx")
+    branches = []
+    for c, kind in _PROFILE_COLS:
+        mn_num = f"{c}__mn" if kind == "num" else "NULL"
+        mx_num = f"{c}__mx" if kind == "num" else "NULL"
+        mn_str = f"{c}__mn" if kind == "str" else "NULL"
+        mx_str = f"{c}__mx" if kind == "str" else "NULL"
+        branches.append(
+            f"SELECT '{c}' AS col_name, n_rows, n_rows - {c}__nn AS n_null, "
+            f"{c}__nd AS n_distinct, CAST({mn_num} AS DOUBLE) AS min_num, "
+            f"CAST({mx_num} AS DOUBLE) AS max_num, "
+            f"CAST({mn_str} AS VARCHAR) AS min_str, "
+            f"CAST({mx_str} AS VARCHAR) AS max_str FROM s"
+        )
+    return (
+        "WITH s AS (SELECT " + ", ".join(aggs) + " FROM orders) "
+        + " UNION ALL ".join(branches)
+    )
+
+
+@register(
+    "profile_column_stats",
+    oracle=_profile_oracle(),
+    doc="E10/E11: ANALYZE-style table profiler — per-column nulls, exact "
+    "NDV, min/max in ONE pass over the table (single aggregate row, "
+    "unpivoted to one row per column)",
+)
+def profile_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass data profiler (the stats a cost-based optimizer or a
+    data-quality monitor wants): one wide aggregate computes count /
+    non-null count / exact distinct / min / max for every column, then
+    the 1-row result is unpivoted driver-free into (column x stats).
+
+    Scale: ONE scan of the table regardless of column count. The
+    multiple COUNT(DISTINCT)s expand to a single Expand+aggregate plan
+    (rows x n_cols intermediate), which is the standard exact-NDV
+    trade; swap in approx_count_distinct per column when a 2% error is
+    acceptable and the Expand is the bottleneck. The unpivot runs on a
+    1-row DataFrame — no second scan, no collect.
+    """
+    o = table(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    for c, kind in _PROFILE_COLS:
+        aggs.append(F.count(c).cast("long").alias(f"{c}__nn"))
+        aggs.append(F.count_distinct(F.col(c)).cast("long").alias(f"{c}__nd"))
+        if kind == "num":
+            aggs.append(F.min(c).cast("double").alias(f"{c}__mn"))
+            aggs.append(F.max(c).cast("double").alias(f"{c}__mx"))
+        else:
+            aggs.append(F.min(F.col(c).cast("string")).alias(f"{c}__mn"))
+            aggs.append(F.max(F.col(c).cast("string")).alias(f"{c}__mx"))
+    s = o.agg(*aggs)
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
+    branches = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col("n_rows").alias("n_rows"),
+            (F.col("n_rows") - F.col(f"{c}__nn")).alias("n_null"),
+            F.col(f"{c}__nd").alias("n_distinct"),
+            (F.col(f"{c}__mn") if kind == "num" else null_d).alias("min_num"),
+            (F.col(f"{c}__mx") if kind == "num" else null_d).alias("max_num"),
+            (F.col(f"{c}__mn") if kind == "str" else null_s).alias("min_str"),
+            (F.col(f"{c}__mx") if kind == "str" else null_s).alias("max_str"),
+        )
+        for c, kind in _PROFILE_COLS
+    ]
+    return s.select(F.explode(F.array(*branches)).alias("p")).select("p.*")

@@ -199,3 +199,48 @@ def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
     after_files = glob.glob(out + "/*.parquet")
     assert n == 1 and len(after_files) == 1
     assert spark.read.parquet(out).count() == before_rows
+
+
+def test_zorder_layout_prunes_on_both_dims(spark, tmp_path):
+    """Z-order clustering must make parquet footer min/max stats
+    selective on EVERY clustered column: a 10%-selective predicate on
+    either dimension touches a small fraction of row groups, where the
+    unclustered layout touches essentially all of them."""
+    from python_cdc_spark.io import scan_pruning_stats, write_zordered
+
+    ev = table(spark, "/root/testdata/sf0.01", "events").select(
+        "event_id", "user_id", "value"
+    )
+    plain = str(tmp_path / "plain")
+    # shuffle destroys any incidental clustering in the source
+    ev.repartition(16).write.parquet(plain)
+    zpath = str(tmp_path / "zorder")
+    write_zordered(ev, zpath, ["user_id", "value"], n_files=16)
+
+    import duckdb
+
+    lo_u, hi_u = duckdb.sql(
+        f"SELECT quantile_cont(user_id, 0.45), quantile_cont(user_id, 0.55) "
+        f"FROM read_parquet('{plain}/*.parquet')"
+    ).fetchone()
+    lo_v, hi_v = duckdb.sql(
+        f"SELECT quantile_cont(value, 0.45), quantile_cont(value, 0.55) "
+        f"FROM read_parquet('{plain}/*.parquet')"
+    ).fetchone()
+
+    for col, lo, hi in [("user_id", lo_u, hi_u), ("value", lo_v, hi_v)]:
+        tot_p, touch_p = scan_pruning_stats(plain, col, lo, hi)
+        tot_z, touch_z = scan_pruning_stats(zpath, col, lo, hi)
+        assert touch_p == tot_p, (
+            f"unclustered layout unexpectedly pruned {col}: {touch_p}/{tot_p}"
+        )
+        assert touch_z <= tot_z * 0.7, (
+            f"z-order layout must prune >=30% of row groups on {col}: "
+            f"touched {touch_z}/{tot_z}"
+        )
+
+    # correctness: layout must not change the data
+    a = spark.read.parquet(plain).groupBy().sum("value", "user_id").collect()
+    b = spark.read.parquet(zpath).groupBy().sum("value", "user_id").collect()
+    assert len(a) == len(b) == 1
+    assert spark.read.parquet(zpath).count() == ev.count()
