@@ -47,6 +47,10 @@ HEADLINE = [
     "similarity_rq_topk",
     "similarity_ivfpq_topk",
     "similarity_ivfrq_topk",
+    "dedup_semantic_clusters",
+    # timeseries + curation additions
+    "timeseries_gapfill_locf",
+    "text_duplicate_span_coverage",
 ]
 
 
@@ -90,6 +94,7 @@ def _fast_variants(spark, sf_dir) -> dict:
         e, "vec_id", "embedding", sim._TABLES, sim._PPT, sim._DIMS
     ).localCheckpoint(eager=True)
     cent = sim._fitted_centroids(spark, sf_dir, exact=False)
+    sim._fitted_centroids(spark, sf_dir, exact=False, k=sim._SEM_K, iters=sim._SEM_ITERS)
     assigned = (
         kmeans_assign(e, cent, "vec_id", "embedding", exact=False)
         .select(F.col("vec_id").alias("neighbor_id"), "cell")
@@ -123,6 +128,8 @@ def _fast_variants(spark, sf_dir) -> dict:
         # loads the persisted fast-mode IVF-RQ index (built in the warm
         # phase below via _ivfrq_index_dir)
         "similarity_ivfrq_topk": lambda s, d: sim.ivfrq_topk_fast(s, d),
+        # double-math twin; the k=64 fit is prebuilt in the warm phase
+        "dedup_semantic_clusters": sim.semdedup_fast,
         "dedup_minhash_lsh_pairs": lambda s, d: lsh_candidate_pairs(
             sigs, k=_K, bands=_BANDS
         ),
@@ -181,6 +188,9 @@ def main() -> None:
     )
 
     _fitted_centroids(spark, sf_dir, exact=True)
+    from python_cdc_spark.queries.llm_similarity import _SEM_ITERS, _SEM_K
+
+    _fitted_centroids(spark, sf_dir, exact=True, k=_SEM_K, iters=_SEM_ITERS)
     _pq_index(spark, sf_dir, exact=True)
     _rq_index(spark, sf_dir, exact=True)
     _ivfpq_index_dir(spark, sf_dir, exact=True)

@@ -1614,15 +1614,25 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     on one executor — bound cᵢ by raising k with n (SemDeDup's own
     recipe) or salting oversized cells into sub-blocks. max_sim_prev is
     a MAX over doubles: order-independent, engine-exact."""
+    return _semdedup(spark, sf_dir, exact=True)
+
+
+def semdedup_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench/scale variant: identical pipeline, double math (decimal
+    routing exists only for oracle hashing)."""
+    return _semdedup(spark, sf_dir, exact=False)
+
+
+def _semdedup(spark: SparkSession, sf_dir: str, exact: bool) -> DataFrame:
     from python_cdc_spark.operators.similarity import kmeans_assign
 
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cent = _fitted_centroids(spark, sf_dir, exact=True, k=_SEM_K, iters=_SEM_ITERS)
+    cent = _fitted_centroids(spark, sf_dir, exact=exact, k=_SEM_K, iters=_SEM_ITERS)
     assigned = kmeans_assign(
-        e, cent, "vec_id", "embedding", exact=True, dims=_DIMS
+        e, cent, "vec_id", "embedding", exact=exact, dims=_DIMS
     ).localCheckpoint(eager=False)
     norms = e.select(
-        "vec_id", l2_norm(F.col("embedding"), exact=True).alias("nrm")
+        "vec_id", l2_norm(F.col("embedding"), exact=exact).alias("nrm")
     )
     a = (
         assigned.join(norms, "vec_id")
@@ -1642,7 +1652,13 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cell").alias("cell_b"),
         )
     )
-    cos = dec_dot_product(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    if exact:
+        dot = dec_dot_product(F.col("va"), F.col("vb"))
+    else:
+        from python_cdc_spark.functions.vectors import dot_expr
+
+        dot = dot_expr("va", "vb", _DIMS)
+    cos = dot / (F.col("na") * F.col("nb"))
     sim = (
         a.join(b, (F.col("cell") == F.col("cell_b")) & (F.col("id_a") < F.col("id_b")))
         .select(F.col("id_b").alias("vec_id"), cos.alias("cos"))
