@@ -643,3 +643,135 @@ def test_table_normalizes_ntz_timestamps(spark, tmp_path):
     # instant semantics must work (this raised DATATYPE_MISMATCH on NTZ)
     micros = [r["m"] for r in df.select(F.unix_micros("ts").alias("m")).orderBy("event_id").collect()]
     assert micros[1] - micros[0] == 1_801_000_000
+
+
+def test_gapfill_semantics(spark):
+    """Gap-fill invariants beyond the oracle hash: dense contiguous
+    spine per type, LOCF carries the latest observation, interior
+    interpolation lands strictly between its brackets."""
+    from python_cdc_spark.queries import QUERIES
+
+    rows = (
+        QUERIES["timeseries_gapfill_locf"]
+        .fn(spark, "/root/testdata/sf0.01")
+        .collect()
+    )
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    assert len(by_type) == 5
+    for t, rs in by_type.items():
+        rs.sort(key=lambda r: r["bucket_ts"])
+        # contiguous hourly spine
+        for a, b in zip(rs, rs[1:]):
+            assert (b["bucket_ts"] - a["bucket_ts"]).total_seconds() == 3600
+        last_obs = None
+        for r in rs:
+            if r["is_gap"] == 0:
+                assert r["n_events"] > 0 and r["sum_value"] is not None
+                assert r["locf_value"] == r["sum_value"]
+                assert r["interp_value"] == r["sum_value"]
+                last_obs = r["sum_value"]
+            else:
+                assert r["n_events"] == 0 and r["sum_value"] is None
+                assert r["locf_value"] == last_obs
+                if r["interp_value"] is not None and last_obs is not None:
+                    nxt = next(
+                        (
+                            x["sum_value"]
+                            for x in rs
+                            if x["bucket_ts"] > r["bucket_ts"] and x["is_gap"] == 0
+                        ),
+                        None,
+                    )
+                    assert nxt is not None
+                    lo, hi = sorted((last_obs, nxt))
+                    assert lo <= r["interp_value"] <= hi
+    n_gaps = sum(1 for r in rows if r["is_gap"] == 1)
+    assert n_gaps > 0, "sf0.01 events must leave some empty hourly buckets"
+
+
+def test_duplicate_span_coverage_matches_bruteforce(spark):
+    """Independent ground truth: recompute positional 8-gram coverage in
+    plain Python over the whole sf0.01 corpus and compare every row —
+    the md5-prefix hashing in the distributed path must not change the
+    answer (no collisions at this scale), and planted near-dup docs
+    must surface with full-span coverage."""
+    import re
+    from collections import Counter
+
+    from python_cdc_spark.queries import QUERIES
+
+    docs = table(spark, "/root/testdata/sf0.01", "documents").select(
+        "doc_id", "text"
+    ).collect()
+    grams: dict[int, list[str]] = {}
+    gram_docs: dict[str, set] = {}
+    for r in docs:
+        toks = re.sub(r"\s+", " ", r["text"].lower()).strip().split(" ")
+        gs = [" ".join(toks[i : i + 8]) for i in range(len(toks) - 7)]
+        grams[r["doc_id"]] = gs
+        for g in set(gs):
+            gram_docs.setdefault(g, set()).add(r["doc_id"])
+    expect = {}
+    for did, gs in grams.items():
+        dup = sum(1 for g in gs if len(gram_docs[g]) >= 2)
+        expect[did] = (
+            len(gs),
+            dup,
+            (dup * 1_000_000) // len(gs) if gs else None,
+        )
+    got = {
+        r["doc_id"]: (r["n_spans"], r["dup_spans"], r["coverage_ppm"])
+        for r in QUERIES["text_duplicate_span_coverage"]
+        .fn(spark, "/root/testdata/sf0.01")
+        .collect()
+    }
+    assert got == expect
+    c = Counter(1 for v in expect.values() if v[1] > 0)
+    assert c[1] > 0, "corpus must contain cross-doc duplicated spans"
+    assert any(v[2] == 1_000_000 for v in expect.values()), (
+        "planted near-dups should fully saturate at least one doc"
+    )
+
+
+def test_semdedup_every_cluster_keeps_a_survivor(spark):
+    """The lowest-id member of each cluster has no smaller-id mate, so
+    every cluster retains at least one non-duplicate; and is_dup must
+    exactly mirror max_sim_prev >= tau."""
+    from python_cdc_spark.queries import QUERIES
+    from python_cdc_spark.queries.llm_similarity import _SEM_TAU
+
+    rows = (
+        QUERIES["dedup_semantic_clusters"]
+        .fn(spark, "/root/testdata/sf0.01")
+        .collect()
+    )
+    by_cell: dict = {}
+    for r in rows:
+        by_cell.setdefault(r["cell"], []).append(r)
+        if r["max_sim_prev"] is None:
+            assert not r["is_dup"]
+        else:
+            assert r["is_dup"] == (r["max_sim_prev"] >= _SEM_TAU)
+    for cell, rs in by_cell.items():
+        keepers = [r for r in rs if not r["is_dup"]]
+        assert keepers, f"cluster {cell} deduplicated away entirely"
+        assert not min(rs, key=lambda r: r["vec_id"])["is_dup"]
+    assert any(r["is_dup"] for r in rows), "corpus has planted near-dups"
+
+
+def test_zorder_key_single_column_is_rank_monotonic(spark):
+    """With one column the Morton key degenerates to the quantile rank:
+    ordering by __zkey must order by the column (up to equal codes)."""
+    from python_cdc_spark.io import zorder_key
+
+    ev = table(spark, "/root/testdata/sf0.001", "events").select("event_id", "value")
+    rows = zorder_key(ev, ["value"], bits=6).select("value", "__zkey").collect()
+    rows.sort(key=lambda r: (r["__zkey"], r["value"]))
+    for a, b in zip(rows, rows[1:]):
+        if a["__zkey"] < b["__zkey"]:
+            assert a["value"] <= b["value"]
+
+    with pytest.raises(ValueError):
+        zorder_key(ev, ["value"], bits=16)

@@ -66,6 +66,19 @@ ANN_SPARK_ONLY = [
     "similarity_rq_topk",
     "similarity_ivfpq_topk",
     "similarity_ivfrq_topk",
+    # SemDeDup rides here: its DuckDB Lloyd-replay oracle is decimal
+    # k-means over the full corpus — tractable at sf0.01/sf0.1 for the
+    # correctness gate, not a fair timing opponent at sf1
+    "dedup_semantic_clusters",
+]
+
+# Queries added this round whose oracles stay tractable at sf1:
+# gap-fill (spine is output-scale), span coverage (gram join),
+# linear quality classifier (map-side features + 6-row model)
+NEW_OPS = [
+    "timeseries_gapfill_locf",
+    "text_duplicate_span_coverage",
+    "text_quality_classifier",
 ]
 
 
@@ -90,6 +103,9 @@ def _run_ann_spark_only(spark, sf_dir: str) -> dict:
         .select(F.col("vec_id").alias("neighbor_id"), "cell")
         .localCheckpoint(eager=True)
     )
+    sim._fitted_centroids(
+        spark, sf_dir, exact=False, k=sim._SEM_K, iters=sim._SEM_ITERS
+    )
     sim._pq_index(spark, sf_dir, exact=False)
     sim._rq_index(spark, sf_dir, exact=False)
     sim._ivfpq_index_dir(spark, sf_dir, exact=False)
@@ -105,6 +121,7 @@ def _run_ann_spark_only(spark, sf_dir: str) -> dict:
         "similarity_rq_topk": lambda: sim.rq_topk_fast(spark, sf_dir),
         "similarity_ivfpq_topk": lambda: sim.ivfpq_topk_fast(spark, sf_dir),
         "similarity_ivfrq_topk": lambda: sim.ivfrq_topk_fast(spark, sf_dir),
+        "dedup_semantic_clusters": lambda: sim.semdedup_fast(spark, sf_dir),
     }
     spark_t: dict[str, float] = {}
     for name in ANN_SPARK_ONLY:
@@ -179,11 +196,14 @@ def main() -> None:
         "sf1": _run_scale(spark, sf1_dir),
         "llm_sf0.1": _run_scale(spark, "/root/testdata/sf0.1", LLM_8),
         "llm_sf1": _run_scale(spark, sf1_dir, LLM_8),
+        "new_sf0.1": _run_scale(spark, "/root/testdata/sf0.1", NEW_OPS),
+        "new_sf1": _run_scale(spark, sf1_dir, NEW_OPS),
         "ann_sf0.1": _run_ann_spark_only(spark, "/root/testdata/sf0.1"),
         "ann_sf1": _run_ann_spark_only(spark, sf1_dir),
     }
     out["ratio_trend"] = [out["sf0.1"]["ratio"], out["sf1"]["ratio"]]
     out["llm_ratio_trend"] = [out["llm_sf0.1"]["ratio"], out["llm_sf1"]["ratio"]]
+    out["new_ratio_trend"] = [out["new_sf0.1"]["ratio"], out["new_sf1"]["ratio"]]
     # spark-only: how much slower is 10x the data? (vs the 10x a
     # vector-scanning design would pay)
     out["ann_scaleup"] = round(
