@@ -85,6 +85,7 @@ set_priority_order(
         "text_quality_classifier",
         "profile_column_stats",
         "dedup_semantic_clusters",
+        "corpus_curation_pipeline",
         # --- Once-green block: bank the second green row (entries past
         # position 50 simply wait for the next rotation) ---
         "sessionize_events",

@@ -412,3 +412,133 @@ def corpus_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(chunk, " ").alias("chunk_text"),
         )
     )
+
+
+def _sql_pipeline_oracle() -> str:
+    from python_cdc_spark.queries.llm_dedup import _VERIFIED_PAIRS_CTES
+
+    return f"""
+    WITH RECURSIVE {_VERIFIED_PAIRS_CTES},
+    q AS (
+      SELECT doc_id, source, w FROM (
+        SELECT doc_id, source, text, {_SQL_TOKS} AS w FROM documents
+      ) WHERE len(w) BETWEEN 20 AND 90
+          AND CAST(len(list_distinct(w)) AS DOUBLE) / len(w) >= 0.35
+    ),
+    ex AS (
+      SELECT doc_id, source, w FROM (
+        SELECT doc_id, source, w,
+               MIN(doc_id) OVER (
+                 PARTITION BY sha256(list_aggregate(w, 'string_agg', ' '))
+               ) AS exact_canon
+        FROM q
+      ) WHERE doc_id = exact_canon
+    ),
+    p2 AS (
+      SELECT p.id_a, p.id_b FROM pairs p
+      JOIN ex a ON a.doc_id = p.id_a
+      JOIN ex b ON b.doc_id = p.id_b
+    ),
+    sym AS (
+      SELECT id_a AS a, id_b AS b FROM p2
+      UNION
+      SELECT id_b AS a, id_a AS b FROM p2
+    ),
+    reach(v, l) AS (
+      SELECT DISTINCT a, a FROM sym
+      UNION
+      SELECT s.a, r.l FROM sym s JOIN reach r ON r.v = s.b
+    ),
+    comp AS (SELECT v, MIN(l) AS component FROM reach GROUP BY v),
+    survivors AS (
+      SELECT e.doc_id, e.source, len(e.w) AS n_tok
+      FROM ex e LEFT JOIN comp c ON c.v = e.doc_id
+      WHERE COALESCE(c.component, e.doc_id) = e.doc_id
+    )
+    SELECT CASE WHEN h2 < 'cd' THEN 'train'
+                WHEN h2 < 'e6' THEN 'val'
+                ELSE 'test' END AS split,
+           source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+    FROM (
+      SELECT source, n_tok, substr({_sql_doc_hash(_SPLIT_SALT)}, 1, 2) AS h2
+      FROM survivors
+    )
+    GROUP BY 1, 2
+    """
+
+
+@register(
+    "corpus_curation_pipeline",
+    oracle=_sql_pipeline_oracle(),
+    doc="curation FLAGSHIP: the whole training-data build as ONE plan — "
+    "quality gate -> exact dedup -> near-dup components -> hash split "
+    "-> per-(split, source) corpus manifest",
+)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus build, composed from the package's own stages
+    so Catalyst optimizes ACROSS stage boundaries (one logical plan, no
+    intermediate materialization the user has to manage):
+
+    1. quality gate — the funnel's keep rule (token bounds + lexical
+       diversity), a map-only scan;
+    2. exact dedup among survivors — min-doc_id canonical per
+       normalized-content sha256 (one hash window; a no-op on corpora
+       without exact copies, semantically present regardless);
+    3. near-dup dedup — banded-LSH verified pairs with BOTH endpoints
+       restricted to the surviving set (pair existence is per-doc-pair,
+       so post-filtering equals recomputing among survivors; the
+       restriction happens BEFORE the closure, so a dropped middle doc
+       no longer bridges two clusters), then connected components,
+       keep = component minimum;
+    4. deterministic md5 split and the (split, source) manifest with
+       exact integer token totals.
+
+    Scale: stages 1-2 are scan + one hash window; stage 3 is the
+    bounded candidate-pair pipeline (never all-pairs) + the iterative
+    closure whose edge set is the verified pairs only; the manifest is
+    a tiny aggregate. Every stage reuses the operator the registry
+    gates individually — this row proves the composition."""
+    from python_cdc_spark.functions.text import normalized_text, tokens as _toks
+    from python_cdc_spark.operators.components import connected_components
+    from python_cdc_spark.queries.llm_dedup import lsh_verified_pairs
+
+    d = table(spark, sf_dir, "documents")
+    toks = _toks(F.col("text"))
+    ttr = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    q = d.filter(
+        F.size(toks).between(20, 90) & (ttr >= 0.35)
+    ).select(
+        "doc_id",
+        "source",
+        F.size(toks).cast("long").alias("n_tok"),
+        F.sha2(normalized_text(F.col("text")), 256).alias("h"),
+    )
+    w = Window.partitionBy("h")
+    ex = (
+        q.withColumn("exact_canon", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("exact_canon"))
+        .select("doc_id", "source", "n_tok")
+        .localCheckpoint(eager=False)  # feeds the pair filter AND the manifest
+    )
+    pairs = lsh_verified_pairs(spark, sf_dir).select("id_a", "id_b")
+    ids_a = ex.select(F.col("doc_id").alias("id_a"))
+    ids_b = ex.select(F.col("doc_id").alias("id_b"))
+    p2 = pairs.join(ids_a, "id_a", "left_semi").join(ids_b, "id_b", "left_semi")
+    comp = connected_components(p2, "id_a", "id_b")
+    survivors = (
+        ex.join(comp, ex["doc_id"] == comp["v"], "left")
+        .filter(F.coalesce(F.col("component"), F.col("doc_id")) == F.col("doc_id"))
+        .select("doc_id", "source", "n_tok")
+    )
+    h2 = F.substring(_doc_hash(_SPLIT_SALT), 1, 2)
+    split = F.when(h2 < "cd", "train").when(h2 < "e6", "val").otherwise("test")
+    return (
+        survivors.select(split.alias("split"), "source", "n_tok")
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+        )
+    )
