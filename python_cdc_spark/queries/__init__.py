@@ -79,7 +79,7 @@ set_priority_order(
         # new this round: sliding-window chunker — in-window (slot from
         # once-green q18_large_volume_customers)
         "corpus_chunk_sliding",
-        # --- New this session (5): first driver rows land this round ---
+        # --- New this session (6): first driver rows land this round ---
         "timeseries_gapfill_locf",
         "text_duplicate_span_coverage",
         "text_quality_classifier",
