@@ -253,3 +253,39 @@ def test_zorder_layout_prunes_on_both_dims(spark, tmp_path):
     b = spark.read.parquet(zpath).groupBy().sum("value", "user_id").collect()
     assert len(a) == len(b) == 1
     assert spark.read.parquet(zpath).count() == ev.count()
+
+
+def test_runtime_bloom_filter_prunes_join_probe_side(spark):
+    """Spark's runtime bloom filter must inject might_contain(xxhash64)
+    into the probe-side scan of a selective shuffle join — row-level
+    semi-join reduction before the exchange. Thresholds are tuned for
+    100 TB defaults (10 GB application-side scans), so the test lowers
+    them to fire at test scale; results must be identical either way."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        o = table(spark, SF_SMOKE, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = table(spark, SF_SMOKE, "lineitem")
+        j = li.join(o, li.l_orderkey == o.o_orderkey)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan.lower(), plan[:2000]
+        n_bloom = j.count()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    o2 = table(spark, SF_SMOKE, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    li2 = table(spark, SF_SMOKE, "lineitem")
+    assert li2.join(o2, li2.l_orderkey == o2.o_orderkey).count() == n_bloom
