@@ -28,6 +28,19 @@ def main(argv: list[str] | None = None) -> int:
     exp = sub.add_parser("explain", help="print a query's physical plan report")
     exp.add_argument("name")
     exp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    cur = sub.add_parser(
+        "curate",
+        help="run the full curation pipeline and WRITE the survivor "
+        "corpus (split-partitioned parquet; docs, not just counts)",
+    )
+    cur.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    cur.add_argument("out")
+    cur.add_argument(
+        "--zorder",
+        action="store_true",
+        help="additionally cluster each split's files by (source hash, "
+        "n_tok) for multi-dim scan pruning",
+    )
 
     args = ap.parse_args(argv)
 
@@ -63,6 +76,34 @@ def main(argv: list[str] | None = None) -> int:
         from python_cdc_spark.plans.checks import plan_report
 
         print(json.dumps(plan_report(QUERIES[args.name].fn(spark, args.sf_dir)), indent=2))
+        return 0
+    if args.cmd == "curate":
+        from pyspark.sql import functions as F
+
+        from python_cdc_spark.io import write_partitioned, write_zordered
+        from python_cdc_spark.queries.llm_curation import curation_survivors
+
+        surv = curation_survivors(spark, args.sf_dir)
+        if args.zorder:
+            # per split so the directory layout still prunes on split
+            for split in ("train", "val", "test"):
+                write_zordered(
+                    surv.filter(F.col("split") == split)
+                    .withColumn("src_h", F.xxhash64("source"))
+                    .drop("split"),
+                    f"{args.out}/split={split}",
+                    ["src_h", "n_tok"],
+                    n_files=8,
+                )
+        else:
+            write_partitioned(surv, args.out, ["split"])
+        stats = (
+            spark.read.parquet(args.out)
+            .groupBy()
+            .agg(F.count("*").alias("docs"), F.sum("n_tok").alias("tokens"))
+            .first()
+        )
+        print(f"wrote {stats['docs']} docs / {stats['tokens']} tokens -> {args.out}")
         return 0
     return 1
 

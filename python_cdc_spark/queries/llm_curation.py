@@ -500,6 +500,21 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     closure whose edge set is the verified pairs only; the manifest is
     a tiny aggregate. Every stage reuses the operator the registry
     gates individually — this row proves the composition."""
+    survivors = curation_survivors(spark, sf_dir)
+    return (
+        survivors.select("split", "source", "n_tok")
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+        )
+    )
+
+
+def curation_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline's survivor set with split assignment — shared by
+    the registered manifest query and the `curate` CLI, which
+    materializes the corpus itself (doc rows, not just counts)."""
     from python_cdc_spark.functions.text import normalized_text, tokens as _toks
     from python_cdc_spark.operators.components import connected_components
     from python_cdc_spark.queries.llm_dedup import lsh_verified_pairs
@@ -512,6 +527,8 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id",
         "source",
+        "lang",
+        "text",
         F.size(toks).cast("long").alias("n_tok"),
         F.sha2(normalized_text(F.col("text")), 256).alias("h"),
     )
@@ -519,26 +536,18 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = (
         q.withColumn("exact_canon", F.min("doc_id").over(w))
         .filter(F.col("doc_id") == F.col("exact_canon"))
-        .select("doc_id", "source", "n_tok")
-        .localCheckpoint(eager=False)  # feeds the pair filter AND the manifest
+        .drop("h", "exact_canon")
+        .localCheckpoint(eager=False)  # feeds the pair filter AND the output
     )
     pairs = lsh_verified_pairs(spark, sf_dir).select("id_a", "id_b")
     ids_a = ex.select(F.col("doc_id").alias("id_a"))
     ids_b = ex.select(F.col("doc_id").alias("id_b"))
     p2 = pairs.join(ids_a, "id_a", "left_semi").join(ids_b, "id_b", "left_semi")
     comp = connected_components(p2, "id_a", "id_b")
-    survivors = (
-        ex.join(comp, ex["doc_id"] == comp["v"], "left")
-        .filter(F.coalesce(F.col("component"), F.col("doc_id")) == F.col("doc_id"))
-        .select("doc_id", "source", "n_tok")
-    )
     h2 = F.substring(_doc_hash(_SPLIT_SALT), 1, 2)
     split = F.when(h2 < "cd", "train").when(h2 < "e6", "val").otherwise("test")
     return (
-        survivors.select(split.alias("split"), "source", "n_tok")
-        .groupBy("split", "source")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum("n_tok").cast("long").alias("total_tokens"),
-        )
+        ex.join(comp, ex["doc_id"] == comp["v"], "left")
+        .filter(F.coalesce(F.col("component"), F.col("doc_id")) == F.col("doc_id"))
+        .select(split.alias("split"), "doc_id", "source", "lang", "text", "n_tok")
     )

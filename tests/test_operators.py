@@ -775,3 +775,33 @@ def test_zorder_key_single_column_is_rank_monotonic(spark):
 
     with pytest.raises(ValueError):
         zorder_key(ev, ["value"], bits=16)
+
+
+def test_curate_cli_writes_survivor_corpus(spark, tmp_path):
+    """`python -m python_cdc_spark curate` must materialize exactly the
+    survivor set the registered manifest query counts, partitioned by
+    split."""
+    from python_cdc_spark.__main__ import main as cli_main
+    from python_cdc_spark.queries import QUERIES
+
+    out = str(tmp_path / "corpus")
+    rc = cli_main(["curate", out, "--sf-dir", "/root/testdata/sf0.01"])
+    assert rc == 0
+    back = spark.read.parquet(out)
+    manifest = {
+        (r["split"], r["source"]): (r["n_docs"], r["total_tokens"])
+        for r in QUERIES["corpus_curation_pipeline"]
+        .fn(spark, "/root/testdata/sf0.01")
+        .collect()
+    }
+    got = {
+        (r["split"], r["source"]): (r["n"], r["t"])
+        for r in back.groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("n_tok").cast("long").alias("t"),
+        )
+        .collect()
+    }
+    assert got == manifest
+    assert set(back.columns) >= {"doc_id", "source", "lang", "text", "n_tok", "split"}
