@@ -215,7 +215,11 @@ def test_zorder_layout_prunes_on_both_dims(spark, tmp_path):
     # shuffle destroys any incidental clustering in the source
     ev.repartition(16).write.parquet(plain)
     zpath = str(tmp_path / "zorder")
-    write_zordered(ev, zpath, ["user_id", "value"], n_files=16)
+    # 64 files: each covers ~1/64 of the curve, sharp enough that the
+    # range partitioner's sampled boundaries (seeded per RDD id, so
+    # they wobble run to run) stay well inside the assertion margins —
+    # at 16 files the wobble was +-2 of 16 and flaked the thresholds
+    write_zordered(ev, zpath, ["user_id", "value"], n_files=64)
 
     import duckdb
 
@@ -228,9 +232,8 @@ def test_zorder_layout_prunes_on_both_dims(spark, tmp_path):
         f"FROM read_parquet('{plain}/*.parquet')"
     ).fetchone()
 
-    # repartitionByRange samples its boundaries (seeded per run), so the
-    # exact file split wobbles by ±1 row group; assert per-dim with
-    # slack and the combined ratio tight (unclustered = 32/32 touched)
+    # measured: ~24/64 (user_id) and ~20/64 (value) touched, stable
+    # across runs; margins sized at ~2x the observed boundary wobble
     combined_tot = combined_touch = 0
     for col, lo, hi in [("user_id", lo_u, hi_u), ("value", lo_v, hi_v)]:
         tot_p, touch_p = scan_pruning_stats(plain, col, lo, hi)
@@ -238,13 +241,13 @@ def test_zorder_layout_prunes_on_both_dims(spark, tmp_path):
         assert touch_p == tot_p, (
             f"unclustered layout unexpectedly pruned {col}: {touch_p}/{tot_p}"
         )
-        assert touch_z <= tot_z * 0.8, (
-            f"z-order layout must prune >=20% of row groups on {col}: "
+        assert touch_z <= tot_z * 0.55, (
+            f"z-order layout must prune >=45% of row groups on {col}: "
             f"touched {touch_z}/{tot_z}"
         )
         combined_tot += tot_z
         combined_touch += touch_z
-    assert combined_touch <= combined_tot * 0.7, (
+    assert combined_touch <= combined_tot * 0.45, (
         f"combined z-order pruning too weak: {combined_touch}/{combined_tot}"
     )
 
