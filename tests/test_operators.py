@@ -805,3 +805,64 @@ def test_curate_cli_writes_survivor_corpus(spark, tmp_path):
     }
     assert got == manifest
     assert set(back.columns) >= {"doc_id", "source", "lang", "text", "n_tok", "split"}
+
+
+def test_incremental_dedup_matches_batch(spark, tmp_path):
+    """Index-once/delta-update near-dup maintenance must produce
+    byte-identical clusters to the one-shot batch run, across TWO delta
+    folds, including base<->delta cluster merges."""
+    from python_cdc_spark.operators.components import connected_components
+    from python_cdc_spark.operators.incremental_dedup import (
+        build_dedup_index,
+        incremental_dedup_update,
+        _band_stack,
+        _delta_tables,
+        _verify_pairs,
+    )
+
+    docs = table(spark, "/root/testdata/sf0.01", "documents").select(
+        "doc_id", "text"
+    )
+
+    # batch ground truth over the full corpus with the module's params
+    cells, bands, sizes = _delta_tables(docs, "text", "doc_id")
+    x, y = bands.alias("x"), bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band_id") == F.col("y.band_id"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    batch_pairs = _verify_pairs(cand, cells, sizes, 0.5).localCheckpoint(eager=True)
+    pair_rows = batch_pairs.collect()
+    assert pair_rows, "corpus must contain verified near-dup pairs"
+    # choose a split boundary that at least one pair straddles, so the
+    # update path must MERGE a base cluster with a delta doc
+    mids = sorted({(r["id_a"] + r["id_b"]) // 2 for r in pair_rows})
+    boundary = mids[len(mids) // 2] + 1
+    straddling = [
+        r for r in pair_rows if r["id_a"] < boundary <= r["id_b"]
+    ]
+    assert straddling, f"no pair straddles boundary {boundary}: {pair_rows[:5]}"
+    batch_comp = {
+        (r["v"], r["component"])
+        for r in connected_components(batch_pairs, "id_a", "id_b").collect()
+    }
+
+    base = docs.filter(F.col("doc_id") < boundary)
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    half = boundary + (max_id + 1 - boundary) // 2  # two non-empty folds
+    delta1 = docs.filter((F.col("doc_id") >= boundary) & (F.col("doc_id") < half))
+    delta2 = docs.filter(F.col("doc_id") >= half)
+    assert delta1.count() > 0 and delta2.count() > 0
+
+    idx = str(tmp_path / "dedup_index")
+    build_dedup_index(spark, base, idx)
+    incremental_dedup_update(spark, idx, delta1)
+    final = incremental_dedup_update(spark, idx, delta2)
+    inc_comp = {(r["v"], r["component"]) for r in final.collect()}
+    assert inc_comp == batch_comp
