@@ -219,3 +219,84 @@ def ivf_rq_topk_from_index(
         id_col, vec_col, k_top=k_top, nprobe=nprobe, shortlist=shortlist,
         m=m, dims=dims, exact=exact, probes=probes,
     )
+
+
+def append_to_ivfpq_index(
+    spark: SparkSession,
+    out_dir: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    kind: str = "pq",
+    m: int = 4,
+    dims: int = 64,
+    exact: bool = False,
+    validate: bool = True,
+) -> int:
+    """Fold new vectors into a persisted index WITHOUT refitting — the
+    frozen-quantizer append every production ANN system does between
+    periodic retrains: assign each new vector to its existing coarse
+    cell, encode it with the existing codebook, and append the rows
+    into the Hive-partitioned cells layout (only the touched cell
+    directories gain files; probes keep pruning exactly as before).
+
+    Quantizer drift is the retrain trigger, not this function's
+    problem: appended vectors are quantized as well as the frozen
+    codebook represents them, which test_ivfpq_index_append pins by
+    comparing against a one-shot build with the SAME quantizers.
+
+    ``validate`` guards the one-cell-per-vector invariant the readers
+    rely on: appending an id that already exists would double-count its
+    ADC partial sums. The check is one semi-join over the index ids; a
+    deployment appending constantly would keep an id bloom filter
+    instead. Returns the number of vectors appended. The stored
+    fingerprint is extended so ``index_is_current`` against the
+    original source honestly reports stale."""
+    from python_cdc_spark.operators.pq import pq_encode, rq_encode
+    from python_cdc_spark.operators.similarity import kmeans_assign
+
+    idx = load_ivfpq_index(spark, out_dir)
+    if validate:
+        clash = (
+            new_vectors.select(F.col(id_col).alias("neighbor_id"))
+            .join(idx["cells"].select("neighbor_id").distinct(), "neighbor_id", "left_semi")
+            .limit(1)
+            .count()
+        )
+        if clash:
+            raise ValueError(
+                "append_to_ivfpq_index: some ids already exist in the index"
+            )
+    assigned = kmeans_assign(
+        new_vectors, idx["centroids"], id_col, vec_col, exact=exact, dims=dims
+    ).select(F.col(id_col).alias("neighbor_id"), "cell")
+    if kind == "pq":
+        codes = pq_encode(
+            new_vectors, idx["codebook"], id_col, vec_col, m=m, dims=dims, exact=exact
+        )
+    elif kind == "rq":
+        codes = rq_encode(
+            new_vectors, idx["codebook"], id_col, vec_col, m=m, dims=dims, exact=exact
+        )
+    else:
+        raise ValueError(f"unknown code kind: {kind}")
+    cells_new = codes.withColumnRenamed(id_col, "neighbor_id").join(
+        assigned, "neighbor_id"
+    )
+    n = cells_new.select("neighbor_id").distinct().count()
+    (
+        cells_new.repartition("cell")
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(os.path.join(out_dir, "cells.parquet"))
+    )
+    meta_path = os.path.join(out_dir, "_meta.json")
+    try:
+        with open(meta_path) as f:
+            meta = json.load(f)
+    except (OSError, ValueError):
+        meta = {"fingerprint": "", "params": {}}
+    meta["fingerprint"] = f"{meta.get('fingerprint', '')}+append:{n}"
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    return n

@@ -866,3 +866,55 @@ def test_incremental_dedup_matches_batch(spark, tmp_path):
     final = incremental_dedup_update(spark, idx, delta2)
     inc_comp = {(r["v"], r["component"]) for r in final.collect()}
     assert inc_comp == batch_comp
+
+
+def test_ivfpq_index_append_matches_frozen_batch(spark, tmp_path):
+    """Frozen-quantizer append: base-built index + appended delta must
+    answer queries identically to a one-shot index built with the SAME
+    centroids/codebook over all vectors."""
+    from python_cdc_spark.operators.ann_index import (
+        append_to_ivfpq_index,
+        ivf_pq_topk_from_index,
+        save_ivfpq_index,
+    )
+    from python_cdc_spark.operators.pq import pq_encode, pq_fit
+    from python_cdc_spark.operators.similarity import kmeans_assign, kmeans_fit
+
+    e = table(spark, "/root/testdata/sf0.01", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    base = e.filter(F.col("vec_id") < 400)
+    delta = e.filter(F.col("vec_id") >= 400)
+    cent = kmeans_fit(base, "vec_id", "embedding", k=16, iters=2, exact=False)
+    book = pq_fit(base, "vec_id", "embedding", m=4, dims=64, k=16, iters=1, exact=False)
+
+    def build(docs, out):
+        assigned = kmeans_assign(
+            docs, cent, "vec_id", "embedding", exact=False
+        ).select(F.col("vec_id").alias("neighbor_id"), "cell")
+        codes = pq_encode(docs, book, "vec_id", "embedding", m=4, dims=64, exact=False)
+        save_ivfpq_index(out, cent, assigned, codes, book, params={"t": 1})
+
+    one_shot = str(tmp_path / "one_shot")
+    build(e, one_shot)
+    appended = str(tmp_path / "appended")
+    build(base, appended)
+    n = append_to_ivfpq_index(
+        spark, appended, delta, kind="pq", m=4, dims=64, exact=False
+    )
+    assert n == delta.count()
+
+    queries = e.filter(F.col("vec_id") % 100 == 0)
+    kw = dict(k_top=5, nprobe=4, shortlist=64, m=4, dims=64, exact=False)
+    r_one = sorted(
+        map(tuple, ivf_pq_topk_from_index(spark, e, one_shot, queries, **kw).collect())
+    )
+    r_app = sorted(
+        map(tuple, ivf_pq_topk_from_index(spark, e, appended, queries, **kw).collect())
+    )
+    assert r_one == r_app
+    assert len(r_one) > 0
+
+    # appending an existing id must be refused (double-count guard)
+    with pytest.raises(ValueError):
+        append_to_ivfpq_index(spark, appended, delta, kind="pq", m=4, dims=64)
