@@ -18,6 +18,9 @@ from python_cdc_spark.streaming.apply_stream import (  # noqa: F401
     StreamingApplyChanges,
     StreamingWireApplyChanges,
 )
+from python_cdc_spark.streaming.dedup_stream import (  # noqa: F401
+    StreamingCorpusDedup,
+)
 from python_cdc_spark.streaming.ivm_stream import (  # noqa: F401
     StreamingIncrementalAgg,
 )

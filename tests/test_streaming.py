@@ -664,3 +664,60 @@ def test_stateful_running_counter_tws(spark, tmp_path, feed_dir):
         for k, r in latest.items()
     }
     assert got == {"1": (2, 17.0, 3), "2": (1, 5.0, 2)}
+
+
+def test_streaming_corpus_dedup_matches_batch(spark, tmp_path):
+    """Documents streamed in two files, folded per micro-batch into the
+    persisted dedup index, must yield the exact components a one-shot
+    batch run over the full corpus produces."""
+    from python_cdc_spark.io import table
+    from python_cdc_spark.operators.components import connected_components
+    from python_cdc_spark.operators.incremental_dedup import (
+        _delta_tables,
+        _verify_pairs,
+    )
+    from python_cdc_spark.streaming.dedup_stream import StreamingCorpusDedup
+
+    docs = table(spark, "/root/testdata/sf0.01", "documents").select(
+        "doc_id", "text"
+    )
+    base = docs.filter(F.col("doc_id") < 200)
+    feed = tmp_path / "docfeed"
+    feed.mkdir()
+    # two stream files -> two micro-batches (maxFilesPerTrigger=1)
+    docs.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 350)).coalesce(
+        1
+    ).write.json(str(feed / "f1"))
+    docs.filter(F.col("doc_id") >= 350).coalesce(1).write.json(str(feed / "f2"))
+
+    dd = StreamingCorpusDedup(spark, str(tmp_path / "dedup_index"))
+    dd.bootstrap(base)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .json(str(feed))
+    )
+    q = dd.start(stream, str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+
+    got = {(r["v"], r["component"]) for r in dd.components().collect()}
+
+    cells, bands, sizes = _delta_tables(docs, "text", "doc_id")
+    x, y = bands.alias("x"), bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band_id") == F.col("y.band_id"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    pairs = _verify_pairs(cand, cells, sizes, 0.5)
+    want = {
+        (r["v"], r["component"])
+        for r in connected_components(pairs, "id_a", "id_b").collect()
+    }
+    assert got == want and len(got) > 0
