@@ -9,17 +9,18 @@ work scales with the batch, and the components table is always the
 exact result a batch rerun over everything-so-far would produce
 (pinned by ``test_streaming_corpus_dedup_matches_batch``).
 
-Restart semantics ride the Structured Streaming checkpoint: a batch is
-folded exactly once per checkpoint commit. The fold itself appends to
-the index BEFORE the checkpoint commits, so a crash between the two
-can replay a batch — callers needing exact-once under crash should
-dedup batch ids like ``streaming/state_store.py`` does (this wrapper
-keeps the streaming surface thin; the contracted-merge math is
-idempotent only per unique batch).
+Restart semantics: the index fold happens BEFORE the streaming
+checkpoint commits, so a crash between the two replays the batch on
+restart. The fold is NOT idempotent (re-appending the same delta's
+gram/band rows would double them), so folded batch ids are recorded in
+``_folded.json`` next to the index and replayed batches are skipped —
+the same dedup-on-batch-id discipline ``streaming/state_store.py``
+uses (single-writer assumption likewise).
 """
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -43,6 +44,25 @@ class StreamingCorpusDedup:
         self.text_col = text_col
         self.id_col = id_col
 
+    @property
+    def _folded_path(self) -> str:
+        return os.path.join(self.index_path, "_folded.json")
+
+    def _folded_ids(self) -> set:
+        try:
+            with open(self._folded_path) as f:
+                return set(json.load(f))
+        except (OSError, ValueError):
+            return set()
+
+    def _mark_folded(self, batch_id: int) -> None:
+        ids = self._folded_ids()
+        ids.add(batch_id)
+        tmp = self._folded_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(sorted(ids), f)
+        os.replace(tmp, self._folded_path)
+
     def bootstrap(self, docs: DataFrame) -> None:
         """Seed the index from an existing corpus (batch build)."""
         build_dedup_index(
@@ -50,10 +70,14 @@ class StreamingCorpusDedup:
         )
 
     def fold_batch(self, batch: DataFrame, batch_id: int | None = None) -> None:
+        if batch_id is not None and batch_id in self._folded_ids():
+            return  # checkpoint replay after a crash mid-commit
         if not batch.isEmpty():
             incremental_dedup_update(
                 self.spark, self.index_path, batch, self.text_col, self.id_col
             )
+        if batch_id is not None:
+            self._mark_folded(batch_id)
 
     def components(self) -> DataFrame:
         """Current (v, component) clusters — exact as of the last fold."""

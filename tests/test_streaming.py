@@ -721,3 +721,24 @@ def test_streaming_corpus_dedup_matches_batch(spark, tmp_path):
         for r in connected_components(pairs, "id_a", "id_b").collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_corpus_dedup_replay_is_skipped(spark, tmp_path):
+    """A replayed micro-batch (crash between index fold and checkpoint
+    commit) must not double-fold: folding the same batch id twice
+    leaves the index byte-identical."""
+    from python_cdc_spark.io import table
+    from python_cdc_spark.streaming.dedup_stream import StreamingCorpusDedup
+
+    docs = table(spark, "/root/testdata/sf0.01", "documents").select(
+        "doc_id", "text"
+    )
+    dd = StreamingCorpusDedup(spark, str(tmp_path / "idx"))
+    dd.bootstrap(docs.filter(F.col("doc_id") < 300))
+    delta = docs.filter(F.col("doc_id") >= 300)
+    dd.fold_batch(delta, batch_id=0)
+    before = sorted(map(tuple, dd.components().collect()))
+    n_cells = spark.read.parquet(str(tmp_path / "idx" / "cells")).count()
+    dd.fold_batch(delta, batch_id=0)  # replay
+    assert sorted(map(tuple, dd.components().collect())) == before
+    assert spark.read.parquet(str(tmp_path / "idx" / "cells")).count() == n_cells
