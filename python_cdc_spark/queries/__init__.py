@@ -86,6 +86,7 @@ set_priority_order(
         "profile_column_stats",
         "dedup_semantic_clusters",
         "corpus_curation_pipeline",
+        "dedup_incremental_fold",
         # --- Once-green block: bank the second green row (entries past
         # position 50 simply wait for the next rotation) ---
         "sessionize_events",

@@ -561,3 +561,55 @@ def text_duplicate_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage_ppm"),
         )
     )
+
+
+@register(
+    "dedup_incremental_fold",
+    oracle=f"""
+    WITH RECURSIVE {_VERIFIED_PAIRS_CTES},
+    sym AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b AS a, id_a AS b FROM pairs
+    ),
+    reach(v, l) AS (
+      SELECT DISTINCT a, a FROM sym
+      UNION
+      SELECT s.a, r.l FROM sym s JOIN reach r ON r.v = s.b
+    )
+    SELECT v, MIN(l) AS component FROM reach GROUP BY v
+    """,
+    doc="E25/E26 incremental: near-dup clusters produced by INDEX-ONCE/"
+    "FOLD-DELTA maintenance (base 60% indexed, rest folded through the "
+    "contracted-graph merge) — must equal the batch closure exactly",
+)
+def dedup_incremental_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental-maintenance contract as an oracle-gated query:
+    build the persisted dedup index over the first ~60% of the corpus,
+    fold the remaining docs as a delta (candidates only against the
+    band index, cluster merges over the contracted graph — work scales
+    with the delta, not the corpus), and return the resulting
+    (v, component) clusters. The oracle is the plain batch recursive
+    closure over ALL docs: incremental == batch is the contract, here
+    driver-gated rather than only pytest-pinned
+    (test_incremental_dedup_matches_batch covers two-fold sequences
+    and the streaming twin)."""
+    import tempfile
+
+    from python_cdc_spark.operators.incremental_dedup import (
+        build_dedup_index,
+        incremental_dedup_update,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    boundary = (int(max_id) * 3) // 5
+    with tempfile.TemporaryDirectory() as tmp:
+        build_dedup_index(
+            spark, docs.filter(F.col("doc_id") < boundary), tmp
+        )
+        # returned components are eagerly checkpointed inside the
+        # update, so they outlive the temporary index directory
+        return incremental_dedup_update(
+            spark, tmp, docs.filter(F.col("doc_id") >= boundary)
+        )
