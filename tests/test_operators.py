@@ -918,3 +918,35 @@ def test_ivfpq_index_append_matches_frozen_batch(spark, tmp_path):
     # appending an existing id must be refused (double-count guard)
     with pytest.raises(ValueError):
         append_to_ivfpq_index(spark, appended, delta, kind="pq", m=4, dims=64)
+
+
+def test_semdedup_recall_and_precision_vs_exact(spark):
+    """SemDeDup quality economics, measured not assumed: within-cluster
+    cosine is EXACT, so precision vs the all-pairs ground truth must be
+    1.0; recall pays for the cluster pass (cross-cluster near-dup pairs
+    are invisible by design — k trades recall against pair count).
+    Measured 0.60 at k=64 over sf0.01's 500 near-uniform vectors
+    (~8/cluster — aggressive); floored with margin."""
+    import numpy as np
+
+    from python_cdc_spark.queries import QUERIES
+
+    rows = table(spark, "/root/testdata/sf0.01", "embeddings").select(
+        "vec_id", "embedding"
+    ).collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    V = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    V = V / np.linalg.norm(V, axis=1, keepdims=True)
+    S = V @ V.T
+    smaller = ids[None, :] < ids[:, None]
+    exact_dup = set(ids[((S >= 0.25) & smaller).any(axis=1)].tolist())
+    got = {
+        r["vec_id"]
+        for r in QUERIES["dedup_semantic_clusters"]
+        .fn(spark, "/root/testdata/sf0.01")
+        .collect()
+        if r["is_dup"]
+    }
+    assert got <= exact_dup, "flagged a vector with no true near-dup mate"
+    recall = len(got & exact_dup) / len(exact_dup)
+    assert recall >= 0.5, f"semdedup recall collapsed: {recall:.3f}"
