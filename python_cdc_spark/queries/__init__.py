@@ -29,6 +29,7 @@ from python_cdc_spark.queries import (  # noqa: F401, E402
     multimodal_queries,
     udf_queries,
     llm_curation,
+    ml_queries,
 )
 
 # The driver's correctness gate checks the FIRST 50 registry entries;
@@ -87,6 +88,7 @@ set_priority_order(
         "dedup_semantic_clusters",
         "corpus_curation_pipeline",
         "dedup_incremental_fold",
+        "ml_linreg_suffstats",
         # --- Once-green block: bank the second green row (entries past
         # position 50 simply wait for the next rotation) ---
         "sessionize_events",

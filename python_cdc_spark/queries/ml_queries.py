@@ -1,0 +1,145 @@
+"""Distributed ML-training primitives (the MLlib pattern): models whose
+fit reduces to ONE aggregation pass producing metadata-scale sufficient
+statistics, solved on the driver.
+
+Linear regression via normal equations is the canonical case: X'X is
+(p+1)², X'y is p+1 — a handful of doubles regardless of corpus size —
+and every entry is a SUM of per-row products, so the whole fit is one
+map + one (decimal-routed, hence engine-exact) aggregate. This is how
+a quality-classifier head actually gets (re)trained against a 100 TB
+corpus: no per-row Python, no iterations over the data, one shuffle.
+
+The registered query returns the statistics themselves (driver-
+checkable against DuckDB bit-for-bit); the solve — a p×p numpy call —
+is pinned by ``test_linreg_suffstats_solve`` which checks the closed-
+form fit beats the mean baseline on its own training corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from python_cdc_spark.functions.text import LANG_STOPWORDS, tokens
+from python_cdc_spark.io import table
+from python_cdc_spark.queries.llm_text import _SQL_STOPLIST, _SQL_TOKS
+from python_cdc_spark.queries.registry import register
+
+#: feature names; the target is log-ish scaled n_chars (sqrt keeps the
+#: arithmetic inside correctly-rounded IEEE ops — no libm log)
+_FEATS = [
+    "intercept",
+    "sqrt_tokens",
+    "stopword_ratio",
+    "mean_token_len",
+    "type_token_ratio",
+]
+
+
+def _sql_feature_cte() -> str:
+    return f"""
+    SELECT doc_id,
+           1.0 AS intercept,
+           sqrt(CAST(len(w) AS DOUBLE)) AS sqrt_tokens,
+           CAST(len(list_filter(w, x -> x IN ({_SQL_STOPLIST}))) AS DOUBLE)
+             / len(w) AS stopword_ratio,
+           CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w)
+             AS mean_token_len,
+           CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS type_token_ratio,
+           sqrt(CAST(length(text) AS DOUBLE)) AS y
+    FROM (SELECT doc_id, text, {_SQL_TOKS} AS w FROM documents)
+    """
+
+
+def _sql_suffstats() -> str:
+    entries = []
+    for i, fi in enumerate(_FEATS):
+        for j, fj in enumerate(_FEATS):
+            if j < i:
+                continue
+            entries.append(
+                f"SELECT 'xtx:{fi}:{fj}' AS stat, "
+                f"CAST(ROUND(SUM(CAST({fi} * {fj} AS DECIMAL(30,10))), 4) AS DOUBLE)"
+                f" AS value FROM f"
+            )
+    for fi in _FEATS:
+        entries.append(
+            f"SELECT 'xty:{fi}' AS stat, "
+            f"CAST(ROUND(SUM(CAST({fi} * y AS DECIMAL(30,10))), 4) AS DOUBLE)"
+            f" AS value FROM f"
+        )
+    entries.append("SELECT 'n' AS stat, CAST(COUNT(*) AS DOUBLE) AS value FROM f")
+    entries.append(
+        "SELECT 'yty' AS stat, "
+        "CAST(ROUND(SUM(CAST(y * y AS DECIMAL(30,10))), 4) AS DOUBLE) AS value FROM f"
+    )
+    entries.append(
+        "SELECT 'sy' AS stat, "
+        "CAST(ROUND(SUM(CAST(y AS DECIMAL(30,10))), 4) AS DOUBLE) AS value FROM f"
+    )
+    return f"WITH f AS ({_sql_feature_cte()}) " + " UNION ALL ".join(entries)
+
+
+@register(
+    "ml_linreg_suffstats",
+    oracle=_sql_suffstats(),
+    doc="ML primitive: one-pass sufficient statistics (X'X upper "
+    "triangle, X'y, n, y'y, sum y) for closed-form linear regression "
+    "of sqrt(doc length) on text features — the distributed-training "
+    "pattern where the fit is one aggregate and the solve is "
+    "metadata-scale",
+)
+def ml_linreg_suffstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One scan, one aggregate row, unpivoted to (stat, value): the
+    entire training pass for a linear model at any corpus size. Each
+    sum is decimal-routed so Spark's partial-aggregation order and the
+    DuckDB oracle agree bit-for-bit. The driver never sees rows — only
+    the (p²+3p)/2+3 statistics."""
+    d = table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_tok = F.size(toks).cast("double")
+    stop_hits = F.size(
+        F.filter(
+            toks,
+            lambda t: t.isin([s for v in LANG_STOPWORDS.values() for s in v]),
+        )
+    ).cast("double")
+    tok_chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t).cast("long")
+    ).cast("double")
+    f = d.select(
+        F.lit(1.0).alias("intercept"),
+        F.sqrt(n_tok).alias("sqrt_tokens"),
+        (stop_hits / n_tok).alias("stopword_ratio"),
+        (tok_chars / n_tok).alias("mean_token_len"),
+        (F.size(F.array_distinct(toks)).cast("double") / n_tok).alias(
+            "type_token_ratio"
+        ),
+        F.sqrt(F.length("text").cast("double")).alias("y"),
+    )
+
+    def dsum(expr, name):
+        return F.round(F.sum(expr.cast("decimal(30,10)")), 4).cast("double").alias(name)
+
+    aggs, names = [], []
+    for i, fi in enumerate(_FEATS):
+        for j, fj in enumerate(_FEATS):
+            if j < i:
+                continue
+            names.append(f"xtx:{fi}:{fj}")
+            aggs.append(dsum(F.col(fi) * F.col(fj), f"a{len(names)}"))
+    for fi in _FEATS:
+        names.append(f"xty:{fi}")
+        aggs.append(dsum(F.col(fi) * F.col("y"), f"a{len(names)}"))
+    names.append("n")
+    aggs.append(F.count(F.lit(1)).cast("double").alias(f"a{len(names)}"))
+    names.append("yty")
+    aggs.append(dsum(F.col("y") * F.col("y"), f"a{len(names)}"))
+    names.append("sy")
+    aggs.append(dsum(F.col("y"), f"a{len(names)}"))
+    row = f.agg(*aggs)
+    structs = [
+        F.struct(F.lit(n).alias("stat"), F.col(f"a{i + 1}").alias("value"))
+        for i, n in enumerate(names)
+    ]
+    return row.select(F.explode(F.array(*structs)).alias("s")).select("s.*")

@@ -950,3 +950,33 @@ def test_semdedup_recall_and_precision_vs_exact(spark):
     assert got <= exact_dup, "flagged a vector with no true near-dup mate"
     recall = len(got & exact_dup) / len(exact_dup)
     assert recall >= 0.5, f"semdedup recall collapsed: {recall:.3f}"
+
+
+def test_linreg_suffstats_solve(spark):
+    """The one-pass sufficient statistics must actually train a model:
+    solve the normal equations and check the closed-form fit explains
+    variance the mean baseline can't (R^2 materially > 0), at two sf
+    dirs (statistics scale with data, the solve does not)."""
+    import numpy as np
+
+    from python_cdc_spark.queries import QUERIES
+    from python_cdc_spark.queries.ml_queries import _FEATS
+
+    for sf in ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]:
+        stats = {
+            r["stat"]: r["value"]
+            for r in QUERIES["ml_linreg_suffstats"].fn(spark, sf).collect()
+        }
+        p = len(_FEATS)
+        xtx = np.zeros((p, p))
+        for i, fi in enumerate(_FEATS):
+            for j, fj in enumerate(_FEATS):
+                key = f"xtx:{fi}:{fj}" if j >= i else f"xtx:{fj}:{fi}"
+                xtx[i, j] = stats[key]
+        xty = np.array([stats[f"xty:{f}"] for f in _FEATS])
+        beta = np.linalg.solve(xtx, xty)
+        # R^2 from the same statistics: SSE = y'y - 2 b'X'y + b'X'X b
+        sse = stats["yty"] - 2 * beta @ xty + beta @ xtx @ beta
+        sst = stats["yty"] - stats["sy"] ** 2 / stats["n"]
+        r2 = 1 - sse / sst
+        assert 0.2 < r2 <= 1.0 + 1e-9, f"{sf}: R^2 {r2}"
