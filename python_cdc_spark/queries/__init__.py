@@ -89,6 +89,7 @@ set_priority_order(
         "corpus_curation_pipeline",
         "dedup_incremental_fold",
         "ml_linreg_suffstats",
+        "corpus_shuffle_epochs",
         # --- Once-green block: bank the second green row (entries past
         # position 50 simply wait for the next rotation) ---
         "sessionize_events",

@@ -551,3 +551,54 @@ def curation_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.coalesce(F.col("component"), F.col("doc_id")) == F.col("doc_id"))
         .select(split.alias("split"), "doc_id", "source", "lang", "text", "n_tok")
     )
+
+
+@register(
+    "corpus_shuffle_epochs",
+    oracle=f"""
+    WITH e(epoch) AS (VALUES (0), (1)),
+    r AS (
+      SELECT e.epoch, d.doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.epoch
+               ORDER BY md5('ep' || CAST(e.epoch AS VARCHAR) || '|'
+                            || CAST(d.doc_id AS VARCHAR)), d.doc_id
+             ) AS position
+      FROM documents d CROSS JOIN e
+    )
+    SELECT CAST(epoch AS INTEGER) AS epoch, doc_id,
+           CAST(position AS BIGINT) AS position,
+           CAST((position - 1) // 64 AS BIGINT) AS micro_batch
+    FROM r
+    """,
+    doc="curation: deterministic per-epoch training order — each epoch "
+    "is an independent md5 permutation of the corpus, with micro-batch "
+    "assignment; reshuffling is a pure function of (epoch, doc_id)",
+)
+def corpus_shuffle_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-order generation: epoch e's order is the rank of
+    md5('ep<e>|doc_id') — a uniform permutation that is a pure function
+    of (epoch, doc_id), so any worker can recompute any epoch's order
+    without coordination, resume mid-epoch, or verify a shard against
+    the manifest. The global rank is ONE sort per epoch; at real scale
+    you shard first (corpus_pack_shards) and rank within shard so no
+    global ordering exists — the same expression with a PARTITION BY
+    shard. Micro-batches fall out of integer division of the rank."""
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    epochs = spark.range(2).select(F.col("id").cast("int").alias("epoch"))
+    w = Window.partitionBy("epoch").orderBy(
+        F.md5(
+            F.concat(
+                F.lit("ep"),
+                F.col("epoch").cast("string"),
+                F.lit("|"),
+                F.col("doc_id").cast("string"),
+            )
+        ),
+        "doc_id",
+    )
+    return (
+        d.crossJoin(F.broadcast(epochs))
+        .select("epoch", "doc_id", F.row_number().over(w).cast("long").alias("position"))
+        .withColumn("micro_batch", F.expr("(position - 1) DIV 64"))
+    )
