@@ -90,6 +90,8 @@ set_priority_order(
         "dedup_incremental_fold",
         "ml_linreg_suffstats",
         "corpus_shuffle_epochs",
+        "graph_triangle_count",
+        "events_anomaly_mad",
         # --- Once-green block: bank the second green row (entries past
         # position 50 simply wait for the next rotation) ---
         "sessionize_events",

@@ -613,3 +613,55 @@ def dedup_incremental_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         return incremental_dedup_update(
             spark, tmp, docs.filter(F.col("doc_id") >= boundary)
         )
+
+
+@register(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH {_VERIFIED_PAIRS_CTES},
+    e AS (SELECT id_a AS a, id_b AS b FROM pairs),
+    tri AS (
+      SELECT e1.a, e1.b, e2.b AS c
+      FROM e e1
+      JOIN e e2 ON e2.a = e1.b
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    corners AS (
+      SELECT a AS v FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    )
+    SELECT v, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM corners GROUP BY v
+    """,
+    doc="E26/graph: per-vertex triangle counts over the verified "
+    "near-dup graph — the clustering-coefficient numerator, computed "
+    "as two keyed self-joins over the oriented (a<b) edge list",
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting the distributed way: orient every edge low→high
+    (kills 6x double-counting), join e1(a,b)⋈e2(b,c) to enumerate
+    wedges, close each wedge against e3(a,c). Both joins are keyed hash
+    joins on vertex ids — wedge count is Σ deg(v)², bounded here
+    because the edge list is the LSH-VERIFIED pair set, never all-pairs.
+    At real scale the standard refinement orients by (degree, id) so
+    high-degree hubs generate no wedges; same plan shape."""
+    e = (
+        dedup_lsh_verified(spark, sf_dir)
+        .select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+        .localCheckpoint(eager=False)  # three join sides, one pair pipeline
+    )
+    e1 = e.select(F.col("a").alias("a"), F.col("b").alias("b"))
+    e2 = e.select(F.col("a").alias("b2"), F.col("b").alias("c"))
+    e3 = e.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    tri = (
+        e1.join(e2, F.col("b") == F.col("b2"))
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .select("a", "b", "c")
+    )
+    corners = (
+        tri.select(F.col("a").alias("v"))
+        .unionAll(tri.select(F.col("b").alias("v")))
+        .unionAll(tri.select(F.col("c").alias("v")))
+    )
+    return corners.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))

@@ -637,3 +637,102 @@ def timeseries_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         interp.alias("interp_value"),
         (F.col("sum_value").isNull()).cast("int").alias("is_gap"),
     )
+
+
+@register(
+    "events_anomaly_mad",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(30,10))), 4) AS DOUBLE)
+               AS sum_value
+      FROM events GROUP BY 1, 2
+    ),
+    r1 AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                   ORDER BY sum_value, bucket_ts) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM b
+    ),
+    med AS (
+      SELECT event_type,
+             CAST(SUM(CAST(sum_value AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*)
+               AS median_sum
+      FROM r1 WHERE rn IN ((n + 1) // 2, (n + 2) // 2) GROUP BY 1
+    ),
+    d AS (
+      SELECT b.event_type, b.bucket_ts, b.sum_value, m.median_sum,
+             abs(b.sum_value - m.median_sum) AS dev
+      FROM b JOIN med m USING (event_type)
+    ),
+    r2 AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                   ORDER BY dev, bucket_ts) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM d
+    ),
+    mad AS (
+      SELECT event_type,
+             CAST(SUM(CAST(dev AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*) AS mad
+      FROM r2 WHERE rn IN ((n + 1) // 2, (n + 2) // 2) GROUP BY 1
+    )
+    SELECT d.event_type, d.bucket_ts, d.sum_value, d.median_sum, mad.mad,
+           d.dev > CAST('4.4478' AS DOUBLE) * mad.mad AS is_anomaly
+    FROM d JOIN mad USING (event_type)
+    """,
+    doc="E13/monitoring: robust hourly anomaly flags per event_type — "
+    "median + MAD via exact order statistics (no interpolated "
+    "percentiles), threshold 3 x 1.4826 x MAD",
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust volume-anomaly detection: per type, hourly value sums are
+    scored against median ± 3·1.4826·MAD. Median and MAD are EXACT
+    order statistics (mean of the two middle elements, decimal-routed)
+    — interpolated percentile functions differ across engines, order
+    statistics cannot. Two windowed ranks + two tiny aggregates; the
+    bucket table is output-scale, so this whole monitor costs one
+    corpus aggregate regardless of input size."""
+    from python_cdc_spark.queries.helpers import dec_sum
+
+    ev = table(spark, sf_dir, "events")
+    b = (
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket_ts")
+        ).agg(dec_sum(F.col("value"), "sum_value"))
+    )
+
+    def mid_mean(df, val, order_tiebreak, out):
+        w = Window.partitionBy("event_type").orderBy(F.col(val), F.col(order_tiebreak))
+        ranked = df.select(
+            "event_type",
+            val,
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+        )
+        mid = ranked.filter(
+            (F.col("rn") == F.floor((F.col("n") + 1) / 2))
+            | (F.col("rn") == F.floor((F.col("n") + 2) / 2))
+        )
+        return mid.groupBy("event_type").agg(
+            (
+                F.sum(F.col(val).cast("decimal(30,10)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias(out)
+        )
+
+    med = mid_mean(b, "sum_value", "bucket_ts", "median_sum")
+    d = b.join(med, "event_type").withColumn(
+        "dev", F.abs(F.col("sum_value") - F.col("median_sum"))
+    )
+    mad = mid_mean(d, "dev", "bucket_ts", "mad")
+    return (
+        d.join(mad, "event_type")
+        .select(
+            "event_type",
+            "bucket_ts",
+            "sum_value",
+            "median_sum",
+            "mad",
+            (F.col("dev") > F.lit(4.4478) * F.col("mad")).alias("is_anomaly"),
+        )
+    )
