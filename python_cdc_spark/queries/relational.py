@@ -994,3 +994,79 @@ def part_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@register(
+    "join_key_skew_report",
+    oracle="""
+    WITH u AS (
+      SELECT 'events.user_id' AS key_col, CAST(user_id AS VARCHAR) AS k
+      FROM events
+      UNION ALL
+      SELECT 'events.event_type', event_type FROM events
+      UNION ALL
+      SELECT 'lineitem.l_orderkey', CAST(l_orderkey AS VARCHAR) FROM lineitem
+    ),
+    c AS (
+      SELECT key_col, k, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM u GROUP BY 1, 2
+    )
+    SELECT key_col,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(cnt) AS BIGINT) AS n_rows,
+           CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+           CAST(SUM(cnt) AS DOUBLE) / COUNT(*) AS avg_cnt,
+           CAST(MAX(cnt) AS DOUBLE) / (CAST(SUM(cnt) AS DOUBLE) / COUNT(*))
+             AS skew_factor,
+           max_by(k, lpad(CAST(cnt AS VARCHAR), 12, '0') || '|' || k) AS hottest_key
+    FROM c GROUP BY key_col
+    """,
+    doc="E10/diagnostics: join-key skew report — per candidate key: "
+    "cardinality, hottest-key count, skew factor (max/avg); the "
+    "pre-flight check that decides salting / AQE skew handling",
+)
+def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The diagnostic that precedes every big join: per candidate key
+    column, count cardinality, the hottest key, and skew factor
+    max/avg — the number that says whether hash partitions will
+    balance (operators/skew.py holds the mitigations this report
+    triggers). Two aggregations per key: per-key counts (map-side
+    combine absorbs the hot key), then an O(keys) summary. Ties on the
+    hottest key break by key string, both engines."""
+    ev = table(spark, sf_dir, "events")
+    li = table(spark, sf_dir, "lineitem")
+    u = (
+        ev.select(
+            F.lit("events.user_id").alias("key_col"),
+            F.col("user_id").cast("string").alias("k"),
+        )
+        .unionAll(
+            ev.select(
+                F.lit("events.event_type").alias("key_col"),
+                F.col("event_type").alias("k"),
+            )
+        )
+        .unionAll(
+            li.select(
+                F.lit("lineitem.l_orderkey").alias("key_col"),
+                F.col("l_orderkey").cast("string").alias("k"),
+            )
+        )
+    )
+    c = u.groupBy("key_col", "k").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    return c.groupBy("key_col").agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.max("cnt").cast("long").alias("max_cnt"),
+        (F.sum("cnt").cast("double") / F.count(F.lit(1))).alias("avg_cnt"),
+        (
+            F.max("cnt").cast("double")
+            / (F.sum("cnt").cast("double") / F.count(F.lit(1)))
+        ).alias("skew_factor"),
+        F.max_by(
+            "k",
+            F.concat(
+                F.lpad(F.col("cnt").cast("string"), 12, "0"), F.lit("|"), F.col("k")
+            ),
+        ).alias("hottest_key"),
+    )

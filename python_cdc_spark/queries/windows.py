@@ -736,3 +736,85 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("dev") > F.lit(4.4478) * F.col("mad")).alias("is_anomaly"),
         )
     )
+
+
+@register(
+    "events_cusum_drift",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(30,10))), 4) AS DOUBLE)
+               AS sum_value
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(ROUND(SUM(CAST(sum_value AS DECIMAL(30,10))), 4) AS DOUBLE)
+               / COUNT(*) AS mean_sum
+      FROM b GROUP BY 1
+    ),
+    p AS (
+      SELECT b.event_type, b.bucket_ts, b.sum_value,
+             CAST(ROUND(SUM(CAST(b.sum_value - m.mean_sum AS DECIMAL(30,10)))
+                    OVER (PARTITION BY b.event_type ORDER BY b.bucket_ts
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                  4) AS DOUBLE) AS prefix_dev
+      FROM b JOIN m USING (event_type)
+    )
+    SELECT event_type, bucket_ts, sum_value, prefix_dev,
+           prefix_dev - min(prefix_dev)
+             OVER (PARTITION BY event_type ORDER BY bucket_ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+    FROM p
+    """,
+    doc="E13/monitoring: CUSUM upward-drift statistic per event_type — "
+    "computed as prefix-sum minus running-min (the window-expressible "
+    "form of the recursive max(0, s+x) CUSUM), decimal-routed",
+)
+def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-point / drift detection: the textbook CUSUM recursion
+    s_t = max(0, s_{t-1} + (x_t - target)) is not a plain window
+    aggregate, but it equals p_t - min(p_1..p_t) where p is the prefix
+    sum of deviations — two ordinary windows, fully parallel per type.
+    Prefix sums are decimal-routed (order-exact); the subtraction is
+    identical doubles on both engines. Downstream alerting thresholds
+    cusum directly; the statistic is output-scale (one row per
+    bucket)."""
+    from python_cdc_spark.queries.helpers import dec_sum
+
+    ev = table(spark, sf_dir, "events")
+    b = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket_ts")
+    ).agg(dec_sum(F.col("value"), "sum_value"))
+    m = b.groupBy("event_type").agg(
+        (
+            F.round(F.sum(F.col("sum_value").cast("decimal(30,10)")), 4).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+        ).alias("mean_sum")
+    )
+    wprefix = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    p = (
+        b.join(m, "event_type")
+        .withColumn(
+            "prefix_dev",
+            F.round(
+                F.sum(
+                    (F.col("sum_value") - F.col("mean_sum")).cast("decimal(30,10)")
+                ).over(wprefix),
+                4,
+            ).cast("double"),
+        )
+    )
+    return p.select(
+        "event_type",
+        "bucket_ts",
+        "sum_value",
+        "prefix_dev",
+        (F.col("prefix_dev") - F.min("prefix_dev").over(wprefix)).alias("cusum"),
+    )
