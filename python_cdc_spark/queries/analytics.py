@@ -1,0 +1,372 @@
+"""Business-analytics pack (SURVEY.md §2.2 E5/E10/E13 applications).
+
+Moved out of queries/relational.py (registry names unchanged): the
+histogram / RFM / YoY / market-basket / skew-report queries that apply
+the core operator surface to the analytics questions a warehouse user
+actually asks. Cross-engine determinism follows the registry
+conventions (decimal-routed sums, unique-order tiebreaks, explicit
+BIGINT/INTEGER casts in the oracles).
+
+Scale notes specific to this pack:
+
+- ``customer_rfm_segments`` ranks with the distributed exact NTILE from
+  operators/ranking.py — bucket-parallel windows, never a
+  single-partition global sort (the r4 perf-weak finding).
+- ``part_affinity_lift`` caps basket size deterministically before the
+  pair self-join (the r4 perf-weak finding): pair volume is bounded by
+  cap² per order even against a mega-basket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from python_cdc_spark.io import table
+from python_cdc_spark.operators.ranking import with_distributed_ntile
+from python_cdc_spark.queries.helpers import dec_sum
+from python_cdc_spark.queries.registry import register
+
+
+@register(
+    "events_histogram_equiwidth",
+    oracle="""
+    WITH b AS (SELECT min(value) AS mn, max(value) AS mx FROM events)
+    SELECT event_type,
+           CASE WHEN b.mx = b.mn THEN 1
+                ELSE CAST(FLOOR((value - b.mn) / (b.mx - b.mn) * 16) + 1
+                          AS INTEGER)
+           END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events, b
+    GROUP BY 1, 2
+    """,
+    doc="E10/profiling: per-type equi-width value histograms — explicit "
+    "width-bucket arithmetic over broadcast global bounds (identical "
+    "IEEE ops on both engines; the max lands in overflow bucket 17, "
+    "matching SQL-standard width_bucket; a degenerate all-equal column "
+    "collapses to one bucket instead of dividing by zero)",
+)
+def events_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram as one scan + one tiny aggregate: bounds come from a
+    1-row broadcast aggregate, bucketing is the SQL-standard
+    width_bucket (identical edge semantics on both engines: values at
+    the upper bound land in the overflow bucket n+1), and the output is
+    O(types x buckets) — the profiler's distribution companion. When
+    max == min (constant/filtered metric) every value maps to bucket 1
+    rather than NaN/Infinity arithmetic that diverges across engines."""
+    ev = table(spark, sf_dir, "events")
+    b = ev.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    width_bucket = (
+        F.floor((F.col("value") - F.col("mn")) / (F.col("mx") - F.col("mn")) * 16)
+        + 1
+    ).cast("int")
+    return (
+        ev.crossJoin(broadcast(b))
+        .select(
+            "event_type",
+            F.when(F.col("mx") == F.col("mn"), F.lit(1))
+            .otherwise(width_bucket)
+            .alias("bucket"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+@register(
+    "customer_rfm_segments",
+    oracle="""
+    WITH ref AS (SELECT max(o_orderdate) AS now FROM orders),
+    per_cust AS (
+      SELECT o_custkey,
+             CAST(date_diff('day', max(o_orderdate), ref.now) AS BIGINT)
+               AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(30,10))), 4) AS DOUBLE)
+               AS monetary
+      FROM orders, ref GROUP BY o_custkey, ref.now
+    )
+    SELECT o_custkey, recency_days, frequency, monetary,
+           CAST(NTILE(5) OVER (ORDER BY recency_days, o_custkey) AS INTEGER)
+             AS r_score,
+           CAST(NTILE(5) OVER (ORDER BY frequency DESC, o_custkey) AS INTEGER)
+             AS f_score,
+           CAST(NTILE(5) OVER (ORDER BY monetary DESC, o_custkey) AS INTEGER)
+             AS m_score
+    FROM per_cust
+    """,
+    doc="E13/analytics: RFM customer segmentation — recency/frequency/"
+    "monetary quintiles via the distributed exact NTILE "
+    "(operators/ranking.py): bucket-parallel ranking, bit-identical to "
+    "the oracle's single-partition ntile",
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic marketing segmentation as two aggregates + three
+    exact-quintile rankings: per-customer stats are one hash aggregate
+    (monetary decimal-routed), the reference date is a 1-row broadcast,
+    and each quintile runs through operators/ranking.py's distributed
+    NTILE — approx-quantile range buckets + per-bucket row_number +
+    exact cumulative offsets, so the window parallelizes across buckets
+    while reproducing single-partition ntile(5) bit-for-bit (the
+    boundaries only affect load balance, never the result). At 100 TB
+    the per-customer table is billions of rows; nothing here funnels it
+    through one task. Tiebreak (metric, o_custkey) keeps the order
+    total, matching the oracle."""
+    o = table(spark, sf_dir, "orders")
+    ref = o.agg(F.max("o_orderdate").alias("now"))
+    per_cust = (
+        o.crossJoin(broadcast(ref))
+        .groupBy("o_custkey", "now")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            dec_sum(F.col("o_totalprice"), "monetary"),
+        )
+        .select(
+            "o_custkey",
+            F.datediff(F.col("now").cast("date"), F.col("last_order").cast("date"))
+            .cast("long")
+            .alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+        .localCheckpoint(eager=False)
+    )
+    scored = with_distributed_ntile(
+        per_cust, 5, "recency_days", ascending=True, tiebreak=("o_custkey",),
+        out="r_score",
+    )
+    scored = with_distributed_ntile(
+        scored, 5, "frequency", ascending=False, tiebreak=("o_custkey",),
+        out="f_score",
+    )
+    scored = with_distributed_ntile(
+        scored, 5, "monetary", ascending=False, tiebreak=("o_custkey",),
+        out="m_score",
+    )
+    return scored.select(
+        "o_custkey", "recency_days", "frequency", "monetary",
+        "r_score", "f_score", "m_score",
+    )
+
+
+@register(
+    "revenue_yoy_growth",
+    oracle="""
+    WITH y AS (
+      SELECT CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS ship_year,
+             CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                 AS DECIMAL(30,10))), 4) AS DOUBLE) AS revenue
+      FROM lineitem GROUP BY 1
+    )
+    SELECT ship_year, revenue,
+           lag(revenue) OVER (ORDER BY ship_year) AS prev_revenue,
+           CASE WHEN lag(revenue) OVER (ORDER BY ship_year) IS NOT NULL
+                THEN revenue / lag(revenue) OVER (ORDER BY ship_year) - 1.0
+           END AS yoy_growth
+    FROM y
+    """,
+    doc="E13/analytics: year-over-year revenue growth — yearly decimal "
+    "aggregate + lag; ratios divide identical doubles on both engines",
+)
+def revenue_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period growth: the corpus-wide work is ONE yearly
+    aggregate (decimal-routed revenue); lag and the growth ratio run
+    on the O(years) result. The single-partition window is fine
+    because its input is output-scale."""
+    li = table(spark, sf_dir, "lineitem")
+    y = li.groupBy(
+        F.year("l_shipdate").cast("int").alias("ship_year")
+    ).agg(
+        dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue")
+    )
+    w = Window.orderBy("ship_year")
+    prev = F.lag("revenue").over(w)
+    return y.select(
+        "ship_year",
+        "revenue",
+        prev.alias("prev_revenue"),
+        F.when(prev.isNotNull(), F.col("revenue") / prev - 1.0).alias("yoy_growth"),
+    )
+
+
+# Deterministic per-basket item cap: pair volume from the co-occurrence
+# self-join is Σ min(basket, cap)² instead of the unbounded Σ basket².
+# TPC-H baskets top out at 7 items so the cap is invisible at test
+# scale; against a mega-basket (one order holding half the catalog —
+# the classic market-basket blowup) it bounds the join output. The cap
+# keeps the LOWEST partkeys per order: deterministic, engine-portable,
+# and mirrored verbatim in the oracle so both sides see the same items.
+BASKET_CAP = 64
+
+
+def capped_basket_items(li: DataFrame, cap: int = BASKET_CAP) -> DataFrame:
+    """Distinct (order, part) pairs, at most ``cap`` parts per order
+    (lowest partkeys win). The per-order window is hash-partitioned on
+    the order key — bounded state per key, no global sort."""
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    w = Window.partitionBy("l_orderkey").orderBy("l_partkey")
+    return (
+        items.withColumn("__irank", F.row_number().over(w))
+        .filter(F.col("__irank") <= cap)
+        .drop("__irank")
+    )
+
+
+@register(
+    "part_affinity_lift",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT l_orderkey, l_partkey,
+             row_number() OVER (PARTITION BY l_orderkey ORDER BY l_partkey)
+               AS irank
+      FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    ),
+    items AS (
+      SELECT l_orderkey, l_partkey FROM ranked WHERE irank <= {BASKET_CAP}
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM items),
+    supp AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n FROM items GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(COUNT(*) AS BIGINT) AS n_both
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 3
+    )
+    SELECT p.part_a, p.part_b, p.n_both, sa.n AS n_a, sb.n AS n_b,
+           (CAST(p.n_both AS DOUBLE) * n.n_orders)
+             / (CAST(sa.n AS DOUBLE) * CAST(sb.n AS DOUBLE)) AS lift
+    FROM pairs p
+    JOIN supp sa ON sa.l_partkey = p.part_a
+    JOIN supp sb ON sb.l_partkey = p.part_b
+    CROSS JOIN n
+    """,
+    doc="E5/analytics: market-basket part affinity — co-occurrence "
+    "pairs within orders with a deterministic per-basket item cap "
+    f"(lowest {BASKET_CAP} partkeys), support floor, exact count-ratio "
+    "lift",
+)
+def part_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association mining's first mile: pair generation self-joins the
+    (order, part) item table on the order key. Baskets are capped at
+    BASKET_CAP items (lowest partkeys, per-order window) BEFORE the
+    join, so pair volume is Σ min(basket, cap)² — bounded even against
+    a skewed mega-basket, the classic blowup of the uncapped self-join
+    (the r4 perf-weak finding; cap pinned by the mega-basket fixture
+    test). A support floor (>=3 co-orders) bounds the output; lift =
+    n_both·N / (n_a·n_b) is pure integer-derived arithmetic — exact on
+    both engines. TPC-H baskets are ~4 items, so the cap never binds at
+    test scale and the oracle applies the identical cap."""
+    li = table(spark, sf_dir, "lineitem")
+    items = capped_basket_items(li).localCheckpoint(eager=False)
+    n = items.agg(F.count_distinct("l_orderkey").cast("long").alias("n_orders"))
+    supp = items.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+        .filter(F.col("n_both") >= 3)
+    )
+    sa = supp.select(F.col("l_partkey").alias("part_a"), F.col("n").alias("n_a"))
+    sb = supp.select(F.col("l_partkey").alias("part_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(sa, "part_a")
+        .join(sb, "part_b")
+        .crossJoin(broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_both").cast("double") * F.col("n_orders")
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+            ).alias("lift"),
+        )
+    )
+
+
+@register(
+    "join_key_skew_report",
+    oracle="""
+    WITH u AS (
+      SELECT 'events.user_id' AS key_col, CAST(user_id AS VARCHAR) AS k
+      FROM events
+      UNION ALL
+      SELECT 'events.event_type', event_type FROM events
+      UNION ALL
+      SELECT 'lineitem.l_orderkey', CAST(l_orderkey AS VARCHAR) FROM lineitem
+    ),
+    c AS (
+      SELECT key_col, k, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM u GROUP BY 1, 2
+    )
+    SELECT key_col,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(cnt) AS BIGINT) AS n_rows,
+           CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+           CAST(SUM(cnt) AS DOUBLE) / COUNT(*) AS avg_cnt,
+           CAST(MAX(cnt) AS DOUBLE) / (CAST(SUM(cnt) AS DOUBLE) / COUNT(*))
+             AS skew_factor,
+           max_by(k, lpad(CAST(cnt AS VARCHAR), 12, '0') || '|' || k) AS hottest_key
+    FROM c GROUP BY key_col
+    """,
+    doc="E10/diagnostics: join-key skew report — per candidate key: "
+    "cardinality, hottest-key count, skew factor (max/avg); the "
+    "pre-flight check that decides salting / AQE skew handling",
+)
+def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The diagnostic that precedes every big join: per candidate key
+    column, count cardinality, the hottest key, and skew factor
+    max/avg — the number that says whether hash partitions will
+    balance (operators/skew.py holds the mitigations this report
+    triggers). Two aggregations per key: per-key counts (map-side
+    combine absorbs the hot key), then an O(keys) summary. Ties on the
+    hottest key break by key string, both engines."""
+    ev = table(spark, sf_dir, "events")
+    li = table(spark, sf_dir, "lineitem")
+    u = (
+        ev.select(
+            F.lit("events.user_id").alias("key_col"),
+            F.col("user_id").cast("string").alias("k"),
+        )
+        .unionAll(
+            ev.select(
+                F.lit("events.event_type").alias("key_col"),
+                F.col("event_type").alias("k"),
+            )
+        )
+        .unionAll(
+            li.select(
+                F.lit("lineitem.l_orderkey").alias("key_col"),
+                F.col("l_orderkey").cast("string").alias("k"),
+            )
+        )
+    )
+    c = u.groupBy("key_col", "k").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    return c.groupBy("key_col").agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.max("cnt").cast("long").alias("max_cnt"),
+        (F.sum("cnt").cast("double") / F.count(F.lit(1))).alias("avg_cnt"),
+        (
+            F.max("cnt").cast("double")
+            / (F.sum("cnt").cast("double") / F.count(F.lit(1)))
+        ).alias("skew_factor"),
+        F.max_by(
+            "k",
+            F.concat(
+                F.lpad(F.col("cnt").cast("string"), 12, "0"), F.lit("|"), F.col("k")
+            ),
+        ).alias("hottest_key"),
+    )

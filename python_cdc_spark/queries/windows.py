@@ -762,9 +762,9 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM b JOIN m USING (event_type)
     )
     SELECT event_type, bucket_ts, sum_value, prefix_dev,
-           prefix_dev - min(prefix_dev)
+           prefix_dev - least(CAST(0.0 AS DOUBLE), min(prefix_dev)
              OVER (PARTITION BY event_type ORDER BY bucket_ts
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS cusum
     FROM p
     """,
     doc="E13/monitoring: CUSUM upward-drift statistic per event_type — "
@@ -774,8 +774,13 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change-point / drift detection: the textbook CUSUM recursion
     s_t = max(0, s_{t-1} + (x_t - target)) is not a plain window
-    aggregate, but it equals p_t - min(p_1..p_t) where p is the prefix
-    sum of deviations — two ordinary windows, fully parallel per type.
+    aggregate, but it equals p_t - min(0, p_1..p_t) where p is the
+    prefix sum of deviations — two ordinary windows, fully parallel per
+    type. The implicit p_0 = 0 term in the running min matters: when
+    the deviation prefix stays positive (immediate upward drift — the
+    regime the monitor exists for), omitting it understates the
+    statistic, e.g. x=(2,3) must yield cusum=(2,5), not (0,3)
+    (test-pinned).
     Prefix sums are decimal-routed (order-exact); the subtraction is
     identical doubles on both engines. Downstream alerting thresholds
     cusum directly; the statistic is output-scale (one row per
@@ -816,5 +821,8 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket_ts",
         "sum_value",
         "prefix_dev",
-        (F.col("prefix_dev") - F.min("prefix_dev").over(wprefix)).alias("cusum"),
+        (
+            F.col("prefix_dev")
+            - F.least(F.lit(0.0), F.min("prefix_dev").over(wprefix))
+        ).alias("cusum"),
     )
