@@ -17,6 +17,15 @@ parquet:
 
 Layout under ``<dir>/``: ``centroids.parquet``, ``codebook.parquet``,
 ``cells.parquet/cell=<c>/…``.
+
+``dir`` must be a LOCAL filesystem path: the ``_meta.json``
+fingerprint/staleness markers use ``os`` primitives while the parquet
+data goes through Spark's Hadoop FS — an object-store URI would write
+data remotely but markers locally, silently voiding the staleness
+guarantee. On a cluster, point this at shared POSIX storage (or route
+marker IO through the Hadoop FileSystem API before using object
+stores). Same constraint as ``streaming/state_store.py`` and
+``operators/incremental_dedup.py``.
 """
 
 from __future__ import annotations

@@ -19,15 +19,47 @@ of the corpus into base + deltas yields byte-identical components to
 the one-shot batch run.
 
 Storage layout under ``path`` (all parquet):
-  cells/       (id, gram)          — the verification inverted index
-  bands/       (id, band_id, band_key) — the LSH candidate index
-  sizes/       (id, set_size)      — gram-set sizes
-  components/  (v, component)      — current non-singleton clusters
+  base_v<N>/{cells,bands,sizes}/
+                              — versioned base tables (bootstrap or
+                                compaction output)
+  _base_ptr                   — JSON {version, includes}: the current
+                                base and the delta tags it absorbed
+  deltas/<tag>/{cells,bands,sizes}/ + _COMMITTED
+                              — one subdirectory per folded delta,
+                                committed all-or-nothing by the marker
+  components_v<N>/            — versioned cluster tables
+  _components_ptr             — points at the current version
+
+An index read = current base ∪ committed deltas not yet absorbed into
+the base (the ``includes`` list) — so compaction is crash-safe too: the
+new base and the exclusion of the deltas it merged become visible in
+ONE ``os.replace`` of ``_base_ptr``; deleting the absorbed delta
+directories afterward is pure cleanup.
+
+Crash safety (ADVICE r4): a fold is idempotent by construction. On
+entry it deletes every uncommitted ``deltas/*`` directory (a crash
+mid-write leaves no ``_COMMITTED``) and the current tag's directory
+even if committed (a crash after commit but before the component swap
+replays the fold; re-deriving the same tag from the same delta rows
+makes the rewrite byte-equivalent, and re-merging already-merged pairs
+is a fixpoint of the contracted closure — both endpoints map to the
+same canonical, so the merge graph is empty). The component swap never
+deletes the live version: it writes ``components_v<N+1>``, atomically
+repoints ``_components_ptr`` via ``os.replace``, then prunes versions
+older than N — a concurrent reader of version N keeps a complete
+directory.
+
+Single-writer assumption, and ``path`` must be a LOCAL filesystem path:
+the ``_COMMITTED`` / ``_components_ptr`` markers use ``os`` primitives
+while the parquet data goes through Spark's Hadoop FS — an object-store
+URI would write data remotely but markers locally, silently voiding the
+fold-once guarantee (same constraint as ``streaming/state_store.py``).
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -36,6 +68,7 @@ from python_cdc_spark.operators.components import connected_components
 from python_cdc_spark.operators.dedup import _gram_cells, minhash_signatures
 
 _N, _K, _BANDS, _THRESHOLD = 3, 8, 4, 0.5
+_TABLES = ("cells", "bands", "sizes")
 
 
 def _band_stack(sigs: DataFrame, k: int = _K, bands: int = _BANDS) -> DataFrame:
@@ -99,6 +132,161 @@ def _delta_tables(
     return cells, bands, sizes
 
 
+# --- index layout helpers -------------------------------------------------
+
+
+def _deltas_root(path: str) -> str:
+    return os.path.join(path, "deltas")
+
+
+def _base_pointer(path: str) -> str:
+    return os.path.join(path, "_base_ptr")
+
+
+def _read_base_ptr(path: str) -> dict:
+    """{"version": N, "includes": [tags]} — or the legacy flat layout
+    (base tables directly under ``path``, nothing absorbed)."""
+    import json
+
+    try:
+        with open(_base_pointer(path)) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {"version": -1, "includes": []}
+
+
+def _write_base_ptr(path: str, version: int, includes: list[str]) -> None:
+    import json
+
+    tmp = _base_pointer(path) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"version": version, "includes": sorted(includes)}, f)
+    os.replace(tmp, _base_pointer(path))
+
+
+def _base_dir(path: str, ptr: dict) -> str:
+    if ptr["version"] < 0:
+        return path  # legacy flat layout: cells/ bands/ sizes/ at top level
+    return os.path.join(path, f"base_v{ptr['version']}")
+
+
+def _committed_delta_dirs(path: str, ptr: dict | None = None) -> list[str]:
+    """Committed delta dirs NOT yet absorbed into the current base."""
+    ptr = ptr if ptr is not None else _read_base_ptr(path)
+    absorbed = set(ptr["includes"])
+    root = _deltas_root(path)
+    if not os.path.isdir(root):
+        return []
+    return sorted(
+        os.path.join(root, d)
+        for d in os.listdir(root)
+        if d not in absorbed
+        and os.path.exists(os.path.join(root, d, "_COMMITTED"))
+    )
+
+
+def _prune_uncommitted_deltas(path: str) -> None:
+    """Delete partial delta directories left by a crashed fold (no
+    ``_COMMITTED`` marker), and absorbed ones a crashed compaction did
+    not get to clean up. Single-writer: only the folding process may
+    call this."""
+    root = _deltas_root(path)
+    if not os.path.isdir(root):
+        return
+    ptr = _read_base_ptr(path)
+    absorbed = set(ptr["includes"])
+    for d in os.listdir(root):
+        full = os.path.join(root, d)
+        if d in absorbed or not os.path.exists(os.path.join(full, "_COMMITTED")):
+            shutil.rmtree(full, ignore_errors=True)
+    # drop includes entries whose directories are now gone, so a future
+    # fold that legitimately reuses the tag isn't silently masked
+    live = [t for t in ptr["includes"] if os.path.isdir(os.path.join(root, t))]
+    if ptr["version"] >= 0 and live != sorted(ptr["includes"]):
+        _write_base_ptr(path, ptr["version"], live)
+
+
+def read_index_table(spark: SparkSession, path: str, name: str) -> DataFrame:
+    """One of cells/bands/sizes: the current base unioned with every
+    committed, not-yet-absorbed delta directory (partial folds are
+    invisible)."""
+    ptr = _read_base_ptr(path)
+    paths = [os.path.join(_base_dir(path, ptr), name)] + [
+        os.path.join(d, name) for d in _committed_delta_dirs(path, ptr)
+    ]
+    return spark.read.parquet(*paths)
+
+
+def _components_pointer(path: str) -> str:
+    return os.path.join(path, "_components_ptr")
+
+
+def _current_components_dir(path: str) -> str:
+    try:
+        with open(_components_pointer(path)) as f:
+            version = int(f.read().strip())
+        return os.path.join(path, f"components_v{version}")
+    except (OSError, ValueError):
+        # legacy layout (pre-versioning) fallback
+        return os.path.join(path, "components")
+
+
+def read_components(spark: SparkSession, path: str) -> DataFrame:
+    """Current (v, component) clusters — exact as of the last fold."""
+    return spark.read.parquet(_current_components_dir(path))
+
+
+def _swap_components(path: str, new_comp: DataFrame) -> None:
+    """Publish a new components version without ever leaving the index
+    table-less: write v<N+1>, atomically repoint, prune versions < N
+    (the immediately-previous version survives one generation so a
+    racing reader of the old pointer still finds a complete dir)."""
+    try:
+        with open(_components_pointer(path)) as f:
+            cur = int(f.read().strip())
+    except (OSError, ValueError):
+        cur = -1
+    nxt = cur + 1
+    new_comp.write.mode("overwrite").parquet(
+        os.path.join(path, f"components_v{nxt}")
+    )
+    tmp = _components_pointer(path) + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(str(nxt))
+    os.replace(tmp, _components_pointer(path))
+    for d in os.listdir(path):
+        if d.startswith("components_v"):
+            try:
+                v = int(d[len("components_v"):])
+            except ValueError:
+                continue
+            if v < cur:
+                shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+    legacy = os.path.join(path, "components")
+    if cur == -1 and os.path.isdir(legacy):
+        shutil.rmtree(legacy, ignore_errors=True)
+
+
+def _delta_fingerprint(delta_docs: DataFrame, id_col: str) -> str:
+    """Deterministic content tag for a delta: count + two commutative
+    60-bit id digests (order-independent sums, so the tag is stable
+    across partitionings and replays of the same delta)."""
+    row = delta_docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.conv(F.substring(F.sha2(F.col(id_col).cast("string"), 256), 1, 15), 16, 10).cast(
+                "decimal(38,0)"
+            )
+        ).alias("d1"),
+        F.sum(
+            F.conv(F.substring(F.sha2(F.col(id_col).cast("string"), 256), 17, 15), 16, 10).cast(
+                "decimal(38,0)"
+            )
+        ).alias("d2"),
+    ).first()
+    return f"n{row['n']}_a{row['d1']}_b{row['d2']}"
+
+
 def build_dedup_index(
     spark: SparkSession,
     docs: DataFrame,
@@ -106,12 +294,21 @@ def build_dedup_index(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> None:
-    """Batch bootstrap: gram/band/size tables + initial components."""
+    """Batch bootstrap: gram/band/size base tables + initial components.
+    Rebuilding over an existing index restarts it: the new base pointer
+    absorbs nothing, and stale delta directories are cleared."""
+    ptr = _read_base_ptr(path)
+    nxt = ptr["version"] + 1
+    base = os.path.join(path, f"base_v{nxt}")
     cells, bands, sizes = _delta_tables(docs, text_col, id_col)
-    cells.write.mode("overwrite").parquet(os.path.join(path, "cells"))
-    bands.write.mode("overwrite").parquet(os.path.join(path, "bands"))
-    sizes.write.mode("overwrite").parquet(os.path.join(path, "sizes"))
-    b = spark.read.parquet(os.path.join(path, "bands"))
+    cells.write.mode("overwrite").parquet(os.path.join(base, "cells"))
+    bands.write.mode("overwrite").parquet(os.path.join(base, "bands"))
+    sizes.write.mode("overwrite").parquet(os.path.join(base, "sizes"))
+    _write_base_ptr(path, nxt, [])
+    shutil.rmtree(_deltas_root(path), ignore_errors=True)  # fresh bootstrap
+    if ptr["version"] >= 0:
+        shutil.rmtree(_base_dir(path, ptr), ignore_errors=True)
+    b = spark.read.parquet(os.path.join(base, "bands"))
     x, y = b.alias("x"), b.alias("y")
     cand = (
         x.join(
@@ -123,11 +320,11 @@ def build_dedup_index(
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
     )
-    cells_r = spark.read.parquet(os.path.join(path, "cells"))
-    sizes_r = spark.read.parquet(os.path.join(path, "sizes"))
+    cells_r = spark.read.parquet(os.path.join(base, "cells"))
+    sizes_r = spark.read.parquet(os.path.join(base, "sizes"))
     pairs = _verify_pairs(cand, cells_r, sizes_r, _THRESHOLD)
     comp = connected_components(pairs, "id_a", "id_b")
-    comp.write.mode("overwrite").parquet(os.path.join(path, "components"))
+    _swap_components(path, comp)
 
 
 def incremental_dedup_update(
@@ -136,20 +333,37 @@ def incremental_dedup_update(
     delta_docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    batch_tag: str | None = None,
 ) -> DataFrame:
     """Fold a delta into the index; returns the UPDATED (v, component)
     mapping (non-singletons only, canonical = cluster-min id — the same
     shape ``connected_components`` returns for a batch run).
 
     The only corpus-wide work is two index reads joined ON KEY (band
-    key, gram); everything iterative runs on the contracted graph."""
+    key, gram); everything iterative runs on the contracted graph.
+
+    ``batch_tag`` names the delta's subdirectory (streaming passes the
+    micro-batch id); when omitted the tag is derived from the delta's
+    content fingerprint, so replaying the same delta after a crash
+    reuses — and first deletes — the same directory instead of
+    appending a duplicate.
+    """
+    tag = batch_tag if batch_tag is not None else _delta_fingerprint(delta_docs, id_col)
+    delta_dir = os.path.join(_deltas_root(path), str(tag))
+    # idempotence: clear partials from any crashed fold, and this tag's
+    # directory even if committed (crash after commit, before swap /
+    # marker — recomputation is a fixpoint, see module docstring)
+    _prune_uncommitted_deltas(path)
+    if os.path.isdir(delta_dir):
+        shutil.rmtree(delta_dir, ignore_errors=True)
+
     d_cells, d_bands, d_sizes = _delta_tables(delta_docs, text_col, id_col)
     d_cells = d_cells.localCheckpoint(eager=False)
     d_bands = d_bands.localCheckpoint(eager=False)
-    old_cells = spark.read.parquet(os.path.join(path, "cells"))
-    old_bands = spark.read.parquet(os.path.join(path, "bands"))
-    old_sizes = spark.read.parquet(os.path.join(path, "sizes"))
-    old_comp = spark.read.parquet(os.path.join(path, "components"))
+    old_cells = read_index_table(spark, path, "cells")
+    old_bands = read_index_table(spark, path, "bands")
+    old_sizes = read_index_table(spark, path, "sizes")
+    old_comp = read_components(spark, path)
 
     all_bands = old_bands.unionByName(d_bands)
     # candidates touching the delta: delta side x full band index
@@ -196,17 +410,42 @@ def incremental_dedup_update(
     # matching the batch ``connected_components`` output shape.
     new_members = merged.join(old_comp.select(F.col("v")), "v", "left_anti")
     new_comp = composed_old.unionByName(new_members.select("v", "component"))
-
-    # fold the delta into the persisted index (append) and swap components
-    d_cells.write.mode("append").parquet(os.path.join(path, "cells"))
-    d_bands.write.mode("append").parquet(os.path.join(path, "bands"))
-    d_sizes.write.mode("append").parquet(os.path.join(path, "sizes"))
     new_comp = new_comp.localCheckpoint(eager=True)  # sever lineage before swap
-    tmp = os.path.join(path, "components.tmp")
-    new_comp.write.mode("overwrite").parquet(tmp)
-    import shutil
 
-    final = os.path.join(path, "components")
-    shutil.rmtree(final)
-    os.rename(tmp, final)
+    # fold the delta in all-or-nothing: write the three tables into the
+    # tag's subdirectory, then the _COMMITTED marker (atomic create)
+    for name, df in (("cells", d_cells), ("bands", d_bands), ("sizes", d_sizes)):
+        df.write.mode("overwrite").parquet(os.path.join(delta_dir, name))
+    with open(os.path.join(delta_dir, "_COMMITTED"), "w") as f:
+        f.write(str(tag))
+    _swap_components(path, new_comp)
     return new_comp
+
+
+def compact_dedup_index(spark: SparkSession, path: str) -> int:
+    """Merge committed delta directories into a new base version, then
+    repoint ``_base_ptr`` atomically — bounds the file-listing cost of
+    a long fold history. Returns the number of deltas compacted.
+
+    Crash-safe: until the single ``os.replace`` of the pointer, reads
+    keep serving old base + deltas; after it, the new base whose
+    ``includes`` list excludes exactly those deltas. Deleting the
+    absorbed directories afterward is cleanup (retried by the next
+    fold's prune). Single-writer: run between folds."""
+    ptr = _read_base_ptr(path)
+    deltas = _committed_delta_dirs(path, ptr)
+    if not deltas:
+        return 0
+    nxt = ptr["version"] + 1
+    base = os.path.join(path, f"base_v{nxt}")
+    for name in _TABLES:
+        read_index_table(spark, path, name).write.mode("overwrite").parquet(
+            os.path.join(base, name)
+        )
+    absorbed = ptr["includes"] + [os.path.basename(d) for d in deltas]
+    _write_base_ptr(path, nxt, absorbed)
+    for d in deltas:
+        shutil.rmtree(d, ignore_errors=True)
+    if ptr["version"] >= 0:
+        shutil.rmtree(_base_dir(path, ptr), ignore_errors=True)
+    return len(deltas)

@@ -11,11 +11,18 @@ exact result a batch rerun over everything-so-far would produce
 
 Restart semantics: the index fold happens BEFORE the streaming
 checkpoint commits, so a crash between the two replays the batch on
-restart. The fold is NOT idempotent (re-appending the same delta's
-gram/band rows would double them), so folded batch ids are recorded in
-``_folded.json`` next to the index and replayed batches are skipped —
-the same dedup-on-batch-id discipline ``streaming/state_store.py``
-uses (single-writer assumption likewise).
+restart. Two layers make that safe (ADVICE r4): the fold itself is
+idempotent by construction — each delta lands in a batch-tag-named
+subdirectory committed all-or-nothing, and a replay first deletes the
+tag's directory before rewriting it (see operators/incremental_dedup) —
+and folded batch ids are additionally recorded in ``_folded.json`` next
+to the index so a replayed batch skips the recompute entirely. The
+marker is an optimization; correctness no longer depends on it.
+
+Single-writer assumption, and ``index_path`` must be a LOCAL
+filesystem path: the markers use ``os`` primitives while parquet goes
+through Spark's Hadoop FS — an object-store URI would split the two
+(same constraint as ``streaming/state_store.py``).
 """
 
 from __future__ import annotations
@@ -74,16 +81,22 @@ class StreamingCorpusDedup:
             return  # checkpoint replay after a crash mid-commit
         if not batch.isEmpty():
             incremental_dedup_update(
-                self.spark, self.index_path, batch, self.text_col, self.id_col
+                self.spark,
+                self.index_path,
+                batch,
+                self.text_col,
+                self.id_col,
+                batch_tag=None if batch_id is None else f"batch_{batch_id}",
             )
         if batch_id is not None:
             self._mark_folded(batch_id)
 
     def components(self) -> DataFrame:
-        """Current (v, component) clusters — exact as of the last fold."""
-        return self.spark.read.parquet(
-            os.path.join(self.index_path, "components")
-        )
+        """Current (v, component) clusters — exact as of the last fold.
+        Reads through the version pointer, so it never races a swap."""
+        from python_cdc_spark.operators.incremental_dedup import read_components
+
+        return read_components(self.spark, self.index_path)
 
     def start(self, stream: DataFrame, checkpoint: str, available_now: bool = True):
         """Attach to a streaming DataFrame of documents."""

@@ -726,19 +726,31 @@ def test_streaming_corpus_dedup_matches_batch(spark, tmp_path):
 def test_streaming_corpus_dedup_replay_is_skipped(spark, tmp_path):
     """A replayed micro-batch (crash between index fold and checkpoint
     commit) must not double-fold: folding the same batch id twice
-    leaves the index byte-identical."""
+    leaves the index byte-identical — whether the skip marker survived
+    the crash (fast path) or not (idempotent re-fold)."""
     from python_cdc_spark.io import table
+    from python_cdc_spark.operators.incremental_dedup import read_index_table
     from python_cdc_spark.streaming.dedup_stream import StreamingCorpusDedup
 
+    idx = str(tmp_path / "idx")
     docs = table(spark, "/root/testdata/sf0.01", "documents").select(
         "doc_id", "text"
     )
-    dd = StreamingCorpusDedup(spark, str(tmp_path / "idx"))
+    dd = StreamingCorpusDedup(spark, idx)
     dd.bootstrap(docs.filter(F.col("doc_id") < 300))
     delta = docs.filter(F.col("doc_id") >= 300)
     dd.fold_batch(delta, batch_id=0)
     before = sorted(map(tuple, dd.components().collect()))
-    n_cells = spark.read.parquet(str(tmp_path / "idx" / "cells")).count()
-    dd.fold_batch(delta, batch_id=0)  # replay
+    n_cells = read_index_table(spark, idx, "cells").count()
+    dd.fold_batch(delta, batch_id=0)  # replay, marker intact
     assert sorted(map(tuple, dd.components().collect())) == before
-    assert spark.read.parquet(str(tmp_path / "idx" / "cells")).count() == n_cells
+    assert read_index_table(spark, idx, "cells").count() == n_cells
+
+    # harder replay: the crash also lost _folded.json (fold committed,
+    # marker write never happened) — the re-fold must be idempotent
+    import os
+
+    os.remove(os.path.join(idx, "_folded.json"))
+    dd.fold_batch(delta, batch_id=0)
+    assert sorted(map(tuple, dd.components().collect())) == before
+    assert read_index_table(spark, idx, "cells").count() == n_cells
