@@ -9,8 +9,10 @@ and acks ``msg.data_start``). This container has no psycopg2 and no
 Postgres, but the wire protocol is public and small, so this module
 implements the frontend side directly on a TCP socket:
 
-- startup + auth (trust / cleartext / MD5; SCRAM is rejected with a
-  clear error — use a md5/trust HBA entry for the replication role),
+- startup + auth (trust / cleartext / MD5 / SCRAM-SHA-256 — the
+  PostgreSQL 14+ default; RFC 5802/7677 client implemented below with
+  server-signature verification; channel binding is not offered because
+  the connection is plain TCP, so the gs2 header is ``n,,``),
 - ``CREATE_REPLICATION_SLOT``/``START_REPLICATION`` simple queries,
 - the CopyBoth stream: XLogData ('w') payloads are RAW pgoutput frames
   — exactly what ``cdc/pgoutput.py`` decodes — and keepalives ('k')
@@ -34,8 +36,10 @@ Protocol", "Logical Streaming Replication Protocol").
 
 from __future__ import annotations
 
+import base64
 import datetime as _dt
 import hashlib
+import hmac
 import os
 import socket
 import struct
@@ -59,6 +63,77 @@ def lsn_str(lsn: int) -> str:
 def parse_lsn(s: str) -> int:
     hi, lo = s.split("/")
     return (int(hi, 16) << 32) | int(lo, 16)
+
+
+class ScramSha256Client:
+    """Client side of SCRAM-SHA-256 (RFC 5802 framing, RFC 7677 hash,
+    PostgreSQL SASL exchange per protocol.sgml "SASL Authentication").
+
+    No channel binding (plain TCP → gs2 header ``n,,``; PostgreSQL only
+    offers SCRAM-SHA-256-PLUS on SSL connections). The username inside
+    the SCRAM message is empty for PostgreSQL — the server takes the
+    identity from the startup packet — but is parameterized so the
+    RFC 7677 test vector can drive this class verbatim. Passwords are
+    used as UTF-8 without SASLprep normalization (stdlib has no
+    stringprep tables; ASCII passwords — the overwhelmingly common
+    case — are unaffected, matching what the server stores for them).
+    """
+
+    MECHANISM = "SCRAM-SHA-256"
+
+    def __init__(self, password: str, username: str = "", nonce: str | None = None):
+        self.password = password
+        self.client_nonce = nonce or base64.b64encode(os.urandom(18)).decode()
+        self.gs2_header = "n,,"
+        self.client_first_bare = f"n={username},r={self.client_nonce}"
+        self._auth_message: bytes | None = None
+        self._server_key: bytes | None = None
+
+    def client_first(self) -> bytes:
+        return (self.gs2_header + self.client_first_bare).encode()
+
+    @staticmethod
+    def _attrs(msg: str) -> dict[str, str]:
+        return dict(kv.split("=", 1) for kv in msg.split(","))
+
+    def client_final(self, server_first: bytes) -> bytes:
+        sf = server_first.decode()
+        attrs = self._attrs(sf)
+        combined, iters = attrs["r"], int(attrs["i"])
+        if not combined.startswith(self.client_nonce):
+            raise ReplicationError(
+                {"M": "SCRAM server nonce does not extend the client nonce"}
+            )
+        salted = hashlib.pbkdf2_hmac(
+            "sha256", self.password.encode(), base64.b64decode(attrs["s"]), iters
+        )
+        client_key = hmac.new(salted, b"Client Key", hashlib.sha256).digest()
+        stored_key = hashlib.sha256(client_key).digest()
+        self._server_key = hmac.new(salted, b"Server Key", hashlib.sha256).digest()
+        cbind = base64.b64encode(self.gs2_header.encode()).decode()  # "biws"
+        without_proof = f"c={cbind},r={combined}"
+        self._auth_message = ",".join(
+            [self.client_first_bare, sf, without_proof]
+        ).encode()
+        sig = hmac.new(stored_key, self._auth_message, hashlib.sha256).digest()
+        proof = bytes(a ^ b for a, b in zip(client_key, sig))
+        return f"{without_proof},p={base64.b64encode(proof).decode()}".encode()
+
+    def verify_server_final(self, server_final: bytes) -> None:
+        """Mutual auth: the server proves it holds ServerKey. A client
+        that skips this check will happily hand its proof to a
+        man-in-the-middle that never knew the password."""
+        attrs = self._attrs(server_final.decode())
+        if "e" in attrs:
+            raise ReplicationError({"M": f"SCRAM server error: {attrs['e']}"})
+        assert self._server_key is not None and self._auth_message is not None
+        expect = hmac.new(
+            self._server_key, self._auth_message, hashlib.sha256
+        ).digest()
+        if not hmac.compare_digest(base64.b64decode(attrs["v"]), expect):
+            raise ReplicationError(
+                {"M": "SCRAM server signature verification failed"}
+            )
 
 
 class ReplicationError(RuntimeError):
@@ -184,9 +259,39 @@ class LogicalReplicationClient:
                     pw = _cstr(digest)
                     self._send(b"p" + struct.pack(">i", len(pw) + 4) + pw)
                     continue
+                if code == 10:  # AuthenticationSASL: mechanism list
+                    if self.password is None:
+                        raise ReplicationError({"M": "password required"})
+                    names = [
+                        m.decode()
+                        for m in payload[4:].split(b"\x00")
+                        if m
+                    ]
+                    if ScramSha256Client.MECHANISM not in names:
+                        raise ReplicationError(
+                            {"M": f"no supported SASL mechanism in {names} "
+                                  "(only SCRAM-SHA-256; -PLUS needs TLS)"}
+                        )
+                    self._scram = ScramSha256Client(self.password)
+                    first = self._scram.client_first()
+                    body = (
+                        _cstr(ScramSha256Client.MECHANISM)
+                        + struct.pack(">i", len(first))
+                        + first
+                    )
+                    self._send(b"p" + struct.pack(">i", len(body) + 4) + body)
+                    continue
+                if code == 11:  # AuthenticationSASLContinue: server-first
+                    final = self._scram.client_final(payload[4:])
+                    self._send(
+                        b"p" + struct.pack(">i", len(final) + 4) + final
+                    )
+                    continue
+                if code == 12:  # AuthenticationSASLFinal: verify v=
+                    self._scram.verify_server_final(payload[4:])
+                    continue
                 raise ReplicationError(
-                    {"M": f"unsupported auth method {code} (SCRAM needs md5/trust "
-                          "HBA for the replication role)"}
+                    {"M": f"unsupported auth method {code}"}
                 )
             elif mtype == b"S":  # ParameterStatus
                 end = payload.index(b"\x00")

@@ -322,23 +322,213 @@ def test_live_capture_streaming_apply_with_health(spark, tmp_path):
     assert captured["n"] == len(frames)
 
 
-def test_replication_client_rejects_scram():
-    """SCRAM (auth code 10) is out of scope — the client must fail with
-    a clear message, not hang or mis-auth."""
-    srv = socket.create_server(("127.0.0.1", 0))
-    port = srv.getsockname()[1]
+def test_scram_rfc7677_test_vector():
+    """The SCRAM-SHA-256 exchange from RFC 7677 §3, verbatim: same
+    nonce, salt, iteration count → the exact published client proof and
+    server signature."""
+    from python_cdc_spark.cdc.replication_client import ScramSha256Client
 
-    def fake():
-        c, _ = srv.accept()
-        ln = struct.unpack(">i", c.recv(4))[0]
-        c.recv(ln - 4)
-        c.sendall(_msg(b"R", struct.pack(">i", 10) + _cstr("SCRAM-SHA-256")))
+    c = ScramSha256Client(
+        "pencil", username="user", nonce="rOprNGfwEbeRWgbNEkqO"
+    )
+    assert c.client_first() == b"n,,n=user,r=rOprNGfwEbeRWgbNEkqO"
+    server_first = (
+        b"r=rOprNGfwEbeRWgbNEkqO%hvYDpWUa2RaTCAfuxFIlj)hNlF$k0,"
+        b"s=W22ZaJ0SNY7soEsUEjb6gQ==,i=4096"
+    )
+    final = c.client_final(server_first)
+    assert final == (
+        b"c=biws,r=rOprNGfwEbeRWgbNEkqO%hvYDpWUa2RaTCAfuxFIlj)hNlF$k0,"
+        b"p=dHzbZapWIk4jUhN+Ute9ytag9zjfMHgsqmmiz7AndVQ="
+    )
+    # valid server signature passes; a flipped one fails
+    c.verify_server_final(b"v=6rriTRBi23WpRR/wtup+mMhUZUn/dB5nLTJRsjl95G4=")
+    with pytest.raises(ReplicationError, match="server signature"):
+        c.verify_server_final(b"v=7rriTRBi23WpRR/wtup+mMhUZUn/dB5nLTJRsjl95G4=")
+
+
+class _ScramFakeServer(threading.Thread):
+    """Server side of the SCRAM exchange: verifies the client proof
+    from first principles (PBKDF2 → StoredKey → ClientSignature →
+    recovered ClientKey) and answers with the real server signature —
+    a client that mis-derives anything fails here."""
+
+    def __init__(self, password: str):
+        super().__init__(daemon=True)
+        self.password = password
+        self.srv = socket.create_server(("127.0.0.1", 0))
+        self.port = self.srv.getsockname()[1]
+        self.error: str | None = None
+
+    def run(self):
+        try:
+            self._run()
+        except Exception as e:  # surface thread failures to the test
+            self.error = f"{type(e).__name__}: {e}"
+
+    def _run(self):
+        import base64
+        import hmac as hm
+        import os as _os
+
+        c, _ = self.srv.accept()
+        c.settimeout(30)
+        buf = b""
+
+        def recv_exact(n):
+            nonlocal buf
+            while len(buf) < n:
+                chunk = c.recv(65536)
+                assert chunk, "client closed early"
+                buf += chunk
+            out, rest = buf[:n], buf[n:]
+            buf = rest
+            return out
+
+        (ln,) = struct.unpack(">i", recv_exact(4))
+        recv_exact(ln - 4)  # startup params
+        # AuthenticationSASL advertising -PLUS first (client must pick
+        # plain SCRAM-SHA-256: no TLS, no channel binding)
+        c.sendall(
+            _msg(
+                b"R",
+                struct.pack(">i", 10)
+                + _cstr("SCRAM-SHA-256-PLUS")
+                + _cstr("SCRAM-SHA-256")
+                + b"\x00",
+            )
+        )
+        t = recv_exact(1)
+        assert t == b"p"
+        (ln,) = struct.unpack(">i", recv_exact(4))
+        payload = recv_exact(ln - 4)
+        end = payload.index(b"\x00")
+        assert payload[:end] == b"SCRAM-SHA-256"
+        (rlen,) = struct.unpack(">i", payload[end + 1 : end + 5])
+        client_first = payload[end + 5 : end + 5 + rlen].decode()
+        assert client_first.startswith("n,,"), "gs2 must decline channel binding"
+        bare = client_first[3:]
+        client_nonce = dict(
+            kv.split("=", 1) for kv in bare.split(",")
+        )["r"]
+        salt = _os.urandom(16)
+        iters = 4096
+        combined = client_nonce + "srvNONCE123"
+        server_first = (
+            f"r={combined},s={base64.b64encode(salt).decode()},i={iters}"
+        )
+        c.sendall(
+            _msg(b"R", struct.pack(">i", 11) + server_first.encode())
+        )
+        t = recv_exact(1)
+        assert t == b"p"
+        (ln,) = struct.unpack(">i", recv_exact(4))
+        client_final = recv_exact(ln - 4).decode()
+        attrs = dict(kv.split("=", 1) for kv in client_final.split(","))
+        assert attrs["c"] == "biws" and attrs["r"] == combined
+        without_proof = client_final[: client_final.rindex(",p=")]
+        auth_msg = ",".join([bare, server_first, without_proof]).encode()
+        salted = hashlib.pbkdf2_hmac(
+            "sha256", self.password.encode(), salt, iters
+        )
+        client_key = hm.new(salted, b"Client Key", hashlib.sha256).digest()
+        stored = hashlib.sha256(client_key).digest()
+        sig = hm.new(stored, auth_msg, hashlib.sha256).digest()
+        proof = base64.b64decode(attrs["p"])
+        recovered = bytes(a ^ b for a, b in zip(proof, sig))
+        assert hashlib.sha256(recovered).digest() == stored, "bad client proof"
+        server_key = hm.new(salted, b"Server Key", hashlib.sha256).digest()
+        server_sig = hm.new(server_key, auth_msg, hashlib.sha256).digest()
+        c.sendall(
+            _msg(
+                b"R",
+                struct.pack(">i", 12)
+                + b"v="
+                + base64.b64encode(server_sig),
+            )
+        )
+        c.sendall(_msg(b"R", struct.pack(">i", 0)))  # AuthenticationOk
+        c.sendall(_msg(b"S", _cstr("server_version") + _cstr("16.0")))
+        c.sendall(_msg(b"Z", b"I"))
+        # one replication command proves the channel survived auth
+        t = recv_exact(1)
+        (ln,) = struct.unpack(">i", recv_exact(4))
+        q = recv_exact(ln - 4)
+        assert t == b"Q" and q.rstrip(b"\x00") == b"IDENTIFY_SYSTEM"
+        c.sendall(_datarow("7000", "1", "0/1000000", "testdb"))
+        c.sendall(_msg(b"C", _cstr("IDENTIFY_SYSTEM")))
+        c.sendall(_msg(b"Z", b"I"))
         c.close()
-        srv.close()
+        self.srv.close()
 
-    t = threading.Thread(target=fake, daemon=True)
-    t.start()
-    client = LogicalReplicationClient("127.0.0.1", port, "db", "u", "pw")
-    with pytest.raises(ReplicationError, match="unsupported auth"):
-        client.connect()
+
+def test_replication_client_scram_handshake():
+    """SCRAM-SHA-256 against a fake server that checks the proof from
+    first principles, then a replication command on the authed
+    connection (PG 14+ defaults to SCRAM — the r4 'what's missing'
+    item)."""
+    srv = _ScramFakeServer(password="s3cret")
+    srv.start()
+    client = LogicalReplicationClient(
+        "127.0.0.1", srv.port, "db", "u", "s3cret"
+    )
+    client.connect()
+    sysid = client.identify_system()
     client.close()
+    srv.join(timeout=30)
+    assert srv.error is None, srv.error
+    assert sysid["xlogpos"] == parse_lsn("0/1000000")
+
+
+def test_replication_client_scram_rejects_bad_server_signature():
+    """A server that cannot produce the right signature (MITM without
+    the password) must be rejected even after it accepts our proof, and
+    an e= error attribute surfaces as a clear failure."""
+    import base64
+
+    from python_cdc_spark.cdc.replication_client import ScramSha256Client
+
+    sc = ScramSha256Client("pw", nonce="clientNONCE")
+    sc.client_final(b"r=clientNONCEsrv,s=AAAA,i=4096")
+    with pytest.raises(ReplicationError, match="server signature"):
+        sc.verify_server_final(b"v=" + base64.b64encode(b"x" * 32))
+    sc2 = ScramSha256Client("pw", nonce="clientNONCE")
+    sc2.client_final(b"r=clientNONCEsrv,s=AAAA,i=4096")
+    with pytest.raises(ReplicationError, match="server error"):
+        sc2.verify_server_final(b"e=other-error")
+
+
+def test_replication_client_rejects_unknown_auth():
+    """Unknown auth codes and SASL lists without a usable mechanism
+    must fail with a clear message, not hang or mis-auth."""
+    for payload in (
+        struct.pack(">i", 7),  # GSSAPI — unsupported
+        struct.pack(">i", 10) + _cstr("SCRAM-SHA-256-PLUS") + b"\x00",
+    ):
+        srv = socket.create_server(("127.0.0.1", 0))
+        port = srv.getsockname()[1]
+
+        def fake(payload=payload, srv=srv):
+            c, _ = srv.accept()
+            ln = struct.unpack(">i", c.recv(4))[0]
+            c.recv(ln - 4)
+            c.sendall(_msg(b"R", payload))
+            c.close()
+            srv.close()
+
+        t = threading.Thread(target=fake, daemon=True)
+        t.start()
+        client = LogicalReplicationClient("127.0.0.1", port, "db", "u", "pw")
+        with pytest.raises(ReplicationError, match="unsupported auth|mechanism"):
+            client.connect()
+        client.close()
+
+
+def test_scram_rejects_nonce_truncation():
+    """The server-first nonce must EXTEND the client nonce (RFC 5802);
+    anything else is a replay/downgrade attempt."""
+    from python_cdc_spark.cdc.replication_client import ScramSha256Client
+
+    sc = ScramSha256Client("pw", nonce="abcdef")
+    with pytest.raises(ReplicationError, match="nonce"):
+        sc.client_final(b"r=XYZdef,s=AAAA,i=4096")
