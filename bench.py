@@ -7,12 +7,18 @@ JSON line:
 
 Timings are end-to-end per query (plan + execute + a count-style sink
 that forces full materialization without driver-side row transfer).
+
+Each query is timed $SPARK_GRAFT_BENCH_REPS times (default 3) and the
+MEDIAN is reported — a single ambient spike on a shared machine cannot
+masquerade as a regression (VERDICT r4 #4: three dedup/ANN rows
+"regressed" r3→r4 with no code change; median-of-3 pins that).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -159,6 +165,17 @@ def main() -> None:
 
     _fitted_centroids(spark, sf_dir, exact=False)
 
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+
+    def timed(fn) -> float:
+        samples = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            timed.rows = fn(spark, sf_dir).count()
+            samples.append(time.perf_counter() - t0)
+        timed.samples = [round(s, 4) for s in samples]
+        return round(statistics.median(samples), 4)
+
     fast = _fast_variants(spark, sf_dir)
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -167,10 +184,12 @@ def main() -> None:
             continue
         fn = fast.get(name, spec.fn)
         tag = " (fast, prebuilt index)" if name in fast else ""
-        t0 = time.perf_counter()
-        n = fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        print(f"# {name}{tag}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        timings[name] = timed(fn)
+        print(
+            f"# {name}{tag}: median {timings[name]:.3f}s of {timed.samples} "
+            f"({timed.rows} rows)",
+            file=sys.stderr,
+        )
 
     # Exact pass: the REGISTERED correctness-gate queries, decimal paths
     # included — auditable against the code the driver actually gates
@@ -200,11 +219,10 @@ def main() -> None:
         spec = QUERIES.get(name)
         if spec is None:
             continue
-        t0 = time.perf_counter()
-        n = spec.fn(spark, sf_dir).count()
-        exact_timings[name] = round(time.perf_counter() - t0, 4)
+        exact_timings[name] = timed(spec.fn)
         print(
-            f"# {name} (exact/registered): {exact_timings[name]:.3f}s ({n} rows)",
+            f"# {name} (exact/registered): median {exact_timings[name]:.3f}s "
+            f"of {timed.samples} ({timed.rows} rows)",
             file=sys.stderr,
         )
 
@@ -230,6 +248,8 @@ def main() -> None:
                 # functions timed under the same harness
                 "exact_value": exact_total,
                 "exact_queries": exact_timings,
+                # every per-query number is the median of this many runs
+                "reps": reps,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

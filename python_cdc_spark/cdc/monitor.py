@@ -90,10 +90,14 @@ class HealthServer:
         spark: SparkSession,
         query: StreamingQuery,
         port: int | None = None,
+        extra_metrics: Any = None,
     ) -> None:
         self.spark = spark
         self.query = query
         self.port = int(os.environ.get("PORT", "0")) if port is None else port
+        #: optional zero-arg callable merged into ``/metrics`` (e.g. the
+        #: applier's ``latency_report`` — capture→applied lag)
+        self.extra_metrics = extra_metrics
         self._server: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
 
@@ -108,6 +112,8 @@ class HealthServer:
                         code = 200 if body["status"] == "healthy" else 503
                     elif self.path == "/metrics":
                         body, code = lag_metrics(outer.query), 200
+                        if outer.extra_metrics is not None:
+                            body["apply_latency"] = outer.extra_metrics()
                     elif self.path == "/streams":
                         body, code = list_streams(outer.spark), 200
                     else:

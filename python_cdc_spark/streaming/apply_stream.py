@@ -57,6 +57,52 @@ class StreamingApplyChanges:
         # cost: superseded bucket files for that many commits)
         self.retention = retention
         self.store = BucketedStateStore(spark, state_path)
+        #: rolling capture→applied latency samples (see
+        #: ``record_latency`` / ``latency_report``) — populated by the
+        #: wire path where frames carry capture timestamps
+        self._latency: list[dict] = []
+
+    # -- end-to-end latency ----------------------------------------------
+
+    def record_latency(
+        self, batch_id: int | None, max_capture_ts, n_rows: int
+    ) -> None:
+        """Record one micro-batch's capture→applied lag: the wall-clock
+        gap between the NEWEST frame's capture timestamp and the moment
+        the merged state became durable. Kept as a bounded rolling
+        window (driver memory: O(32))."""
+        import datetime as _dt
+        import time as _time
+
+        if max_capture_ts is None:
+            return
+        if isinstance(max_capture_ts, _dt.datetime):
+            ts = max_capture_ts.timestamp()
+        else:
+            ts = float(max_capture_ts)
+        self._latency.append(
+            {
+                "batch_id": batch_id,
+                "n_rows": int(n_rows),
+                "applied_at": round(_time.time(), 3),
+                "max_capture_ts": round(ts, 3),
+                "capture_to_apply_sec": round(_time.time() - ts, 3),
+            }
+        )
+        del self._latency[:-32]
+
+    def latency_report(self) -> dict:
+        """Summary for ``/metrics`` (R16 analog: WAL lag expressed as
+        seconds-behind-capture instead of retained bytes)."""
+        if not self._latency:
+            return {"batches_measured": 0}
+        lags = sorted(s["capture_to_apply_sec"] for s in self._latency)
+        return {
+            "batches_measured": len(self._latency),
+            "last": self._latency[-1],
+            "capture_to_apply_sec_p50": lags[len(lags) // 2],
+            "capture_to_apply_sec_max": lags[-1],
+        }
 
     # -- state table ------------------------------------------------------
 
@@ -256,8 +302,13 @@ class StreamingWireApplyChanges(StreamingApplyChanges):
                 self.registry[relid] = rel
             self._save_registry()
 
+        stats = frames.agg(
+            F.max("ts").alias("mx"), F.count(F.lit(1)).alias("n")
+        ).first()
         events = decode_frames(self.spark, frames, registry=dict(self.registry))
         self.merge_batch(self.key_extractor(events), batch_id)
+        # state is durable now — the capture→applied gap is the e2e lag
+        self.record_latency(batch_id, stats["mx"], stats["n"])
 
     def start_wire(
         self,

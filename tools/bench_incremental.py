@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""Incremental-dedup economics (VERDICT r4 #5): does folding a delta
+beat recomputing the whole corpus?
+
+The incremental family's entire pitch is crawl-over-crawl maintenance:
+at 100 TB you index once and fold each new crawl, because re-running
+batch dedup over everything-so-far grows with the CORPUS while the fold
+grows with the DELTA. This tool measures that crossover on real data:
+
+  base = first 90% of documents (indexed once, untimed — the sunk cost)
+  delta = last 10%
+  timed A: incremental_dedup_update(index, delta)      — the fold
+  timed B: batch ground truth over base+delta from scratch
+           (gram/band/verify/components — what a no-index pipeline
+           re-pays every crawl)
+
+Prints ONE JSON line:
+  {"metric": "incremental_fold_vs_batch", "sf_dir": ..., "n_docs": N,
+   "fold_sec": A, "batch_sec": B, "speedup": B/A, ...}
+
+Usage: python tools/bench_incremental.py [sf_dir ...]
+  default sf dirs: /root/testdata/sf0.1 and ./.sf1 (if present)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _measure(spark, sf_dir: str) -> dict:
+    from pyspark.sql import functions as F
+
+    from python_cdc_spark.io import table
+    from python_cdc_spark.operators.components import connected_components
+    from python_cdc_spark.operators.incremental_dedup import (
+        _delta_tables,
+        _verify_pairs,
+        build_dedup_index,
+        incremental_dedup_update,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = docs.localCheckpoint(eager=True)  # scan cost out of both sides
+    n_docs = docs.count()
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    boundary = (int(max_id) * 9) // 10
+    base = docs.filter(F.col("doc_id") < boundary)
+    delta = docs.filter(F.col("doc_id") >= boundary)
+    n_delta = delta.count()
+
+    tmp = tempfile.mkdtemp(prefix="inc_bench_")
+    try:
+        build_dedup_index(spark, base, tmp)  # sunk cost, untimed
+
+        t0 = time.perf_counter()
+        fold_comp = incremental_dedup_update(spark, tmp, delta)
+        n_fold = fold_comp.count()
+        fold_sec = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        cells, bands, sizes = _delta_tables(docs, "text", "doc_id")
+        x, y = bands.alias("x"), bands.alias("y")
+        cand = (
+            x.join(
+                y,
+                (F.col("x.band_id") == F.col("y.band_id"))
+                & (F.col("x.band_key") == F.col("y.band_key"))
+                & (F.col("x.id") < F.col("y.id")),
+            )
+            .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+            .distinct()
+        )
+        pairs = _verify_pairs(cand, cells, sizes, 0.5)
+        n_batch = connected_components(pairs, "id_a", "id_b").count()
+        batch_sec = time.perf_counter() - t0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    assert n_fold == n_batch, f"fold/batch row mismatch {n_fold} != {n_batch}"
+    return {
+        "sf_dir": sf_dir,
+        "n_docs": int(n_docs),
+        "n_delta": int(n_delta),
+        "component_rows": int(n_fold),
+        "fold_sec": round(fold_sec, 3),
+        "batch_sec": round(batch_sec, 3),
+        "speedup": round(batch_sec / fold_sec, 3),
+    }
+
+
+def main() -> None:
+    from python_cdc_spark.session import get_spark
+
+    dirs = sys.argv[1:] or [
+        d
+        for d in (
+            "/root/testdata/sf0.1",
+            os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".sf1"
+            ),
+        )
+        if os.path.isdir(d)
+    ]
+    spark = get_spark(app_name="bench_incremental")
+    spark.sparkContext.setLogLevel("ERROR")
+    results = []
+    for d in dirs:
+        r = _measure(spark, d)
+        print(f"# {d}: fold {r['fold_sec']}s vs batch {r['batch_sec']}s "
+              f"(speedup {r['speedup']}x)", file=sys.stderr)
+        results.append(r)
+    print(json.dumps({"metric": "incremental_fold_vs_batch", "runs": results}))
+
+
+if __name__ == "__main__":
+    main()

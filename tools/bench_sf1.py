@@ -81,6 +81,20 @@ NEW_OPS = [
     "text_quality_classifier",
 ]
 
+# r5: the business-analytics/diagnostics pack (VERDICT r4 #5). All six
+# oracles are plain SQL over aggregates — tractable at sf1. The two
+# interesting rows: customer_rfm_segments (distributed exact NTILE vs
+# DuckDB's single-threaded ntile over 10× customers) and
+# part_affinity_lift (capped basket self-join).
+ANALYTICS_6 = [
+    "events_histogram_equiwidth",
+    "customer_rfm_segments",
+    "revenue_yoy_growth",
+    "part_affinity_lift",
+    "events_cusum_drift",
+    "join_key_skew_report",
+]
+
 
 def _run_ann_spark_only(spark, sf_dir: str) -> dict:
     from pyspark.sql import functions as F
@@ -198,12 +212,18 @@ def main() -> None:
         "llm_sf1": _run_scale(spark, sf1_dir, LLM_8),
         "new_sf0.1": _run_scale(spark, "/root/testdata/sf0.1", NEW_OPS),
         "new_sf1": _run_scale(spark, sf1_dir, NEW_OPS),
+        "analytics_sf0.1": _run_scale(spark, "/root/testdata/sf0.1", ANALYTICS_6),
+        "analytics_sf1": _run_scale(spark, sf1_dir, ANALYTICS_6),
         "ann_sf0.1": _run_ann_spark_only(spark, "/root/testdata/sf0.1"),
         "ann_sf1": _run_ann_spark_only(spark, sf1_dir),
     }
     out["ratio_trend"] = [out["sf0.1"]["ratio"], out["sf1"]["ratio"]]
     out["llm_ratio_trend"] = [out["llm_sf0.1"]["ratio"], out["llm_sf1"]["ratio"]]
     out["new_ratio_trend"] = [out["new_sf0.1"]["ratio"], out["new_sf1"]["ratio"]]
+    out["analytics_ratio_trend"] = [
+        out["analytics_sf0.1"]["ratio"],
+        out["analytics_sf1"]["ratio"],
+    ]
     # spark-only: how much slower is 10x the data? (vs the 10x a
     # vector-scanning design would pay)
     out["ann_scaleup"] = round(

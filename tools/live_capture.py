@@ -94,29 +94,30 @@ def _spark_apply(wire_dir: str, state_dir: str, key_col: str, stop: threading.Ev
     import pyspark.sql.functions as F
 
     from python_cdc_spark.cdc.monitor import HealthServer
-    from python_cdc_spark.cdc.pgoutput import decode_frames, relation_registry
     from python_cdc_spark.session import get_spark
-    from python_cdc_spark.streaming import StreamingApplyChanges
+    from python_cdc_spark.streaming import StreamingWireApplyChanges
 
     spark = get_spark(app_name="live_capture_apply")
-    # registry from frames already on disk (Relation frames always
-    # precede their rows in a pgoutput stream; StreamingWireApplyChanges
-    # also refreshes per micro-batch for mid-stream DDL)
     os.makedirs(wire_dir, exist_ok=True)
     while not os.listdir(wire_dir) and not stop.is_set():
         stop.wait(0.5)
-    reg = relation_registry(spark.read.parquet(wire_dir))
     stream = (
         spark.readStream.schema("lsn bigint, ts timestamp, frame binary")
         .parquet(wire_dir)
     )
-    events = decode_frames(spark, stream, registry=reg).withColumn(
-        "key",
-        F.coalesce(F.col("new_values")[key_col], F.col("old_values")[key_col]),
-    )
-    applier = StreamingApplyChanges(spark, state_dir, "key")
-    q = applier.start(events, state_dir + "_ckpt")
-    with HealthServer(spark, q) as srv:
+
+    def extract_key(events):
+        return events.withColumn(
+            "key",
+            F.coalesce(F.col("new_values")[key_col], F.col("old_values")[key_col]),
+        )
+
+    # wire applier: registry refreshes per micro-batch (mid-stream DDL)
+    # and capture→applied latency is recorded per batch, served on
+    # /metrics as apply_latency
+    applier = StreamingWireApplyChanges(spark, state_dir, extract_key)
+    q = applier.start_wire(stream, state_dir + "_ckpt")
+    with HealthServer(spark, q, extra_metrics=applier.latency_report) as srv:
         print(f"# health endpoint on :{srv.port}", file=sys.stderr)
         while not stop.is_set():
             stop.wait(1.0)
