@@ -82,7 +82,14 @@ set_priority_order(
         "q5_local_supplier_volume",
         "q10_returned_items",
         "q13_customer_distribution",
-        # --- r04 first-timers banking their second row (20) ---
+        # --- New this round (6): first driver rows land now ---
+        "events_exact_deciles",
+        "dedup_edit_distance_verified",
+        "text_vocab_zipf_stats",
+        "corpus_split_chisquare",
+        "timeseries_ewma_recursive",
+        "events_markov_transitions",
+        # --- r04 first-timers banking their second row (14) ---
         "q12_priority_class",
         "q2_min_cost_supplier",
         "q11_important_parts",
@@ -98,10 +105,5 @@ set_priority_order(
         "text_bm25_search",
         "text_bigram_lm_score",
         "text_repetition_filter",
-        "dedup_minhash_signatures",
-        "embedding_norms",
-        "similarity_ivfpq_topk",
-        "similarity_ivfrq_topk",
-        "corpus_stratified_sample",
     ]
 )

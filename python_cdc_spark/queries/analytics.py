@@ -370,3 +370,50 @@ def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("hottest_key"),
     )
+
+
+@register(
+    "events_exact_deciles",
+    oracle="""
+    WITH ranked AS (
+      SELECT value,
+             row_number() OVER (ORDER BY value, event_id) AS rn,
+             count(*) OVER () AS n
+      FROM events
+    ),
+    d AS (SELECT CAST(unnest(range(1, 10)) AS INTEGER) AS decile)
+    SELECT d.decile, r.value AS decile_value
+    FROM d JOIN ranked r
+      ON r.rn = CAST(CEIL(d.decile * r.n / 10.0) AS BIGINT)
+    """,
+    doc="E11/E13: EXACT global deciles of events.value via the "
+    "distributed ranking operator — rank-selected order statistics "
+    "(value at rank ceil(d*n/10)), bit-identical to a single-partition "
+    "row_number scan, computed bucket-parallel",
+)
+def events_exact_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact order statistics at fact-table scale: approx_percentile is
+    the usual answer because exact percentile needs a global sort —
+    operators/ranking.py removes that tradeoff. One approx-quantile
+    pass range-buckets the rows (balance only, never correctness), a
+    per-bucket row_number plus exact cumulative offsets yields the true
+    global rank, and the nine decile rows come from a 9-row broadcast
+    join on rank. Ties are ordered by (value, event_id) on both
+    engines, so the selected rows are identical. Work: one shuffle for
+    the bucketed window + an O(buckets) offsets collect."""
+    import math
+
+    from python_cdc_spark.operators.ranking import with_global_row_number
+
+    ev = table(spark, sf_dir, "events").select("event_id", "value")
+    ranked, total = with_global_row_number(
+        ev, "value", ascending=True, tiebreak=("event_id",), out="rn"
+    )
+    targets = ", ".join(
+        f"({d}, {math.ceil(d * total / 10)})" for d in range(1, 10)
+    )
+    tgt = spark.sql(f"SELECT * FROM VALUES {targets} AS t(decile, rn)")
+    return (
+        ranked.join(broadcast(tgt.withColumn("decile", F.col("decile").cast("int"))), "rn")
+        .select("decile", F.col("value").alias("decile_value"))
+    )

@@ -602,3 +602,92 @@ def corpus_shuffle_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("epoch", "doc_id", F.row_number().over(w).cast("long").alias("position"))
         .withColumn("micro_batch", F.expr("(position - 1) DIV 64"))
     )
+
+
+@register(
+    "corpus_split_chisquare",
+    oracle=f"""
+    WITH t AS (
+      SELECT CASE WHEN substr({_sql_doc_hash(_SPLIT_SALT)}, 1, 2) < 'cd'
+                  THEN 'train'
+                  WHEN substr({_sql_doc_hash(_SPLIT_SALT)}, 1, 2) < 'e6'
+                  THEN 'val' ELSE 'test' END AS split,
+             {_SQL_TOKS} AS w
+      FROM documents
+    ),
+    o AS (
+      SELECT split, unnest(w) AS token FROM t
+    ),
+    obs AS (
+      SELECT split, token, CAST(COUNT(*) AS BIGINT) AS o
+      FROM o GROUP BY 1, 2
+    ),
+    split_tot AS (
+      SELECT split, CAST(SUM(o) AS BIGINT) AS n_s FROM obs GROUP BY 1
+    ),
+    tok_tot AS (
+      SELECT token, CAST(SUM(o) AS BIGINT) AS c_w FROM obs GROUP BY 1
+    ),
+    grand AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs),
+    terms AS (
+      SELECT obs.split,
+             obs.o,
+             CAST(split_tot.n_s AS DOUBLE) * tok_tot.c_w / grand.n AS e
+      FROM obs
+      JOIN split_tot USING (split)
+      JOIN tok_tot USING (token)
+      CROSS JOIN grand
+    )
+    SELECT split,
+           CAST(SUM(o) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types_observed,
+           CAST(ROUND(SUM(CAST(
+             (CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e
+             AS DECIMAL(30,10))), 4) AS DOUBLE) AS chi2_contrib
+    FROM terms GROUP BY split
+    """,
+    doc="curation/diagnostics: chi-square drift between the md5 "
+    "train/val/test splits' token distributions — per-split sum of "
+    "(observed - expected)^2 / expected against the pooled "
+    "distribution; the leakage/skew check run before a split ships",
+)
+def corpus_split_chisquare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift between splits without any sampling: observed
+    (split, token) counts are one hash aggregate; expected counts
+    derive from two tiny keyed joins (split totals broadcast, token
+    totals co-keyed with the obs table); the statistic decimal-routes
+    its sum so Spark's parallel partial aggregation matches DuckDB's
+    sequential one bit-for-bit. Per-term arithmetic is doubles from
+    integer counts — identical IEEE ops both engines. A healthy random
+    split has chi2 ≈ df; a contaminated or topic-skewed split explodes
+    it. At 100 TB the wide exchanges are the two token aggregates —
+    both map-side combinable."""
+    from python_cdc_spark.functions.text import tokens as _tokens
+
+    d = table(spark, sf_dir, "documents")
+    h2 = F.substring(_doc_hash(_SPLIT_SALT), 1, 2)
+    split = F.when(h2 < "cd", "train").when(h2 < "e6", "val").otherwise("test")
+    o = d.select(split.alias("split"), F.explode(_tokens(F.col("text"))).alias("token"))
+    obs = (
+        o.groupBy("split", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("o"))
+        .localCheckpoint(eager=False)  # three aggregate consumers
+    )
+    split_tot = obs.groupBy("split").agg(F.sum("o").cast("long").alias("n_s"))
+    tok_tot = obs.groupBy("token").agg(F.sum("o").cast("long").alias("c_w"))
+    grand = obs.agg(F.sum("o").cast("long").alias("n"))
+    e = F.col("n_s").cast("double") * F.col("c_w") / F.col("n")
+    od = F.col("o").cast("double")
+    terms = (
+        obs.join(F.broadcast(split_tot), "split")
+        .join(tok_tot, "token")
+        .crossJoin(F.broadcast(grand))
+        .select("split", "o", e.alias("e"))
+    )
+    from python_cdc_spark.queries.helpers import dec_sum
+
+    return terms.groupBy("split").agg(
+        F.sum("o").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types_observed"),
+        dec_sum((od - F.col("e")) * (od - F.col("e")) / F.col("e"), "chi2_contrib"),
+    )

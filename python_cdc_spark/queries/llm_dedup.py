@@ -665,3 +665,59 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(tri.select(F.col("c").alias("v")))
     )
     return corners.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+
+
+@register(
+    "dedup_edit_distance_verified",
+    oracle=f"""
+    WITH {_VERIFIED_PAIRS_CTES},
+    norm AS (SELECT doc_id, {_SQL_NORM} AS t FROM documents)
+    SELECT c.id_a, c.id_b,
+           CAST(levenshtein(na.t, nb.t) AS BIGINT) AS edit_distance,
+           CAST(levenshtein(na.t, nb.t) AS DOUBLE)
+             / greatest(length(na.t), length(nb.t)) AS edit_ratio
+    FROM cand c
+    JOIN norm na ON na.doc_id = c.id_a
+    JOIN norm nb ON nb.doc_id = c.id_b
+    WHERE CAST(levenshtein(na.t, nb.t) AS DOUBLE)
+            / greatest(length(na.t), length(nb.t)) <= 0.3
+    """,
+    doc="E25/E26: near-dup verification by EDIT DISTANCE — banded-LSH "
+    "candidates (never all-pairs) verified with exact Levenshtein on "
+    "normalized text, keeping pairs within 30% edit ratio; the "
+    "character-level complement to token-Jaccard verification "
+    "(catches reorder-resistant boilerplate edits Jaccard over-scores)",
+)
+def dedup_edit_distance_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate generation is the shared banded-LSH machinery (band
+    keys shuffle, documents don't); only the O(candidates) surviving
+    pairs pay the quadratic Levenshtein DP, each computed once on the
+    normalized text both engines share (identical integer DP → the
+    ratio divides identical ints, bit-equal doubles). At 100 TB the DP
+    cost is bounded per pair by document length — cap or chunk huge
+    docs upstream (the curation pipeline's length gate already does),
+    and candidates stay banded, so total work is O(pairs · len²), not
+    O(n²)."""
+    from python_cdc_spark.functions.text import normalized_text
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    sigs = minhash_signatures(
+        docs, "text", "doc_id", n=3, k=_K, one_permutation=True
+    )
+    cand = lsh_candidate_pairs(sigs, k=_K, bands=_BANDS)
+    norm = docs.select("doc_id", normalized_text(F.col("text")).alias("t"))
+    na = norm.select(F.col("doc_id").alias("id_a"), F.col("t").alias("ta"))
+    nb = norm.select(F.col("doc_id").alias("id_b"), F.col("t").alias("tb"))
+    lev = F.levenshtein(F.col("ta"), F.col("tb"))
+    ratio = lev.cast("double") / F.greatest(F.length("ta"), F.length("tb"))
+    return (
+        cand.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            lev.cast("long").alias("edit_distance"),
+            ratio.alias("edit_ratio"),
+        )
+        .filter(F.col("edit_ratio") <= 0.3)
+    )

@@ -635,3 +635,83 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(logit.alias("logit"))
         .select("doc_id", "logit", (F.col("logit") >= 0).alias("keep"))
     )
+
+
+@register(
+    "text_vocab_zipf_stats",
+    oracle=f"""
+    WITH t AS (SELECT {_SQL_TOKS} AS w FROM documents),
+    tok AS (SELECT unnest(w) AS token FROM t),
+    c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY 1),
+    tot AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_types,
+             CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS hapax_types,
+             CAST(SUM(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS dis_types
+      FROM c
+    ),
+    top AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS top100_tokens
+      FROM (
+        SELECT cnt,
+               row_number() OVER (ORDER BY cnt DESC, token) AS rk
+        FROM c
+      ) WHERE rk <= 100
+    )
+    SELECT n_tokens, n_types, hapax_types, dis_types,
+           CAST(n_types AS DOUBLE) / n_tokens AS type_token_ratio,
+           CAST(hapax_types AS DOUBLE) / n_types AS hapax_share,
+           CAST(top100_tokens AS DOUBLE) / n_tokens AS top100_token_share
+    FROM tot, top
+    """,
+    doc="E27/diagnostics: corpus vocabulary profile — types, tokens, "
+    "hapax/dis legomena, and head-concentration (top-100 token share); "
+    "the Zipf sanity panel a pretraining corpus gets before training",
+)
+def text_vocab_zipf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One token explode → one vocab hash aggregate (map-side combine
+    absorbs hot tokens) → an O(types) summary plus a top-100 head via
+    orderBy+limit (TakeOrderedAndProject — distributed partial top-k,
+    never a global sort), tiebroken (count desc, token) so both engines
+    pick the same head. Every ratio divides integer-derived doubles —
+    bit-portable. Output is ONE row; at 100 TB the only wide exchange
+    is the token count aggregate."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(tokens(F.col("text"))).alias("token"))
+    c = tok.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    c = c.localCheckpoint(eager=False)  # totals + top-100 share one pass
+    tot = c.agg(
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("hapax_types"),
+        F.sum(F.when(F.col("cnt") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("dis_types"),
+    )
+    top = (
+        c.orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(100)
+        .agg(F.sum("cnt").cast("long").alias("top100_tokens"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(top))
+        .select(
+            "n_tokens",
+            "n_types",
+            "hapax_types",
+            "dis_types",
+            (F.col("n_types").cast("double") / F.col("n_tokens")).alias(
+                "type_token_ratio"
+            ),
+            (F.col("hapax_types").cast("double") / F.col("n_types")).alias(
+                "hapax_share"
+            ),
+            (F.col("top100_tokens").cast("double") / F.col("n_tokens")).alias(
+                "top100_token_share"
+            ),
+        )
+    )

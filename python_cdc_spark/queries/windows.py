@@ -826,3 +826,120 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.least(F.lit(0.0), F.min("prefix_dev").over(wprefix))
         ).alias("cusum"),
     )
+
+
+@register(
+    "timeseries_ewma_recursive",
+    oracle="""
+    WITH RECURSIVE b AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(30,10))), 4) AS DOUBLE)
+               AS sum_value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY date_trunc('hour', ts)) AS rn
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT event_type, rn, bucket_ts, sum_value, sum_value AS ewma
+      FROM b WHERE rn = 1
+      UNION ALL
+      SELECT b.event_type, b.rn, b.bucket_ts, b.sum_value,
+             0.25 * b.sum_value + 0.75 * r.ewma
+      FROM b JOIN r ON b.event_type = r.event_type AND b.rn = r.rn + 1
+    )
+    SELECT event_type, bucket_ts, sum_value, ewma FROM r
+    """,
+    doc="E24/E29: per-key EWMA — a genuinely recursive fold "
+    "(s_t = α·x_t + (1-α)·s_{t-1}) no window aggregate expresses; "
+    "Arrow-batched applyInPandas per event_type, DuckDB recursive-CTE "
+    "oracle, α=1/4 so every constant is exact binary and both engines' "
+    "IEEE op sequences are identical",
+)
+def timeseries_ewma_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documented escape hatch, used where it is genuinely needed:
+    EWMA's recurrence is not a prefix-sum identity (unlike CUSUM's
+    max(0,·) form), so no composition of built-in window aggregates
+    yields it exactly — the one closed form (Σ α(1-α)^(t-j)·x_j)
+    overflows its weights at sequence length. Instead: one hash
+    aggregate to hourly buckets (decimal-routed), then
+    ``applyInPandas`` PER EVENT_TYPE — each group is output-scale
+    (one row per hour) and groups parallelize across executors, so the
+    Python boundary is Arrow-batched, per-key bounded, and off the
+    fact-table hot path. α = 1/4 (exact in binary, like its complement
+    3/4): the pandas loop and the recursive-CTE oracle execute the
+    same multiply-add sequence → bit-identical doubles."""
+    import pandas as pd
+
+    from python_cdc_spark.queries.helpers import dec_sum
+
+    ev = table(spark, sf_dir, "events")
+    b = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket_ts")
+    ).agg(dec_sum(F.col("value"), "sum_value"))
+
+    alpha, beta = 0.25, 0.75
+
+    def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("bucket_ts").reset_index(drop=True)
+        out = []
+        s = None
+        for x in pdf["sum_value"]:
+            s = x if s is None else alpha * x + beta * s
+            out.append(s)
+        pdf["ewma"] = out
+        return pdf
+
+    return b.groupBy("event_type").applyInPandas(
+        ewma,
+        schema="event_type string, bucket_ts timestamp, sum_value double, "
+        "ewma double",
+    )
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    c AS (
+      SELECT prev_type, event_type AS next_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT prev_type, next_type, n,
+           CAST(n AS DOUBLE)
+             / SUM(n) OVER (PARTITION BY prev_type) AS prob
+    FROM c
+    """,
+    doc="E13/analytics: first-order Markov transition matrix over "
+    "per-user event sequences — lag window per user (bounded state), "
+    "transition counts, row-normalized probabilities",
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-model input: sequence each user's events (per-user
+    window — hash-partitioned, bounded per key, never global), count
+    (prev → next) transitions, normalize rows into probabilities. The
+    normalizing window runs over the O(types²) count matrix —
+    output-scale. Integer counts → double division, both engines
+    identical."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    c = s.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    wnorm = Window.partitionBy("prev_type")
+    return c.select(
+        "prev_type",
+        "next_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(wnorm)).alias("prob"),
+    )
