@@ -11,8 +11,11 @@ implements the frontend side directly on a TCP socket:
 
 - startup + auth (trust / cleartext / MD5 / SCRAM-SHA-256 — the
   PostgreSQL 14+ default; RFC 5802/7677 client implemented below with
-  server-signature verification; channel binding is not offered because
-  the connection is plain TCP, so the gs2 header is ``n,,``),
+  server-signature verification), optional TLS (``sslmode="require"``:
+  SSLRequest + handshake before the startup packet, libpq-style
+  encrypt-without-verify unless a verifying ``ssl_context`` is passed),
+  and SCRAM-SHA-256-PLUS with RFC 5929 tls-server-end-point channel
+  binding whenever the server offers it on a TLS connection,
 - ``CREATE_REPLICATION_SLOT``/``START_REPLICATION`` simple queries,
 - the CopyBoth stream: XLogData ('w') payloads are RAW pgoutput frames
   — exactly what ``cdc/pgoutput.py`` decodes — and keepalives ('k')
@@ -65,26 +68,64 @@ def parse_lsn(s: str) -> int:
     return (int(hi, 16) << 32) | int(lo, 16)
 
 
-class ScramSha256Client:
-    """Client side of SCRAM-SHA-256 (RFC 5802 framing, RFC 7677 hash,
-    PostgreSQL SASL exchange per protocol.sgml "SASL Authentication").
+def tls_server_end_point(cert_der: bytes) -> bytes:
+    """RFC 5929 tls-server-end-point channel-binding data: hash of the
+    server certificate using its signature hash algorithm, with
+    MD5/SHA-1 upgraded to SHA-256. Parsing the signature algorithm
+    needs the ``cryptography`` package; without it we assume SHA-256 —
+    correct for effectively every certificate issued this decade."""
+    algo = "sha256"
+    try:
+        from cryptography import x509
 
-    No channel binding (plain TCP → gs2 header ``n,,``; PostgreSQL only
-    offers SCRAM-SHA-256-PLUS on SSL connections). The username inside
-    the SCRAM message is empty for PostgreSQL — the server takes the
-    identity from the startup packet — but is parameterized so the
-    RFC 7677 test vector can drive this class verbatim. Passwords are
-    used as UTF-8 without SASLprep normalization (stdlib has no
-    stringprep tables; ASCII passwords — the overwhelmingly common
-    case — are unaffected, matching what the server stores for them).
+        cert = x509.load_der_x509_certificate(cert_der)
+        h = cert.signature_hash_algorithm
+        if h is not None and h.name not in ("md5", "sha1"):
+            algo = h.name
+    except ImportError:
+        pass
+    return hashlib.new(algo, cert_der).digest()
+
+
+class ScramSha256Client:
+    """Client side of SCRAM-SHA-256 and SCRAM-SHA-256-PLUS (RFC 5802
+    framing, RFC 7677 hash, RFC 5929 tls-server-end-point channel
+    binding; PostgreSQL SASL exchange per protocol.sgml "SASL
+    Authentication").
+
+    ``cbind_data`` selects the variant: None → plain SCRAM-SHA-256 with
+    a ``n,,`` (or ``y,,`` — caller's downgrade-detection choice) gs2
+    header; the server-certificate hash → -PLUS with
+    ``p=tls-server-end-point,,`` and the cbind-input
+    ``base64(gs2 || cert_hash)``. The username inside the SCRAM message
+    is empty for PostgreSQL — the server takes the identity from the
+    startup packet — but is parameterized so the RFC 7677 test vector
+    can drive this class verbatim. Passwords are used as UTF-8 without
+    SASLprep normalization (stdlib has no stringprep tables; ASCII
+    passwords — the overwhelmingly common case — are unaffected,
+    matching what the server stores for them).
     """
 
     MECHANISM = "SCRAM-SHA-256"
+    MECHANISM_PLUS = "SCRAM-SHA-256-PLUS"
 
-    def __init__(self, password: str, username: str = "", nonce: str | None = None):
+    def __init__(
+        self,
+        password: str,
+        username: str = "",
+        nonce: str | None = None,
+        cbind_data: bytes | None = None,
+        gs2_header: str | None = None,
+    ):
         self.password = password
         self.client_nonce = nonce or base64.b64encode(os.urandom(18)).decode()
-        self.gs2_header = "n,,"
+        self.cbind_data = cbind_data
+        if gs2_header is not None:
+            self.gs2_header = gs2_header
+        else:
+            self.gs2_header = (
+                "p=tls-server-end-point,," if cbind_data is not None else "n,,"
+            )
         self.client_first_bare = f"n={username},r={self.client_nonce}"
         self._auth_message: bytes | None = None
         self._server_key: bytes | None = None
@@ -110,7 +151,8 @@ class ScramSha256Client:
         client_key = hmac.new(salted, b"Client Key", hashlib.sha256).digest()
         stored_key = hashlib.sha256(client_key).digest()
         self._server_key = hmac.new(salted, b"Server Key", hashlib.sha256).digest()
-        cbind = base64.b64encode(self.gs2_header.encode()).decode()  # "biws"
+        cbind_input = self.gs2_header.encode() + (self.cbind_data or b"")
+        cbind = base64.b64encode(cbind_input).decode()  # "biws" when n,,
         without_proof = f"c={cbind},r={combined}"
         self._auth_message = ",".join(
             [self.client_first_bare, sf, without_proof]
@@ -167,10 +209,27 @@ class LogicalReplicationClient:
         user: str,
         password: str | None = None,
         connect_timeout: float = 10.0,
+        sslmode: str = "disable",
+        ssl_context=None,
     ) -> None:
+        """``sslmode``: "disable" (plain TCP) or "require" — send an
+        SSLRequest and TLS-wrap the socket before the startup packet
+        (hosted PostgreSQL mandates this). Like libpq's ``require``,
+        the default context ENCRYPTS but does not verify the server
+        certificate chain/hostname; pass ``ssl_context`` (an
+        ``ssl.SSLContext``) for verify-ca/verify-full behavior. On TLS
+        the client prefers SCRAM-SHA-256-PLUS with RFC 5929
+        tls-server-end-point channel binding when the server offers it,
+        and signals channel-binding support (gs2 ``y,,``) when it
+        doesn't — so a MITM stripping -PLUS is detected server-side."""
         self.host, self.port = host, port
         self.dbname, self.user, self.password = dbname, user, password
         self.connect_timeout = connect_timeout
+        if sslmode not in ("disable", "require"):
+            raise ValueError(f"sslmode must be disable|require, got {sslmode!r}")
+        self.sslmode = sslmode
+        self.ssl_context = ssl_context
+        self._tls_cert_der: bytes | None = None
         self._sock: socket.socket | None = None
         self._buf = b""
         self.parameters: dict[str, str] = {}
@@ -217,6 +276,8 @@ class LogicalReplicationClient:
         self._sock = socket.create_connection(
             (self.host, self.port), timeout=self.connect_timeout
         )
+        if self.sslmode == "require":
+            self._start_tls()
         # StartupMessage: replication=database switches the connection
         # into the replication command set against a real database (the
         # mode logical replication requires)
@@ -232,6 +293,29 @@ class LogicalReplicationClient:
         body = struct.pack(">i", 196608) + params  # protocol 3.0
         self._send(struct.pack(">i", len(body) + 4) + body)
         self._auth_loop()
+
+    def _start_tls(self) -> None:
+        """SSLRequest (protocol.sgml): magic 80877103; server answers a
+        single byte — 'S' proceed with the TLS handshake, 'N' refused."""
+        import ssl
+
+        assert self._sock is not None
+        self._send(struct.pack(">ii", 8, 80877103))
+        answer = self._recv_exact(1)
+        if answer != b"S":
+            raise ReplicationError(
+                {"M": f"server refused TLS (answered {answer!r}) but "
+                      "sslmode=require"}
+            )
+        if self.ssl_context is not None:
+            ctx = self.ssl_context
+        else:
+            # libpq sslmode=require semantics: encrypt, don't verify
+            ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_CLIENT)
+            ctx.check_hostname = False
+            ctx.verify_mode = ssl.CERT_NONE
+        self._sock = ctx.wrap_socket(self._sock, server_hostname=self.host)
+        self._tls_cert_der = self._sock.getpeercert(binary_form=True)
 
     def _auth_loop(self) -> None:
         while True:
@@ -267,17 +351,31 @@ class LogicalReplicationClient:
                         for m in payload[4:].split(b"\x00")
                         if m
                     ]
-                    if ScramSha256Client.MECHANISM not in names:
+                    on_tls = self._tls_cert_der is not None
+                    if on_tls and ScramSha256Client.MECHANISM_PLUS in names:
+                        # channel binding: tie the SCRAM proof to THIS
+                        # TLS session's server certificate
+                        mech = ScramSha256Client.MECHANISM_PLUS
+                        self._scram = ScramSha256Client(
+                            self.password,
+                            cbind_data=tls_server_end_point(self._tls_cert_der),
+                        )
+                    elif ScramSha256Client.MECHANISM in names:
+                        mech = ScramSha256Client.MECHANISM
+                        # on TLS advertise we COULD bind (gs2 "y,,") so a
+                        # stripped -PLUS offer is detected server-side
+                        self._scram = ScramSha256Client(
+                            self.password,
+                            gs2_header="y,," if on_tls else "n,,",
+                        )
+                    else:
                         raise ReplicationError(
                             {"M": f"no supported SASL mechanism in {names} "
-                                  "(only SCRAM-SHA-256; -PLUS needs TLS)"}
+                                  "(SCRAM-SHA-256[-PLUS] only; -PLUS needs TLS)"}
                         )
-                    self._scram = ScramSha256Client(self.password)
                     first = self._scram.client_first()
                     body = (
-                        _cstr(ScramSha256Client.MECHANISM)
-                        + struct.pack(">i", len(first))
-                        + first
+                        _cstr(mech) + struct.pack(">i", len(first)) + first
                     )
                     self._send(b"p" + struct.pack(">i", len(body) + 4) + body)
                     continue

@@ -134,21 +134,30 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=False)
     )
-    scored = with_distributed_ntile(
-        per_cust, 5, "recency_days", ascending=True, tiebreak=("o_custkey",),
-        out="r_score",
-    )
-    scored = with_distributed_ntile(
-        scored, 5, "frequency", ascending=False, tiebreak=("o_custkey",),
-        out="f_score",
-    )
-    scored = with_distributed_ntile(
-        scored, 5, "monetary", ascending=False, tiebreak=("o_custkey",),
-        out="m_score",
-    )
-    return scored.select(
-        "o_custkey", "recency_days", "frequency", "monetary",
-        "r_score", "f_score", "m_score",
+    # rank each metric on its own 2-column projection of the CHECKPOINTED
+    # per-customer table, then join the three score columns back on the
+    # key: every ranking's plan-build actions (quantile sketch, bucket
+    # counts) scan only per_cust, never a previous ranking's window —
+    # chaining them instead re-executed window 1 five times (measured
+    # 4.3 s → this shape at sf1)
+    def score(metric: str, ascending: bool, out: str) -> DataFrame:
+        return with_distributed_ntile(
+            per_cust.select("o_custkey", metric),
+            5,
+            metric,
+            ascending=ascending,
+            tiebreak=("o_custkey",),
+            out=out,
+        ).select("o_custkey", out)
+
+    return (
+        per_cust.join(score("recency_days", True, "r_score"), "o_custkey")
+        .join(score("frequency", False, "f_score"), "o_custkey")
+        .join(score("monetary", False, "m_score"), "o_custkey")
+        .select(
+            "o_custkey", "recency_days", "frequency", "monetary",
+            "r_score", "f_score", "m_score",
+        )
     )
 
 

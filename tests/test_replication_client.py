@@ -532,3 +532,191 @@ def test_scram_rejects_nonce_truncation():
     sc = ScramSha256Client("pw", nonce="abcdef")
     with pytest.raises(ReplicationError, match="nonce"):
         sc.client_final(b"r=XYZdef,s=AAAA,i=4096")
+
+
+def _self_signed_cert(tmp_path):
+    """Generate a self-signed cert + key (cryptography is in the
+    container); returns (cert_pem_path, key_pem_path, cert_der)."""
+    import datetime as _dt
+
+    from cryptography import x509
+    from cryptography.hazmat.primitives import hashes, serialization
+    from cryptography.hazmat.primitives.asymmetric import rsa
+    from cryptography.x509.oid import NameOID
+
+    key = rsa.generate_private_key(public_exponent=65537, key_size=2048)
+    name = x509.Name([x509.NameAttribute(NameOID.COMMON_NAME, "127.0.0.1")])
+    now = _dt.datetime.now(_dt.timezone.utc)
+    cert = (
+        x509.CertificateBuilder()
+        .subject_name(name)
+        .issuer_name(name)
+        .public_key(key.public_key())
+        .serial_number(x509.random_serial_number())
+        .not_valid_before(now - _dt.timedelta(days=1))
+        .not_valid_after(now + _dt.timedelta(days=1))
+        .sign(key, hashes.SHA256())
+    )
+    cert_p = tmp_path / "srv.crt"
+    key_p = tmp_path / "srv.key"
+    cert_p.write_bytes(cert.public_bytes(serialization.Encoding.PEM))
+    key_p.write_bytes(
+        key.private_bytes(
+            serialization.Encoding.PEM,
+            serialization.PrivateFormat.TraditionalOpenSSL,
+            serialization.NoEncryption(),
+        )
+    )
+    return str(cert_p), str(key_p), cert.public_bytes(serialization.Encoding.DER)
+
+
+def test_replication_client_tls_scram_plus_channel_binding(tmp_path):
+    """sslmode=require: SSLRequest → TLS handshake → SCRAM-SHA-256-PLUS
+    with RFC 5929 tls-server-end-point channel binding. The fake server
+    advertises -PLUS, verifies the client proof from first principles
+    INCLUDING the c= channel-binding input (gs2 p=... header + the hash
+    of the very certificate it served), and the client verifies the
+    server signature back — the full mutual, channel-bound exchange."""
+    import base64
+    import hashlib as hl
+    import hmac as hm
+    import ssl
+
+    from python_cdc_spark.cdc.replication_client import tls_server_end_point
+
+    cert_p, key_p, cert_der = _self_signed_cert(tmp_path)
+    expected_cb = tls_server_end_point(cert_der)
+    password = "tls-s3cret"
+    srv = socket.create_server(("127.0.0.1", 0))
+    port = srv.getsockname()[1]
+    err: list = []
+
+    def run_server():
+        try:
+            c, _ = srv.accept()
+            c.settimeout(30)
+            # SSLRequest: 8-byte magic, answer 'S', then handshake
+            req = b""
+            while len(req) < 8:
+                req += c.recv(8 - len(req))
+            assert struct.unpack(">ii", req) == (8, 80877103)
+            c.sendall(b"S")
+            ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+            ctx.load_cert_chain(cert_p, key_p)
+            tc = ctx.wrap_socket(c, server_side=True)
+            buf = b""
+
+            def recv_exact(n):
+                nonlocal buf
+                while len(buf) < n:
+                    chunk = tc.recv(65536)
+                    assert chunk, "client closed early"
+                    buf += chunk
+                out, rest = buf[:n], buf[n:]
+                buf = rest
+                return out
+
+            (ln,) = struct.unpack(">i", recv_exact(4))
+            recv_exact(ln - 4)  # startup
+            tc.sendall(
+                _msg(
+                    b"R",
+                    struct.pack(">i", 10)
+                    + _cstr("SCRAM-SHA-256-PLUS")
+                    + _cstr("SCRAM-SHA-256")
+                    + b"\x00",
+                )
+            )
+            t = recv_exact(1)
+            assert t == b"p"
+            (ln,) = struct.unpack(">i", recv_exact(4))
+            payload = recv_exact(ln - 4)
+            end = payload.index(b"\x00")
+            assert payload[:end] == b"SCRAM-SHA-256-PLUS", "client must pick -PLUS"
+            (rlen,) = struct.unpack(">i", payload[end + 1 : end + 5])
+            client_first = payload[end + 5 : end + 5 + rlen].decode()
+            assert client_first.startswith("p=tls-server-end-point,,")
+            bare = client_first[len("p=tls-server-end-point,,"):]
+            client_nonce = dict(kv.split("=", 1) for kv in bare.split(","))["r"]
+            salt = b"\x10" * 16
+            combined = client_nonce + "SRV"
+            server_first = f"r={combined},s={base64.b64encode(salt).decode()},i=4096"
+            tc.sendall(_msg(b"R", struct.pack(">i", 11) + server_first.encode()))
+            t = recv_exact(1)
+            assert t == b"p"
+            (ln,) = struct.unpack(">i", recv_exact(4))
+            client_final = recv_exact(ln - 4).decode()
+            attrs = dict(kv.split("=", 1) for kv in client_final.split(","))
+            # the channel-binding input must be gs2 header + OUR cert hash
+            want_c = base64.b64encode(
+                b"p=tls-server-end-point,," + expected_cb
+            ).decode()
+            assert attrs["c"] == want_c, "channel binding mismatch"
+            without_proof = client_final[: client_final.rindex(",p=")]
+            auth_msg = ",".join([bare, server_first, without_proof]).encode()
+            salted = hl.pbkdf2_hmac("sha256", password.encode(), salt, 4096)
+            client_key = hm.new(salted, b"Client Key", hl.sha256).digest()
+            stored = hl.sha256(client_key).digest()
+            sig = hm.new(stored, auth_msg, hl.sha256).digest()
+            proof = base64.b64decode(attrs["p"])
+            recovered = bytes(a ^ b for a, b in zip(proof, sig))
+            assert hl.sha256(recovered).digest() == stored, "bad client proof"
+            server_key = hm.new(salted, b"Server Key", hl.sha256).digest()
+            server_sig = hm.new(server_key, auth_msg, hl.sha256).digest()
+            tc.sendall(
+                _msg(b"R", struct.pack(">i", 12) + b"v=" + base64.b64encode(server_sig))
+            )
+            tc.sendall(_msg(b"R", struct.pack(">i", 0)))
+            tc.sendall(_msg(b"S", _cstr("server_version") + _cstr("16.0")))
+            tc.sendall(_msg(b"Z", b"I"))
+            # one replication command over the encrypted channel
+            t = recv_exact(1)
+            (ln,) = struct.unpack(">i", recv_exact(4))
+            q = recv_exact(ln - 4)
+            assert t == b"Q" and q.rstrip(b"\x00") == b"IDENTIFY_SYSTEM"
+            body = struct.pack(">h", 4)
+            for v in ("7000", "1", "0/1000000", "testdb"):
+                b = v.encode()
+                body += struct.pack(">i", len(b)) + b
+            tc.sendall(_msg(b"D", body))
+            tc.sendall(_msg(b"C", _cstr("IDENTIFY_SYSTEM")))
+            tc.sendall(_msg(b"Z", b"I"))
+            tc.close()
+        except Exception as e:
+            err.append(f"{type(e).__name__}: {e}")
+        finally:
+            srv.close()
+
+    t = threading.Thread(target=run_server, daemon=True)
+    t.start()
+    client = LogicalReplicationClient(
+        "127.0.0.1", port, "db", "u", password, sslmode="require"
+    )
+    client.connect()
+    sysid = client.identify_system()
+    client.close()
+    t.join(timeout=30)
+    assert not err, err
+    assert sysid["xlogpos"] == parse_lsn("0/1000000")
+
+
+def test_replication_client_tls_refused_errors_cleanly():
+    """sslmode=require against a server answering 'N' must fail with a
+    clear error, not proceed in cleartext (the downgrade trap)."""
+    srv = socket.create_server(("127.0.0.1", 0))
+    port = srv.getsockname()[1]
+
+    def fake():
+        c, _ = srv.accept()
+        c.recv(8)
+        c.sendall(b"N")
+        c.close()
+        srv.close()
+
+    threading.Thread(target=fake, daemon=True).start()
+    client = LogicalReplicationClient(
+        "127.0.0.1", port, "db", "u", "pw", sslmode="require"
+    )
+    with pytest.raises(ReplicationError, match="refused TLS"):
+        client.connect()
+    client.close()
