@@ -136,3 +136,59 @@ def with_distributed_ntile(
         num_buckets=num_buckets,
     )
     return ranked.withColumn(out, ntile_from_row_number(rn, total, k)).drop(rn)
+
+
+def with_global_prefix_sum_long(
+    df: DataFrame,
+    key_col: str,
+    val_col: str,
+    *,
+    ascending: bool = True,
+    tiebreak: Sequence[str] = (),
+    out: str = "running_sum",
+    num_buckets: int = 32,
+) -> tuple[DataFrame, int]:
+    """Exact global running total of a LONG column over
+    ``(key_col [DESC], *tiebreak ASC)`` order — the cumulative-share /
+    Pareto primitive — without a single-partition window. Same
+    range-bucket construction as ``with_global_row_number``; the
+    per-bucket collect carries bucket SUMS instead of counts, so the
+    cumulative offset of everything in lower buckets is exact integer
+    arithmetic (callers encode money as integer cents — exact,
+    order-independent, immune to decimal precision-capping rules).
+    Returns ``(df_with_running_sum, grand_total)``."""
+    skey = f"__{out}_skey"
+    bkt = f"__{out}_bkt"
+    off = f"__{out}_off"
+    keyed = df.withColumn(
+        skey,
+        F.col(key_col).cast("double")
+        if ascending
+        else -F.col(key_col).cast("double"),
+    )
+    probs = [i / num_buckets for i in range(1, num_buckets)]
+    boundaries = sorted(set(keyed.approxQuantile(skey, probs, 0.001))) if probs else []
+    tagged = keyed.withColumn(bkt, _bucket_expr(skey, boundaries))
+    sums = {
+        r[0]: int(r[1])
+        for r in tagged.groupBy(bkt).agg(F.sum(F.col(val_col)).alias("s")).collect()
+    }
+    total = sum(sums.values())
+    offsets, acc = [], 0
+    for b in sorted(sums):
+        offsets.append((int(b), acc))
+        acc += sums[b]
+    spark = df.sparkSession
+    values = ", ".join(f"({b}, {o}L)" for b, o in offsets) or "(0, 0L)"
+    off_df = spark.sql(f"SELECT * FROM VALUES {values} AS t({bkt}, {off})")
+    w = (
+        Window.partitionBy(bkt)
+        .orderBy(F.col(skey).asc(), *[F.col(t).asc() for t in tiebreak])
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out_df = (
+        tagged.join(broadcast(off_df), bkt)
+        .withColumn(out, (F.sum(F.col(val_col)).over(w) + F.col(off)).cast("long"))
+        .drop(skey, bkt, off)
+    )
+    return out_df, int(total)

@@ -82,14 +82,16 @@ set_priority_order(
         "q5_local_supplier_volume",
         "q10_returned_items",
         "q13_customer_distribution",
-        # --- New this round (6): first driver rows land now ---
+        # --- New this round (8): first driver rows land now ---
         "events_exact_deciles",
         "dedup_edit_distance_verified",
         "text_vocab_zipf_stats",
         "corpus_split_chisquare",
         "timeseries_ewma_recursive",
         "events_markov_transitions",
-        # --- r04 first-timers banking their second row (14) ---
+        "parts_pareto_abc",
+        "graph_clustering_coefficient",
+        # --- r04 first-timers banking their second row (12) ---
         "q12_priority_class",
         "q2_min_cost_supplier",
         "q11_important_parts",
@@ -104,6 +106,5 @@ set_priority_order(
         "text_bpe_token_estimate",
         "text_bm25_search",
         "text_bigram_lm_score",
-        "text_repetition_filter",
     ]
 )

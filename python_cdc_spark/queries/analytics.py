@@ -426,3 +426,81 @@ def events_exact_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked.join(broadcast(tgt.withColumn("decile", F.col("decile").cast("int"))), "rn")
         .select("decile", F.col("value").alias("decile_value"))
     )
+
+
+@register(
+    "parts_pareto_abc",
+    oracle="""
+    WITH r AS (
+      SELECT l_partkey,
+             CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                 AS DECIMAL(30,10))) * 100, 0) AS BIGINT) AS rev_cents
+      FROM lineitem GROUP BY 1
+    ),
+    c AS (
+      SELECT l_partkey, rev_cents,
+             SUM(rev_cents) OVER (ORDER BY rev_cents DESC, l_partkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_cents,
+             SUM(rev_cents) OVER () AS total_cents
+      FROM r
+    )
+    SELECT l_partkey, rev_cents,
+           CAST(cum_cents AS BIGINT) AS cum_cents,
+           CAST(cum_cents AS DOUBLE) / total_cents AS cum_share,
+           CASE WHEN CAST(cum_cents AS DOUBLE) / total_cents <= 0.80 THEN 'A'
+                WHEN CAST(cum_cents AS DOUBLE) / total_cents <= 0.95 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM c
+    """,
+    doc="E13/analytics: Pareto / ABC inventory classification — exact "
+    "global cumulative revenue share via the distributed prefix-sum "
+    "operator (integer cents, bucket-parallel, bit-identical to a "
+    "single-partition running total)",
+)
+def parts_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 80/15/5 classification every inventory team runs, at a part
+    cardinality where a bare `SUM() OVER (ORDER BY …)` would funnel the
+    whole catalog through one task: revenue per part is one decimal
+    hash aggregate, encoded as EXACT integer cents (decimal multiply +
+    round — no float drift, no decimal precision-capping on the running
+    sum), and the cumulative total runs through
+    operators/ranking.with_global_prefix_sum_long — per-bucket running
+    sums plus exact integer offsets of all higher-revenue buckets.
+    Share and class derive from (long / long) double division —
+    identical on both engines. Tiebreak (rev desc, partkey) keeps the
+    order total."""
+    from python_cdc_spark.operators.ranking import with_global_prefix_sum_long
+
+    li = table(spark, sf_dir, "lineitem")
+    r = li.groupBy("l_partkey").agg(
+        F.round(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(30,10)"
+                )
+            )
+            * 100,
+            0,
+        )
+        .cast("long")
+        .alias("rev_cents")
+    )
+    c, total = with_global_prefix_sum_long(
+        r,
+        "rev_cents",
+        "rev_cents",
+        ascending=False,
+        tiebreak=("l_partkey",),
+        out="cum_cents",
+    )
+    share = F.col("cum_cents").cast("double") / F.lit(float(total))
+    return c.select(
+        "l_partkey",
+        "rev_cents",
+        "cum_cents",
+        share.alias("cum_share"),
+        F.when(share <= 0.80, "A").when(share <= 0.95, "B").otherwise("C").alias(
+            "abc_class"
+        ),
+    )

@@ -721,3 +721,91 @@ def dedup_edit_distance_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("edit_ratio") <= 0.3)
     )
+
+
+@register(
+    "graph_clustering_coefficient",
+    oracle=f"""
+    WITH {_VERIFIED_PAIRS_CTES},
+    e AS (SELECT id_a AS a, id_b AS b FROM pairs),
+    deg AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+        SELECT a AS v FROM e UNION ALL SELECT b FROM e
+      ) GROUP BY v
+    ),
+    tri AS (
+      SELECT e1.a, e1.b, e2.b AS c
+      FROM e e1
+      JOIN e e2 ON e2.a = e1.b
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    tcnt AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+        SELECT a AS v FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+      ) GROUP BY v
+    )
+    SELECT deg.v, deg.degree,
+           CAST(COALESCE(tcnt.n_triangles, 0) AS BIGINT) AS n_triangles,
+           CAST(2.0 * COALESCE(tcnt.n_triangles, 0) AS DOUBLE)
+             / (deg.degree * (deg.degree - 1)) AS clustering_coeff
+    FROM deg LEFT JOIN tcnt ON tcnt.v = deg.v
+    WHERE deg.degree >= 2
+    """,
+    doc="E26/graph: local clustering coefficient over the verified "
+    "near-dup graph — 2·triangles(v) / (deg(v)·(deg(v)-1)); the "
+    "community-density signal that separates boilerplate cliques from "
+    "chain-shaped template drift",
+)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composes the triangle machinery with a degree table: edges are
+    the LSH-VERIFIED pair set (never all-pairs), degrees are one
+    hash aggregate over both endpoints, triangles reuse the oriented
+    wedge-close joins, and the coefficient is integer-derived double
+    arithmetic. Near-1 coefficients mark boilerplate cliques (safe to
+    collapse to one canonical); low coefficients mark template DRIFT
+    chains where transitive dedup would over-merge — the signal a
+    curation pipeline uses to pick between cluster-collapse and
+    pairwise suppression."""
+    e = (
+        dedup_lsh_verified(spark, sf_dir)
+        .select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    e1 = e.select("a", "b")
+    e2 = e.select(F.col("a").alias("b2"), F.col("b").alias("c"))
+    e3 = e.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    tri = (
+        e1.join(e2, F.col("b") == F.col("b2"))
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .select("a", "b", "c")
+    )
+    tcnt = (
+        tri.select(F.col("a").alias("v"))
+        .unionAll(tri.select(F.col("b").alias("v")))
+        .unionAll(tri.select(F.col("c").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    return (
+        deg.join(tcnt, "v", "left")
+        .filter(F.col("degree") >= 2)
+        .select(
+            "v",
+            "degree",
+            F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long").alias(
+                "n_triangles"
+            ),
+            (
+                (2.0 * F.coalesce(F.col("n_triangles"), F.lit(0))).cast("double")
+                / (F.col("degree") * (F.col("degree") - 1))
+            ).alias("clustering_coeff"),
+        )
+    )

@@ -148,3 +148,28 @@ def test_histogram_degenerate_bounds_single_bucket(spark):
         .collect()
     )
     assert {(r["event_type"], r["bucket"]) for r in out} == {("t", 1), ("u", 1)}
+
+
+@pytest.mark.parametrize("ascending,num_buckets", [(False, 8), (True, 1)])
+def test_global_prefix_sum_matches_window_sum(spark, ascending, num_buckets):
+    """The distributed running total must equal Spark's own
+    single-partition window sum, including heavy ties and the
+    degenerate one-bucket case."""
+    rows = [(i, int((i * 31) % 11) * 100) for i in range(157)]
+    df = spark.createDataFrame(rows, "id long, cents long")
+    from python_cdc_spark.operators.ranking import with_global_prefix_sum_long
+
+    got_df, total = with_global_prefix_sum_long(
+        df, "cents", "cents", ascending=ascending, tiebreak=("id",),
+        out="cum", num_buckets=num_buckets,
+    )
+    got = {r["id"]: r["cum"] for r in got_df.collect()}
+    order = [F.col("cents").asc() if ascending else F.col("cents").desc(),
+             F.col("id").asc()]
+    w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r["id"]: r["cum"]
+        for r in df.select("id", F.sum("cents").over(w).alias("cum")).collect()
+    }
+    assert got == want
+    assert total == sum(c for _, c in rows)
