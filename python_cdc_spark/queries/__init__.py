@@ -82,7 +82,7 @@ set_priority_order(
         "q5_local_supplier_volume",
         "q10_returned_items",
         "q13_customer_distribution",
-        # --- New this round (8): first driver rows land now ---
+        # --- New this round (9): first driver rows land now ---
         "events_exact_deciles",
         "dedup_edit_distance_verified",
         "text_vocab_zipf_stats",
@@ -91,7 +91,8 @@ set_priority_order(
         "events_markov_transitions",
         "parts_pareto_abc",
         "graph_clustering_coefficient",
-        # --- r04 first-timers banking their second row (12) ---
+        "graph_kcore_membership",
+        # --- r04 first-timers banking their second row (11) ---
         "q12_priority_class",
         "q2_min_cost_supplier",
         "q11_important_parts",
@@ -103,8 +104,5 @@ set_priority_order(
         "window_trailing_range_1h",
         "events_funnel_ordered",
         "events_retention_cohorts",
-        "text_bpe_token_estimate",
-        "text_bm25_search",
-        "text_bigram_lm_score",
     ]
 )

@@ -809,3 +809,88 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clustering_coeff"),
         )
     )
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    """Generate the fixed-round peeling replay: e_0 = verified pairs;
+    each round drops vertices with degree < k and the edges touching
+    them. Chained CTEs, one pair per round — the same deterministic
+    schedule the Spark loop runs."""
+    # AS MATERIALIZED everywhere: each round references the previous
+    # round twice — binder inlining would re-expand the whole sig
+    # chain exponentially (the documented recursive-oracle gotcha)
+    ctes = ["e_0 AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pairs)"]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes.append(
+            f"""d_{i} AS MATERIALIZED (
+      SELECT v FROM (
+        SELECT a AS v FROM e_{p} UNION ALL SELECT b FROM e_{p}
+      ) GROUP BY v HAVING COUNT(*) >= {k}
+    )"""
+        )
+        ctes.append(
+            f"""e_{i} AS MATERIALIZED (
+      SELECT e.a, e.b FROM e_{p} e
+      JOIN d_{i} da ON da.v = e.a
+      JOIN d_{i} db ON db.v = e.b
+    )"""
+        )
+    return ",\n    ".join(ctes)
+
+
+_KCORE_K, _KCORE_ROUNDS = 2, 6
+
+
+@register(
+    "graph_kcore_membership",
+    oracle=f"""
+    WITH {_VERIFIED_PAIRS_CTES},
+    {_kcore_oracle(_KCORE_K, _KCORE_ROUNDS)}
+    SELECT v, CAST(COUNT(*) AS BIGINT) AS core_degree
+    FROM (
+      SELECT a AS v FROM e_{_KCORE_ROUNDS}
+      UNION ALL SELECT b FROM e_{_KCORE_ROUNDS}
+    ) GROUP BY v
+    """,
+    doc=f"E26/graph: {_KCORE_K}-core membership of the verified "
+    "near-dup graph via fixed-round degree peeling — the dense-cluster "
+    "extractor that drops chain tails and isolated pairs before "
+    "cluster-collapse decisions",
+)
+def graph_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative peeling the distributed way: each round is one degree
+    hash-aggregate plus two semi-joins restricting edges to surviving
+    endpoints — the same shuffle shape as the components rounds, with
+    lineage cut per round. Rounds are FIXED (6) on both engines, so the
+    oracle replays the identical schedule whether or not the peel has
+    converged (on near-dup graphs — clique-ish, small diameter — six
+    rounds is far past the fixpoint; the components non-convergence
+    warning pattern applies at adversarial scale). Output: vertices of
+    the k-core with their within-core degree."""
+    e = (
+        dedup_lsh_verified(spark, sf_dir)
+        .select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(_KCORE_ROUNDS):
+        deg = (
+            e.select(F.col("a").alias("v"))
+            .unionAll(e.select(F.col("b").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .filter(F.col("cnt") >= _KCORE_K)
+            .select("v")
+        )
+        e = (
+            e.join(deg.withColumnRenamed("v", "a"), "a", "left_semi")
+            .join(deg.withColumnRenamed("v", "b"), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+    )
