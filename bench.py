@@ -57,6 +57,11 @@ HEADLINE = [
     # timeseries + curation additions
     "timeseries_gapfill_locf",
     "text_duplicate_span_coverage",
+    # mergeable sketches + ACF (round 5)
+    "sketch_hll_orderkeys",
+    "sketch_countmin_partkeys",
+    "sketch_kmv_returnflag_overlap",
+    "timeseries_autocorrelation",
 ]
 
 

@@ -31,6 +31,7 @@ from python_cdc_spark.queries import (  # noqa: F401, E402
     llm_curation,
     ml_queries,
     analytics,
+    sketches,
 )
 
 # The driver's correctness gate checks the FIRST 50 registry entries;
@@ -92,7 +93,11 @@ set_priority_order(
         "parts_pareto_abc",
         "graph_clustering_coefficient",
         "graph_kcore_membership",
-        # --- r04 first-timers banking their second row (11) ---
+        "sketch_hll_orderkeys",
+        "sketch_countmin_partkeys",
+        "sketch_kmv_returnflag_overlap",
+        "timeseries_autocorrelation",
+        # --- r04 first-timers banking their second row (7) ---
         "q12_priority_class",
         "q2_min_cost_supplier",
         "q11_important_parts",
@@ -100,9 +105,5 @@ set_priority_order(
         "q21_sole_blame_supplier",
         "join_range_banded",
         "interval_concurrency",
-        "timeseries_moving_avg",
-        "window_trailing_range_1h",
-        "events_funnel_ordered",
-        "events_retention_cohorts",
     ]
 )

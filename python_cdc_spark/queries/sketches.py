@@ -1,0 +1,400 @@
+"""Mergeable sketches from first principles (SURVEY.md §2.2 E11 — the
+approximate-aggregation family, implemented as Catalyst plans).
+
+``approx_distinct_users`` already exercises Spark's builtin HLL++ (its
+raw estimate is engine-specific, so its oracle gates a tolerance boolean).
+These queries are the complementary, stronger statement: the sketch
+itself — hash, registers, estimator — built from deterministic integer
+arithmetic that BOTH engines replay bit-for-bit, so the driver's strict
+value hash covers the estimate, not just a tolerance band.
+
+Why this matters at 100 TB: COUNT(DISTINCT) and exact heavy-hitters need
+a full shuffle of the key universe; register/counter sketches are
+*mergeable partial aggregates* — each executor folds its partition into
+an O(m) state, and the combine is an elementwise max (HLL) or sum (CM).
+That is exactly the map-side-combine shape Spark's hash aggregate
+already gives a ``groupBy(bucket).max/ sum`` plan, so the sketch costs
+one scan + an O(m)-row exchange regardless of data volume.
+
+Cross-engine determinism rules used here:
+- Hashing is a 32-bit multiply-xor-shift mix (Thomas Mueller's public
+  ``hash32`` construction) with multiplier 0x45d9f3b: every intermediate
+  stays below 2^59, so BIGINT arithmetic never overflows on either
+  engine (Spark runs ANSI mode; overflow would throw, not wrap).
+- rho (leading-zero rank) is derived from ``length(bin(w))`` — integer
+  string length, never ``log2`` (libm log2 can disagree in the last ulp
+  across engines at exact powers of two).
+- 2^-rho terms are ``1.0 / (1 << rho)`` — exact dyadic doubles; their
+  sum is a multiple of 2^-25 bounded by m, hence exact in double in ANY
+  accumulation order. No decimal routing needed.
+- The estimator's alpha is written as the same arithmetic expression in
+  both dialects (0.7213 / (1 + 1.079/m)), so both engines evaluate the
+  identical IEEE sequence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from python_cdc_spark.io import table
+from python_cdc_spark.queries.registry import register
+
+# 2^32; all hashes live in [0, 2^32).
+_M32 = 4294967296
+# Mueller hash32 multiplier (public domain construction).
+_MULT = 0x45D9F3B
+# Golden-ratio odd constant for per-row seed offsets (Knuth).
+_GOLD = 2654435769
+
+
+def _mix32(col: Column) -> Column:
+    """Deterministic 32-bit integer mix of a non-negative bigint."""
+    x = col % F.lit(_M32)
+    a = (F.shiftright(x, 16).bitwiseXOR(x) * F.lit(_MULT)) % F.lit(_M32)
+    b = (F.shiftright(a, 16).bitwiseXOR(a) * F.lit(_MULT)) % F.lit(_M32)
+    return F.shiftright(b, 16).bitwiseXOR(b)
+
+
+def _sql_mix32(expr: str) -> str:
+    """The same mix as a DuckDB scalar expression (via nested CTE-less
+    subexpressions; callers interpolate into their oracle SQL)."""
+    x = f"(({expr}) % 4294967296)"
+    a = f"((xor(({x} >> 16), {x}) * {_MULT}) % 4294967296)"
+    b = f"((xor(({a} >> 16), {a}) * {_MULT}) % 4294967296)"
+    return f"xor(({b} >> 16), {b})"
+
+
+@register(
+    "sketch_hll_orderkeys",
+    oracle=f"""
+    WITH h AS (
+      SELECT {_sql_mix32("l_orderkey")} AS h FROM lineitem
+    ),
+    reg AS (
+      SELECT h % 256 AS bucket,
+             MAX(CASE WHEN (h >> 8) = 0 THEN 25
+                      ELSE 25 - length(bin(h >> 8)) END) AS r
+      FROM h GROUP BY 1
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS buckets_used,
+             SUM(CAST(1 AS DOUBLE) / (CAST(1 AS BIGINT) << r)) AS s_obs
+      FROM reg
+    ),
+    ex AS (
+      SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orderkeys
+      FROM lineitem
+    )
+    SELECT CAST(256 AS INTEGER) AS m,
+           buckets_used,
+           (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
+             / (s_obs + (256.0 - buckets_used)) AS hll_estimate,
+           exact_orderkeys,
+           ABS((0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
+                 / (s_obs + (256.0 - buckets_used))
+               / CAST(exact_orderkeys AS DOUBLE) - 1.0) AS rel_err
+    FROM agg CROSS JOIN ex
+    """,
+    doc="E11: HyperLogLog from first principles — deterministic mix32 "
+    "hash, m=256 registers via groupBy-max (a mergeable partial "
+    "aggregate), raw estimator replayed bit-for-bit by the oracle; "
+    "exact count and relative error reported alongside",
+)
+def sketch_hll_orderkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct l_orderkey in lineitem (~4 rows/key — genuine
+    duplication) estimated by a from-scratch HLL: bucket = h mod m,
+    rho = leading-zero rank of the remaining 24 bits (via bin-string
+    length, never log2), register = max(rho) per bucket, raw estimate
+    alpha_m * m^2 / sum(2^-register) with absent buckets contributing
+    2^0. n/m ~ 58 at sf0.01 keeps the raw estimator in its design range
+    (no small-range correction branch, which would need ln()).
+
+    The register table IS the mergeable sketch: executors fold
+    partitions map-side, the exchange carries <= m rows, and unioning
+    two corpora is an elementwise max — the 100 TB COUNT(DISTINCT)
+    shape. The exact count (one extra distinct agg) is reported for the
+    rel_err column; a production caller would drop it."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey")
+    h = li.select(_mix32(F.col("l_orderkey")).alias("h"))
+    w = F.shiftright(F.col("h"), 8)
+    reg = (
+        h.select(
+            (F.col("h") % 256).alias("bucket"),
+            F.when(w == 0, F.lit(25)).otherwise(
+                F.lit(25) - F.length(F.bin(w))
+            ).alias("rho"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+    agg = reg.agg(
+        F.count(F.lit(1)).cast("long").alias("buckets_used"),
+        F.sum(
+            F.lit(1.0) / F.expr("shiftleft(cast(1 as bigint), r)")
+        ).alias("s_obs"),
+    )
+    ex = li.agg(
+        F.countDistinct("l_orderkey").cast("long").alias("exact_orderkeys")
+    )
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(256.0))
+    est = alpha * F.lit(256.0) * F.lit(256.0) / (
+        F.col("s_obs") + (F.lit(256.0) - F.col("buckets_used"))
+    )
+    return (
+        agg.crossJoin(ex)  # 1 row x 1 row
+        .select(
+            F.lit(256).alias("m"),
+            "buckets_used",
+            est.alias("hll_estimate"),
+            "exact_orderkeys",
+            F.abs(
+                est / F.col("exact_orderkeys").cast("double") - F.lit(1.0)
+            ).alias("rel_err"),
+        )
+    )
+
+
+@register(
+    "sketch_countmin_partkeys",
+    oracle=f"""
+    WITH rows_h AS (
+      SELECT s.i AS i,
+             {_sql_mix32("(l_partkey + s.i * " + str(_GOLD) + ")")} % 1024
+               AS bucket
+      FROM lineitem
+      CROSS JOIN (VALUES (0), (1), (2), (3)) AS s(i)
+    ),
+    counters AS (
+      SELECT i, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM rows_h GROUP BY 1, 2
+    ),
+    top20 AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS exact_n
+      FROM lineitem GROUP BY 1
+      ORDER BY exact_n DESC, l_partkey LIMIT 20
+    ),
+    probes AS (
+      SELECT t.l_partkey, t.exact_n, s.i AS i,
+             {_sql_mix32("(t.l_partkey + s.i * " + str(_GOLD) + ")")} % 1024
+               AS bucket
+      FROM top20 t CROSS JOIN (VALUES (0), (1), (2), (3)) AS s(i)
+    )
+    SELECT p.l_partkey, p.exact_n,
+           CAST(MIN(c.cnt) AS BIGINT) AS cm_estimate,
+           CAST(MIN(c.cnt) - p.exact_n AS BIGINT) AS overcount
+    FROM probes p JOIN counters c ON p.i = c.i AND p.bucket = c.bucket
+    GROUP BY p.l_partkey, p.exact_n
+    """,
+    doc="E11: count-min sketch (d=4 rows x w=1024) over lineitem part "
+    "frequencies — seeded mix32 bucket per row, counters via one-scan "
+    "explode + hash aggregate (mergeable by elementwise sum), top-20 "
+    "exact heavy hitters probed for their min-over-rows estimate; "
+    "overcount column shows the collision bias CM is allowed",
+)
+def sketch_countmin_partkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency sketch: 2000 distinct partkeys hashed into 1024-wide
+    counter rows force real collisions, so the min-over-d estimate
+    visibly overcounts some keys — the honest CM trade (est >= exact,
+    bounded by eps*N with prob 1-delta). The counter build is ONE scan:
+    each row explodes into its d (row, bucket) cells and a single hash
+    aggregate folds them map-side; the sketch state is d*w = 4096
+    cells regardless of input volume, and two sketches merge by cell
+    sum — the partial-aggregable heavy-hitter shape for 100 TB streams.
+    Probing joins the 20-row candidate table (broadcast) against the
+    4096-row counter table — metadata-scale."""
+    li = table(spark, sf_dir, "lineitem").select("l_partkey")
+    cells = li.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        (
+                            _mix32(F.col("l_partkey") + F.lit(i * _GOLD))
+                            % 1024
+                        ).alias("bucket"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("cell")
+    ).select("cell.i", "cell.bucket")
+    counters = cells.groupBy("i", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    top20 = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "l_partkey")
+        .limit(20)
+    )
+    probes = top20.select(
+        "l_partkey",
+        "exact_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        (
+                            _mix32(F.col("l_partkey") + F.lit(i * _GOLD))
+                            % 1024
+                        ).alias("bucket"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("cell"),
+    ).select("l_partkey", "exact_n", "cell.i", "cell.bucket")
+    est = (
+        F.broadcast(probes)
+        .join(counters, ["i", "bucket"])
+        .groupBy("l_partkey", "exact_n")
+        .agg(F.min("cnt").cast("long").alias("cm_estimate"))
+    )
+    return est.select(
+        "l_partkey",
+        "exact_n",
+        "cm_estimate",
+        (F.col("cm_estimate") - F.col("exact_n")).cast("long").alias(
+            "overcount"
+        ),
+    )
+
+
+@register(
+    "sketch_kmv_returnflag_overlap",
+    oracle=f"""
+    WITH da AS (
+      SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+    ),
+    db AS (
+      SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'A'
+    ),
+    ha AS (SELECT l_orderkey, {_sql_mix32("l_orderkey")} AS h FROM da),
+    hb AS (SELECT l_orderkey, {_sql_mix32("l_orderkey")} AS h FROM db),
+    ska AS (SELECT * FROM ha ORDER BY h, l_orderkey LIMIT 256),
+    skb AS (SELECT * FROM hb ORDER BY h, l_orderkey LIMIT 256),
+    sku AS (
+      SELECT DISTINCT l_orderkey, h
+      FROM (SELECT * FROM ska UNION ALL SELECT * FROM skb)
+      ORDER BY h, l_orderkey LIMIT 256
+    ),
+    nb AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_both FROM sku
+      WHERE l_orderkey IN (SELECT l_orderkey FROM ska)
+        AND l_orderkey IN (SELECT l_orderkey FROM skb)
+    ),
+    kth AS (
+      SELECT (SELECT MAX(h) FROM ska) AS kth_a,
+             (SELECT MAX(h) FROM skb) AS kth_b,
+             (SELECT MAX(h) FROM sku) AS kth_u
+    ),
+    ex AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM da) AS exact_a,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM db) AS exact_b,
+             (SELECT CAST(COUNT(*) AS BIGINT)
+              FROM da JOIN db USING (l_orderkey)) AS exact_intersection
+    )
+    SELECT CAST(256 AS INTEGER) AS k,
+           CAST(255 AS DOUBLE) * 4294967296.0 / kth_a AS est_a,
+           CAST(255 AS DOUBLE) * 4294967296.0 / kth_b AS est_b,
+           CAST(255 AS DOUBLE) * 4294967296.0 / kth_u AS est_union,
+           CAST(n_both AS DOUBLE) / 256.0 AS jaccard_est,
+           (CAST(n_both AS DOUBLE) / 256.0)
+             * (CAST(255 AS DOUBLE) * 4294967296.0 / kth_u)
+             AS est_intersection,
+           exact_a, exact_b, exact_intersection,
+           CAST(exact_intersection AS DOUBLE)
+             / (exact_a + exact_b - exact_intersection) AS jaccard_exact
+    FROM kth CROSS JOIN nb CROSS JOIN ex
+    """,
+    doc="E11/E15: KMV (k-minimum-values) sketches with SET ALGEBRA — "
+    "k=256 smallest deterministic hashes per orderkey set ('R' vs 'A' "
+    "returnflag), union sketch composed FROM the two sketches (k-min of "
+    "a union is the k-min of the sketch union), intersection/Jaccard "
+    "estimated from sketch membership; exact values alongside",
+)
+def sketch_kmv_returnflag_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-set OPERATIONS on sketches — the capability HLL alone
+    lacks: two KMV sketches estimate |A|, |B|, |A∪B|, |A∩B| and
+    Jaccard without revisiting the data. Each per-set sketch is an
+    ORDER BY hash LIMIT k — Spark plans TakeOrderedAndProject (per-
+    partition top-k, k-row merge; never a global sort), so sketch
+    construction scales to arbitrarily large sets. All downstream
+    algebra runs on <= 3k rows: the union sketch is the k smallest of
+    the two sketches' union (an exact KMV identity), and x ∈ A∩B is
+    tested by membership in BOTH k-row sketches. Estimators are
+    (k-1)·2^32 / kth_min (valid while |set| >> k, true at every test
+    scale) and J = |union-sketch ∩ both| / k; every value is integer
+    arithmetic plus one double division, so both engines agree
+    bit-for-bit. Ties between equal hashes are broken by orderkey —
+    32-bit collisions (~2.6% at sf0.01) would otherwise make the k-th
+    row engine-dependent."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
+
+    def sketch(flag: str) -> DataFrame:
+        d = (
+            li.filter(F.col("l_returnflag") == flag)
+            .select("l_orderkey")
+            .distinct()
+        )
+        return (
+            d.select("l_orderkey", _mix32(F.col("l_orderkey")).alias("h"))
+            .orderBy("h", "l_orderkey")
+            .limit(256)
+        )
+
+    ska, skb = sketch("R"), sketch("A")
+    sku = (
+        ska.unionAll(skb)
+        .dropDuplicates(["l_orderkey", "h"])
+        .orderBy("h", "l_orderkey")
+        .limit(256)
+    )
+    n_both = (
+        sku.join(ska.select("l_orderkey"), "l_orderkey", "semi")
+        .join(skb.select("l_orderkey"), "l_orderkey", "semi")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    kth = (
+        ska.agg(F.max("h").alias("kth_a"))
+        .crossJoin(skb.agg(F.max("h").alias("kth_b")))
+        .crossJoin(sku.agg(F.max("h").alias("kth_u")))
+    )
+    da = li.filter(F.col("l_returnflag") == "R").select("l_orderkey").distinct()
+    db = li.filter(F.col("l_returnflag") == "A").select("l_orderkey").distinct()
+    ex = (
+        da.agg(F.count(F.lit(1)).cast("long").alias("exact_a"))
+        .crossJoin(db.agg(F.count(F.lit(1)).cast("long").alias("exact_b")))
+        .crossJoin(
+            da.join(db, "l_orderkey")
+            .agg(F.count(F.lit(1)).cast("long").alias("exact_intersection"))
+        )
+    )
+    est = lambda c: F.lit(255.0) * F.lit(4294967296.0) / F.col(c)  # noqa: E731
+    jac = F.col("n_both").cast("double") / F.lit(256.0)
+    return (
+        kth.crossJoin(n_both)
+        .crossJoin(ex)  # all sides are 1-row
+        .select(
+            F.lit(256).alias("k"),
+            est("kth_a").alias("est_a"),
+            est("kth_b").alias("est_b"),
+            est("kth_u").alias("est_union"),
+            jac.alias("jaccard_est"),
+            (jac * est("kth_u")).alias("est_intersection"),
+            "exact_a",
+            "exact_b",
+            "exact_intersection",
+            (
+                F.col("exact_intersection").cast("double")
+                / (
+                    F.col("exact_a")
+                    + F.col("exact_b")
+                    - F.col("exact_intersection")
+                )
+            ).alias("jaccard_exact"),
+        )
+    )

@@ -943,3 +943,116 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("n").cast("double") / F.sum("n").over(wnorm)).alias("prob"),
     )
+
+
+@register(
+    "timeseries_autocorrelation",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(30,10))), 4) AS DOUBLE)
+               AS sum_value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY date_trunc('hour', ts)) AS rn
+      FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT cur.event_type, l.lag, cur.sum_value AS x, prev.sum_value AS y
+      FROM b cur
+      CROSS JOIN (VALUES (1), (2), (3), (4), (5), (6)) AS l(lag)
+      JOIN b prev ON prev.event_type = cur.event_type
+                 AND prev.rn = cur.rn - l.lag
+    ),
+    m AS (
+      SELECT event_type, CAST(lag AS BIGINT) AS lag,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(ROUND(SUM(CAST(x AS DECIMAL(30,10))), 4) AS DOUBLE) AS sx,
+             CAST(ROUND(SUM(CAST(y AS DECIMAL(30,10))), 4) AS DOUBLE) AS sy,
+             CAST(ROUND(SUM(CAST(x * y AS DECIMAL(30,10))), 4) AS DOUBLE)
+               AS sxy,
+             CAST(ROUND(SUM(CAST(x * x AS DECIMAL(30,10))), 4) AS DOUBLE)
+               AS sxx,
+             CAST(ROUND(SUM(CAST(y * y AS DECIMAL(30,10))), 4) AS DOUBLE)
+               AS syy
+      FROM pairs GROUP BY 1, 2
+    )
+    SELECT event_type, lag, n_pairs,
+           CASE WHEN n_pairs * sxx - sx * sx <= 0
+                  OR n_pairs * syy - sy * sy <= 0 THEN NULL
+                ELSE (n_pairs * sxy - sx * sy)
+                     / (sqrt(n_pairs * sxx - sx * sx)
+                        * sqrt(n_pairs * syy - sy * sy))
+           END AS acf
+    FROM m
+    """,
+    doc="E13/analytics: autocorrelation function at lags 1-6 per "
+    "event_type over hourly buckets — lagged self-join on row_number "
+    "against an exploded lag dimension, Pearson components "
+    "decimal-routed, zero-variance guarded to NULL on both engines",
+)
+def timeseries_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality/persistence diagnostic: ACF(L) = corr(x_t, x_{t-L})
+    for L in 1..6 on the hourly per-type series. The series is
+    output-scale (one row per hour per type), so the lag join — an
+    equi-join on (event_type, rn-L) against a 6-row exploded lag
+    dimension — never touches the fact table a second time. Pearson
+    sufficient statistics (Sx Sy Sxy Sxx Syy) are decimal-routed for
+    order independence; the closed form runs in identical IEEE doubles
+    on both engines (sqrt is correctly rounded per IEEE-754, so it is
+    deterministic cross-engine, unlike ln/log2). Zero-variance series
+    (constant buckets) yield NULL, not NaN, via the same guard in both
+    dialects."""
+    from python_cdc_spark.queries.helpers import dec_sum
+
+    ev = table(spark, sf_dir, "events")
+    b = (
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket_ts")
+        )
+        .agg(dec_sum(F.col("value"), "sum_value"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy("bucket_ts")
+            ),
+        )
+    )
+    lags = spark.range(1, 7).select(F.col("id").alias("lag"))
+    cur = b.select(
+        "event_type", F.col("rn").alias("crn"), F.col("sum_value").alias("x")
+    )
+    prev = b.select(
+        F.col("event_type").alias("p_event_type"),
+        F.col("rn").alias("prn"),
+        F.col("sum_value").alias("y"),
+    )
+    pairs = (
+        cur.crossJoin(F.broadcast(lags))  # 6-row lag dimension
+        .join(
+            prev,
+            (F.col("p_event_type") == F.col("event_type"))
+            & (F.col("prn") == F.col("crn") - F.col("lag")),
+        )
+    )
+    m = pairs.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        dec_sum(F.col("x"), "sx"),
+        dec_sum(F.col("y"), "sy"),
+        dec_sum(F.col("x") * F.col("y"), "sxy"),
+        dec_sum(F.col("x") * F.col("x"), "sxx"),
+        dec_sum(F.col("y") * F.col("y"), "syy"),
+    )
+    n = F.col("n_pairs").cast("double")
+    vx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    return m.select(
+        "event_type",
+        "lag",
+        "n_pairs",
+        F.when((vx <= 0) | (vy <= 0), F.lit(None).cast("double"))
+        .otherwise(
+            (n * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.sqrt(vx) * F.sqrt(vy))
+        )
+        .alias("acf"),
+    )
