@@ -61,7 +61,9 @@ HEADLINE = [
     "sketch_hll_orderkeys",
     "sketch_countmin_partkeys",
     "sketch_kmv_returnflag_overlap",
+    "sketch_hll_groupwise",
     "timeseries_autocorrelation",
+    "data_quality_checks",
 ]
 
 

@@ -96,14 +96,14 @@ set_priority_order(
         "sketch_hll_orderkeys",
         "sketch_countmin_partkeys",
         "sketch_kmv_returnflag_overlap",
+        "sketch_hll_groupwise",
         "timeseries_autocorrelation",
-        # --- r04 first-timers banking their second row (7) ---
+        "data_quality_checks",
+        # --- r04 first-timers banking their second row (5) ---
         "q12_priority_class",
         "q2_min_cost_supplier",
         "q11_important_parts",
         "q20_outsized_share_suppliers",
         "q21_sole_blame_supplier",
-        "join_range_banded",
-        "interval_concurrency",
     ]
 )

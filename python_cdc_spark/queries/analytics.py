@@ -504,3 +504,180 @@ def parts_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "abc_class"
         ),
     )
+
+
+@register(
+    "data_quality_checks",
+    oracle="""
+    WITH li AS (
+      SELECT CAST(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS bad_qty,
+             CAST(SUM(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS bad_price,
+             CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS bad_disc,
+             CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS null_ship
+      FROM lineitem
+    ),
+    ord AS (
+      SELECT CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS null_odate,
+             CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS bad_total
+      FROM orders
+    ),
+    dup_cust AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM (
+        SELECT c_custkey FROM customer GROUP BY 1 HAVING COUNT(*) > 1)
+    ),
+    dup_li AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM (
+        SELECT l_orderkey, l_linenumber FROM lineitem
+        GROUP BY 1, 2 HAVING COUNT(*) > 1)
+    ),
+    orphan_ord AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders
+      WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+    ),
+    orphan_li AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM (
+        SELECT DISTINCT l_orderkey FROM lineitem) li
+      WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+    ),
+    ship_before AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_shipdate < o_orderdate
+    )
+    SELECT * FROM (
+      SELECT 'lineitem_quantity_nonpositive' AS constraint_name,
+             bad_qty AS n_violations FROM li
+      UNION ALL SELECT 'lineitem_price_negative', bad_price FROM li
+      UNION ALL SELECT 'lineitem_discount_out_of_range', bad_disc FROM li
+      UNION ALL SELECT 'lineitem_shipdate_null', null_ship FROM li
+      UNION ALL SELECT 'orders_orderdate_null', null_odate FROM ord
+      UNION ALL SELECT 'orders_totalprice_nonpositive', bad_total FROM ord
+      UNION ALL SELECT 'customer_pk_duplicates', n FROM dup_cust
+      UNION ALL SELECT 'lineitem_pk_duplicates', n FROM dup_li
+      UNION ALL SELECT 'orders_custkey_orphans', n FROM orphan_ord
+      UNION ALL SELECT 'lineitem_orderkey_orphans', n FROM orphan_li
+      UNION ALL SELECT 'lineitem_shipped_before_ordered', n FROM ship_before
+    )
+    """,
+    doc="E10/E7/analytics: data-quality constraint suite as ONE plan — "
+    "range/null checks fused into one conditional-aggregate scan per "
+    "table, PK-duplicate checks via groupBy-having, referential "
+    "integrity via anti joins, cross-table temporal sanity via an "
+    "equi-join; output is (constraint_name, n_violations)",
+)
+def data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-flight every pipeline needs before shipping a table
+    downstream. Shape matters at 100 TB: all range/null checks against
+    a table fuse into ONE conditional-aggregate scan (not one scan per
+    rule); duplicate-PK checks are hash aggregates with a HAVING
+    filter; referential checks are anti joins (broadcast when the PK
+    side is dimension-sized); the temporal check rides the same
+    orderkey equi-join the engine already co-partitions. Everything
+    reduces to one bigint per constraint before the union, so the
+    combine is metadata-scale."""
+    li = table(spark, sf_dir, "lineitem")
+    od = table(spark, sf_dir, "orders")
+    cu = table(spark, sf_dir, "customer")
+
+    def one(name: str, col) -> DataFrame:
+        return col.select(
+            F.lit(name).alias("constraint_name"),
+            F.col("n").cast("long").alias("n_violations"),
+        )
+
+    cnt = F.count(F.lit(1)).cast("long").alias("n")
+    li_scan = li.agg(
+        F.sum(F.when(F.col("l_quantity") <= 0, 1).otherwise(0))
+        .cast("long")
+        .alias("bad_qty"),
+        F.sum(F.when(F.col("l_extendedprice") < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("bad_price"),
+        F.sum(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("bad_disc"),
+        F.sum(F.when(F.col("l_shipdate").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("null_ship"),
+    )
+    ord_scan = od.agg(
+        F.sum(F.when(F.col("o_orderdate").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("null_odate"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0))
+        .cast("long")
+        .alias("bad_total"),
+    )
+    dup_cust = (
+        cu.groupBy("c_custkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(cnt)
+    )
+    dup_li = (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(cnt)
+    )
+    orphan_ord = od.join(
+        broadcast(cu.select("c_custkey")),
+        od["o_custkey"] == F.col("c_custkey"),
+        "anti",
+    ).agg(cnt)
+    orphan_li = (
+        li.select("l_orderkey")
+        .distinct()
+        .join(od.select("o_orderkey"), F.col("l_orderkey") == F.col("o_orderkey"), "anti")
+        .agg(cnt)
+    )
+    ship_before = (
+        li.select("l_orderkey", "l_shipdate")
+        .join(od.select("o_orderkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") < F.col("o_orderdate"))
+        .agg(cnt)
+    )
+
+    # stack() unpivots the one-row aggregate in place — ONE scan per
+    # table feeds all of that table's constraints, never one per rule
+    li_rows = li_scan.select(
+        F.expr(
+            "stack(4,"
+            " 'lineitem_quantity_nonpositive', bad_qty,"
+            " 'lineitem_price_negative', bad_price,"
+            " 'lineitem_discount_out_of_range', bad_disc,"
+            " 'lineitem_shipdate_null', null_ship"
+            ") as (constraint_name, n_violations)"
+        )
+    )
+    ord_rows = ord_scan.select(
+        F.expr(
+            "stack(2,"
+            " 'orders_orderdate_null', null_odate,"
+            " 'orders_totalprice_nonpositive', bad_total"
+            ") as (constraint_name, n_violations)"
+        )
+    )
+    parts = (
+        [li_rows, ord_rows]
+        + [
+            one("customer_pk_duplicates", dup_cust),
+            one("lineitem_pk_duplicates", dup_li),
+            one("orders_custkey_orphans", orphan_ord),
+            one("lineitem_orderkey_orphans", orphan_li),
+            one("lineitem_shipped_before_ordered", ship_before),
+        ]
+    )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

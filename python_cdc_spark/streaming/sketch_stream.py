@@ -1,0 +1,236 @@
+"""Streaming sketch maintenance: HLL registers and count-min counters
+folded per micro-batch.
+
+The batch sketches (``queries/sketches.py``) exist because register /
+counter state is a *mergeable partial aggregate*; this module is the
+streaming consequence: a keyed stream folds into O(m) + O(d·w) rows of
+persistent state per micro-batch, and the distinct / frequency
+estimates are always available without rescanning history. That is the
+100 TB stream-analytics shape — state size is independent of stream
+length.
+
+Fold algebra (both are idempotent-by-replay when guarded by the meta
+pointer below):
+
+- HLL:  new_registers = (old ∪ batch) groupBy bucket -> max(rho)
+- CM:   new_counters  = (old ∪ batch) groupBy (row, bucket) -> sum(n)
+
+Restart semantics: each fold writes a NEW version directory
+(``v<N>``; a leftover directory from a crashed attempt is deleted and
+rewritten — the write is deterministic), then commits by atomically
+replacing ``_meta.json`` = {version, folded batch ids} in ONE
+``os.replace``. Version and replay guard travel together, so a crash
+on either side of the commit point leaves a state where the batch is
+either wholly unfolded (replay refolds from the OLD version) or wholly
+folded (replay is skipped) — counters can never double-count. The
+previous version survives one generation so a concurrent reader never
+races a deletion.
+
+Single writer; ``state_path`` must be a LOCAL filesystem path (markers
+use ``os`` primitives while parquet goes through Spark's Hadoop FS —
+same constraint as ``streaming/state_store.py`` and the dedup index).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from python_cdc_spark.queries.sketches import _GOLD, _mix32
+
+
+class StreamingSketchAggregator:
+    """Maintains one HLL (distinct keys) and one count-min sketch
+    (key frequencies) over a bigint key column of a stream."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_path: str,
+        key_col: str,
+        p_bits: int = 8,
+        cm_d: int = 4,
+        cm_w: int = 1024,
+    ):
+        self.spark = spark
+        self.state_path = state_path
+        self.key_col = key_col
+        self.p_bits = p_bits
+        self.m = 1 << p_bits
+        self.cm_d = cm_d
+        self.cm_w = cm_w
+        os.makedirs(state_path, exist_ok=True)
+
+    # -- meta pointer (atomic commit of version + replay guard) --------
+
+    @property
+    def _meta_path(self) -> str:
+        return os.path.join(self.state_path, "_meta.json")
+
+    def _meta(self) -> dict:
+        try:
+            with open(self._meta_path) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return {"version": 0, "folded": []}
+
+    def _commit(self, version: int, folded: list) -> None:
+        tmp = self._meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"version": version, "folded": sorted(folded)}, f)
+        os.replace(tmp, self._meta_path)
+
+    def _vdir(self, version: int) -> str:
+        return os.path.join(self.state_path, f"v{version}")
+
+    # -- sketch construction -------------------------------------------
+
+    def _batch_hll(self, df: DataFrame) -> DataFrame:
+        h = df.select(_mix32(F.col(self.key_col)).alias("h"))
+        rest_bits = 32 - self.p_bits
+        w = F.shiftright(F.col("h"), self.p_bits)
+        return (
+            h.select(
+                (F.col("h") % self.m).alias("bucket"),
+                F.when(w == 0, F.lit(rest_bits + 1))
+                .otherwise(F.lit(rest_bits + 1) - F.length(F.bin(w)))
+                .alias("rho"),
+            )
+            .groupBy("bucket")
+            .agg(F.max("rho").cast("int").alias("r"))
+        )
+
+    def _batch_cm(self, df: DataFrame) -> DataFrame:
+        cells = df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("i"),
+                            (
+                                _mix32(F.col(self.key_col) + F.lit(i * _GOLD))
+                                % self.cm_w
+                            ).alias("bucket"),
+                        )
+                        for i in range(self.cm_d)
+                    ]
+                )
+            ).alias("cell")
+        ).select("cell.i", "cell.bucket")
+        return cells.groupBy("i", "bucket").agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        )
+
+    # -- fold -----------------------------------------------------------
+
+    def fold_batch(self, batch: DataFrame, batch_id: int | None = None) -> None:
+        meta = self._meta()
+        if batch_id is not None and batch_id in meta["folded"]:
+            return  # checkpoint replay after a crash past the commit
+        if batch.isEmpty():
+            if batch_id is not None:
+                self._commit(meta["version"], meta["folded"] + [batch_id])
+            return
+        hll_new = self._batch_hll(batch)
+        cm_new = self._batch_cm(batch)
+        cur = meta["version"]
+        if cur > 0:
+            old = self._vdir(cur)
+            hll_new = (
+                self.spark.read.parquet(os.path.join(old, "hll"))
+                .unionAll(hll_new)
+                .groupBy("bucket")
+                .agg(F.max("r").cast("int").alias("r"))
+            )
+            cm_new = (
+                self.spark.read.parquet(os.path.join(old, "cm"))
+                .unionAll(cm_new)
+                .groupBy("i", "bucket")
+                .agg(F.sum("n").cast("long").alias("n"))
+            )
+        nxt = cur + 1
+        out = self._vdir(nxt)
+        if os.path.exists(out):  # crashed attempt: rewrite deterministically
+            shutil.rmtree(out)
+        hll_new.coalesce(1).write.parquet(os.path.join(out, "hll"))
+        cm_new.coalesce(1).write.parquet(os.path.join(out, "cm"))
+        folded = meta["folded"] + ([batch_id] if batch_id is not None else [])
+        self._commit(nxt, folded)
+        stale = self._vdir(cur - 1)
+        if cur > 1 and os.path.exists(stale):
+            shutil.rmtree(stale)
+
+    # -- reads ----------------------------------------------------------
+
+    def registers(self) -> DataFrame:
+        v = self._meta()["version"]
+        if v == 0:
+            return self.spark.createDataFrame([], "bucket long, r int")
+        return self.spark.read.parquet(os.path.join(self._vdir(v), "hll"))
+
+    def counters(self) -> DataFrame:
+        v = self._meta()["version"]
+        if v == 0:
+            return self.spark.createDataFrame([], "i int, bucket long, n long")
+        return self.spark.read.parquet(os.path.join(self._vdir(v), "cm"))
+
+    def distinct_estimate(self) -> float:
+        """Raw HLL estimate from the current registers (same estimator
+        as sketch_hll_orderkeys; valid while n/m is in the raw range)."""
+        m = float(self.m)
+        row = (
+            self.registers()
+            .agg(
+                F.count(F.lit(1)).alias("b"),
+                F.sum(
+                    F.lit(1.0) / F.expr("shiftleft(cast(1 as bigint), r)")
+                ).alias("s"),
+            )
+            .collect()[0]
+        )
+        if not row["b"]:
+            return 0.0
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+        return alpha * m * m / (row["s"] + (m - row["b"]))
+
+    def frequency_estimate(self, keys: DataFrame) -> DataFrame:
+        """Count-min point estimates (min over rows) for a key table —
+        broadcast probe against the d·w counter cells."""
+        probes = keys.select(
+            F.col(self.key_col),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("i"),
+                            (
+                                _mix32(F.col(self.key_col) + F.lit(i * _GOLD))
+                                % self.cm_w
+                            ).alias("bucket"),
+                        )
+                        for i in range(self.cm_d)
+                    ]
+                )
+            ).alias("cell"),
+        ).select(self.key_col, "cell.i", "cell.bucket")
+        return (
+            F.broadcast(probes)
+            .join(self.counters(), ["i", "bucket"])
+            .groupBy(self.key_col)
+            .agg(F.min("n").cast("long").alias("cm_estimate"))
+        )
+
+    # -- streaming attach ----------------------------------------------
+
+    def start(self, stream: DataFrame, checkpoint: str, available_now: bool = True):
+        writer = (
+            stream.writeStream.option("checkpointLocation", checkpoint)
+            .foreachBatch(lambda df, bid: self.fold_batch(df, bid))
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()

@@ -825,3 +825,91 @@ def test_wire_apply_latency_metric_exists_and_bounded(spark, tmp_path):
     finally:
         q.stop()
         q.awaitTermination(60)
+
+
+def test_streaming_sketch_matches_batch(spark, tmp_path):
+    """HLL registers and CM counters folded over two micro-batches must
+    equal the one-shot batch sketch over the full key set; a replayed
+    batch id must be a no-op; a leftover version dir from a crashed
+    attempt must not break the next fold."""
+    from python_cdc_spark.io import table
+    from python_cdc_spark.streaming.sketch_stream import (
+        StreamingSketchAggregator,
+    )
+
+    li = table(spark, "/root/testdata/sf0.001", "lineitem").select(
+        "l_orderkey"
+    )
+    feed = tmp_path / "keyfeed"
+    feed.mkdir()
+    li.filter(F.col("l_orderkey") % 2 == 0).coalesce(1).write.json(
+        str(feed / "f1")
+    )
+    li.filter(F.col("l_orderkey") % 2 == 1).coalesce(1).write.json(
+        str(feed / "f2")
+    )
+
+    agg = StreamingSketchAggregator(
+        spark, str(tmp_path / "sketch_state"), "l_orderkey"
+    )
+    stream = (
+        spark.readStream.schema("l_orderkey long")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .json(str(feed))
+    )
+    q = agg.start(stream, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    # streamed state == one-shot batch sketch over the whole key set
+    got_regs = {(r["bucket"], r["r"]) for r in agg.registers().collect()}
+    want_regs = {
+        (r["bucket"], r["r"]) for r in agg._batch_hll(li).collect()
+    }
+    assert got_regs == want_regs
+    got_cm = {(r["i"], r["bucket"], r["n"]) for r in agg.counters().collect()}
+    want_cm = {
+        (r["i"], r["bucket"], r["n"]) for r in agg._batch_cm(li).collect()
+    }
+    assert got_cm == want_cm
+
+    # estimator sanity: raw HLL within 20% of exact at n/m ~ 6
+    exact = li.distinct().count()
+    assert abs(agg.distinct_estimate() / exact - 1.0) < 0.2
+
+    # CM point estimates are never under the exact frequencies
+    top = (
+        li.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "l_orderkey")
+        .limit(10)
+    )
+    est = agg.frequency_estimate(top.select("l_orderkey"))
+    joined = top.join(est, "l_orderkey").collect()
+    assert len(joined) == 10
+    assert all(r["cm_estimate"] >= r["exact_n"] for r in joined)
+
+    # replayed batch id is a no-op (meta guard)
+    before = agg._meta()
+    replay = spark.read.schema("l_orderkey long").json(
+        str(feed / "f1")
+    )
+    agg.fold_batch(replay, batch_id=0)
+    assert agg._meta() == before
+    assert {
+        (r["i"], r["bucket"], r["n"]) for r in agg.counters().collect()
+    } == want_cm
+
+    # leftover version dir from a crashed attempt: next fold rewrites it
+    cur = agg._meta()["version"]
+    leftover = agg._vdir(cur + 1)
+    os.makedirs(os.path.join(leftover, "hll"), exist_ok=True)
+    with open(os.path.join(leftover, "junk"), "w") as f:
+        f.write("partial write")
+    extra = spark.createDataFrame([(10**9 + 7,)], "l_orderkey long")
+    agg.fold_batch(extra, batch_id=99)
+    assert agg._meta()["version"] == cur + 1
+    assert not os.path.exists(os.path.join(leftover, "junk"))
+    n_after = agg.counters().agg(F.sum("n")).collect()[0][0]
+    n_want = agg._batch_cm(li).agg(F.sum("n")).collect()[0][0]
+    assert n_after == n_want + 4  # one new key -> d=4 more cell counts
