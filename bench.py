@@ -64,6 +64,7 @@ HEADLINE = [
     "sketch_hll_groupwise",
     "timeseries_autocorrelation",
     "data_quality_checks",
+    "rollup_revenue_rewrite",
 ]
 
 

@@ -99,11 +99,11 @@ set_priority_order(
         "sketch_hll_groupwise",
         "timeseries_autocorrelation",
         "data_quality_checks",
-        # --- r04 first-timers banking their second row (5) ---
+        "rollup_revenue_rewrite",
+        # --- r04 first-timers banking their second row (4) ---
         "q12_priority_class",
         "q2_min_cost_supplier",
         "q11_important_parts",
         "q20_outsized_share_suppliers",
-        "q21_sole_blame_supplier",
     ]
 )

@@ -292,3 +292,130 @@ def test_runtime_bloom_filter_prunes_join_probe_side(spark):
     )
     li2 = table(spark, SF_SMOKE, "lineitem")
     assert li2.join(o2, li2.l_orderkey == o2.o_orderkey).count() == n_bloom
+
+
+def test_rollup_rewrite_equals_direct_and_scans_mv_only(spark, tmp_path):
+    """A dims-subset query rewritten onto the materialized cube must be
+    bit-identical to the direct aggregation over the fact table, and
+    its scan must touch ONLY the rollup directory."""
+    from python_cdc_spark.plans.rollup import RollupCatalog, finalize_sum_double
+
+    li = table(spark, SF_SMOKE, "lineitem")
+    cat = RollupCatalog(spark, str(tmp_path / "rollups"))
+    cat.define(
+        "cube",
+        li,
+        dims={
+            "ship_year": "year(l_shipdate)",
+            "l_returnflag": "l_returnflag",
+            "l_linestatus": "l_linestatus",
+        },
+        measures={
+            "rev": ("sum", "l_extendedprice * (1 - l_discount)"),
+            "n": ("count", "1"),
+            "min_qty": ("min", "l_quantity"),
+            "max_qty": ("max", "l_quantity"),
+        },
+        fingerprint="fp1",
+    )
+    got = finalize_sum_double(
+        cat.rewrite(
+            dims=["l_returnflag"],
+            measures=["rev", "n", "min_qty", "max_qty"],
+            predicate="ship_year >= 1996",
+            predicate_dims=["ship_year"],
+        ),
+        ["rev"],
+    )
+    assert all(str(tmp_path) in f for f in got.inputFiles())
+    want = (
+        li.filter(F.expr("year(l_shipdate) >= 1996"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(
+                F.sum(
+                    F.expr("l_extendedprice * (1 - l_discount)").cast(
+                        "decimal(30,10)"
+                    )
+                ),
+                4,
+            )
+            .cast("double")
+            .alias("rev"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("l_quantity").alias("min_qty"),
+            F.max("l_quantity").alias("max_qty"),
+        )
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_rollup_subsumption_rules(spark, tmp_path):
+    """No covering rollup -> LookupError; predicate dims count toward
+    coverage; the SMALLEST covering rollup wins."""
+    import pytest as _pytest
+
+    from python_cdc_spark.plans.rollup import RollupCatalog
+
+    li = table(spark, SF_SMOKE, "lineitem")
+    cat = RollupCatalog(spark, str(tmp_path / "rollups"))
+    cat.define(
+        "wide",
+        li,
+        dims={
+            "l_returnflag": "l_returnflag",
+            "l_linestatus": "l_linestatus",
+            "ship_year": "year(l_shipdate)",
+        },
+        measures={"n": ("count", "1")},
+        fingerprint="fp",
+    )
+    cat.define(
+        "narrow",
+        li,
+        dims={"l_returnflag": "l_returnflag"},
+        measures={"n": ("count", "1")},
+        fingerprint="fp",
+    )
+    # flag-only request -> the 1-dim rollup is chosen over the 3-dim one
+    got = cat.rewrite(dims=["l_returnflag"], measures=["n"])
+    assert all("/narrow/" in f for f in got.inputFiles())
+    # dim nobody materialized
+    with _pytest.raises(LookupError):
+        cat.rewrite(dims=["l_suppkey"], measures=["n"])
+    # predicate dim must be covered too: narrow lacks ship_year, wide has
+    # it -> wide is used; a predicate dim NO rollup has raises
+    got2 = cat.rewrite(
+        dims=["l_returnflag"],
+        measures=["n"],
+        predicate="ship_year = 1996",
+        predicate_dims=["ship_year"],
+    )
+    assert all("/wide/" in f for f in got2.inputFiles())
+    with _pytest.raises(LookupError):
+        cat.rewrite(
+            dims=["l_returnflag"],
+            measures=["n"],
+            predicate="l_partkey = 1",
+            predicate_dims=["l_partkey"],
+        )
+
+
+def test_rollup_staleness_rebuilds(spark, tmp_path):
+    """A changed source fingerprint forces a rebuild; an unchanged one
+    loads the existing cube."""
+    from python_cdc_spark.plans.rollup import RollupCatalog
+
+    cat = RollupCatalog(spark, str(tmp_path / "rollups"))
+    src1 = spark.createDataFrame([("a", 1), ("a", 2)], "k string, v long")
+    src2 = spark.createDataFrame([("a", 5)], "k string, v long")
+    dims = {"k": "k"}
+    meas = {"n": ("count", "1")}
+    cat.define("t", src1, dims, meas, fingerprint="gen1")
+    assert cat.rewrite(["k"], ["n"]).collect()[0]["n"] == 2
+    # same fingerprint+params -> load (src2 ignored, cube unchanged)
+    cat.define("t", src2, dims, meas, fingerprint="gen1")
+    assert cat.rewrite(["k"], ["n"]).collect()[0]["n"] == 2
+    # new fingerprint -> rebuild from src2
+    cat.define("t", src2, dims, meas, fingerprint="gen2")
+    assert cat.rewrite(["k"], ["n"]).collect()[0]["n"] == 1
