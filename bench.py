@@ -65,6 +65,8 @@ HEADLINE = [
     "timeseries_autocorrelation",
     "data_quality_checks",
     "rollup_revenue_rewrite",
+    "window_value_navigation",
+    "timeseries_seasonal_profile",
 ]
 
 

@@ -100,9 +100,9 @@ set_priority_order(
         "timeseries_autocorrelation",
         "data_quality_checks",
         "rollup_revenue_rewrite",
-        # --- r04 first-timers banking their second row (4) ---
-        "q12_priority_class",
-        "q2_min_cost_supplier",
+        "window_value_navigation",
+        "timeseries_seasonal_profile",
+        # --- r04 first-timers banking their second row (2) ---
         "q11_important_parts",
         "q20_outsized_share_suppliers",
     ]

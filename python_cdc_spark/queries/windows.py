@@ -1056,3 +1056,130 @@ def timeseries_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("acf"),
     )
+
+
+@register(
+    "window_value_navigation",
+    oracle="""
+    SELECT event_id, user_id,
+           first_value(event_type) OVER w_full AS first_type,
+           last_value(event_type) OVER w_full AS last_type,
+           nth_value(event_type, 2) OVER w_full AS second_type,
+           lead(event_type, 1, 'none') OVER w_ord AS next_type,
+           CASE WHEN COUNT(*) OVER w_user = 1 THEN 0.0
+                ELSE CAST(RANK() OVER w_val - 1 AS DOUBLE)
+                     / (COUNT(*) OVER w_user - 1)
+           END AS pct_rank,
+           CAST(COUNT(*) OVER w_cume AS DOUBLE)
+             / COUNT(*) OVER w_user AS cume_dist,
+           value
+    FROM events
+    WINDOW
+      w_ord AS (PARTITION BY user_id ORDER BY ts, event_id),
+      w_full AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND UNBOUNDED FOLLOWING),
+      w_user AS (PARTITION BY user_id),
+      w_val AS (PARTITION BY user_id ORDER BY value, event_id),
+      w_cume AS (PARTITION BY user_id ORDER BY value, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    doc="E13: value-navigation window functions — first/last/nth_value "
+    "over an explicit full frame, lead with default, and percent_rank/"
+    "cume_dist computed from rank/count identities (unique-key order "
+    "ties broken by event_id, so every engine sees the same frame)",
+)
+def window_value_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completes the E13 navigation surface: positional picks
+    (first/last/nth) over the FULL per-user frame (explicit ROWS
+    UNBOUNDED..UNBOUNDED — default frames end at CURRENT ROW and differ
+    in meaning for last_value), a defaulted lead, and the two
+    distribution functions. percent_rank/cume_dist are written from
+    their defining identities ((rank-1)/(n-1), running_count/n) so both
+    engines compute the same integer ratios — and the w_val ordering
+    ends in event_id, making rank deterministic even on tied values.
+    All windows hash-partition by user_id (bounded per key, never
+    global)."""
+    ev = table(spark, sf_dir, "events")
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_full = w_ord.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_user = Window.partitionBy("user_id")
+    w_val = Window.partitionBy("user_id").orderBy("value", "event_id")
+    w_cume = w_val.rowsBetween(Window.unboundedPreceding, 0)
+    n_user = F.count(F.lit(1)).over(w_user)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.first("event_type").over(w_full).alias("first_type"),
+        F.last("event_type").over(w_full).alias("last_type"),
+        F.nth_value("event_type", 2).over(w_full).alias("second_type"),
+        F.lead("event_type", 1, "none").over(w_ord).alias("next_type"),
+        F.when(n_user == 1, F.lit(0.0))
+        .otherwise(
+            (F.rank().over(w_val) - F.lit(1)).cast("double")
+            / (n_user - F.lit(1))
+        )
+        .alias("pct_rank"),
+        (
+            F.count(F.lit(1)).over(w_cume).cast("double") / n_user
+        ).alias("cume_dist"),
+        "value",
+    )
+
+
+@register(
+    "timeseries_seasonal_profile",
+    oracle="""
+    WITH h AS (
+      SELECT event_type, CAST(hour(ts) AS INTEGER) AS hour_of_day,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(30,10))), 4) AS DOUBLE)
+               AS sum_value
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, hour_of_day, n, sum_value,
+           sum_value / n AS mean_value,
+           sum_value
+             / CAST(ROUND(SUM(CAST(sum_value AS DECIMAL(30,10)))
+                            OVER (PARTITION BY event_type), 4) AS DOUBLE)
+             AS share_of_type
+    FROM h
+    """,
+    doc="E13/analytics: hour-of-day seasonal profile per event_type — "
+    "one hash aggregate to a types x 24 grid, per-type share via a "
+    "window over the output-scale grid; decimal-routed sums",
+)
+def timeseries_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The diurnal-shape companion to the ACF diagnostic: bucket every
+    event into (type, hour-of-day), then mean load and the hour's share
+    of the type's total. One scan collapses the fact table to a
+    types x 24 grid map-side; the normalizing window runs over that
+    grid, never the raw events. share_of_type divides two doubles
+    derived from the same exact decimal sums, so both engines compute
+    the identical IEEE quotient. Downstream: diurnal weighting for
+    traffic-aware sampling, anomaly baselines per hour-of-day."""
+    from python_cdc_spark.queries.helpers import dec_sum
+
+    ev = table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.hour("ts").cast("int").alias("hour_of_day")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        dec_sum(F.col("value"), "sum_value"),
+    )
+    w = Window.partitionBy("event_type")
+    return h.select(
+        "event_type",
+        "hour_of_day",
+        "n",
+        "sum_value",
+        (F.col("sum_value") / F.col("n")).alias("mean_value"),
+        (
+            F.col("sum_value")
+            / F.round(
+                F.sum(F.col("sum_value").cast("decimal(30,10)")).over(w), 4
+            ).cast("double")
+        ).alias("share_of_type"),
+    )

@@ -95,6 +95,23 @@ ANALYTICS_6 = [
     "join_key_skew_report",
 ]
 
+# r5 second wave: sketches + quality suite + rollup rewrite + ACF. All
+# oracles are plain SQL (integer hashing / conditional aggregates) —
+# tractable at sf1. Claims under test: sketch state is O(m) so the
+# sketch queries scale with the SCAN only; the rollup rewrite's warm
+# path should be nearly FLAT 0.1→1 (it reads the cube, not lineitem —
+# the build pass is inside the first timed call at each scale, so the
+# number includes one honest build + one cube read).
+SKETCHES_7 = [
+    "sketch_hll_orderkeys",
+    "sketch_countmin_partkeys",
+    "sketch_kmv_returnflag_overlap",
+    "sketch_hll_groupwise",
+    "timeseries_autocorrelation",
+    "data_quality_checks",
+    "rollup_revenue_rewrite",
+]
+
 
 def _run_ann_spark_only(spark, sf_dir: str) -> dict:
     from pyspark.sql import functions as F
@@ -214,6 +231,8 @@ def main() -> None:
         "new_sf1": _run_scale(spark, sf1_dir, NEW_OPS),
         "analytics_sf0.1": _run_scale(spark, "/root/testdata/sf0.1", ANALYTICS_6),
         "analytics_sf1": _run_scale(spark, sf1_dir, ANALYTICS_6),
+        "sketches_sf0.1": _run_scale(spark, "/root/testdata/sf0.1", SKETCHES_7),
+        "sketches_sf1": _run_scale(spark, sf1_dir, SKETCHES_7),
         "ann_sf0.1": _run_ann_spark_only(spark, "/root/testdata/sf0.1"),
         "ann_sf1": _run_ann_spark_only(spark, sf1_dir),
     }
@@ -223,6 +242,10 @@ def main() -> None:
     out["analytics_ratio_trend"] = [
         out["analytics_sf0.1"]["ratio"],
         out["analytics_sf1"]["ratio"],
+    ]
+    out["sketches_ratio_trend"] = [
+        out["sketches_sf0.1"]["ratio"],
+        out["sketches_sf1"]["ratio"],
     ]
     # spark-only: how much slower is 10x the data? (vs the 10x a
     # vector-scanning design would pay)
