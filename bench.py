@@ -67,6 +67,7 @@ HEADLINE = [
     "rollup_revenue_rewrite",
     "window_value_navigation",
     "timeseries_seasonal_profile",
+    "rollup_distinct_parts_rewrite",
 ]
 
 

@@ -102,8 +102,8 @@ set_priority_order(
         "rollup_revenue_rewrite",
         "window_value_navigation",
         "timeseries_seasonal_profile",
-        # --- r04 first-timers banking their second row (2) ---
-        "q11_important_parts",
+        "rollup_distinct_parts_rewrite",
+        # --- r04 first-timer banking its second row (1) ---
         "q20_outsized_share_suppliers",
     ]
 )

@@ -683,6 +683,45 @@ def data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+
+def _ship_cube(spark: SparkSession, sf_dir: str):
+    """The SHARED lineitem shipping cube (one definition, many queries
+    — two registered queries rewriting onto different measure subsets
+    must agree on params, or each run would rebuild the other's cube).
+    Measures: decimal revenue/qty partials, item count, and an HLL
+    register sketch of l_partkey — the measure that makes COUNT
+    DISTINCT decomposable in a cube."""
+    import os as _os
+
+    from python_cdc_spark.operators.ann_index import source_fingerprint
+    from python_cdc_spark.plans.rollup import RollupCatalog
+
+    cat = RollupCatalog(
+        spark,
+        _os.path.join(".rollup_cache", _os.path.basename(sf_dir.rstrip("/"))),
+    )
+    li = table(spark, sf_dir, "lineitem")
+    cat.define(
+        "lineitem_ship_cube",
+        li,
+        dims={
+            "ship_year": "year(l_shipdate)",
+            "l_returnflag": "l_returnflag",
+            "l_linestatus": "l_linestatus",
+        },
+        measures={
+            "revenue_sum": ("sum", "l_extendedprice * (1 - l_discount)"),
+            "qty_sum": ("sum", "l_quantity"),
+            "n_items": ("count", "1"),
+            "partkey_hll": ("hll", "l_partkey"),
+        },
+        fingerprint=source_fingerprint(
+            _os.path.join(sf_dir, "lineitem.parquet")
+        ),
+    )
+    return cat
+
+
 @register(
     "rollup_revenue_rewrite",
     oracle="""
@@ -713,38 +752,9 @@ def rollup_revenue_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     the result is bit-identical to the direct aggregation the oracle
     computes. The same cube answers any dims-subset query (year-only,
     flag-only, full cross) — one build, a family of queries."""
-    import os as _os
+    from python_cdc_spark.plans.rollup import finalize_sum_double
 
-    from python_cdc_spark.operators.ann_index import source_fingerprint
-    from python_cdc_spark.plans.rollup import (
-        RollupCatalog,
-        finalize_sum_double,
-    )
-
-    cat = RollupCatalog(
-        spark,
-        _os.path.join(
-            ".rollup_cache", _os.path.basename(sf_dir.rstrip("/"))
-        ),
-    )
-    li = table(spark, sf_dir, "lineitem")
-    cat.define(
-        "lineitem_ship_cube",
-        li,
-        dims={
-            "ship_year": "year(l_shipdate)",
-            "l_returnflag": "l_returnflag",
-            "l_linestatus": "l_linestatus",
-        },
-        measures={
-            "revenue_sum": ("sum", "l_extendedprice * (1 - l_discount)"),
-            "qty_sum": ("sum", "l_quantity"),
-            "n_items": ("count", "1"),
-        },
-        fingerprint=source_fingerprint(
-            _os.path.join(sf_dir, "lineitem.parquet")
-        ),
-    )
+    cat = _ship_cube(spark, sf_dir)
     out = cat.rewrite(
         dims=["ship_year", "l_returnflag"],
         measures=["revenue_sum", "n_items"],
@@ -756,4 +766,78 @@ def rollup_revenue_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         "revenue_sum",
         "n_items",
+    )
+
+
+from python_cdc_spark.queries.sketches import _sql_mix32 as _mix_sql  # noqa: E402
+
+_PART_MIX = _mix_sql("l_partkey")
+
+
+@register(
+    "rollup_distinct_parts_rewrite",
+    oracle=f"""
+    WITH h AS (
+      SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+             {{mix}} AS h
+      FROM lineitem
+    ),
+    reg AS (
+      SELECT ship_year, h % 256 AS bucket,
+             MAX(CASE WHEN (h >> 8) = 0 THEN 25
+                      ELSE 25 - length(bin(h >> 8)) END) AS r
+      FROM h GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT ship_year, CAST(COUNT(*) AS BIGINT) AS b_used,
+             SUM(CAST(1 AS DOUBLE) / (CAST(1 AS BIGINT) << r)) AS s_obs
+      FROM reg GROUP BY 1
+    ),
+    ex AS (
+      SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+             CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts
+      FROM lineitem GROUP BY 1
+    )
+    SELECT agg.ship_year,
+           (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
+             / (s_obs + (256.0 - b_used)) AS distinct_parts_est,
+           exact_parts,
+           ABS((0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
+                 / (s_obs + (256.0 - b_used))
+               / CAST(exact_parts AS DOUBLE) - 1.0) AS rel_err
+    FROM agg JOIN ex ON agg.ship_year = ex.ship_year
+    """.replace("{mix}", _PART_MIX),
+    doc="plans/rollup: COUNT DISTINCT from the cube — the partkey HLL "
+    "register sketch stored as a rollup MEASURE makes the one "
+    "non-decomposable aggregate decomposable: rewrite folds registers "
+    "by max across the rolled-up dims and applies the shared estimator, "
+    "replayed exactly by the oracle over the raw rows",
+)
+def rollup_distinct_parts_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) is the aggregate a plain cube CANNOT answer for
+    arbitrary dims subsets — distinct counts don't add across groups.
+    Storing HLL registers as a cube measure fixes that: registers fold
+    by MAX when (returnflag, linestatus) roll away, so ONE pass over
+    lineitem gives approximate distinct-part counts for every dims
+    subset forever after. The fold is algebraically exact (max of
+    per-group maxes == global max), so the cube path and a direct
+    register build over the raw rows produce the IDENTICAL register
+    table — which is what lets the DuckDB oracle replay the estimate
+    bit-for-bit. Exact counts (one distinct agg, for the rel_err
+    column) ride alongside; typical error at m=256 is 3-6%."""
+    cat = _ship_cube(spark, sf_dir)
+    est = cat.rewrite(dims=["ship_year"], measures=["partkey_hll"])
+    li = table(spark, sf_dir, "lineitem")
+    ex = li.groupBy(
+        F.expr("year(l_shipdate)").cast("int").alias("ship_year")
+    ).agg(F.countDistinct("l_partkey").cast("long").alias("exact_parts"))
+    out = est.join(ex, "ship_year")
+    e = F.col("partkey_hll")
+    return out.select(
+        F.col("ship_year").cast("int").alias("ship_year"),
+        e.alias("distinct_parts_est"),
+        "exact_parts",
+        F.abs(e / F.col("exact_parts").cast("double") - F.lit(1.0)).alias(
+            "rel_err"
+        ),
     )

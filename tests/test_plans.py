@@ -419,3 +419,44 @@ def test_rollup_staleness_rebuilds(spark, tmp_path):
     # new fingerprint -> rebuild from src2
     cat.define("t", src2, dims, meas, fingerprint="gen2")
     assert cat.rewrite(["k"], ["n"]).collect()[0]["n"] == 1
+
+
+def test_rollup_refresh_matches_rebuild(spark, tmp_path):
+    """Folding an insert-only delta into the cube (sum/count/min/max
+    partial merge + HLL register max-merge) must equal a from-scratch
+    rebuild over base+delta — for both scalar and sketch measures."""
+    from python_cdc_spark.plans.rollup import RollupCatalog
+
+    li = table(spark, SF_SMOKE, "lineitem")
+    base = li.filter(F.col("l_orderkey") % 3 != 0)
+    delta = li.filter(F.col("l_orderkey") % 3 == 0)
+    dims = {"l_returnflag": "l_returnflag", "ship_year": "year(l_shipdate)"}
+    meas = {
+        "rev": ("sum", "l_extendedprice * (1 - l_discount)"),
+        "n": ("count", "1"),
+        "min_qty": ("min", "l_quantity"),
+        "max_qty": ("max", "l_quantity"),
+        "parts": ("hll", "l_partkey"),
+    }
+
+    inc = RollupCatalog(spark, str(tmp_path / "inc"))
+    inc.define("c", base, dims, meas, fingerprint="base")
+    inc.refresh("c", delta)
+
+    full = RollupCatalog(spark, str(tmp_path / "full"))
+    full.define("c", li, dims, meas, fingerprint="full")
+
+    for req_dims, req_meas in [
+        (["l_returnflag"], ["rev", "n", "min_qty", "max_qty", "parts"]),
+        (["ship_year"], ["parts", "n"]),
+    ]:
+        a = sorted(map(tuple, inc.rewrite(req_dims, req_meas).collect()))
+        b = sorted(map(tuple, full.rewrite(req_dims, req_meas).collect()))
+        assert a == b, (req_dims, a[:2], b[:2])
+
+    # the refresh must have extended the fingerprint: a define against
+    # the ORIGINAL source fingerprint no longer silently loads
+    import json as _json
+
+    meta = _json.load(open(tmp_path / "inc" / "c" / "_meta.json"))
+    assert meta["fingerprint"].endswith("+delta")
