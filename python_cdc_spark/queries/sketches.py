@@ -288,27 +288,36 @@ def sketch_countmin_partkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     kth AS (
       SELECT (SELECT MAX(h) FROM ska) AS kth_a,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM ska) AS n_a,
              (SELECT MAX(h) FROM skb) AS kth_b,
-             (SELECT MAX(h) FROM sku) AS kth_u
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM skb) AS n_b,
+             (SELECT MAX(h) FROM sku) AS kth_u,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM sku) AS n_u
     ),
     ex AS (
       SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM da) AS exact_a,
              (SELECT CAST(COUNT(*) AS BIGINT) FROM db) AS exact_b,
              (SELECT CAST(COUNT(*) AS BIGINT)
               FROM da JOIN db USING (l_orderkey)) AS exact_intersection
+    ),
+    est AS (
+      SELECT CASE WHEN n_a < 256 THEN CAST(n_a AS DOUBLE)
+                  ELSE CAST(255 AS DOUBLE) * 4294967296.0 / kth_a END AS est_a,
+             CASE WHEN n_b < 256 THEN CAST(n_b AS DOUBLE)
+                  ELSE CAST(255 AS DOUBLE) * 4294967296.0 / kth_b END AS est_b,
+             CASE WHEN n_u < 256 THEN CAST(n_u AS DOUBLE)
+                  ELSE CAST(255 AS DOUBLE) * 4294967296.0 / kth_u END AS est_u,
+             CAST(n_both AS DOUBLE)
+               / (CASE WHEN n_u < 256 THEN n_u ELSE 256 END) AS jaccard_est
+      FROM kth CROSS JOIN nb
     )
     SELECT CAST(256 AS INTEGER) AS k,
-           CAST(255 AS DOUBLE) * 4294967296.0 / kth_a AS est_a,
-           CAST(255 AS DOUBLE) * 4294967296.0 / kth_b AS est_b,
-           CAST(255 AS DOUBLE) * 4294967296.0 / kth_u AS est_union,
-           CAST(n_both AS DOUBLE) / 256.0 AS jaccard_est,
-           (CAST(n_both AS DOUBLE) / 256.0)
-             * (CAST(255 AS DOUBLE) * 4294967296.0 / kth_u)
-             AS est_intersection,
+           est_a, est_b, est_u AS est_union, jaccard_est,
+           jaccard_est * est_u AS est_intersection,
            exact_a, exact_b, exact_intersection,
            CAST(exact_intersection AS DOUBLE)
              / (exact_a + exact_b - exact_intersection) AS jaccard_exact
-    FROM kth CROSS JOIN nb CROSS JOIN ex
+    FROM est CROSS JOIN ex
     """,
     doc="E11/E15: KMV (k-minimum-values) sketches with SET ALGEBRA — "
     "k=256 smallest deterministic hashes per orderkey set ('R' vs 'A' "
@@ -326,8 +335,12 @@ def sketch_kmv_returnflag_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
     algebra runs on <= 3k rows: the union sketch is the k smallest of
     the two sketches' union (an exact KMV identity), and x ∈ A∩B is
     tested by membership in BOTH k-row sketches. Estimators are
-    (k-1)·2^32 / kth_min (valid while |set| >> k, true at every test
-    scale) and J = |union-sketch ∩ both| / k; every value is integer
+    (k-1)·2^32 / kth_min and J = |union-sketch ∩ both| / k, with the
+    standard SMALL-SET GUARD on both engines: a sketch holding fewer
+    than k rows IS the exact distinct set, so its estimate (and the
+    Jaccard denominator) switches to the exact row count instead of
+    silently misestimating small sets (guard path pinned by
+    tests/test_sketches.py on a 30-row fixture). Every value is integer
     arithmetic plus one double division, so both engines agree
     bit-for-bit. Ties between equal hashes are broken by orderkey —
     32-bit collisions (~2.6% at sf0.01) would otherwise make the k-th
@@ -359,9 +372,22 @@ def sketch_kmv_returnflag_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
     )
     kth = (
-        ska.agg(F.max("h").alias("kth_a"))
-        .crossJoin(skb.agg(F.max("h").alias("kth_b")))
-        .crossJoin(sku.agg(F.max("h").alias("kth_u")))
+        ska.agg(
+            F.max("h").alias("kth_a"),
+            F.count(F.lit(1)).cast("long").alias("n_a"),
+        )
+        .crossJoin(
+            skb.agg(
+                F.max("h").alias("kth_b"),
+                F.count(F.lit(1)).cast("long").alias("n_b"),
+            )
+        )
+        .crossJoin(
+            sku.agg(
+                F.max("h").alias("kth_u"),
+                F.count(F.lit(1)).cast("long").alias("n_u"),
+            )
+        )
     )
     da = li.filter(F.col("l_returnflag") == "R").select("l_orderkey").distinct()
     db = li.filter(F.col("l_returnflag") == "A").select("l_orderkey").distinct()
@@ -373,18 +399,25 @@ def sketch_kmv_returnflag_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
             .agg(F.count(F.lit(1)).cast("long").alias("exact_intersection"))
         )
     )
-    est = lambda c: F.lit(255.0) * F.lit(4294967296.0) / F.col(c)  # noqa: E731
-    jac = F.col("n_both").cast("double") / F.lit(256.0)
+    # small-set guard: a sketch with < k rows IS the exact distinct set
+    def est(kth_col: str, n_col: str):
+        return F.when(
+            F.col(n_col) < 256, F.col(n_col).cast("double")
+        ).otherwise(F.lit(255.0) * F.lit(4294967296.0) / F.col(kth_col))
+
+    jac = F.col("n_both").cast("double") / F.when(
+        F.col("n_u") < 256, F.col("n_u")
+    ).otherwise(F.lit(256))
     return (
         kth.crossJoin(n_both)
         .crossJoin(ex)  # all sides are 1-row
         .select(
             F.lit(256).alias("k"),
-            est("kth_a").alias("est_a"),
-            est("kth_b").alias("est_b"),
-            est("kth_u").alias("est_union"),
+            est("kth_a", "n_a").alias("est_a"),
+            est("kth_b", "n_b").alias("est_b"),
+            est("kth_u", "n_u").alias("est_union"),
             jac.alias("jaccard_est"),
-            (jac * est("kth_u")).alias("est_intersection"),
+            (jac * est("kth_u", "n_u")).alias("est_intersection"),
             "exact_a",
             "exact_b",
             "exact_intersection",

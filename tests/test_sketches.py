@@ -1,0 +1,94 @@
+"""Estimator-quality bounds for the sketch family.
+
+The driver's oracle gate proves both engines compute the SAME estimate;
+these tests pin that the estimate is also a GOOD one — a refactor that
+kept cross-engine determinism but broke accuracy (wrong rho, dropped
+empty-bucket term, bad alpha) would pass the differ and fail here.
+"""
+
+from __future__ import annotations
+
+from python_cdc_spark.queries import QUERIES
+from tests.conftest import SF_CORRECT
+
+
+def _rows(spark, name):
+    return QUERIES[name].fn(spark, SF_CORRECT).collect()
+
+
+def test_hll_error_within_design_band(spark):
+    """Raw HLL at m=256 has ~1.04/sqrt(m) = 6.5% std error; rel_err on
+    the fixed testdata is deterministic — pin it under 2 sigma."""
+    (row,) = _rows(spark, "sketch_hll_orderkeys")
+    assert row["exact_orderkeys"] > 0
+    assert row["rel_err"] < 0.13, row
+
+def test_hll_groupwise_error_bounds(spark):
+    """m=32 per group -> ~18% std error; every group must be sane and
+    the MEDIAN group well inside 1 sigma."""
+    rows = _rows(spark, "sketch_hll_groupwise")
+    errs = sorted(r["rel_err"] for r in rows)
+    assert all(e < 0.75 for e in errs), errs[-3:]
+    assert errs[len(errs) // 2] < 0.20
+
+
+def test_countmin_never_underestimates_and_is_tight(spark):
+    rows = _rows(spark, "sketch_countmin_partkeys")
+    assert len(rows) == 20
+    for r in rows:
+        assert r["cm_estimate"] >= r["exact_n"]
+        # d=4 rows of w=1024: expected overcount per row ~ N/w ~ 59 at
+        # sf0.01; min-of-4 should stay within a small multiple of that
+        assert r["overcount"] <= 4 * (60000 // 1024), r
+
+
+def test_kmv_jaccard_and_cardinalities(spark):
+    (row,) = _rows(spark, "sketch_kmv_returnflag_overlap")
+    assert abs(row["jaccard_est"] - row["jaccard_exact"]) < 0.10
+    for est, exact in [
+        (row["est_a"], row["exact_a"]),
+        (row["est_b"], row["exact_b"]),
+        (row["est_union"], row["exact_a"] + row["exact_b"]
+         - row["exact_intersection"]),
+        (row["est_intersection"], row["exact_intersection"]),
+    ]:
+        assert abs(est / exact - 1.0) < 0.20, (est, exact)
+
+
+def test_rollup_distinct_parts_errors(spark):
+    rows = _rows(spark, "rollup_distinct_parts_rewrite")
+    assert rows, "no year groups"
+    errs = sorted(r["rel_err"] for r in rows)
+    assert all(e < 0.25 for e in errs), errs[-3:]
+    assert errs[len(errs) // 2] < 0.10
+
+
+def test_kmv_small_set_guard_is_exact(spark, tmp_path):
+    """Sets smaller than k: the sketch IS the distinct set, so every
+    estimate must be EXACT (and still hash-match the oracle)."""
+    import duckdb
+
+    from tests.oracle import assert_matches_oracle
+
+    rows = [(i, "R") for i in range(20)] + [(i, "A") for i in range(10, 40)]
+    df = spark.createDataFrame(rows, "l_orderkey long, l_returnflag string")
+    sf = tmp_path / "tiny"
+    sf.mkdir()
+    df.coalesce(1).write.parquet(str(sf / "lineitem.parquet"))
+
+    spec = QUERIES["sketch_kmv_returnflag_overlap"]
+    out = spec.fn(spark, str(sf)).collect()[0]
+    assert out["est_a"] == float(out["exact_a"]) == 20.0
+    assert out["est_b"] == float(out["exact_b"]) == 30.0
+    assert out["est_union"] == 40.0
+    assert out["est_intersection"] == float(out["exact_intersection"]) == 10.0
+    assert out["jaccard_est"] == out["jaccard_exact"] == 0.25
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{sf}/lineitem.parquet/*.parquet')"
+    )
+    assert_matches_oracle(
+        spec.fn(spark, str(sf)), con, spec.oracle, name="kmv_small"
+    )
