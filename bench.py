@@ -68,6 +68,8 @@ HEADLINE = [
     "window_value_navigation",
     "timeseries_seasonal_profile",
     "rollup_distinct_parts_rewrite",
+    "text_pii_redact",
+    "unpivot_quarterly_revenue",
 ]
 
 

@@ -75,7 +75,6 @@ set_priority_order(
         "scalar_math_funcs",
         "scalar_string_funcs2",
         "stats_deterministic_moments",
-        "table_row_counts",
         "window_lag_lead",
         "window_running_total",
         "q1_pricing_summary",
@@ -103,7 +102,7 @@ set_priority_order(
         "window_value_navigation",
         "timeseries_seasonal_profile",
         "rollup_distinct_parts_rewrite",
-        # --- r04 first-timer banking its second row (1) ---
-        "q20_outsized_share_suppliers",
+        "text_pii_redact",
+        "unpivot_quarterly_revenue",
     ]
 )

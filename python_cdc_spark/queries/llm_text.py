@@ -715,3 +715,55 @@ def text_vocab_zipf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"(\+?1[ .-]?)?(\(\d{3}\)|\d{3})[ .-]?\d{3}[ .-]?\d{4}"
+
+_PII_ORACLE = """
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '__EMAIL__')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(text, '__PHONE__')) AS BIGINT)
+             AS n_phones,
+           regexp_replace(regexp_replace(text, '__EMAIL__', '<EMAIL>', 'g'),
+                          '__PHONE__', '<PHONE>', 'g') AS redacted
+    FROM documents
+""".replace("__EMAIL__", _PII_EMAIL).replace("__PHONE__", _PII_PHONE)
+
+
+@register(
+    "text_pii_redact",
+    oracle=_PII_ORACLE,
+    doc="E27/curation: PII redaction pre-flight — email/phone detection "
+    "counts + in-place redaction via JVM-side regexp_replace (patterns "
+    "chosen for identical RE2/Java-regex semantics, fixture-pinned in "
+    "tests/test_operators.py); map-side, no shuffle",
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scrub step every shipped training corpus needs: detect and
+    redact emails and NANP-style phone numbers before packing. Pure
+    map-side string work (regexp_extract_all for counts,
+    nested regexp_replace for the redacted text) — whole-stage codegen,
+    zero shuffles, scales with the scan. The patterns deliberately use
+    only regex features with identical semantics in Java regex (Spark)
+    and RE2 (DuckDB) — character classes, bounded repetition,
+    alternation — so the oracle hash-matches the redacted strings
+    byte-for-byte; behavior on actual PII is pinned by a fixture test
+    (the synthetic corpus itself is PII-free, so this query's live
+    counts are all zero — the fixture proves the non-trivial path)."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all("text", F.lit(_PII_EMAIL), F.lit(0))
+        ).cast("long").alias("n_emails"),
+        F.size(
+            F.regexp_extract_all("text", F.lit(_PII_PHONE), F.lit(0))
+        ).cast("long").alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace("text", _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE,
+            "<PHONE>",
+        ).alias("redacted"),
+    )

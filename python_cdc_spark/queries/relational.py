@@ -771,3 +771,63 @@ def profile_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         for c, kind in _PROFILE_COLS
     ]
     return s.select(F.explode(F.array(*branches)).alias("p")).select("p.*")
+
+
+@register(
+    "unpivot_quarterly_revenue",
+    oracle="""
+    WITH w AS (
+      SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+             CAST(ROUND(SUM(CASE WHEN quarter(l_shipdate) = 1
+                 THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))
+                 ELSE CAST(0 AS DECIMAL(30,10)) END), 4) AS DOUBLE) AS q1,
+             CAST(ROUND(SUM(CASE WHEN quarter(l_shipdate) = 2
+                 THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))
+                 ELSE CAST(0 AS DECIMAL(30,10)) END), 4) AS DOUBLE) AS q2,
+             CAST(ROUND(SUM(CASE WHEN quarter(l_shipdate) = 3
+                 THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))
+                 ELSE CAST(0 AS DECIMAL(30,10)) END), 4) AS DOUBLE) AS q3,
+             CAST(ROUND(SUM(CASE WHEN quarter(l_shipdate) = 4
+                 THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))
+                 ELSE CAST(0 AS DECIMAL(30,10)) END), 4) AS DOUBLE) AS q4
+      FROM lineitem GROUP BY 1
+    )
+    SELECT ship_year, 'q1' AS quarter, q1 AS revenue FROM w
+    UNION ALL SELECT ship_year, 'q2', q2 FROM w
+    UNION ALL SELECT ship_year, 'q3', q3 FROM w
+    UNION ALL SELECT ship_year, 'q4', q4 FROM w
+    """,
+    doc="E17 inverse: wide-to-long via the native unpivot (melt) "
+    "operator — quarterly revenue pivoted wide by conditional "
+    "aggregation, then unpivoted back to (year, quarter, revenue); "
+    "decimal-routed sums keep both directions exact",
+)
+def unpivot_quarterly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot's inverse, exercised round-trip: one conditional-aggregate
+    scan builds the wide (year x q1..q4) table — decimal-routed so the
+    per-quarter sums are order-exact — then Spark's native ``unpivot``
+    (melt) reshapes wide→long without touching the fact table again.
+    The wide table is output-scale (one row per year), so the reshape
+    is metadata-cost; the oracle replays it as a UNION ALL over the
+    same wide CTE, the relational identity of unpivot."""
+    from python_cdc_spark.queries.helpers import dec_sum
+
+    li = table(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
+        "decimal(30,10)"
+    )
+    zero = F.lit(0).cast("decimal(30,10)")
+    qcol = F.quarter("l_shipdate")
+    wide = li.groupBy(
+        F.expr("year(l_shipdate)").cast("int").alias("ship_year")
+    ).agg(
+        *[
+            F.round(F.sum(F.when(qcol == q, rev).otherwise(zero)), 4)
+            .cast("double")
+            .alias(f"q{q}")
+            for q in (1, 2, 3, 4)
+        ]
+    )
+    return wide.unpivot(
+        ["ship_year"], ["q1", "q2", "q3", "q4"], "quarter", "revenue"
+    )

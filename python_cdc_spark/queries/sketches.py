@@ -347,24 +347,35 @@ def sketch_kmv_returnflag_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
     row engine-dependent."""
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
 
-    def sketch(flag: str) -> DataFrame:
-        d = (
+    # each distinct set and each k-row sketch is consumed ~3 times
+    # downstream (union sketch, membership, kth/count stats, exact
+    # companions) — checkpoint them so lineitem is scanned once per
+    # set, not once per consumer (was ~10 scans; the checkpointed
+    # sketches are 256 rows, the sets |distinct| rows)
+    def dset(flag: str) -> DataFrame:
+        return (
             li.filter(F.col("l_returnflag") == flag)
             .select("l_orderkey")
             .distinct()
+            .localCheckpoint(eager=False)
         )
+
+    def sketch(d: DataFrame) -> DataFrame:
         return (
             d.select("l_orderkey", _mix32(F.col("l_orderkey")).alias("h"))
             .orderBy("h", "l_orderkey")
             .limit(256)
+            .localCheckpoint(eager=False)
         )
 
-    ska, skb = sketch("R"), sketch("A")
+    da, db = dset("R"), dset("A")
+    ska, skb = sketch(da), sketch(db)
     sku = (
         ska.unionAll(skb)
         .dropDuplicates(["l_orderkey", "h"])
         .orderBy("h", "l_orderkey")
         .limit(256)
+        .localCheckpoint(eager=False)
     )
     n_both = (
         sku.join(ska.select("l_orderkey"), "l_orderkey", "semi")
@@ -389,8 +400,6 @@ def sketch_kmv_returnflag_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
             )
         )
     )
-    da = li.filter(F.col("l_returnflag") == "R").select("l_orderkey").distinct()
-    db = li.filter(F.col("l_returnflag") == "A").select("l_orderkey").distinct()
     ex = (
         da.agg(F.count(F.lit(1)).cast("long").alias("exact_a"))
         .crossJoin(db.agg(F.count(F.lit(1)).cast("long").alias("exact_b")))

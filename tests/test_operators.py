@@ -980,3 +980,56 @@ def test_linreg_suffstats_solve(spark):
         sst = stats["yty"] - stats["sy"] ** 2 / stats["n"]
         r2 = 1 - sse / sst
         assert 0.2 < r2 <= 1.0 + 1e-9, f"{sf}: R^2 {r2}"
+
+
+def test_pii_redaction_fixture(spark):
+    """The synthetic corpus is PII-free, so the registered query's live
+    counts are all zero; this fixture pins the non-trivial path on both
+    engines' regex dialects."""
+    import duckdb
+
+    from python_cdc_spark.queries.llm_text import (
+        _PII_EMAIL,
+        _PII_PHONE,
+    )
+
+    rows = [
+        (1, "contact me a.b+c@ex-ample.co.uk or 555-123-4567 x2"),
+        (2, "no pii here"),
+        (3, "two mails x@y.io z@w.ai and +1 (212) 555-0199"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            F.size(
+                F.regexp_extract_all("text", F.lit(_PII_EMAIL), F.lit(0))
+            ).alias("ne"),
+            F.size(
+                F.regexp_extract_all("text", F.lit(_PII_PHONE), F.lit(0))
+            ).alias("np"),
+            F.regexp_replace(
+                F.regexp_replace("text", _PII_EMAIL, "<EMAIL>"),
+                _PII_PHONE,
+                "<PHONE>",
+            ).alias("red"),
+        ).collect()
+    }
+    assert (out[1]["ne"], out[1]["np"]) == (1, 1)
+    assert out[1]["red"] == "contact me <EMAIL> or <PHONE> x2"
+    assert (out[2]["ne"], out[2]["np"]) == (0, 0)
+    assert (out[3]["ne"], out[3]["np"]) == (2, 1)
+    assert out[3]["red"] == "two mails <EMAIL> <EMAIL> and <PHONE>"
+
+    # cross-dialect: DuckDB's RE2 must agree on the same strings
+    con = duckdb.connect()
+    for doc_id, text in rows:
+        got = con.execute(
+            "SELECT len(regexp_extract_all(?, ?)), "
+            "len(regexp_extract_all(?, ?)), "
+            "regexp_replace(regexp_replace(?, ?, '<EMAIL>', 'g'), "
+            "?, '<PHONE>', 'g')",
+            [text, _PII_EMAIL, text, _PII_PHONE, text, _PII_EMAIL, _PII_PHONE],
+        ).fetchone()
+        assert got == (out[doc_id]["ne"], out[doc_id]["np"], out[doc_id]["red"])
