@@ -8,6 +8,9 @@ empty-bucket term, bad alpha) would pass the differ and fail here.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
+from python_cdc_spark.io import table
 from python_cdc_spark.queries import QUERIES
 from tests.conftest import SF_CORRECT
 
@@ -92,3 +95,38 @@ def test_kmv_small_set_guard_is_exact(spark, tmp_path):
     assert_matches_oracle(
         spec.fn(spark, str(sf)), con, spec.oracle, name="kmv_small"
     )
+
+
+def test_sketch_merge_is_order_independent(spark, tmp_path):
+    """Register/counter merges must be associative and commutative:
+    folding three key partitions in two different orders (and in one
+    shot) yields the identical sketch state — the property that makes
+    the sketches safe as Spark partial aggregates AND as streaming
+    folds in any micro-batch arrival order."""
+    from python_cdc_spark.streaming.sketch_stream import (
+        StreamingSketchAggregator,
+    )
+
+    li = table(spark, "/root/testdata/sf0.001", "lineitem").select(
+        "l_orderkey"
+    )
+    parts = [li.filter(F.col("l_orderkey") % 3 == i) for i in range(3)]
+
+    def fold(order, path):
+        agg = StreamingSketchAggregator(spark, str(tmp_path / path), "l_orderkey")
+        for j, i in enumerate(order):
+            agg.fold_batch(parts[i], batch_id=j)
+        return (
+            {(r["bucket"], r["r"]) for r in agg.registers().collect()},
+            {(r["i"], r["bucket"], r["n"]) for r in agg.counters().collect()},
+        )
+
+    fwd = fold([0, 1, 2], "fwd")
+    rev = fold([2, 1, 0], "rev")
+    one = StreamingSketchAggregator(spark, str(tmp_path / "one"), "l_orderkey")
+    one.fold_batch(li, batch_id=0)
+    oneshot = (
+        {(r["bucket"], r["r"]) for r in one.registers().collect()},
+        {(r["i"], r["bucket"], r["n"]) for r in one.counters().collect()},
+    )
+    assert fwd == rev == oneshot
