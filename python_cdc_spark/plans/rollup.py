@@ -7,9 +7,9 @@ and whose measures are re-aggregable from it — reading the rollup's
 few-thousand-row table instead of the fact table. At 100 TB this is
 the difference between a dashboard query scanning 10^12 rows and one
 scanning 10^3: the rollup is built in one pass, maintained
-incrementally (see ``cdc/ivm.py`` for the signed-delta refresh of
-exactly this aggregate shape), and every covered query after that is
-metadata-scale.
+incrementally (``refresh`` below for insert-only deltas; ``cdc/ivm.py``
+for signed-delta sum/count refreshes), and every covered query after
+that is metadata-scale.
 
 Correctness of the rewrite (exact, not approximate):
 
@@ -22,32 +22,51 @@ Correctness of the rewrite (exact, not approximate):
 - ``count`` re-aggregates by SUM, ``min``/``max`` by MIN/MAX — all
   decomposable. ``avg`` is intentionally absent: derive it as
   sum/count at the call site (it does not re-aggregate).
+- ``hll`` measures store an HLL register table (one row per
+  dims × bucket): registers fold by MAX when dims roll away —
+  max-of-maxes is exact, so COUNT DISTINCT becomes decomposable and
+  the cube path yields the IDENTICAL register table to a direct build
+  over the raw rows.
 - Predicates may only reference rollup dimensions (checked): a filter
   on a non-dimension column would need the raw rows.
 
-Staleness: each rollup directory carries the same stat-fingerprint
-meta as the ANN index store (``operators/ann_index.py``) — ``define``
-is load-or-build, so registered queries can call it unconditionally
-and only the first call per (source, params) pays the build.
-``base_dir`` must be a LOCAL path (os-primitive markers + Spark
-parquet, same constraint as the other index stores).
+Storage is VERSIONED for crash atomicity (the pattern proven in
+``streaming/sketch_stream.py``): every table lives under
+``<name>/v<N>/``, and ``_meta.json`` — replaced atomically via
+``os.replace`` — carries the version pointer AND the folded-batch-id
+replay guard together. A crash on either side of the commit point
+leaves a refresh wholly unapplied (replay refolds from the old
+version) or wholly applied (replay is skipped); a reader resolving
+through the pointer never sees a half-written directory. The previous
+version survives one generation. Single writer; ``base_dir`` must be
+a LOCAL path (os-primitive markers + Spark parquet through Hadoop FS,
+same constraint as the other index stores).
+
+Staleness: the same stat-fingerprint discipline as the ANN index store
+(``operators/ann_index.py``) — ``define`` is load-or-build, so
+registered queries call it unconditionally and only the first call per
+(source, params) pays the build; ``refresh`` extends the fingerprint
+so a later ``define`` against fresh sources rebuilds.
 """
 
 from __future__ import annotations
 
+import json
 import os
+import shutil
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from python_cdc_spark.operators.ann_index import (
-    _write_meta,
-    index_is_current,
-)
+from python_cdc_spark.operators.ann_index import index_is_current
 
 _DEC = "decimal(30,10)"
 _KINDS = ("sum", "count", "min", "max", "hll")
+# bumped when the on-disk layout changes: participates in the params
+# key, so caches written by an older layout rebuild instead of
+# misresolving
+_LAYOUT = 2
 # HLL sketch-measure geometry (matches queries/sketches.py conventions:
 # mix32 hash, bin-length rho, dyadic 2^-r sum, shared alpha expression)
 _HLL_P = 8
@@ -106,6 +125,80 @@ class RollupCatalog:
         self.base_dir = base_dir
         os.makedirs(base_dir, exist_ok=True)
 
+    # -- meta / paths ---------------------------------------------------
+
+    def _meta_path(self, name: str) -> str:
+        return os.path.join(self.base_dir, name, "_meta.json")
+
+    def _meta(self, name: str) -> Optional[dict]:
+        try:
+            with open(self._meta_path(name)) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return None
+
+    def _commit_meta(self, name: str, meta: dict) -> None:
+        tmp = self._meta_path(name) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self._meta_path(name))
+
+    def _vdir(self, name: str, version: int) -> str:
+        return os.path.join(self.base_dir, name, f"v{version}")
+
+    @staticmethod
+    def _params(dims: dict, measures: dict) -> dict:
+        return {
+            "layout": _LAYOUT,
+            "dims": dict(dims),
+            "measures": {a: list(v) for a, v in measures.items()},
+        }
+
+    @staticmethod
+    def _measure_aggs(measures: dict) -> tuple[list, list]:
+        """(delta-build aggs over raw rows, merge aggs over partials)
+        for the scalar measures; hll measures are handled separately."""
+        build, merge = [], []
+        for alias, (kind, expr) in measures.items():
+            c = F.expr(expr)
+            if kind == "sum":
+                build.append(F.sum(c.cast(_DEC)).alias(alias))
+                merge.append(F.sum(alias).alias(alias))
+            elif kind == "count":
+                build.append(F.count(c).cast("long").alias(alias))
+                merge.append(F.sum(alias).cast("long").alias(alias))
+            elif kind == "min":
+                build.append(F.min(c).alias(alias))
+                merge.append(F.min(alias).alias(alias))
+            elif kind == "max":
+                build.append(F.max(c).alias(alias))
+                merge.append(F.max(alias).alias(alias))
+        return build, merge
+
+    def _write_version(
+        self,
+        name: str,
+        version: int,
+        scalar_df: Optional[DataFrame],
+        hll_dfs: dict[str, DataFrame],
+    ) -> None:
+        out = self._vdir(name, version)
+        if os.path.exists(out):  # crashed attempt: rewrite deterministically
+            shutil.rmtree(out)
+        if scalar_df is not None:
+            scalar_df.write.parquet(os.path.join(out, "data"))
+        for alias, df in hll_dfs.items():
+            df.write.parquet(os.path.join(out, f"hll_{alias}"))
+
+    def _gc(self, name: str, keep_from: int) -> None:
+        """Drop version dirs older than ``keep_from`` (the previous
+        version survives one generation for concurrent readers)."""
+        root = os.path.join(self.base_dir, name)
+        for entry in os.listdir(root):
+            if entry.startswith("v") and entry[1:].isdigit():
+                if int(entry[1:]) < keep_from:
+                    shutil.rmtree(os.path.join(root, entry))
+
     # -- build ----------------------------------------------------------
 
     def define(
@@ -121,43 +214,43 @@ class RollupCatalog:
         alias -> SQL expr (identity for plain columns), ``measures``
         maps alias -> (kind, sql_expr). Load-or-build keyed on
         (fingerprint, dims, measures); returns the rollup directory."""
-        out = os.path.join(self.base_dir, name)
-        params = {
-            "dims": dict(dims),
-            "measures": {a: [k, e] for a, (k, e) in measures.items()},
-        }
-        if not force and index_is_current(out, fingerprint, params):
-            return out
-        aggs = []
-        hlls = []
-        for alias, (kind, expr) in measures.items():
+        for alias, (kind, _) in measures.items():
             if kind not in _KINDS:
                 raise ValueError(f"unsupported measure kind {kind!r}")
-            c = F.expr(expr)
-            if kind == "sum":
-                aggs.append(F.sum(c.cast(_DEC)).alias(alias))
-            elif kind == "count":
-                aggs.append(F.count(c).cast("long").alias(alias))
-            elif kind == "min":
-                aggs.append(F.min(c).alias(alias))
-            elif kind == "max":
-                aggs.append(F.max(c).alias(alias))
-            else:
-                hlls.append((alias, expr))
+        out = os.path.join(self.base_dir, name)
+        params = self._params(dims, measures)
+        if not force and index_is_current(out, fingerprint, params):
+            return out
+        os.makedirs(out, exist_ok=True)
+        old = self._meta(name)
+        version = (old.get("version", 0) + 1) if old else 1
+        scalar = {a: v for a, v in measures.items() if v[0] != "hll"}
+        build, _ = self._measure_aggs(scalar)
         dim_cols = [F.expr(e).alias(a) for a, e in dims.items()]
-        if aggs:
-            cube = src.groupBy(*dim_cols).agg(*aggs)
-            cube.write.mode("overwrite").parquet(os.path.join(out, "data"))
-        for alias, expr in hlls:
-            _hll_registers(src, dims, expr).write.mode(
-                "overwrite"
-            ).parquet(os.path.join(out, f"hll_{alias}"))
-        _write_meta(out, fingerprint, params)
+        scalar_df = src.groupBy(*dim_cols).agg(*build) if build else None
+        hll_dfs = {
+            a: _hll_registers(src, dims, e)
+            for a, (k, e) in measures.items()
+            if k == "hll"
+        }
+        self._write_version(name, version, scalar_df, hll_dfs)
+        self._commit_meta(
+            name,
+            {
+                "fingerprint": fingerprint,
+                "params": params,
+                "version": version,
+                "folded": [],
+            },
+        )
+        self._gc(name, version - 1)
         return out
 
     # -- incremental maintenance ---------------------------------------
 
-    def refresh(self, name: str, delta: DataFrame) -> None:
+    def refresh(
+        self, name: str, delta: DataFrame, batch_id: Optional[int] = None
+    ) -> None:
         """Fold an INSERT-ONLY delta into the cube: every supported
         measure is decomposable for appends (sum/count by SUM over
         partials, min/max by MIN/MAX, hll registers by MAX), so the
@@ -165,97 +258,71 @@ class RollupCatalog:
         partials — O(delta + cube), never a fact-table rescan. (Deletes
         would break min/max/hll; route those through a rebuild, or use
         cdc/ivm.py's signed-delta aggregates for sum/count-only cubes.)
-        The directory swap is os-level rename (batch-maintenance
-        context, single writer); the fingerprint is extended so
-        ``index_is_current`` no longer matches the raw source — a later
-        ``define`` against a fresh source fingerprint rebuilds."""
-        import json
-        import shutil
 
-        out = os.path.join(self.base_dir, name)
-        with open(os.path.join(out, "_meta.json")) as f:
-            meta = json.load(f)
+        Crash-atomic and replay-safe: the merged tables land in a NEW
+        version directory, then the version pointer and the
+        folded-batch-id guard commit together in one ``os.replace`` —
+        a replayed ``batch_id`` is a no-op, and a crash mid-refresh
+        leaves the previous version intact. The fingerprint is extended
+        so ``index_is_current`` no longer matches the raw source — a
+        later ``define`` against a fresh source fingerprint rebuilds."""
+        meta = self._meta(name)
+        if meta is None:
+            raise LookupError(f"no rollup named {name!r}")
+        if batch_id is not None and batch_id in meta["folded"]:
+            return  # checkpoint replay after a crash past the commit
         params = meta["params"]
         dims = params["dims"]
+        cur = meta["version"]
         dim_cols = [F.expr(e).alias(a) for a, e in dims.items()]
+        measures = {a: tuple(v) for a, v in params["measures"].items()}
+        scalar = {a: v for a, v in measures.items() if v[0] != "hll"}
 
-        def swap(new_df: DataFrame, sub: str) -> None:
-            cur, stage = os.path.join(out, sub), os.path.join(out, sub + "_stage")
-            new_df.write.mode("overwrite").parquet(stage)
-            old = cur + "_old"
-            os.rename(cur, old)
-            os.rename(stage, cur)
-            shutil.rmtree(old)
-
-        scalar = {
-            a: (k, e)
-            for a, (k, e) in (
-                (a, tuple(v)) for a, v in params["measures"].items()
-            )
-            if k != "hll"
-        }
+        scalar_df = None
         if scalar:
-            delta_aggs = []
-            merge_aggs = []
-            for alias, (kind, expr) in scalar.items():
-                c = F.expr(expr)
-                if kind == "sum":
-                    delta_aggs.append(F.sum(c.cast(_DEC)).alias(alias))
-                    merge_aggs.append(F.sum(alias).alias(alias))
-                elif kind == "count":
-                    delta_aggs.append(F.count(c).cast("long").alias(alias))
-                    merge_aggs.append(F.sum(alias).cast("long").alias(alias))
-                elif kind == "min":
-                    delta_aggs.append(F.min(c).alias(alias))
-                    merge_aggs.append(F.min(alias).alias(alias))
-                else:
-                    delta_aggs.append(F.max(c).alias(alias))
-                    merge_aggs.append(F.max(alias).alias(alias))
-            d_cube = delta.groupBy(*dim_cols).agg(*delta_aggs)
-            old_cube = self.spark.read.parquet(os.path.join(out, "data"))
-            # align column order/types for the union
+            build, merge = self._measure_aggs(scalar)
+            d_cube = delta.groupBy(*dim_cols).agg(*build)
+            old_cube = self.spark.read.parquet(
+                os.path.join(self._vdir(name, cur), "data")
+            )
             cols = list(dims) + list(scalar)
-            merged = (
+            scalar_df = (
                 old_cube.select(cols)
                 .unionByName(d_cube.select(cols))
                 .groupBy(*dims)
-                .agg(*merge_aggs)
-            ).localCheckpoint(eager=True)  # sever lineage from the dir we swap
-            swap(merged, "data")
-        for alias, (kind, expr) in (
-            (a, tuple(v)) for a, v in params["measures"].items()
-        ):
+                .agg(*merge)
+            )
+        hll_dfs = {}
+        for alias, (kind, expr) in measures.items():
             if kind != "hll":
                 continue
             d_regs = _hll_registers(delta, dims, expr)
             old_regs = self.spark.read.parquet(
-                os.path.join(out, f"hll_{alias}")
+                os.path.join(self._vdir(name, cur), f"hll_{alias}")
             )
             cols = list(dims) + ["bucket", "r"]
-            merged = (
+            hll_dfs[alias] = (
                 old_regs.select(cols)
                 .unionByName(d_regs.select(cols))
                 .groupBy(*dims, "bucket")
                 .agg(F.max("r").cast("int").alias("r"))
-            ).localCheckpoint(eager=True)
-            swap(merged, f"hll_{alias}")
+            )
+        self._write_version(name, cur + 1, scalar_df, hll_dfs)
+        meta["version"] = cur + 1
         meta["fingerprint"] = meta.get("fingerprint", "") + "+delta"
-        with open(os.path.join(out, "_meta.json"), "w") as f:
-            json.dump(meta, f)
+        if batch_id is not None:
+            meta["folded"] = sorted(meta["folded"] + [batch_id])
+        self._commit_meta(name, meta)
+        self._gc(name, cur)
 
     # -- rewrite --------------------------------------------------------
 
     def _catalog(self) -> dict[str, dict]:
-        import json
-
         entries = {}
         for name in sorted(os.listdir(self.base_dir)):
-            meta_path = os.path.join(self.base_dir, name, "_meta.json")
-            try:
-                with open(meta_path) as f:
-                    entries[name] = json.load(f)["params"]
-            except (OSError, ValueError, KeyError):
-                continue
+            meta = self._meta(name)
+            if meta and meta.get("params", {}).get("layout") == _LAYOUT:
+                entries[name] = meta
         return entries
 
     def rewrite(
@@ -272,7 +339,8 @@ class RollupCatalog:
         when no rollup covers the request."""
         need_dims = set(dims) | set(predicate_dims or [])
         best: Optional[tuple[int, str, dict]] = None
-        for name, params in self._catalog().items():
+        for name, meta in self._catalog().items():
+            params = meta["params"]
             have_dims = set(params["dims"])
             have_meas = params["measures"]
             if not need_dims <= have_dims:
@@ -281,20 +349,20 @@ class RollupCatalog:
                 continue
             key = (len(have_dims), name)
             if best is None or key < (best[0], best[1]):
-                best = (len(have_dims), name, params)
+                best = (len(have_dims), name, meta)
         if best is None:
             raise LookupError(
                 f"no rollup covers dims={sorted(need_dims)} "
                 f"measures={sorted(measures)}"
             )
-        _, name, params = best
+        _, name, meta = best
+        params = meta["params"]
+        vdir = self._vdir(name, meta["version"])
         scalar = [m for m in measures if params["measures"][m][0] != "hll"]
         hll = [m for m in measures if params["measures"][m][0] == "hll"]
         parts: list[DataFrame] = []
         if scalar:
-            df = self.spark.read.parquet(
-                os.path.join(self.base_dir, name, "data")
-            )
+            df = self.spark.read.parquet(os.path.join(vdir, "data"))
             if predicate:
                 df = df.filter(predicate)
             aggs = []
@@ -311,9 +379,7 @@ class RollupCatalog:
                     aggs.append(F.max(col).alias(alias))
             parts.append(df.groupBy(*dims).agg(*aggs))
         for alias in hll:
-            regs = self.spark.read.parquet(
-                os.path.join(self.base_dir, name, f"hll_{alias}")
-            )
+            regs = self.spark.read.parquet(os.path.join(vdir, f"hll_{alias}"))
             if predicate:
                 regs = regs.filter(predicate)
             # fold away the dims being rolled up: registers merge by MAX

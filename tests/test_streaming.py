@@ -913,3 +913,68 @@ def test_streaming_sketch_matches_batch(spark, tmp_path):
     n_after = agg.counters().agg(F.sum("n")).collect()[0][0]
     n_want = agg._batch_cm(li).agg(F.sum("n")).collect()[0][0]
     assert n_after == n_want + 4  # one new key -> d=4 more cell counts
+
+
+def test_streaming_rollup_matches_batch(spark, tmp_path):
+    """Fact rows streamed in two micro-batches, folded into the cube,
+    must yield the same rewrite answers (including the HLL distinct
+    measure) as a one-shot cube over the full table; a replayed batch
+    id must be a no-op."""
+    from python_cdc_spark.io import table
+    from python_cdc_spark.plans.rollup import RollupCatalog
+    from python_cdc_spark.streaming.rollup_stream import (
+        StreamingRollupMaintenance,
+    )
+
+    li = table(spark, "/root/testdata/sf0.001", "lineitem").select(
+        "l_orderkey", "l_partkey", "l_extendedprice", "l_discount",
+        "l_quantity", "l_returnflag",
+    )
+    base = li.filter(F.col("l_orderkey") % 3 == 0)
+    dims = {"l_returnflag": "l_returnflag"}
+    meas = {
+        "rev": ("sum", "l_extendedprice * (1 - l_discount)"),
+        "n": ("count", "1"),
+        "max_qty": ("max", "l_quantity"),
+        "parts": ("hll", "l_partkey"),
+    }
+
+    feed = tmp_path / "factfeed"
+    feed.mkdir()
+    schema = (
+        "l_orderkey long, l_partkey long, l_extendedprice double, "
+        "l_discount double, l_quantity double, l_returnflag string"
+    )
+    li.filter(F.col("l_orderkey") % 3 == 1).coalesce(1).write.json(
+        str(feed / "f1")
+    )
+    li.filter(F.col("l_orderkey") % 3 == 2).coalesce(1).write.json(
+        str(feed / "f2")
+    )
+
+    sr = StreamingRollupMaintenance(
+        spark, str(tmp_path / "cube"), "sales", dims, meas
+    )
+    sr.bootstrap(base, fingerprint="seed")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .json(str(feed))
+    )
+    q = sr.start(stream, str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+
+    full = RollupCatalog(spark, str(tmp_path / "full"))
+    full.define("sales", li, dims, meas, fingerprint="full")
+    req = (["l_returnflag"], ["rev", "n", "max_qty", "parts"])
+    got = sorted(map(tuple, sr.rewrite(*req).collect()))
+    want = sorted(map(tuple, full.rewrite(*req).collect()))
+    assert got == want
+
+    # replay of an already-folded micro-batch must not change the cube
+    meta_before = sr.catalog._meta("sales")
+    replay = spark.read.schema(schema).json(str(feed / "f1"))
+    sr.fold_batch(replay, batch_id=0)
+    assert sr.catalog._meta("sales") == meta_before
+    assert sorted(map(tuple, sr.rewrite(*req).collect())) == want
