@@ -337,6 +337,8 @@ class RollupCatalog:
         re-aggregation and may only reference ``predicate_dims``
         (each must be a rollup dimension — checked). Raises LookupError
         when no rollup covers the request."""
+        if not measures:
+            raise ValueError("rewrite requires at least one measure")
         need_dims = set(dims) | set(predicate_dims or [])
         best: Optional[tuple[int, str, dict]] = None
         for name, meta in self._catalog().items():

@@ -95,6 +95,70 @@ def _measure(spark, sf_dir: str) -> dict:
     }
 
 
+def _measure_rollup(spark, sf_dir: str) -> dict:
+    """Cube maintenance economics: refresh(10% delta) vs full rebuild.
+
+    Same shape as the dedup measurement — the refresh reads the stored
+    partials + the delta (O(delta + cube)); the rebuild re-aggregates
+    the whole fact table. Equality of the two cubes' rewrite answers is
+    asserted inline (incl. the HLL distinct measure)."""
+    from pyspark.sql import functions as F
+
+    from python_cdc_spark.io import table
+    from python_cdc_spark.plans.rollup import RollupCatalog
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_extendedprice", "l_discount",
+        "l_quantity", "l_returnflag", "l_linestatus", "l_shipdate",
+    ).localCheckpoint(eager=True)
+    n_rows = li.count()
+    max_key = li.agg(F.max("l_orderkey")).first()[0]
+    boundary = (int(max_key) * 9) // 10
+    base = li.filter(F.col("l_orderkey") < boundary)
+    delta = li.filter(F.col("l_orderkey") >= boundary)
+    n_delta = delta.count()
+
+    dims = {
+        "ship_year": "year(l_shipdate)",
+        "l_returnflag": "l_returnflag",
+        "l_linestatus": "l_linestatus",
+    }
+    meas = {
+        "rev": ("sum", "l_extendedprice * (1 - l_discount)"),
+        "n": ("count", "1"),
+        "max_qty": ("max", "l_quantity"),
+        "parts": ("hll", "l_partkey"),
+    }
+    tmp = tempfile.mkdtemp(prefix="rollup_bench_")
+    try:
+        inc = RollupCatalog(spark, os.path.join(tmp, "inc"))
+        inc.define("c", base, dims, meas, fingerprint="base")  # sunk cost
+
+        t0 = time.perf_counter()
+        inc.refresh("c", delta)
+        fold_sec = time.perf_counter() - t0
+
+        full = RollupCatalog(spark, os.path.join(tmp, "full"))
+        t0 = time.perf_counter()
+        full.define("c", li, dims, meas, fingerprint="full")
+        rebuild_sec = time.perf_counter() - t0
+
+        req = (["l_returnflag"], ["rev", "n", "max_qty", "parts"])
+        a = sorted(map(tuple, inc.rewrite(*req).collect()))
+        b = sorted(map(tuple, full.rewrite(*req).collect()))
+        assert a == b, "refresh != rebuild"
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return {
+        "sf_dir": sf_dir,
+        "n_rows": int(n_rows),
+        "n_delta": int(n_delta),
+        "refresh_sec": round(fold_sec, 3),
+        "rebuild_sec": round(rebuild_sec, 3),
+        "speedup": round(rebuild_sec / fold_sec, 3),
+    }
+
+
 def main() -> None:
     from python_cdc_spark.session import get_spark
 
@@ -111,12 +175,22 @@ def main() -> None:
     spark = get_spark(app_name="bench_incremental")
     spark.sparkContext.setLogLevel("ERROR")
     results = []
+    rollup_results = []
     for d in dirs:
         r = _measure(spark, d)
         print(f"# {d}: fold {r['fold_sec']}s vs batch {r['batch_sec']}s "
               f"(speedup {r['speedup']}x)", file=sys.stderr)
         results.append(r)
-    print(json.dumps({"metric": "incremental_fold_vs_batch", "runs": results}))
+        rr = _measure_rollup(spark, d)
+        print(f"# {d} rollup: refresh {rr['refresh_sec']}s vs rebuild "
+              f"{rr['rebuild_sec']}s (speedup {rr['speedup']}x)",
+              file=sys.stderr)
+        rollup_results.append(rr)
+    print(json.dumps({
+        "metric": "incremental_fold_vs_batch",
+        "runs": results,
+        "rollup_runs": rollup_results,
+    }))
 
 
 if __name__ == "__main__":
