@@ -309,9 +309,13 @@ class RollupCatalog:
             )
         self._write_version(name, cur + 1, scalar_df, hll_dfs)
         meta["version"] = cur + 1
-        meta["fingerprint"] = meta.get("fingerprint", "") + "+delta"
+        # mark once (idempotent): the point is to stop matching the raw
+        # source fingerprint, not to count folds
+        if not meta.get("fingerprint", "").endswith("+delta"):
+            meta["fingerprint"] = meta.get("fingerprint", "") + "+delta"
         if batch_id is not None:
-            meta["folded"] = sorted(meta["folded"] + [batch_id])
+            # bounded replay-guard tail (Spark only replays recent batches)
+            meta["folded"] = sorted(meta["folded"] + [batch_id])[-1000:]
         self._commit_meta(name, meta)
         self._gc(name, cur)
 

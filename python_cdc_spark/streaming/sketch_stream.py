@@ -79,9 +79,13 @@ class StreamingSketchAggregator:
             return {"version": 0, "folded": []}
 
     def _commit(self, version: int, folded: list) -> None:
+        # Spark only replays recent uncommitted batches, so the replay
+        # guard needs a bounded tail, not every id since stream birth
         tmp = self._meta_path + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"version": version, "folded": sorted(folded)}, f)
+            json.dump(
+                {"version": version, "folded": sorted(folded)[-1000:]}, f
+            )
         os.replace(tmp, self._meta_path)
 
     def _vdir(self, version: int) -> str:
