@@ -34,6 +34,33 @@ from pyspark.sql import functions as F
 from python_cdc_spark.queries.helpers import dec_sum
 
 
+def signed_state_deltas(
+    state_before: DataFrame,
+    state_after: DataFrame,
+    touched_keys: DataFrame,
+    key_cols: list[str],
+) -> tuple[DataFrame, DataFrame]:
+    """State-differencing form of the signed-delta algebra: given the
+    maintained state BEFORE and AFTER applying a change batch and the
+    set of keys the batch touched, return ``(plus, minus)`` row-image
+    deltas — ``minus`` = the touched keys' pre-batch rows (retracted),
+    ``plus`` = their post-batch rows (asserted). Inserts contribute only
+    a plus row, deletes only a minus row, updates both; TOAST
+    carry-forward and per-column latest-wins are already folded into the
+    states by ``apply_changes``, so the deltas inherit them for free.
+
+    This is the feed for ``plans/rollup.RollupCatalog.refresh_cdc``:
+    ``old_cube ∪ agg(plus) ∪ -agg(minus)`` equals a rebuild over
+    ``state_after`` exactly (sum/count), and ``plus ∪ minus`` names the
+    affected groups for the non-decomposable measures. Cost shape: two
+    semi-joins on the key — ``touched_keys`` is batch-sized, so AQE
+    broadcasts it and neither state ever shuffles."""
+    touched = touched_keys.select(*key_cols).distinct()
+    minus = state_before.join(touched, key_cols, "left_semi")
+    plus = state_after.join(touched, key_cols, "left_semi")
+    return plus, minus
+
+
 def incremental_group_aggregate(
     feed: DataFrame,
     key: str,

@@ -65,8 +65,12 @@ _DEC = "decimal(30,10)"
 _KINDS = ("sum", "count", "min", "max", "hll")
 # bumped when the on-disk layout changes: participates in the params
 # key, so caches written by an older layout rebuild instead of
-# misresolving
-_LAYOUT = 2
+# misresolving (v3: hidden __n support column in the scalar table,
+# required by the signed-delta CDC refresh to drop net-dead groups)
+_LAYOUT = 3
+# hidden per-group support count: lets refresh_cdc drop groups whose
+# row support nets to zero without consulting any caller measure
+_SUPPORT = "__n"
 # HLL sketch-measure geometry (matches queries/sketches.py conventions:
 # mix32 hash, bin-length rho, dyadic 2^-r sum, shared alpha expression)
 _HLL_P = 8
@@ -226,8 +230,11 @@ class RollupCatalog:
         version = (old.get("version", 0) + 1) if old else 1
         scalar = {a: v for a, v in measures.items() if v[0] != "hll"}
         build, _ = self._measure_aggs(scalar)
+        # hidden support count, always materialized (even hll-only
+        # cubes): group liveness under deletes needs it
+        build.append(F.count(F.lit(1)).cast("long").alias(_SUPPORT))
         dim_cols = [F.expr(e).alias(a) for a, e in dims.items()]
-        scalar_df = src.groupBy(*dim_cols).agg(*build) if build else None
+        scalar_df = src.groupBy(*dim_cols).agg(*build)
         hll_dfs = {
             a: _hll_registers(src, dims, e)
             for a, (k, e) in measures.items()
@@ -278,20 +285,20 @@ class RollupCatalog:
         measures = {a: tuple(v) for a, v in params["measures"].items()}
         scalar = {a: v for a, v in measures.items() if v[0] != "hll"}
 
-        scalar_df = None
-        if scalar:
-            build, merge = self._measure_aggs(scalar)
-            d_cube = delta.groupBy(*dim_cols).agg(*build)
-            old_cube = self.spark.read.parquet(
-                os.path.join(self._vdir(name, cur), "data")
-            )
-            cols = list(dims) + list(scalar)
-            scalar_df = (
-                old_cube.select(cols)
-                .unionByName(d_cube.select(cols))
-                .groupBy(*dims)
-                .agg(*merge)
-            )
+        build, merge = self._measure_aggs(scalar)
+        build.append(F.count(F.lit(1)).cast("long").alias(_SUPPORT))
+        merge.append(F.sum(_SUPPORT).cast("long").alias(_SUPPORT))
+        d_cube = delta.groupBy(*dim_cols).agg(*build)
+        old_cube = self.spark.read.parquet(
+            os.path.join(self._vdir(name, cur), "data")
+        )
+        cols = list(dims) + list(scalar) + [_SUPPORT]
+        scalar_df = (
+            old_cube.select(cols)
+            .unionByName(d_cube.select(cols))
+            .groupBy(*dims)
+            .agg(*merge)
+        )
         hll_dfs = {}
         for alias, (kind, expr) in measures.items():
             if kind != "hll":
@@ -315,6 +322,135 @@ class RollupCatalog:
             meta["fingerprint"] = meta.get("fingerprint", "") + "+delta"
         if batch_id is not None:
             # bounded replay-guard tail (Spark only replays recent batches)
+            meta["folded"] = sorted(meta["folded"] + [batch_id])[-1000:]
+        self._commit_meta(name, meta)
+        self._gc(name, cur)
+
+    def refresh_cdc(
+        self,
+        name: str,
+        plus: DataFrame,
+        minus: DataFrame,
+        state: Optional[DataFrame] = None,
+        batch_id: Optional[int] = None,
+    ) -> None:
+        """Fold a SIGNED I/U/D delta into the cube — the CDC-maintained
+        materialized view. ``plus`` holds inserted row images (the new
+        image of every INSERT/UPDATE), ``minus`` the retracted ones (the
+        pre-change image of every UPDATE/DELETE); both are state-row
+        shaped (``cdc/ivm.signed_state_deltas`` derives them from the
+        before/after states the apply pipeline already maintains).
+
+        Two plans, chosen by the cube's measure kinds:
+
+        - **Algebraic** (only ``sum``/``count`` measures): deltas
+          telescope, so the refresh is ``old ∪ agg(plus) ∪ -agg(minus)``
+          re-merged — O(delta + cube), no state read, exact because sum
+          partials are decimals and counts are integers. Groups whose
+          hidden support count nets to zero are dropped.
+        - **Affected-group rebuild** (any ``min``/``max``/``hll``
+          measure): those aggregates are not delete-decomposable, so the
+          groups whose dims appear in the delta are recomputed from
+          ``state`` (the CURRENT post-apply state — REQUIRED here) and
+          every untouched group keeps its stored partials. The delta's
+          dims set is broadcast and prunes state rows before the
+          aggregation; with dim-partitioned state storage this is a
+          partition-pruned scan, and the group count bounds the rebuilt
+          output at cube scale. Net-dead groups vanish (no state rows).
+
+        Crash atomicity, replay (``batch_id``), fingerprint extension,
+        and version GC are identical to ``refresh``."""
+        meta = self._meta(name)
+        if meta is None:
+            raise LookupError(f"no rollup named {name!r}")
+        if batch_id is not None and batch_id in meta["folded"]:
+            return  # checkpoint replay after a crash past the commit
+        params = meta["params"]
+        dims = params["dims"]
+        cur = meta["version"]
+        dim_cols = [F.expr(e).alias(a) for a, e in dims.items()]
+        measures = {a: tuple(v) for a, v in params["measures"].items()}
+        scalar = {a: v for a, v in measures.items() if v[0] != "hll"}
+        signed_only = all(k in ("sum", "count") for k, _ in measures.values())
+        if not signed_only and state is None:
+            raise ValueError(
+                "cube has min/max/hll measures; refresh_cdc requires "
+                "`state` (post-apply current state) to rebuild the "
+                "affected groups"
+            )
+        old_data = self.spark.read.parquet(
+            os.path.join(self._vdir(name, cur), "data")
+        )
+        build, merge = self._measure_aggs(scalar)
+        build.append(F.count(F.lit(1)).cast("long").alias(_SUPPORT))
+        merge.append(F.sum(_SUPPORT).cast("long").alias(_SUPPORT))
+        cols = list(dims) + list(scalar) + [_SUPPORT]
+        hll_dfs: dict[str, DataFrame] = {}
+
+        if signed_only:
+            p_cube = plus.groupBy(*dim_cols).agg(*build)
+            m_cube = minus.groupBy(*dim_cols).agg(*build)
+            neg = m_cube.select(
+                *list(dims),
+                *[(-F.col(a)).alias(a) for a in scalar],
+                (-F.col(_SUPPORT)).cast("long").alias(_SUPPORT),
+            )
+            scalar_df = (
+                old_data.select(cols)
+                .unionByName(p_cube.select(cols))
+                .unionByName(neg.select(cols))
+                .groupBy(*dims)
+                .agg(*merge)
+                .filter(F.col(_SUPPORT) > 0)
+            )
+        else:
+            # dims images touched by the delta, from either side
+            affected = (
+                plus.select(*dim_cols)
+                .unionByName(minus.select(*dim_cols))
+                .distinct()
+            )
+            # prune state rows to affected groups BEFORE aggregating
+            # (reserved __dim_ names avoid colliding with identity dims)
+            pruned = state.select(
+                "*", *[F.expr(e).alias(f"__dim_{a}") for a, e in dims.items()]
+            ).join(
+                F.broadcast(
+                    affected.select(
+                        *[F.col(a).alias(f"__dim_{a}") for a in dims]
+                    )
+                ),
+                [f"__dim_{a}" for a in dims],
+                "left_semi",
+            )
+            rebuilt = pruned.groupBy(
+                *[F.col(f"__dim_{a}").alias(a) for a in dims]
+            ).agg(*build)
+            untouched = old_data.join(
+                F.broadcast(affected), list(dims), "left_anti"
+            )
+            scalar_df = untouched.select(cols).unionByName(
+                rebuilt.select(cols)
+            )
+            reg_cols = list(dims) + ["bucket", "r"]
+            for alias, (kind, expr) in measures.items():
+                if kind != "hll":
+                    continue
+                old_regs = self.spark.read.parquet(
+                    os.path.join(self._vdir(name, cur), f"hll_{alias}")
+                )
+                untouched_regs = old_regs.join(
+                    F.broadcast(affected), list(dims), "left_anti"
+                )
+                hll_dfs[alias] = untouched_regs.select(reg_cols).unionByName(
+                    _hll_registers(pruned, dims, expr).select(reg_cols)
+                )
+
+        self._write_version(name, cur + 1, scalar_df, hll_dfs)
+        meta["version"] = cur + 1
+        if not meta.get("fingerprint", "").endswith("+delta"):
+            meta["fingerprint"] = meta.get("fingerprint", "") + "+delta"
+        if batch_id is not None:
             meta["folded"] = sorted(meta["folded"] + [batch_id])[-1000:]
         self._commit_meta(name, meta)
         self._gc(name, cur)
@@ -366,11 +502,26 @@ class RollupCatalog:
         vdir = self._vdir(name, meta["version"])
         scalar = [m for m in measures if params["measures"][m][0] != "hll"]
         hll = [m for m in measures if params["measures"][m][0] == "hll"]
+
+        def checked_filter(frame: DataFrame) -> DataFrame:
+            # Analysis-time guard on the predicate SQL itself (not just
+            # the caller-declared predicate_dims list): resolve it
+            # against an EMPTY local relation carrying only the dims
+            # schema — a plain dims projection is not enough, because
+            # Spark's analyzer resolves filter attributes through the
+            # child plan, so a measure reference would silently filter
+            # stored partials and return wrong aggregates.
+            probe = self.spark.createDataFrame(
+                [], frame.select(*params["dims"]).schema
+            )
+            probe.filter(predicate).schema
+            return frame.filter(predicate)
+
         parts: list[DataFrame] = []
         if scalar:
             df = self.spark.read.parquet(os.path.join(vdir, "data"))
             if predicate:
-                df = df.filter(predicate)
+                df = checked_filter(df)
             aggs = []
             for alias in scalar:
                 kind = params["measures"][alias][0]
@@ -387,7 +538,7 @@ class RollupCatalog:
         for alias in hll:
             regs = self.spark.read.parquet(os.path.join(vdir, f"hll_{alias}"))
             if predicate:
-                regs = regs.filter(predicate)
+                regs = checked_filter(regs)
             # fold away the dims being rolled up: registers merge by MAX
             folded = regs.groupBy(*dims, "bucket").agg(
                 F.max("r").cast("int").alias("r")

@@ -37,72 +37,80 @@ from python_cdc_spark.queries import (  # noqa: F401, E402
 # The driver's correctness gate checks the FIRST 50 registry entries;
 # registration order decides which queries earn a driver CORRECTNESS row.
 #
-# Round-5 rotation (VERDICT r4 item #1): slots 1-6 are the ONLY queries
-# with no driver row at all — the analytics/diagnostics pack registered
-# after r4's window shipped (the two r4 perf-weak plans fixed BEFORE
-# this debut: RFM now uses the distributed exact NTILE, affinity caps
-# baskets; cusum carries the ADVICE p_0=0 floor fix, histogram the
-# degenerate-bounds guard). Slots 7-18 are the 12 once-green TPC-H
-# variants waiting since r01 for their second row; slots 19-30 the
-# remaining r01-once-greens. The rest of the window banks second rows
-# for r04 first-timers. Rotated-out queries all hold 2+ green rows and
-# stay covered by the local differ (tests/test_queries_oracle.py, ALL
-# queries at sf0.01 + the end-of-round sf0.1 sweep).
-set_priority_order(
-    [
-        # --- Never-driver-checked block (6): first rows land now ---
-        "events_histogram_equiwidth",
-        "customer_rfm_segments",
-        "revenue_yoy_growth",
-        "part_affinity_lift",
-        "events_cusum_drift",
-        "join_key_skew_report",
-        # --- Once-green TPC-H variants (12, green only in r01) ---
-        "q4_order_priority",
-        "q6_forecast_revenue",
-        "q7_volume_shipping",
-        "q8_market_share",
-        "q9_product_profit",
-        "q14_promo_revenue",
-        "q15_top_supplier",
-        "q16_part_type_counts",
-        "q17_small_quantity_revenue",
-        "q18_large_volume_customers",
-        "q19_discounted_revenue",
-        "q22_dormant_customers",
-        # --- Remaining r01-once-greens (12) ---
-        "revenue_by_nation_region",
-        "scalar_math_funcs",
-        "scalar_string_funcs2",
-        "stats_deterministic_moments",
-        "window_lag_lead",
-        "window_running_total",
-        "q1_pricing_summary",
-        "q3_shipping_priority",
-        "q5_local_supplier_volume",
-        "q10_returned_items",
-        "q13_customer_distribution",
-        # --- New this round (9): first driver rows land now ---
-        "events_exact_deciles",
-        "dedup_edit_distance_verified",
-        "text_vocab_zipf_stats",
-        "corpus_split_chisquare",
-        "timeseries_ewma_recursive",
-        "events_markov_transitions",
-        "parts_pareto_abc",
-        "graph_clustering_coefficient",
-        "graph_kcore_membership",
-        "sketch_hll_orderkeys",
-        "sketch_countmin_partkeys",
-        "sketch_kmv_returnflag_overlap",
-        "sketch_hll_groupwise",
-        "timeseries_autocorrelation",
-        "data_quality_checks",
-        "rollup_revenue_rewrite",
-        "window_value_navigation",
-        "timeseries_seasonal_profile",
-        "rollup_distinct_parts_rewrite",
-        "text_pii_redact",
-        "unpivot_quarterly_revenue",
-    ]
-)
+# Round-6 rotation (VERDICT r5 item #2): freshness-ordered. Latest-green
+# rounds per name were computed from CORRECTNESS_r01–r05 (r1: 1 name,
+# r2: 4, r3: 44, r4: 50, r5: 50; zero ever-red, zero unchecked). The
+# window leads with this round's NEW registrations (debut discipline),
+# then the 9 r04 bankers the r5 window displaced late (called out by
+# name in the r5 verdict), then the 4 names whose latest row is r02,
+# then the oldest 35 of the 44 r03-latest names (CDC identity operators
+# first). The 9 r03 names that do not fit (listed at the bottom) lead
+# the r7 window; every rotated-out name stays covered by the local
+# differ (tests/test_queries_oracle.py, ALL queries at sf0.01 + the
+# end-of-round sf0.1 sweep).
+_WINDOW = [
+    # --- New this round: first driver rows land now ---
+    "rollup_cdc_maintained",
+    "sketch_kll_quantiles",
+    # --- The 9 r04 bankers displaced late in r5 (verdict #2) ---
+    "q12_priority_class",
+    "q2_min_cost_supplier",
+    "q11_important_parts",
+    "q20_outsized_share_suppliers",
+    "table_row_counts",
+    "timeseries_moving_avg",
+    "window_trailing_range_1h",
+    "events_funnel_ordered",
+    "events_retention_cohorts",
+    # --- Latest green row is r02 (4) ---
+    "filter_predicates",
+    "join_anti",
+    "projection_compute",
+    "set_operations",
+    # --- Latest green row is r03: CDC identity operators first (6) ---
+    "cdc_apply_changes",
+    "cdc_scd2_history",
+    "cdc_incremental_agg",
+    "cdc_latest_per_key",
+    "cdc_op_counts",
+    "cdc_schema_registry",
+    # --- r03-latest: joins / aggregation / window surface (13) ---
+    "asof_join_latest_click",
+    "join_semi",
+    "join_left_outer",
+    "join_range_theta",
+    "agg_cube",
+    "agg_rollup",
+    "grouping_sets_sql",
+    "pivot_status_by_priority",
+    "window_rank_dense_ntile",
+    "window_topk_per_group",
+    "median_exact_order_stat",
+    "percentile_order_values",
+    "approx_distinct_users",
+    # --- r03-latest: dedup / similarity / text / multimodal (16) ---
+    "dedup_exact",
+    "dedup_keep_first",
+    "dedup_minhash_lsh_pairs",
+    "dedup_lsh_verified",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "dedup_components_canonical",
+    "similarity_brute_topk",
+    "similarity_ivf_topk",
+    "similarity_ann_lsh_topk",
+    "text_lang_id",
+    "text_quality_score",
+    "corpus_split_train_holdout",
+    "multimodal_binary_metadata",
+    "multimodal_doc_embedding_join",
+    "udf_pandas_token_count",
+]
+# r03-latest names that did not fit this window; they lead r7:
+# array_functions, map_functions, multimodal_frame_sample,
+# streaming_session_window_30m, streaming_sliding_1h_30m,
+# streaming_tumbling_hourly, text_tf_topk, text_token_stats,
+# udf_udtf_token_explode
+assert len(_WINDOW) == 50, f"driver window must hold exactly 50, got {len(_WINDOW)}"
+assert len(set(_WINDOW)) == 50, "duplicate names in the driver window"
+set_priority_order(_WINDOW)

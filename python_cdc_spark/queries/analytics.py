@@ -687,19 +687,26 @@ def data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ship_cube(spark: SparkSession, sf_dir: str):
     """The SHARED lineitem shipping cube (one definition, many queries
     — two registered queries rewriting onto different measure subsets
-    must agree on params, or each run would rebuild the other's cube).
+    must agree on params, or each run would rebuild the other's cube;
+    the harness runs queries SEQUENTIALLY, which is what makes the
+    shared single-writer catalog safe).
     Measures: decimal revenue/qty partials, item count, and an HLL
     register sketch of l_partkey — the measure that makes COUNT
     DISTINCT decomposable in a cube."""
+    import hashlib as _hashlib
     import os as _os
 
     from python_cdc_spark.operators.ann_index import source_fingerprint
     from python_cdc_spark.plans.rollup import RollupCatalog
 
-    cat = RollupCatalog(
-        spark,
-        _os.path.join(".rollup_cache", _os.path.basename(sf_dir.rstrip("/"))),
-    )
+    # Cache keyed on a hash of the ABSOLUTE dataset path: two sf dirs
+    # sharing a basename (or runs from different CWDs) must not collide
+    # on one cache entry — the stat fingerprint would keep results
+    # correct but thrash rebuilds on every alternation.
+    key = _hashlib.md5(
+        _os.path.abspath(sf_dir.rstrip("/")).encode()
+    ).hexdigest()[:16]
+    cat = RollupCatalog(spark, _os.path.join(".rollup_cache", key))
     li = table(spark, sf_dir, "lineitem")
     cat.define(
         "lineitem_ship_cube",

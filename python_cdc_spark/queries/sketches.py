@@ -532,3 +532,155 @@ def sketch_hll_groupwise(spark: SparkSession, sf_dir: str) -> DataFrame:
             est / F.col("exact_orders").cast("double") - F.lit(1.0)
         ).alias("rel_err"),
     )
+
+
+@register(
+    "sketch_kll_quantiles",
+    oracle=f"""
+    WITH li AS (
+      SELECT l_orderkey * 8 + l_linenumber AS rid, l_extendedprice AS v
+      FROM lineitem
+    ),
+    hb AS (SELECT rid, v, {_sql_mix32("rid")} % 64 AS bucket FROM li),
+    bs AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_b FROM hb GROUP BY 1),
+    bt AS (
+      SELECT bucket, n_b,
+             CASE WHEN q = 1 THEN 0 ELSE length(bin(q - 1)) END AS t
+      FROM (SELECT bucket, n_b, (n_b + 255) // 256 AS q FROM bs)
+    ),
+    rn AS (
+      SELECT h.v, h.rid, h.bucket,
+             ROW_NUMBER() OVER (PARTITION BY h.bucket ORDER BY h.v, h.rid)
+               - 1 AS rn,
+             b.t
+      FROM hb h JOIN bt b USING (bucket)
+    ),
+    surv AS (
+      SELECT v, rid, (CAST(1 AS BIGINT) << t) AS w
+      FROM rn WHERE rn % (CAST(1 AS BIGINT) << t) = 0
+    ),
+    cw AS (
+      SELECT v, rid, w,
+             SUM(w) OVER (ORDER BY v, rid ROWS UNBOUNDED PRECEDING) AS cw
+      FROM surv
+    ),
+    tot AS (SELECT CAST(SUM(w) AS BIGINT) AS W FROM surv),
+    nr AS (SELECT CAST(SUM(n_b) AS BIGINT) AS n_rows FROM bs),
+    dec AS (
+      SELECT CAST(d AS INTEGER) AS decile,
+             CAST((d * W + 9) // 10 AS BIGINT) AS target_rank
+      FROM range(1, 10) t(d) CROSS JOIN tot
+    ),
+    picked AS (
+      SELECT d.decile, d.target_rank, c.v AS kll_value, c.rid AS krid
+      FROM dec d JOIN cw c
+        ON c.cw >= d.target_rank AND (c.cw - c.w) < d.target_rank
+    ),
+    ranks AS (
+      SELECT p.decile, p.target_rank, p.kll_value,
+             CAST(COUNT(*) AS BIGINT) AS exact_rank
+      FROM picked p JOIN li
+        ON li.v < p.kll_value
+           OR (li.v = p.kll_value AND li.rid <= p.krid)
+      GROUP BY 1, 2, 3
+    )
+    SELECT decile, kll_value, target_rank, exact_rank, n_rows
+    FROM ranks CROSS JOIN nr
+    """,
+    doc="E11: mergeable KLL-style quantile sketch with a DETERMINISTIC "
+    "compaction schedule — per-bucket sorted buffers, even-index "
+    "survivor rule at a depth fixed by the bucket's count, weighted "
+    "global rank estimator; both engines replay the identical "
+    "compaction, so the strict value hash covers the estimates (the "
+    "open problem from NOTES_r5 priorities #4, closed by FIXING the "
+    "schedule instead of replaying a data-dependent one)",
+)
+def sketch_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deciles of l_extendedprice from a quantile SKETCH, plus the true
+    rank of each estimate (second scan) so the oracle-gated output
+    carries the quality, not just the values.
+
+    Construction (history-independent, hence exactly replayable): rows
+    hash into B=64 buckets by mix32(rowid); a bucket holding n_b rows
+    compacts its (value, rowid)-sorted buffer in one shot to depth
+    t = ceil(log2(ceil(n_b/k))) (k=256) by keeping every 2^t-th element
+    (the even-index survivor rule applied t times collapses to exactly
+    this), each surviving with weight 2^t. ceil-log2 is integer bit
+    length (``length(bin(q-1))``) — never libm log2. The estimate for
+    quantile q is the first survivor whose running weight reaches
+    ceil(q*W) in global (value, rowid) order.
+
+    Scale shape: the per-bucket sort is a partition-local sort (B scales
+    with the cluster at 100 TB; it is a fixed sketch parameter here the
+    way m=256 is for the HLL); survivors are <= B*k rows — the global
+    weighted-rank step runs on sketch-scale data, never on the fact
+    table. Rank error is bounded by the strata gaps: |exact - target|
+    <= sum_b 2^(t_b), about 0.5% of n at these scales (asserted in
+    tests/test_sketches.py). The rank-verify pass is a broadcast
+    9-row theta join — one extra scan that a production caller would
+    drop."""
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("rid"),
+        F.col("l_extendedprice").alias("v"),
+    )
+    hb = li.withColumn("bucket", _mix32(F.col("rid")) % 64)
+    bs = hb.groupBy("bucket").agg(F.count(F.lit(1)).cast("long").alias("n_b"))
+    bt = bs.withColumn("q", F.expr("(n_b + 255) div 256")).select(
+        "bucket",
+        "n_b",
+        F.when(F.col("q") == 1, F.lit(0))
+        .otherwise(F.length(F.bin(F.col("q") - 1)))
+        .cast("int")
+        .alias("t"),
+    )
+    wb = Window.partitionBy("bucket").orderBy("v", "rid")
+    rn = hb.withColumn("rn", F.row_number().over(wb) - 1).join(
+        F.broadcast(bt), "bucket"
+    )
+    pow2t = F.expr("shiftleft(cast(1 as bigint), t)")
+    surv = rn.filter((F.col("rn") % pow2t) == 0).select(
+        "v", "rid", pow2t.alias("w")
+    )
+    # survivors are <= B*k rows: the unpartitioned window is sketch-scale
+    wg = Window.orderBy("v", "rid").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cw = surv.withColumn("cw", F.sum("w").over(wg))
+    tot = surv.agg(F.sum("w").cast("long").alias("W"))
+    nr = bs.agg(F.sum("n_b").cast("long").alias("n_rows"))
+    dec = (
+        spark.range(1, 10)
+        .select(F.col("id").cast("int").alias("decile"))
+        .crossJoin(F.broadcast(tot))  # 9 x 1 rows
+        .select(
+            "decile",
+            F.expr("cast((decile * W + 9) div 10 as bigint)").alias(
+                "target_rank"
+            ),
+        )
+    )
+    picked = F.broadcast(dec).join(
+        cw,
+        (F.col("cw") >= F.col("target_rank"))
+        & ((F.col("cw") - F.col("w")) < F.col("target_rank")),
+    ).select(
+        "decile",
+        "target_rank",
+        F.col("v").alias("kll_value"),
+        F.col("rid").alias("krid"),
+    )
+    ranks = (
+        F.broadcast(picked)
+        .join(
+            li,
+            (li["v"] < F.col("kll_value"))
+            | ((li["v"] == F.col("kll_value")) & (li["rid"] <= F.col("krid"))),
+        )
+        .groupBy("decile", "target_rank", "kll_value")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_rank"))
+    )
+    return ranks.crossJoin(F.broadcast(nr)).select(
+        "decile", "kll_value", "target_rank", "exact_rank", "n_rows"
+    )

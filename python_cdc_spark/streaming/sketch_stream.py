@@ -45,7 +45,16 @@ from python_cdc_spark.queries.sketches import _GOLD, _mix32
 
 class StreamingSketchAggregator:
     """Maintains one HLL (distinct keys) and one count-min sketch
-    (key frequencies) over a bigint key column of a stream."""
+    (key frequencies) over a bigint key column of a stream.
+
+    Keys may be ANY bigint: the key is masked to its low 32 bits
+    (``& 0xFFFFFFFF``) before hashing, because ``_mix32`` is defined
+    over non-negative inputs (Spark's ``%`` keeps the dividend's sign,
+    so an unmasked negative key would produce negative buckets and
+    garbage estimates that still merge deterministically). The mask is
+    the identity for non-negative keys below 2^32 and folds larger /
+    negative keys into the hash domain consistently on build and probe.
+    """
 
     def __init__(
         self,
@@ -93,8 +102,13 @@ class StreamingSketchAggregator:
 
     # -- sketch construction -------------------------------------------
 
+    def _key(self):
+        # low-32-bit mask: keeps _mix32's input non-negative for any
+        # bigint key (see class docstring)
+        return F.col(self.key_col).bitwiseAND(F.lit((1 << 32) - 1))
+
     def _batch_hll(self, df: DataFrame) -> DataFrame:
-        h = df.select(_mix32(F.col(self.key_col)).alias("h"))
+        h = df.select(_mix32(self._key()).alias("h"))
         rest_bits = 32 - self.p_bits
         w = F.shiftright(F.col("h"), self.p_bits)
         return (
@@ -116,7 +130,7 @@ class StreamingSketchAggregator:
                         F.struct(
                             F.lit(i).alias("i"),
                             (
-                                _mix32(F.col(self.key_col) + F.lit(i * _GOLD))
+                                _mix32(self._key() + F.lit(i * _GOLD))
                                 % self.cm_w
                             ).alias("bucket"),
                         )
@@ -164,9 +178,16 @@ class StreamingSketchAggregator:
         cm_new.coalesce(1).write.parquet(os.path.join(out, "cm"))
         folded = meta["folded"] + ([batch_id] if batch_id is not None else [])
         self._commit(nxt, folded)
-        stale = self._vdir(cur - 1)
-        if cur > 1 and os.path.exists(stale):
-            shutil.rmtree(stale)
+        # sweep EVERY version older than the previous one (not just
+        # cur-1): a crash between a past commit and its cleanup must not
+        # leak an orphaned directory for the stream's lifetime
+        for entry in os.listdir(self.state_path):
+            if (
+                entry.startswith("v")
+                and entry[1:].isdigit()
+                and int(entry[1:]) < nxt - 1
+            ):
+                shutil.rmtree(os.path.join(self.state_path, entry))
 
     # -- reads ----------------------------------------------------------
 
@@ -212,7 +233,7 @@ class StreamingSketchAggregator:
                         F.struct(
                             F.lit(i).alias("i"),
                             (
-                                _mix32(F.col(self.key_col) + F.lit(i * _GOLD))
+                                _mix32(self._key() + F.lit(i * _GOLD))
                                 % self.cm_w
                             ).alias("bucket"),
                         )

@@ -460,3 +460,129 @@ def test_rollup_refresh_matches_rebuild(spark, tmp_path):
 
     meta = _json.load(open(tmp_path / "inc" / "c" / "_meta.json"))
     assert meta["fingerprint"].endswith("+delta")
+
+
+def test_refresh_cdc_algebraic_matches_rebuild(spark, tmp_path):
+    """sum/count-only cube: a signed I/U/D delta folds ALGEBRAICALLY
+    (no state read), equals a rebuild over the final rows, and a group
+    whose support nets to zero disappears from the cube."""
+    from python_cdc_spark.plans.rollup import RollupCatalog
+
+    rows0 = [("a", 1, 10.0), ("a", 2, 20.0), ("b", 3, 30.0), ("c", 4, 40.0)]
+    # update key 2 a→b (value 25), delete key 4 (kills group c entirely),
+    # insert key 5 into b
+    minus_rows = [("a", 2, 20.0), ("c", 4, 40.0)]
+    plus_rows = [("b", 2, 25.0), ("b", 5, 50.0)]
+    final_rows = [("a", 1, 10.0), ("b", 2, 25.0), ("b", 3, 30.0), ("b", 5, 50.0)]
+    schema = "grp string, k long, v double"
+    s0 = spark.createDataFrame(rows0, schema)
+    dims = {"grp": "grp"}
+    meas = {"n": ("count", "1"), "total": ("sum", "v")}
+
+    cat = RollupCatalog(spark, str(tmp_path / "cdc"))
+    cat.define("c", s0, dims, meas, fingerprint="s0")
+    cat.refresh_cdc(
+        "c",
+        spark.createDataFrame(plus_rows, schema),
+        spark.createDataFrame(minus_rows, schema),
+    )
+    full = RollupCatalog(spark, str(tmp_path / "full"))
+    full.define("c", spark.createDataFrame(final_rows, schema), dims, meas)
+
+    req = (["grp"], ["n", "total"])
+    got = sorted(map(tuple, cat.rewrite(*req).collect()))
+    want = sorted(map(tuple, full.rewrite(*req).collect()))
+    assert got == want
+    assert [r[0] for r in got] == ["a", "b"]  # group c net-dead → gone
+
+
+def test_refresh_cdc_state_path_matches_rebuild(spark, tmp_path):
+    """Cube with min/max/hll measures: the affected groups rebuild from
+    current state, untouched groups keep stored partials — the result
+    equals a from-scratch build over the final state for every measure
+    kind, with finely bucketed dims so most groups ARE untouched."""
+    from python_cdc_spark.plans.rollup import RollupCatalog
+
+    li = table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    # state_0: all rows; a SPARSE "CDC batch" (so most pk buckets stay
+    # untouched and must keep their stored partials): delete orderkeys
+    # ≡ 0 (mod 701), rescale quantity for orderkeys ≡ 1 (mod 701)
+    touched_del = li.filter(F.col("l_orderkey") % 701 == 0)
+    touched_upd = li.filter(F.col("l_orderkey") % 701 == 1)
+    updated = touched_upd.withColumn("l_quantity", F.col("l_quantity") * 2)
+    state1 = (
+        li.filter((F.col("l_orderkey") % 701 != 0) & (F.col("l_orderkey") % 701 != 1))
+        .unionByName(updated)
+    )
+    minus = touched_del.unionByName(touched_upd)
+    plus = updated
+
+    dims = {"pk_bucket": "pmod(l_partkey, 97)"}
+    meas = {
+        "n": ("count", "1"),
+        "rev": ("sum", "l_extendedprice"),
+        "min_qty": ("min", "l_quantity"),
+        "max_qty": ("max", "l_quantity"),
+        "orders": ("hll", "l_orderkey"),
+    }
+    cat = RollupCatalog(spark, str(tmp_path / "cdc"))
+    cat.define("c", li, dims, meas, fingerprint="s0")
+    cat.refresh_cdc("c", plus, minus, state=state1)
+
+    full = RollupCatalog(spark, str(tmp_path / "full"))
+    full.define("c", state1, dims, meas)
+    req = (["pk_bucket"], ["n", "rev", "min_qty", "max_qty", "orders"])
+    got = sorted(map(tuple, cat.rewrite(*req).collect()))
+    want = sorted(map(tuple, full.rewrite(*req).collect()))
+    assert got == want
+
+
+def test_refresh_cdc_requires_state_and_guards_replay(spark, tmp_path):
+    """min/max/hll cubes refuse a stateless signed refresh; a replayed
+    batch id is a no-op (version pointer unchanged)."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from python_cdc_spark.plans.rollup import RollupCatalog
+
+    schema = "grp string, v double"
+    s0 = spark.createDataFrame([("a", 1.0)], schema)
+    d = spark.createDataFrame([("a", 2.0)], schema)
+    empty = spark.createDataFrame([], schema)
+
+    cat = RollupCatalog(spark, str(tmp_path / "c1"))
+    cat.define("mm", s0, {"grp": "grp"}, {"mx": ("max", "v")})
+    with _pytest.raises(ValueError, match="requires"):
+        cat.refresh_cdc("mm", d, empty)
+
+    cat.define("sc", s0, {"grp": "grp"}, {"n": ("count", "1")})
+    cat.refresh_cdc("sc", d, empty, batch_id=7)
+    meta1 = _json.load(open(tmp_path / "c1" / "sc" / "_meta.json"))
+    cat.refresh_cdc("sc", d, empty, batch_id=7)  # replay: no-op
+    meta2 = _json.load(open(tmp_path / "c1" / "sc" / "_meta.json"))
+    assert meta1 == meta2
+    got = sorted(map(tuple, cat.rewrite(["grp"], ["n"]).collect()))
+    assert got == [("a", 2)]
+
+
+def test_rewrite_rejects_predicate_on_measure(spark, tmp_path):
+    """The predicate SQL itself is resolved against a dims-only
+    projection: referencing a measure column (present in the cube
+    schema!) must raise, not silently filter stored partials."""
+    import pytest as _pytest
+    from pyspark.errors import AnalysisException
+
+    from python_cdc_spark.plans.rollup import RollupCatalog
+
+    s0 = spark.createDataFrame(
+        [("a", 1.0), ("b", 9.0)], "grp string, v double"
+    )
+    cat = RollupCatalog(spark, str(tmp_path / "c"))
+    cat.define("p", s0, {"grp": "grp"}, {"total": ("sum", "v")})
+    with _pytest.raises(AnalysisException):
+        cat.rewrite(
+            ["grp"], ["total"], predicate="total > 5", predicate_dims=["grp"]
+        ).collect()

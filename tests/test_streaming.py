@@ -978,3 +978,121 @@ def test_streaming_rollup_matches_batch(spark, tmp_path):
     sr.fold_batch(replay, batch_id=0)
     assert sr.catalog._meta("sales") == meta_before
     assert sorted(map(tuple, sr.rewrite(*req).collect())) == want
+
+
+def _cdc_rollup_cfg():
+    dims = {"grp": "grp"}
+    meas = {
+        "n": ("count", "1"),
+        "total": ("sum", "v"),
+        "mx": ("max", "v"),
+        "users": ("hll", "cast(key as bigint)"),
+    }
+    typed = {"grp": "string", "v": "double"}
+    return dims, meas, typed
+
+
+def test_streaming_cdc_rollup_matches_batch(spark, tmp_path, feed_dir):
+    """FLAGSHIP INTEGRATION, streaming twin: an I/U/D CDC stream (update
+    moves a row across groups; delete kills a group; TOAST sentinel
+    carries a value) maintains a cube whose every measure kind — count,
+    exact-decimal sum, max, HLL — equals a from-scratch cube over the
+    final applied state."""
+    from python_cdc_spark.plans.rollup import RollupCatalog
+    from python_cdc_spark.streaming.rollup_stream import (
+        StreamingCdcRollupMaintenance,
+    )
+
+    batch1 = [
+        _ev(1, "INSERT", "1", {"id": "1", "grp": "a", "v": "10"}),
+        _ev(2, "INSERT", "2", {"id": "2", "grp": "a", "v": "20"}),
+        _ev(3, "INSERT", "3", {"id": "3", "grp": "b", "v": "30"}),
+    ]
+    batch2 = [
+        _ev(4, "UPDATE", "2", {"id": "2", "grp": "b", "v": "25"}),
+        _ev(5, "DELETE", "3", None),
+        _ev(6, "INSERT", "4", {"id": "4", "grp": "c", "v": "40"}),
+        # sentinel: v carries 40 forward while grp changes
+        _ev(7, "UPDATE", "4", {"id": "4", "grp": "d", "v": "[unchanged]"}),
+    ]
+    _write_feed_file(os.path.join(feed_dir, "f1.json"), batch1)
+    _write_feed_file(os.path.join(feed_dir, "f2.json"), batch2)
+
+    dims, meas, typed = _cdc_rollup_cfg()
+    mb = StreamingCdcRollupMaintenance(
+        spark, str(tmp_path / "state"), str(tmp_path / "cube"), "c",
+        dims, meas, typed, n_buckets=8,
+    )
+    mb.init_cube(fingerprint="seed")
+    stream = read_feed_stream(spark, feed_dir, max_files_per_trigger=1).withColumn(
+        "key", F.coalesce(F.col("new_values")["id"], F.col("old_values")["id"])
+    )
+    q = mb.start(stream, str(tmp_path / "ckpt"), available_now=True)
+    q.awaitTermination(120)
+
+    # final state: 1=(a,10), 2=(b,25), 4=(d,40); key 3 deleted
+    full = RollupCatalog(spark, str(tmp_path / "full"))
+    full.define("c", mb.typed_state(), dims, meas)
+    req = (["grp"], ["n", "total", "mx", "users"])
+    got = sorted(map(tuple, mb.rewrite(*req).collect()))
+    want = sorted(map(tuple, full.rewrite(*req).collect()))
+    assert got == want
+    assert [r[0] for r in got] == ["a", "b", "d"]  # b lost key 3, got key 2
+
+
+def test_streaming_cdc_rollup_replay_after_state_commit(spark, tmp_path, feed_dir):
+    """The nasty crash window: the STATE merge committed but the cube
+    fold did not. On replay, before == after in the live state, so a
+    naive fold would be a silent no-op and the cube would stay stale
+    forever. The pre-batch version pin must time-travel to the true
+    pre-batch state and fold the real delta."""
+    from python_cdc_spark.plans.rollup import RollupCatalog
+    from python_cdc_spark.schemas import CDC_EVENT_SCHEMA
+    from python_cdc_spark.streaming.apply_stream import StreamingApplyChanges
+    from python_cdc_spark.streaming.rollup_stream import (
+        StreamingCdcRollupMaintenance,
+    )
+
+    dims, meas, typed = _cdc_rollup_cfg()
+    mb = StreamingCdcRollupMaintenance(
+        spark, str(tmp_path / "state"), str(tmp_path / "cube"), "c",
+        dims, meas, typed, n_buckets=8,
+    )
+    mb.init_cube(fingerprint="seed")
+
+    def ev_df(events):
+        rows = [dict(e, ts=None) for e in events]
+        return spark.createDataFrame(rows, CDC_EVENT_SCHEMA).withColumn(
+            "key",
+            F.coalesce(F.col("new_values")["id"], F.col("old_values")["id"]),
+        )
+
+    b1 = ev_df([
+        _ev(1, "INSERT", "1", {"id": "1", "grp": "a", "v": "10"}),
+        _ev(2, "INSERT", "2", {"id": "2", "grp": "b", "v": "20"}),
+    ])
+    mb.merge_batch(b1, batch_id=0)
+
+    # simulate the crash: batch 1's STATE commit happens (base-class
+    # merge, bypassing the cube fold), with the pin journaled first —
+    # exactly the on-disk picture a real crash leaves behind
+    b2 = ev_df([
+        _ev(3, "UPDATE", "2", {"id": "2", "grp": "a", "v": "25"}),
+        _ev(4, "DELETE", "1", None),
+    ])
+    pins = mb._pins()
+    pins["1"] = mb.store.version
+    mb._write_pins(pins)
+    StreamingApplyChanges.merge_batch(mb, b2, batch_id=1)
+
+    # replay of batch 1 (what the checkpoint does after restart)
+    mb.merge_batch(b2, batch_id=1)
+
+    full = RollupCatalog(spark, str(tmp_path / "full"))
+    full.define("c", mb.typed_state(), dims, meas)
+    req = (["grp"], ["n", "total", "mx", "users"])
+    got = sorted(map(tuple, mb.rewrite(*req).collect()))
+    want = sorted(map(tuple, full.rewrite(*req).collect()))
+    assert got == want
+    assert [r[0] for r in got] == ["a"]  # only key 2 lives, in grp a
+    assert "1" not in mb._pins()  # pin cleaned up after the fold
