@@ -259,3 +259,176 @@ class StreamingSketchAggregator:
         if available_now:
             writer = writer.trigger(availableNow=True)
         return writer.start()
+
+
+class KllStreamSketch:
+    """Mergeable streaming quantile sketch (KLL-style level buffers).
+
+    State is per-(bucket, level) buffers of (value, rid) pairs: an item
+    at level L carries weight 2^L. A batch lands at level 0; any buffer
+    exceeding ``k`` items compacts deterministically — sort by
+    (value, rid), keep the even indices (0-based), promote them one
+    level (weight doubles) — repeating until every buffer fits. Rank
+    error grows by at most the promoted weight per compaction, the
+    classic KLL bound shape, while total state stays O(buckets × k ×
+    log(n/k)) rows regardless of stream length.
+
+    Unlike the HLL/CM state (pure register/counter algebra), KLL
+    compaction is HISTORY-DEPENDENT: which items survive depends on the
+    batch boundaries, so a streamed fold is a different — equally valid,
+    equally bounded — sketch than a one-shot fold over the union. Tests
+    therefore pin both against the EXACT quantiles within the error
+    bound (plus replay/crash semantics), not bit-equality; the
+    oracle-replayable bit-exact variant is the batch query
+    ``sketch_kll_quantiles`` (fixed one-shot compaction depth).
+
+    Restart semantics are identical to :class:`StreamingSketchAggregator`
+    (same versioned dirs + atomic meta commit + replay guard + GC sweep).
+    Single writer; ``state_path`` must be LOCAL.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_path: str,
+        value_col: str,
+        id_col: str,
+        k: int = 256,
+        n_buckets: int = 8,
+    ):
+        self.spark = spark
+        self.state_path = state_path
+        self.value_col = value_col
+        self.id_col = id_col
+        self.k = k
+        self.n_buckets = n_buckets
+        os.makedirs(state_path, exist_ok=True)
+
+    # meta pointer: shares the aggregator's layout
+    @property
+    def _meta_path(self) -> str:
+        return os.path.join(self.state_path, "_meta.json")
+
+    def _meta(self) -> dict:
+        try:
+            with open(self._meta_path) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return {"version": 0, "folded": []}
+
+    def _commit(self, version: int, folded: list) -> None:
+        tmp = self._meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {"version": version, "folded": sorted(folded)[-1000:]}, f
+            )
+        os.replace(tmp, self._meta_path)
+
+    def _vdir(self, version: int) -> str:
+        return os.path.join(self.state_path, f"v{version}")
+
+    def state(self) -> DataFrame:
+        v = self._meta()["version"]
+        if v == 0:
+            return self.spark.createDataFrame(
+                [], "bucket long, level int, v double, rid long"
+            )
+        return self.spark.read.parquet(self._vdir(v))
+
+    def _compact(self, st: DataFrame) -> DataFrame:
+        """Apply the even-index promotion until every (bucket, level)
+        buffer holds <= k items. Each pass is one DataFrame op over the
+        sketch-sized state; the count check is metadata-scale."""
+        from pyspark.sql import Window
+
+        st = st.localCheckpoint(eager=True)
+        while True:
+            over = {
+                (r["bucket"], r["level"])
+                for r in st.groupBy("bucket", "level")
+                .count()
+                .filter(F.col("count") > self.k)
+                .collect()
+            }
+            if not over:
+                return st
+            is_over = F.concat_ws(
+                ":", F.col("bucket"), F.col("level")
+            ).isin([f"{b}:{l}" for b, l in over])
+            w = Window.partitionBy("bucket", "level").orderBy("v", "rid")
+            marked = st.withColumn("rn", F.row_number().over(w) - 1)
+            keep = marked.filter(~is_over).drop("rn")
+            promoted = (
+                marked.filter(is_over & (F.col("rn") % 2 == 0))
+                .drop("rn")
+                .withColumn("level", F.col("level") + F.lit(1))
+            )
+            st = keep.unionByName(promoted).localCheckpoint(eager=True)
+
+    def fold_batch(self, batch: DataFrame, batch_id: int | None = None) -> None:
+        meta = self._meta()
+        if batch_id is not None and batch_id in meta["folded"]:
+            return  # checkpoint replay after a crash past the commit
+        if batch.isEmpty():
+            if batch_id is not None:
+                self._commit(meta["version"], meta["folded"] + [batch_id])
+            return
+        new0 = batch.select(
+            (
+                _mix32(F.col(self.id_col).bitwiseAND(F.lit((1 << 32) - 1)))
+                % self.n_buckets
+            ).alias("bucket"),
+            F.lit(0).cast("int").alias("level"),
+            F.col(self.value_col).cast("double").alias("v"),
+            F.col(self.id_col).cast("long").alias("rid"),
+        )
+        cur = meta["version"]
+        st = self.state().unionByName(new0) if cur > 0 else new0
+        st = self._compact(st)
+        nxt = cur + 1
+        out = self._vdir(nxt)
+        if os.path.exists(out):  # crashed attempt: rewrite deterministically
+            shutil.rmtree(out)
+        st.coalesce(1).write.parquet(out)
+        folded = meta["folded"] + ([batch_id] if batch_id is not None else [])
+        self._commit(nxt, folded)
+        for entry in os.listdir(self.state_path):
+            if (
+                entry.startswith("v")
+                and entry[1:].isdigit()
+                and int(entry[1:]) < nxt - 1
+            ):
+                shutil.rmtree(os.path.join(self.state_path, entry))
+
+    def quantile_estimates(self, qs: list[float]) -> dict[float, float]:
+        """Weighted-rank estimates from the current state. The state is
+        sketch-sized (O(buckets × k × levels)), so the final scan runs
+        at the driver on collected rows — the same metadata-scale
+        finish as the batch query's survivor pass."""
+        rows = sorted(
+            (r["v"], r["rid"], 1 << r["level"]) for r in self.state().collect()
+        )
+        if not rows:
+            return {q: float("nan") for q in qs}
+        import math
+
+        total = sum(w for _, _, w in rows)
+        out = {}
+        for q in qs:
+            target = max(1, math.ceil(q * total))
+            cw = 0
+            for v, _, w in rows:
+                cw += w
+                if cw >= target:
+                    out[q] = v
+                    break
+        return out
+
+    def start(self, stream: DataFrame, checkpoint: str, available_now: bool = True):
+        writer = (
+            stream.writeStream.option("checkpointLocation", checkpoint)
+            .foreachBatch(lambda df, bid: self.fold_batch(df, bid))
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()

@@ -130,3 +130,104 @@ def test_sketch_merge_is_order_independent(spark, tmp_path):
         {(r["i"], r["bucket"], r["n"]) for r in one.counters().collect()},
     )
     assert fwd == rev == oneshot
+
+
+def test_kll_rank_error_within_bound(spark):
+    """The KLL query's estimates must honor the schedule's rank-error
+    bound: |exact_rank - target_rank| <= sum_b 2^(t_b), where t_b is
+    each bucket's fixed compaction depth (recomputed here from the same
+    counts); values must be monotone across deciles."""
+    from python_cdc_spark.queries import QUERIES
+    from python_cdc_spark.queries.sketches import _mix32
+    from tests.conftest import SF_CORRECT
+
+    rows = sorted(
+        QUERIES["sketch_kll_quantiles"].fn(spark, SF_CORRECT).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert [r["decile"] for r in rows] == list(range(1, 10))
+    vals = [r["kll_value"] for r in rows]
+    assert vals == sorted(vals)
+
+    li = table(spark, SF_CORRECT, "lineitem").select(
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("rid")
+    )
+    counts = (
+        li.withColumn("bucket", _mix32(F.col("rid")) % 64)
+        .groupBy("bucket")
+        .count()
+        .collect()
+    )
+    bound = 0
+    for r in counts:
+        q = (r["count"] + 255) // 256
+        t = 0 if q == 1 else (q - 1).bit_length()
+        bound += 1 << t
+    n = rows[0]["n_rows"]
+    for r in rows:
+        err = abs(r["exact_rank"] - r["target_rank"])
+        assert err <= bound, (r["decile"], err, bound)
+        assert err / n < 0.02  # and the bound itself is tight at ~2n/k
+
+
+def test_kll_stream_fold_quality_and_replay(spark, tmp_path):
+    """Streaming KLL: three micro-batch folds and a one-shot fold must
+    BOTH land within the sketch's rank tolerance of the exact
+    quantiles (compaction is history-dependent, so bit-equality is the
+    batch query's job, not this one); a replayed batch id must be a
+    no-op; a crashed version dir must be rewritten."""
+    import os as _os
+
+    from python_cdc_spark.streaming.sketch_stream import KllStreamSketch
+
+    li = table(spark, "/root/testdata/sf0.001", "lineitem").select(
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("rid"),
+        F.col("l_extendedprice").alias("v"),
+    )
+    exact = [
+        r["v"]
+        for r in li.orderBy("v", "rid").collect()
+    ]
+    n = len(exact)
+    qs = [0.25, 0.5, 0.75]
+
+    def check(est):
+        for q, v in est.items():
+            # true rank of the estimate within the exact ordering
+            import bisect
+
+            rank = bisect.bisect_right(exact, v)
+            assert abs(rank - q * n) / n < 0.08, (q, v, rank, q * n)
+
+    streamed = KllStreamSketch(
+        spark, str(tmp_path / "s3"), "v", "rid", k=128, n_buckets=4
+    )
+    for i in range(3):
+        streamed.fold_batch(li.filter(F.col("rid") % 3 == i), batch_id=i)
+    check(streamed.quantile_estimates(qs))
+
+    oneshot = KllStreamSketch(
+        spark, str(tmp_path / "s1"), "v", "rid", k=128, n_buckets=4
+    )
+    oneshot.fold_batch(li, batch_id=0)
+    check(oneshot.quantile_estimates(qs))
+
+    # state stays sketch-sized: every (bucket, level) buffer fits in k
+    sizes = streamed.state().groupBy("bucket", "level").count().collect()
+    assert sizes and all(r["count"] <= 128 for r in sizes)
+
+    # replay no-op
+    before = sorted(map(tuple, streamed.state().collect()))
+    streamed.fold_batch(li.filter(F.col("rid") % 3 == 0), batch_id=0)
+    after = sorted(map(tuple, streamed.state().collect()))
+    assert before == after
+
+    # crashed next-version dir is deleted and rewritten
+    v = streamed._meta()["version"]
+    orphan = streamed._vdir(v + 1)
+    _os.makedirs(orphan)
+    open(_os.path.join(orphan, "junk"), "w").write("x")
+    streamed.fold_batch(li.filter(F.col("rid") % 3 == 0).limit(50), batch_id=9)
+    assert streamed._meta()["version"] == v + 1
+    assert not _os.path.exists(_os.path.join(orphan, "junk"))
+    check(streamed.quantile_estimates(qs))
