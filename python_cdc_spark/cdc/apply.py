@@ -61,6 +61,51 @@ def _delete_boundary(events: DataFrame, key_col: str) -> DataFrame:
     )
 
 
+def expand_truncates(events: DataFrame, key_col: str) -> DataFrame:
+    """Honor TRUNCATE events (pgoutput ``T`` frames decode to one
+    keyless event per relation): a truncate at LSN T clears the whole
+    relation, i.e. acts as a DELETE at T for EVERY key of that table.
+    Expanding it into those per-key deletes (keys drawn from the feed
+    itself, which in the streaming path includes the prior state
+    re-encoded as events) lets the ordinary delete-boundary fold do the
+    rest — including tombstones at T, so a late event below the
+    boundary can never resurrect a truncated row across batches.
+
+    Cost shape: the boundary table is O(tables) and broadcast; the key
+    enumeration reuses the feed's own key set (grouped per table when
+    ``schema``/``table`` columns are present, one global boundary
+    otherwise). With no truncate in the feed the broadcast side is
+    empty and AQE prunes the join to nothing."""
+    is_t = F.col("operation") == "TRUNCATE"
+    group_cols = [c for c in ("schema", "table") if c in events.columns]
+    rest = events.filter(~is_t)
+    t = events.filter(is_t)
+    if group_cols:
+        bnd = t.groupBy(*group_cols).agg(F.max("lsn").alias("__trunc_lsn"))
+        keyed = (
+            rest.select(*group_cols, key_col)
+            .distinct()
+            .join(F.broadcast(bnd), group_cols)
+        )
+    else:
+        bnd = t.agg(F.max("lsn").alias("__trunc_lsn")).filter(
+            F.col("__trunc_lsn").isNotNull()
+        )
+        keyed = rest.select(key_col).distinct().crossJoin(F.broadcast(bnd))
+    # synthesize DELETE@T rows matching the feed's full schema
+    cols = []
+    for c, dtype in rest.dtypes:
+        if c == key_col or c in group_cols:
+            cols.append(F.col(c))
+        elif c == "lsn":
+            cols.append(F.col("__trunc_lsn").cast(dtype).alias("lsn"))
+        elif c == "operation":
+            cols.append(F.lit(OP_DELETE).alias("operation"))
+        else:
+            cols.append(F.lit(None).cast(dtype).alias(c))
+    return rest.unionByName(keyed.select(*cols))
+
+
 def apply_changes_with_tombstones(
     events: DataFrame, key_col: str = "key"
 ) -> DataFrame:
@@ -72,7 +117,13 @@ def apply_changes_with_tombstones(
     incremental (cross-batch) merging correct: a late event with
     ``lsn < del_lsn`` arriving in a later batch must NOT resurrect the
     row, so the boundary has to survive state collapsing.
+
+    TRUNCATE events are honored by expansion into per-key deletes at
+    the truncate LSN (``expand_truncates``) before the fold, so they
+    inherit the same ordering, tombstone, and no-resurrection
+    semantics.
     """
+    events = expand_truncates(events, key_col)
     boundaries = _delete_boundary(events, key_col)
     live = (
         events.filter(F.col("operation") != OP_DELETE)

@@ -124,6 +124,16 @@ def encode_delete(relid: int, old_values: list[Any], key_only: bool = True) -> b
     )
 
 
+def encode_truncate(relids: list[int], options: int = 0) -> bytes:
+    """Truncate message (public wire format: Int32 nrelations, Int8
+    option bits — CASCADE=1, RESTART IDENTITY=2 — then Int32 per
+    relation OID). One frame can clear several tables atomically."""
+    out = [b"T", struct.pack(">i", len(relids)), struct.pack(">b", options)]
+    for relid in relids:
+        out.append(struct.pack(">i", relid))
+    return b"".join(out)
+
+
 # ---------------------------------------------------------------------------
 # decoding
 # ---------------------------------------------------------------------------
@@ -252,6 +262,29 @@ def decode_frames(
                 try:
                     buf = bytes(buf)
                     tag = chr(buf[0]) if buf else "?"
+                    if tag == "T":
+                        # Truncate: Int32 nrelations, Int8 options
+                        # (CASCADE/RESTART IDENTITY — decoded, not
+                        # needed for apply), Int32[] relids. Emit ONE
+                        # event per registered relation so the apply
+                        # side can clear each table at this LSN;
+                        # unregistered relids drop like any other
+                        # unknown-relation frame (R10).
+                        (nrel,) = struct.unpack_from(">i", buf, 1)
+                        for j in range(nrel):
+                            (t_relid,) = struct.unpack_from(">i", buf, 6 + 4 * j)
+                            t_rel = reg.get(t_relid)
+                            if t_rel is None:
+                                continue
+                            out["lsn"].append(int(lsn))
+                            out["operation"].append("TRUNCATE")
+                            out["schema"].append(t_rel["namespace"])
+                            out["table"].append(t_rel["relname"])
+                            out["columns"].append(t_rel["columns"])
+                            out["old_values"].append(None)
+                            out["new_values"].append(None)
+                            out["ts"].append(ts)
+                        continue
                     if tag not in ("I", "U", "D"):
                         continue
                     relid = struct.unpack_from(">i", buf, 1)[0]

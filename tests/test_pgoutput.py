@@ -199,3 +199,65 @@ def test_relation_registry_retains_type_oids(spark):
     reg = relation_registry(_frames_df(spark, frames))
     assert reg[5]["columns"] == ["id", "name"]
     assert reg[5]["type_ids"] == [25, 25]  # encoder stamps text (25)
+
+
+def test_truncate_frame_clears_tables_batch_and_streaming(spark, tmp_path):
+    """A TRUNCATE frame decodes to one event per registered relation and
+    the apply honors it in LSN order: rows before the truncate die
+    (tombstoned at the truncate LSN), rows inserted after it live; a
+    late sub-boundary event in a LATER micro-batch must not resurrect —
+    and the streaming apply must agree with the batch apply."""
+    import json
+    import os
+
+    from python_cdc_spark.cdc.pgoutput import encode_truncate
+    from python_cdc_spark.streaming.apply_stream import StreamingApplyChanges
+
+    frames = [
+        encode_relation(16385, "public", "users", USERS_COLS),
+        encode_insert(16385, ["1", "A", "a@x", "active"]),
+        encode_insert(16385, ["2", "B", "b@x", "active"]),
+        # lsn 4: clears both rows (unknown relid 99 in the same frame
+        # drops silently, like any unregistered relation)
+        encode_truncate([16385, 99]),
+        encode_insert(16385, ["2", "B2", "b2@x", "active"]),
+    ]
+    df = _frames_df(spark, frames)
+    events = decode_frames(spark, df)
+    ops = [r["operation"] for r in events.orderBy("lsn").collect()]
+    assert ops.count("TRUNCATE") == 1  # one registered relation listed
+
+    keyed = events.withColumn(
+        "key", F.coalesce(F.col("new_values")["id"], F.col("old_values")["id"])
+    )
+    got = {r["key"]: dict(r["values"]) for r in apply_changes(keyed, "key").collect()}
+    assert set(got) == {"2"} and got["2"]["name"] == "B2"
+
+    # streaming: batch 1 = up to the truncate, batch 2 = the re-insert,
+    # batch 3 = a LATE event from before the boundary (must stay dead)
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    rows = [r.asDict() for r in keyed.orderBy("lsn").collect()]
+    batches = [rows[:4], rows[4:5]]
+    late = dict(rows[0], lsn=3, operation="UPDATE",
+                new_values={"id": "1", "name": "GHOST"})
+    batches.append([late])
+    for i, b in enumerate(batches):
+        with open(os.path.join(str(feed), f"f{i}.json"), "w") as f:
+            for e in b:
+                e = dict(e)
+                e["ts"] = None
+                f.write(json.dumps(e) + "\n")
+
+    from python_cdc_spark.cdc.feed import read_feed_stream
+
+    stream = read_feed_stream(spark, str(feed), max_files_per_trigger=1).withColumn(
+        "key", F.coalesce(F.col("new_values")["id"], F.col("old_values")["id"])
+    )
+    applier = StreamingApplyChanges(spark, str(tmp_path / "state"), "key", n_buckets=4)
+    q = applier.start(stream, str(tmp_path / "ckpt"), available_now=True)
+    q.awaitTermination(120)
+    streamed = {
+        r["key"]: dict(r["values"]) for r in applier.current_state().collect()
+    }
+    assert streamed == got  # ghost stayed dead; streaming == batch
