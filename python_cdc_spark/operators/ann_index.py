@@ -51,9 +51,37 @@ def source_fingerprint(*paths: str) -> str:
     return "|".join(parts)
 
 
-def _write_meta(out_dir: str, fingerprint: str, params: dict) -> None:
+def _write_meta(
+    out_dir: str, fingerprint: str, params: dict, extra: dict | None = None
+) -> None:
+    meta = {"fingerprint": fingerprint, "params": params}
+    if extra:
+        meta.update(extra)
     with open(os.path.join(out_dir, "_meta.json"), "w") as f:
-        json.dump({"fingerprint": fingerprint, "params": params}, f)
+        json.dump(meta, f)
+
+
+def appended_fraction(out_dir: str) -> float:
+    """appended_rows / base_rows for a persisted index — the quantizer
+    DRIFT signal: frozen-quantizer appends are encoded only as well as
+    the stale codebook represents them, so recall decays as this ratio
+    grows (measured in SCALE.md; tools/bench_ann_drift.py). 0.0 for a
+    fresh or legacy index."""
+    try:
+        with open(os.path.join(out_dir, "_meta.json")) as f:
+            meta = json.load(f)
+    except (OSError, ValueError):
+        return 0.0
+    base = meta.get("base_rows") or 0
+    return (meta.get("appended_rows") or 0) / base if base else 0.0
+
+
+def needs_refit(out_dir: str, threshold: float = 0.5) -> bool:
+    """Re-fit trigger: True once the appended fraction crosses
+    ``threshold``. Callers that load-or-build (the registered ANN
+    queries do) treat this like a failed ``index_is_current`` — rebuild
+    with fresh quantizers, which resets the counters."""
+    return appended_fraction(out_dir) > threshold
 
 
 def index_is_current(out_dir: str, fingerprint: str, params: dict) -> bool:
@@ -105,7 +133,14 @@ def save_ivfpq_index(
         assigned, "neighbor_id"
     )
     write_partitioned(cells, os.path.join(out_dir, "cells.parquet"), ["cell"])
-    _write_meta(out_dir, fingerprint, params or {})
+    # base_rows/appended_rows feed the drift guard (appended_fraction):
+    # a rebuild resets both, which is exactly the re-fit semantics
+    _write_meta(
+        out_dir,
+        fingerprint,
+        params or {},
+        extra={"base_rows": assigned.count(), "appended_rows": 0},
+    )
 
 
 def save_flat_index(
@@ -306,6 +341,7 @@ def append_to_ivfpq_index(
     except (OSError, ValueError):
         meta = {"fingerprint": "", "params": {}}
     meta["fingerprint"] = f"{meta.get('fingerprint', '')}+append:{n}"
+    meta["appended_rows"] = (meta.get("appended_rows") or 0) + n
     with open(meta_path, "w") as f:
         json.dump(meta, f)
     return n

@@ -642,6 +642,7 @@ def _ivfpq_index_dir(spark: SparkSession, sf_dir: str, exact: bool) -> str:
     reads prune whole directories (see operators/ann_index.py)."""
     from python_cdc_spark.operators.ann_index import (
         index_is_current,
+        needs_refit,
         save_ivfpq_index,
     )
     from python_cdc_spark.operators.pq import pq_encode
@@ -653,7 +654,10 @@ def _ivfpq_index_dir(spark: SparkSession, sf_dir: str, exact: bool) -> str:
     }
     fp = _emb_fingerprint(sf_dir)
     d = _index_dir(sf_dir, "ivfpq", exact)
-    if not index_is_current(d, fp, params):
+    # drift guard: an index that grew past the appended-fraction
+    # threshold via frozen-quantizer appends re-fits here even if its
+    # source fingerprint still matches
+    if not index_is_current(d, fp, params) or needs_refit(d):
         e = table(spark, sf_dir, "embeddings")
         cent = _fitted_centroids(spark, sf_dir, exact)
         book = _pq_codebook(spark, sf_dir, exact)

@@ -1033,3 +1033,56 @@ def test_pii_redaction_fixture(spark):
             [text, _PII_EMAIL, text, _PII_PHONE, text, _PII_EMAIL, _PII_PHONE],
         ).fetchone()
         assert got == (out[doc_id]["ne"], out[doc_id]["np"], out[doc_id]["red"])
+
+
+def test_ann_append_drift_guard_triggers_refit(spark, tmp_path):
+    """The appended-fraction counters must track base/appended rows and
+    flip needs_refit past the threshold; a rebuild (re-save with fresh
+    quantizers) must reset them — the re-fit trigger for the frozen-
+    quantizer append path."""
+    from python_cdc_spark.operators.ann_index import (
+        append_to_ivfpq_index,
+        appended_fraction,
+        needs_refit,
+        save_ivfpq_index,
+    )
+    from python_cdc_spark.operators.pq import pq_encode, pq_fit
+    from python_cdc_spark.operators.similarity import kmeans_assign, kmeans_fit
+
+    e = table(spark, "/root/testdata/sf0.01", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    base = e.filter(F.col("vec_id") < 300)
+    cent = kmeans_fit(base, "vec_id", "embedding", k=8, iters=1, exact=False)
+    book = pq_fit(base, "vec_id", "embedding", m=4, dims=64, k=16, iters=1, exact=False)
+
+    def build(docs, out):
+        assigned = kmeans_assign(
+            docs, cent, "vec_id", "embedding", exact=False
+        ).select(F.col("vec_id").alias("neighbor_id"), "cell")
+        codes = pq_encode(docs, book, "vec_id", "embedding", m=4, dims=64, exact=False)
+        save_ivfpq_index(out, cent, assigned, codes, book, params={"t": 1})
+
+    d = str(tmp_path / "idx")
+    build(base, d)
+    assert appended_fraction(d) == 0.0 and not needs_refit(d)
+
+    n_base = base.count()
+    append_to_ivfpq_index(
+        spark, d, e.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 400)),
+        kind="pq", m=4, dims=64, exact=False,
+    )
+    frac1 = appended_fraction(d)
+    assert frac1 > 0 and not needs_refit(d, threshold=0.5)
+
+    append_to_ivfpq_index(
+        spark, d, e.filter(F.col("vec_id") >= 400),
+        kind="pq", m=4, dims=64, exact=False,
+    )
+    frac2 = appended_fraction(d)
+    assert frac2 > frac1
+    assert needs_refit(d, threshold=0.5)  # stale-heavy: must re-fit
+
+    # the rebuild resets the counters — fresh quantizers, fresh base
+    build(e, d)
+    assert appended_fraction(d) == 0.0 and not needs_refit(d)
