@@ -70,6 +70,9 @@ HEADLINE = [
     "rollup_distinct_parts_rewrite",
     "text_pii_redact",
     "unpivot_quarterly_revenue",
+    # CDC-maintained rollup + quantile sketch (round 6)
+    "rollup_cdc_maintained",
+    "sketch_kll_quantiles",
 ]
 
 

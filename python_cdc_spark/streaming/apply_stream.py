@@ -93,15 +93,37 @@ class StreamingApplyChanges:
 
     def latency_report(self) -> dict:
         """Summary for ``/metrics`` (R16 analog: WAL lag expressed as
-        seconds-behind-capture instead of retained bytes)."""
+        seconds-behind-capture instead of retained bytes).
+
+        Besides the lag quantiles, serves the two numbers an operator
+        needs to judge SATURATION live: ``applied_eps_window`` (events
+        applied per second over the rolling window — the sustained
+        throughput actually achieved) and ``lag_trend_sec_per_batch``
+        (first-to-last lag slope across the window; near zero when the
+        apply keeps up, persistently positive when the ingest rate
+        exceeds the max sustainable rate and the backlog compounds).
+        ``saturated`` flags a compounding trend — above 0.2 s of new
+        backlog per batch across a full window, i.e. each batch falls
+        measurably further behind; small positive slopes are ambient
+        jitter, as the sweep's first calibration run showed (a +0.15
+        slope at a rate whose p50 was LOWER than the slower phase's).
+        The knee is measured by ``tools/bench_latency.py --sweep``."""
         if not self._latency:
             return {"batches_measured": 0}
         lags = sorted(s["capture_to_apply_sec"] for s in self._latency)
+        seq = [s["capture_to_apply_sec"] for s in self._latency]
+        span = self._latency[-1]["applied_at"] - self._latency[0]["applied_at"]
+        events = sum(s["n_rows"] for s in self._latency)
+        trend = (seq[-1] - seq[0]) / max(1, len(seq) - 1)
         return {
             "batches_measured": len(self._latency),
             "last": self._latency[-1],
             "capture_to_apply_sec_p50": lags[len(lags) // 2],
+            "capture_to_apply_sec_p95": lags[min(len(lags) - 1, int(len(lags) * 0.95))],
             "capture_to_apply_sec_max": lags[-1],
+            "applied_eps_window": round(events / span, 1) if span > 0 else None,
+            "lag_trend_sec_per_batch": round(trend, 4),
+            "saturated": len(seq) >= 8 and trend > 0.2,
         }
 
     # -- state table ------------------------------------------------------

@@ -153,13 +153,38 @@ def _run_phase(spark, rate_eps: float, seconds: float) -> dict:
         prod.join(timeout=10)
         shutil.rmtree(root, ignore_errors=True)
     final = samples[-1] if samples else {}
+    first = samples[0] if samples else {}
+    p50_first = first.get("capture_to_apply_sec_p50")
+    p50_last = final.get("capture_to_apply_sec_p50")
+    # saturated when: the live compounding-trend flag fired; the
+    # windowed p50 climbed phase-long by more than startup jitter; the
+    # ACHIEVED apply throughput fell measurably below the offered rate
+    # (the signal the applier itself cannot see — it has no notion of
+    # the offered rate); or batches grew so large the phase fit <= 3 of
+    # them (each micro-batch >= 10 s behind a 1 s trigger: hopeless
+    # backlog, and too few samples for the window statistics at all)
+    applied = final.get("applied_eps_window")
+    growing = (
+        bool(final.get("saturated"))
+        or (
+            p50_first is not None
+            and p50_last is not None
+            and p50_last - p50_first > max(2.0, p50_first)
+        )
+        or (applied is not None and applied < 0.85 * rate_eps)
+        or (final.get("batches_measured") or 0) <= 3
+    )
     return {
         "rate_eps": rate_eps,
         "duration_sec": seconds,
         "events": counter.get("events", 0),
-        "lag_p50_sec": final.get("capture_to_apply_sec_p50"),
+        "lag_p50_sec": p50_last,
+        "lag_p95_sec": final.get("capture_to_apply_sec_p95"),
         "lag_max_sec": final.get("capture_to_apply_sec_max"),
+        "applied_eps": final.get("applied_eps_window"),
+        "lag_trend_sec_per_batch": final.get("lag_trend_sec_per_batch"),
         "batches": final.get("batches_measured"),
+        "saturated": growing,
     }
 
 
@@ -167,21 +192,47 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rate", type=float, default=200.0, help="events/sec")
     ap.add_argument("--seconds", type=float, default=30.0)
+    ap.add_argument(
+        "--sweep",
+        action="store_true",
+        help="double the rate until lag grows unbounded (the saturation "
+        "knee, VERDICT r5 #6); reports max_sustainable_rate_eps",
+    )
     args = ap.parse_args()
 
     from python_cdc_spark.session import get_spark
 
     spark = get_spark(app_name="bench_latency")
     spark.sparkContext.setLogLevel("ERROR")
-    phases = [
-        _run_phase(spark, args.rate, args.seconds),
-        _run_phase(spark, args.rate * 2, args.seconds),
-    ]
-    print(
-        json.dumps(
-            {"metric": "streaming_capture_to_apply_latency", "phases": phases}
-        )
-    )
+    phases = []
+    if args.sweep:
+        rate = args.rate
+        max_ok = None
+        while True:
+            ph = _run_phase(spark, rate, args.seconds)
+            phases.append(ph)
+            if ph["saturated"]:
+                break
+            max_ok = rate
+            if rate >= 1_000_000:  # generator ceiling safeguard
+                break
+            rate *= 2
+        out = {
+            "metric": "streaming_capture_to_apply_latency",
+            "mode": "sweep",
+            "max_sustainable_rate_eps": max_ok,
+            "phases": phases,
+        }
+    else:
+        phases = [
+            _run_phase(spark, args.rate, args.seconds),
+            _run_phase(spark, args.rate * 2, args.seconds),
+        ]
+        out = {
+            "metric": "streaming_capture_to_apply_latency",
+            "phases": phases,
+        }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -113,6 +113,27 @@ SKETCHES_7 = [
 ]
 
 
+# r5 third wave + r6 additions: the only registry entries without an
+# sf1 ratio yet (VERDICT r5 #7). Mixed shapes: map-side regex (pii),
+# reshape (unpivot), full-frame windows (navigation/seasonal), LSH +
+# exact-verify joins (edit distance), graph peeling (kcore/clustering),
+# distributed exact ranking (deciles/pareto), and the r6 CDC-maintained
+# cube + KLL sketch.
+THIRD_WAVE = [
+    "text_pii_redact",
+    "unpivot_quarterly_revenue",
+    "window_value_navigation",
+    "timeseries_seasonal_profile",
+    "graph_kcore_membership",
+    "graph_clustering_coefficient",
+    "dedup_edit_distance_verified",
+    "events_exact_deciles",
+    "parts_pareto_abc",
+    "rollup_cdc_maintained",
+    "sketch_kll_quantiles",
+]
+
+
 def _run_ann_spark_only(spark, sf_dir: str) -> dict:
     from pyspark.sql import functions as F
 
@@ -233,6 +254,8 @@ def main() -> None:
         "analytics_sf1": _run_scale(spark, sf1_dir, ANALYTICS_6),
         "sketches_sf0.1": _run_scale(spark, "/root/testdata/sf0.1", SKETCHES_7),
         "sketches_sf1": _run_scale(spark, sf1_dir, SKETCHES_7),
+        "thirdwave_sf0.1": _run_scale(spark, "/root/testdata/sf0.1", THIRD_WAVE),
+        "thirdwave_sf1": _run_scale(spark, sf1_dir, THIRD_WAVE),
         "ann_sf0.1": _run_ann_spark_only(spark, "/root/testdata/sf0.1"),
         "ann_sf1": _run_ann_spark_only(spark, sf1_dir),
     }
@@ -246,6 +269,10 @@ def main() -> None:
     out["sketches_ratio_trend"] = [
         out["sketches_sf0.1"]["ratio"],
         out["sketches_sf1"]["ratio"],
+    ]
+    out["thirdwave_ratio_trend"] = [
+        out["thirdwave_sf0.1"]["ratio"],
+        out["thirdwave_sf1"]["ratio"],
     ]
     # spark-only: how much slower is 10x the data? (vs the 10x a
     # vector-scanning design would pay)
