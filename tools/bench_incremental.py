@@ -159,6 +159,78 @@ def _measure_rollup(spark, sf_dir: str) -> dict:
     }
 
 
+def _measure_cdc_rollup(spark, sf_dir: str) -> dict:
+    """CDC-maintained cube economics (r6): refresh_cdc(1% I/U/D delta)
+    vs full rebuild over the final state — BOTH fold plans measured:
+    the algebraic path (sum/count cube, no state read) and the
+    affected-group rebuild path (max + HLL measures, state pruned by
+    the delta's dims). Equality vs the rebuild asserted inline."""
+    from pyspark.sql import functions as F
+
+    from python_cdc_spark.io import table
+    from python_cdc_spark.plans.rollup import RollupCatalog
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_extendedprice", "l_discount",
+        "l_quantity", "l_returnflag", "l_linestatus", "l_shipdate",
+    ).localCheckpoint(eager=True)
+    n_rows = li.count()
+    # the CDC batch: ~0.5% of orderkeys deleted, ~0.5% repriced
+    km = F.pmod(F.col("l_orderkey"), F.lit(200))
+    touched_del = li.filter(km == 0)
+    touched_upd = li.filter(km == 1)
+    updated = touched_upd.withColumn(
+        "l_extendedprice", F.col("l_extendedprice") * 1.05
+    )
+    state1 = (
+        li.filter((km != 0) & (km != 1)).unionByName(updated)
+    ).localCheckpoint(eager=True)
+    minus = touched_del.unionByName(touched_upd).localCheckpoint(eager=True)
+    plus = updated.localCheckpoint(eager=True)
+    n_delta = minus.count() + plus.count()
+
+    dims = {
+        "ship_year": "year(l_shipdate)",
+        "l_returnflag": "l_returnflag",
+        "l_linestatus": "l_linestatus",
+    }
+    meas_sc = {"rev": ("sum", "l_extendedprice * (1 - l_discount)"),
+               "n": ("count", "1")}
+    meas_full = dict(meas_sc, max_qty=("max", "l_quantity"),
+                     parts=("hll", "l_partkey"))
+    out = {"sf_dir": sf_dir, "n_rows": int(n_rows), "n_delta": int(n_delta)}
+    tmp = tempfile.mkdtemp(prefix="cdc_rollup_bench_")
+    try:
+        for label, meas, state_arg in (
+            ("algebraic", meas_sc, None),
+            ("state_rebuild", meas_full, state1),
+        ):
+            inc = RollupCatalog(spark, os.path.join(tmp, f"inc_{label}"))
+            inc.define("c", li, dims, meas, fingerprint="s0")  # sunk cost
+
+            t0 = time.perf_counter()
+            inc.refresh_cdc("c", plus, minus, state=state_arg)
+            fold_sec = time.perf_counter() - t0
+
+            full = RollupCatalog(spark, os.path.join(tmp, f"full_{label}"))
+            t0 = time.perf_counter()
+            full.define("c", state1, dims, meas, fingerprint="s1")
+            rebuild_sec = time.perf_counter() - t0
+
+            req = (["l_returnflag"], sorted(meas))
+            a = sorted(map(tuple, inc.rewrite(*req).collect()))
+            b = sorted(map(tuple, full.rewrite(*req).collect()))
+            assert a == b, f"cdc refresh != rebuild ({label})"
+            out[label] = {
+                "refresh_sec": round(fold_sec, 3),
+                "rebuild_sec": round(rebuild_sec, 3),
+                "speedup": round(rebuild_sec / fold_sec, 3),
+            }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     from python_cdc_spark.session import get_spark
 
@@ -176,6 +248,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     results = []
     rollup_results = []
+    cdc_results = []
     for d in dirs:
         r = _measure(spark, d)
         print(f"# {d}: fold {r['fold_sec']}s vs batch {r['batch_sec']}s "
@@ -186,10 +259,15 @@ def main() -> None:
               f"{rr['rebuild_sec']}s (speedup {rr['speedup']}x)",
               file=sys.stderr)
         rollup_results.append(rr)
+        cr = _measure_cdc_rollup(spark, d)
+        print(f"# {d} cdc rollup: {cr['algebraic']} | {cr['state_rebuild']}",
+              file=sys.stderr)
+        cdc_results.append(cr)
     print(json.dumps({
         "metric": "incremental_fold_vs_batch",
         "runs": results,
         "rollup_runs": rollup_results,
+        "cdc_rollup_runs": cdc_results,
     }))
 
 
