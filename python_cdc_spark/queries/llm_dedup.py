@@ -671,16 +671,21 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_edit_distance_verified",
     oracle=f"""
     WITH {_VERIFIED_PAIRS_CTES},
-    norm AS (SELECT doc_id, {_SQL_NORM} AS t FROM documents)
-    SELECT c.id_a, c.id_b,
-           CAST(levenshtein(na.t, nb.t) AS BIGINT) AS edit_distance,
-           CAST(levenshtein(na.t, nb.t) AS DOUBLE)
-             / greatest(length(na.t), length(nb.t)) AS edit_ratio
-    FROM cand c
-    JOIN norm na ON na.doc_id = c.id_a
-    JOIN norm nb ON nb.doc_id = c.id_b
-    WHERE CAST(levenshtein(na.t, nb.t) AS DOUBLE)
-            / greatest(length(na.t), length(nb.t)) <= 0.3
+    norm AS (SELECT doc_id, {_SQL_NORM} AS t FROM documents),
+    ed AS (
+      SELECT c.id_a, c.id_b,
+             CASE WHEN na.t = nb.t THEN 0
+                  ELSE levenshtein(na.t, nb.t) END AS ed,
+             greatest(length(na.t), length(nb.t)) AS glen
+      FROM cand c
+      JOIN norm na ON na.doc_id = c.id_a
+      JOIN norm nb ON nb.doc_id = c.id_b
+    )
+    SELECT id_a, id_b,
+           CAST(ed AS BIGINT) AS edit_distance,
+           CAST(ed AS DOUBLE) / glen AS edit_ratio
+    FROM ed
+    WHERE CAST(ed AS DOUBLE) / glen <= 0.3
     """,
     doc="E25/E26: near-dup verification by EDIT DISTANCE — banded-LSH "
     "candidates (never all-pairs) verified with exact Levenshtein on "
@@ -708,18 +713,36 @@ def dedup_edit_distance_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm = docs.select("doc_id", normalized_text(F.col("text")).alias("t"))
     na = norm.select(F.col("doc_id").alias("id_a"), F.col("t").alias("ta"))
     nb = norm.select(F.col("doc_id").alias("id_b"), F.col("t").alias("tb"))
-    lev = F.levenshtein(F.col("ta"), F.col("tb"))
-    ratio = lev.cast("double") / F.greatest(F.length("ta"), F.length("tb"))
-    return (
+    # BANDED DP with a per-pair abort threshold: `levenshtein(a, b, t)`
+    # runs Ukkonen's O(t·len) band and returns -1 when the distance
+    # exceeds t. With t = floor(0.3·glen) this is EXACTLY the ratio
+    # filter (distances are integers), so pruned pairs are precisely
+    # the ones the filter would drop — identical output to the oracle's
+    # full-DP + ratio plan at a fraction of the cell count, and
+    # hopeless pairs (len diff alone exceeds the band) abort without
+    # touching the matrix. An equality short-circuit keeps copy-dense
+    # corpora (replica cliques in every LSH bucket) free of DP work.
+    lev = F.when(F.col("ta") == F.col("tb"), F.lit(0)).otherwise(
+        F.expr(
+            "levenshtein(ta, tb, "
+            "cast(floor(0.3 * greatest(length(ta), length(tb))) as int))"
+        )
+    )
+    ed = (
         cand.join(na, "id_a")
         .join(nb, "id_b")
         .select(
             "id_a",
             "id_b",
-            lev.cast("long").alias("edit_distance"),
-            ratio.alias("edit_ratio"),
+            lev.alias("__ed"),
+            F.greatest(F.length("ta"), F.length("tb")).alias("__g"),
         )
-        .filter(F.col("edit_ratio") <= 0.3)
+    )
+    return ed.filter(F.col("__ed") >= 0).select(
+        "id_a",
+        "id_b",
+        F.col("__ed").cast("long").alias("edit_distance"),
+        (F.col("__ed").cast("double") / F.col("__g")).alias("edit_ratio"),
     )
 
 

@@ -201,6 +201,12 @@ def _run_scale(spark, sf_dir: str, names: list[str] | None = None) -> dict:
     from python_cdc_spark.queries import QUERIES
 
     con = duckdb.connect()
+    # bound the spill so one pathological oracle plan errors cleanly
+    # instead of filling the disk (the kcore sf1 replay wanted >80 GB
+    # of temp) — an errored oracle is recorded and excluded from the
+    # ratio rather than killing the whole run
+    con.execute("SET temp_directory='/tmp/duck_spill'")
+    con.execute("SET max_temp_directory_size='30GB'")
     _duck_views(con, sf_dir)
     # warmup: one query end-to-end on each engine (JVM/codegen, file
     # metadata caches) so per-query numbers measure the operators
@@ -209,27 +215,41 @@ def _run_scale(spark, sf_dir: str, names: list[str] | None = None) -> dict:
 
     spark_t: dict[str, float] = {}
     duck_t: dict[str, float] = {}
+    oracle_errors: dict[str, str] = {}
     for name in (names or RELATIONAL_11):
         spec = QUERIES[name]
         t0 = time.perf_counter()
         spec.fn(spark, sf_dir).count()
         spark_t[name] = round(time.perf_counter() - t0, 4)
         t0 = time.perf_counter()
-        con.execute(spec.oracle).fetchall()
-        duck_t[name] = round(time.perf_counter() - t0, 4)
-        print(
-            f"# {name}: spark {spark_t[name]:.3f}s duck {duck_t[name]:.3f}s",
-            file=sys.stderr,
-        )
+        try:
+            con.execute(spec.oracle).fetchall()
+            duck_t[name] = round(time.perf_counter() - t0, 4)
+            print(
+                f"# {name}: spark {spark_t[name]:.3f}s duck {duck_t[name]:.3f}s",
+                file=sys.stderr,
+            )
+        except Exception as exc:  # spill cap / OOM: disclose, keep going
+            oracle_errors[name] = str(exc).split("\n")[0][:200]
+            print(f"# {name}: spark {spark_t[name]:.3f}s duck ERROR", file=sys.stderr)
     con.close()
-    s_total, d_total = round(sum(spark_t.values()), 4), round(sum(duck_t.values()), 4)
-    return {
+    shared = [n for n in spark_t if n in duck_t]
+    s_total = round(sum(spark_t[n] for n in shared), 4)
+    d_total = round(sum(duck_t[n] for n in shared), 4)
+    out = {
         "spark_total": s_total,
         "duckdb_total": d_total,
-        "ratio": round(s_total / d_total, 3),
+        "ratio": round(s_total / d_total, 3) if d_total else None,
         "spark": spark_t,
         "duckdb": duck_t,
     }
+    if oracle_errors:
+        out["oracle_errors"] = oracle_errors
+        out["note"] = (
+            "totals/ratio cover only the queries BOTH engines finished; "
+            "errored oracles listed with their failure"
+        )
+    return out
 
 
 def main() -> None:
