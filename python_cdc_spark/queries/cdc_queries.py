@@ -303,8 +303,12 @@ def rollup_cdc_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = (int(lo) + int(hi)) // 2
     base = feed.filter(F.col("lsn") <= split)
     delta = feed.filter(F.col("lsn") > split)
-    state0 = apply_changes_typed(base, "key", types)
-    state1 = apply_changes_typed(feed, "key", types)
+    # each state feeds several consumers (cube build scans the scalar
+    # and register tables separately; the refresh reads plus/minus/
+    # state) — materialize the two window-heavy folds ONCE instead of
+    # letting the lazy DAG recompute them per consumer
+    state0 = apply_changes_typed(base, "key", types).localCheckpoint(eager=True)
+    state1 = apply_changes_typed(feed, "key", types).localCheckpoint(eager=True)
 
     cache_key = hashlib.md5(
         os.path.abspath(sf_dir.rstrip("/")).encode()
