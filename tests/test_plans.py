@@ -586,3 +586,39 @@ def test_rewrite_rejects_predicate_on_measure(spark, tmp_path):
         cat.rewrite(
             ["grp"], ["total"], predicate="total > 5", predicate_dims=["grp"]
         ).collect()
+
+
+def test_refresh_cdc_accepts_pruned_state_superset(spark, tmp_path):
+    """The state-path contract at scale: ``state`` may be pre-pruned to
+    any superset of the affected groups (dim-partitioned storage then
+    prunes I/O, not just rows). Refresh with the pruned state must
+    equal a rebuild over the FULL final state."""
+    from python_cdc_spark.plans.rollup import RollupCatalog
+
+    li = table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_shipdate"
+    ).withColumn("ship_year", F.year("l_shipdate")).drop("l_shipdate")
+    years = sorted(r[0] for r in li.select("ship_year").distinct().collect())
+    hot = years[-1]
+    # the delta touches ONLY the newest ship year (the real CDC shape)
+    minus = li.filter(F.col("ship_year") == hot).filter(
+        F.col("l_orderkey") % 5 == 0
+    )
+    plus = minus.withColumn("l_quantity", F.col("l_quantity") * 3)
+    state1 = li.exceptAll(minus).unionByName(plus)
+
+    dims = {"ship_year": "ship_year"}
+    meas = {"n": ("count", "1"), "max_qty": ("max", "l_quantity"),
+            "parts": ("hll", "l_partkey")}
+    cat = RollupCatalog(spark, str(tmp_path / "cdc"))
+    cat.define("c", li, dims, meas, fingerprint="s0")
+    # caller-side pruning: only the hot year's state rows are offered
+    cat.refresh_cdc(
+        "c", plus, minus, state=state1.filter(F.col("ship_year") == hot)
+    )
+    full = RollupCatalog(spark, str(tmp_path / "full"))
+    full.define("c", state1, dims, meas)
+    req = (["ship_year"], ["n", "max_qty", "parts"])
+    got = sorted(map(tuple, cat.rewrite(*req).collect()))
+    want = sorted(map(tuple, full.rewrite(*req).collect()))
+    assert got == want
