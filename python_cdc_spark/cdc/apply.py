@@ -158,6 +158,52 @@ def apply_changes_with_tombstones(
     )
 
 
+def apply_changes_with_tombstones_multi(
+    events: DataFrame, key_col: str = "key"
+) -> DataFrame:
+    """Tombstoned fold for a MULTI-TABLE feed: state is keyed by
+    ``(schema, table, key)``, so equal key values in different tables
+    never merge and TRUNCATE expansion stays per-table (a ``T`` frame
+    for one relation must not tombstone another relation's rows —
+    pgoutput scopes ``T`` to the listed relids, which decode_frames
+    preserves as one event per relation).
+
+    ``events`` must carry non-null ``schema``/``table`` columns on every
+    keyed row (decoded wire events always do). TRUNCATE expansion runs
+    FIRST, while the per-table columns are still separate, so the
+    per-table boundary branch of :func:`expand_truncates` applies;
+    the expanded feed then folds on a composite key and the table
+    identity is split back out into state columns.
+
+    Returns ``(schema, table, key_col, values, last_lsn, del_lsn)``.
+    """
+    sep = "\x1f"  # ASCII unit separator — cannot occur in identifiers
+    expanded = expand_truncates(events, key_col)
+    composite = expanded.withColumn(
+        "__tk",
+        F.concat_ws(
+            sep,
+            F.coalesce(F.col("schema").cast("string"), F.lit("")),
+            F.coalesce(F.col("table").cast("string"), F.lit("")),
+            F.coalesce(F.col(key_col).cast("string"), F.lit("")),
+        ),
+    ).drop("schema", "table", key_col)
+    folded = apply_changes_with_tombstones(composite, "__tk")
+    parts = F.split(F.col("__tk"), sep, 3)
+
+    def _blank_null(c: Column) -> Column:
+        return F.when(c != "", c)
+
+    return folded.select(
+        _blank_null(parts.getItem(0)).alias("schema"),
+        _blank_null(parts.getItem(1)).alias("table"),
+        _blank_null(parts.getItem(2)).alias(key_col),
+        "values",
+        "last_lsn",
+        "del_lsn",
+    )
+
+
 def apply_changes_all_tables(events: DataFrame, key_col: str = "key") -> DataFrame:
     """Apply-changes for a multi-table feed in one pass: state is keyed
     by (schema, table, key), so one job materializes every replicated

@@ -418,24 +418,37 @@ class RollupCatalog:
                 .unionByName(minus.select(*dim_cols))
                 .distinct()
             )
+            # All affected/pruned/untouched joins use NULL-SAFE equality:
+            # groupBy treats NULL as a group, so a delta touching a
+            # NULL-dim group must match that group here too — plain
+            # equality would leave its stale partial in `untouched`
+            # forever (ADVICE r6 #3). The renamed broadcast side keeps
+            # the condition unambiguous.
+            aff_b = F.broadcast(
+                affected.select(*[F.col(a).alias(f"__aff_{a}") for a in dims])
+            )
+
+            def _aff_cond(side_col):
+                cond = None
+                for a in dims:
+                    c = side_col(a).eqNullSafe(F.col(f"__aff_{a}"))
+                    cond = c if cond is None else (cond & c)
+                return cond
+
             # prune state rows to affected groups BEFORE aggregating
             # (reserved __dim_ names avoid colliding with identity dims)
             pruned = state.select(
                 "*", *[F.expr(e).alias(f"__dim_{a}") for a, e in dims.items()]
             ).join(
-                F.broadcast(
-                    affected.select(
-                        *[F.col(a).alias(f"__dim_{a}") for a in dims]
-                    )
-                ),
-                [f"__dim_{a}" for a in dims],
+                aff_b,
+                _aff_cond(lambda a: F.col(f"__dim_{a}")),
                 "left_semi",
             )
             rebuilt = pruned.groupBy(
                 *[F.col(f"__dim_{a}").alias(a) for a in dims]
             ).agg(*build)
             untouched = old_data.join(
-                F.broadcast(affected), list(dims), "left_anti"
+                aff_b, _aff_cond(lambda a: old_data[a]), "left_anti"
             )
             scalar_df = untouched.select(cols).unionByName(
                 rebuilt.select(cols)
@@ -448,7 +461,7 @@ class RollupCatalog:
                     os.path.join(self._vdir(name, cur), f"hll_{alias}")
                 )
                 untouched_regs = old_regs.join(
-                    F.broadcast(affected), list(dims), "left_anti"
+                    aff_b, _aff_cond(lambda a: old_regs[a]), "left_anti"
                 )
                 hll_dfs[alias] = untouched_regs.select(reg_cols).unionByName(
                     _hll_registers(pruned, dims, expr).select(reg_cols)
@@ -558,7 +571,20 @@ class RollupCatalog:
             )
         out = parts[0]
         for p in parts[1:]:
-            out = out.join(p, dims) if dims else out.crossJoin(p)
+            if not dims:
+                out = out.crossJoin(p)
+                continue
+            # null-safe: NULL is a group (groupBy produced it on both
+            # sides), so the scalar×hll zip must not drop it
+            right = p.select(
+                *[F.col(a).alias(f"__r_{a}") for a in dims],
+                *[c for c in p.columns if c not in dims],
+            )
+            cond = None
+            for a in dims:
+                c = out[a].eqNullSafe(F.col(f"__r_{a}"))
+                cond = c if cond is None else (cond & c)
+            out = out.join(right, cond).drop(*[f"__r_{a}" for a in dims])
         # keep the caller's measure order
         return out.select(*dims, *measures)
 

@@ -740,7 +740,11 @@ def dedup_edit_distance_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         lev.alias("__ed"),
         F.greatest(F.length("ta"), F.length("tb")).alias("__g"),
     )
-    return ed.filter(F.col("__ed") >= 0).select(
+    # __g > 0 mirrors the oracle's ed/glen division: a pair whose BOTH
+    # normalized texts are empty has ed=0 via the equality short-circuit
+    # but the oracle's ratio is a 0/0 divide (NULL) that its <= filter
+    # drops — exclude it here too (ADVICE r6 #4)
+    return ed.filter((F.col("__ed") >= 0) & (F.col("__g") > 0)).select(
         "id_a",
         "id_b",
         F.col("__ed").cast("long").alias("edit_distance"),

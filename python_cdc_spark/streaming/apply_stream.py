@@ -30,8 +30,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from python_cdc_spark.cdc.apply import apply_changes_with_tombstones
+from python_cdc_spark.cdc.apply import (
+    apply_changes_with_tombstones,
+    apply_changes_with_tombstones_multi,
+)
 from python_cdc_spark.streaming.state_store import BucketedStateStore
+
+#: table-identity columns carried through the merge when the feed has
+#: them — they scope TRUNCATE expansion (and the state fold) per table
+_AUX_COLS = ("schema", "table")
 
 
 class StreamingApplyChanges:
@@ -133,9 +140,12 @@ class StreamingApplyChanges:
 
     def current_state(self) -> DataFrame:
         """The materialized table (key, values map, last_lsn) — live rows
-        only; tombstones are internal."""
-        return self._raw_state().filter(F.col("values").isNotNull()).select(
-            self.key_col, "values", "last_lsn"
+        only; tombstones are internal. A multi-table state (feed carried
+        ``schema``/``table``) keeps those identity columns."""
+        raw = self._raw_state()
+        aux = [c for c in _AUX_COLS if c in raw.columns]
+        return raw.filter(F.col("values").isNotNull()).select(
+            *aux, self.key_col, "values", "last_lsn"
         )
 
     def _raw_state(self) -> DataFrame:
@@ -152,24 +162,35 @@ class StreamingApplyChanges:
         """Re-encode state rows as events so the batch fold's sentinel /
         delete-boundary semantics compose across batches: a live row
         becomes INSERT@last_lsn, a tombstone becomes DELETE@del_lsn (both
-        for keys that were deleted then re-inserted)."""
+        for keys that were deleted then re-inserted). Table-identity
+        columns (multi-table state) ride along so a later batch's
+        TRUNCATE expands against the right table's keys."""
+        aux = [F.col(c) for c in _AUX_COLS if c in state.columns]
         inserts = state.filter(F.col("values").isNotNull()).select(
             F.col("last_lsn").alias("lsn"),
             F.lit("INSERT").alias("operation"),
             F.col("values").alias("new_values"),
+            *aux,
             F.col(self.key_col),
         )
         deletes = state.filter(F.col("del_lsn").isNotNull()).select(
             F.col("del_lsn").alias("lsn"),
             F.lit("DELETE").alias("operation"),
             F.lit(None).cast("map<string,string>").alias("new_values"),
+            *aux,
             F.col(self.key_col),
         )
         return inserts.unionByName(deletes)
 
     # -- initial snapshot --------------------------------------------------
 
-    def bootstrap(self, snapshot: DataFrame, snapshot_lsn: int) -> None:
+    def bootstrap(
+        self,
+        snapshot: DataFrame,
+        snapshot_lsn: int,
+        schema: str | None = None,
+        table: str | None = None,
+    ) -> None:
         """Initial-snapshot load: seed the state table from an existing
         source table BEFORE attaching the change stream — the
         snapshot-then-stream pattern (the reference has no equivalent;
@@ -185,15 +206,38 @@ class StreamingApplyChanges:
         columns (key included, matching the decode path's new_values)
         are string-cast into the values map. Call once on an empty
         state; committing over all buckets makes the bootstrap itself
-        crash-atomic (same manifest swap as every other commit)."""
-        if self.store.read() is not None:
-            raise ValueError("bootstrap requires an empty state store")
+        crash-atomic (same manifest swap as every other commit).
+
+        For a stream whose events carry ``schema``/``table`` (decoded
+        wire frames), pass both here so the seeded state is in the same
+        multi-table mode — call once per snapshotted table (repeat
+        calls are allowed only in multi-table mode, for tables not yet
+        seeded)."""
+        if (schema is None) != (table is None):
+            raise ValueError("pass schema and table together (or neither)")
+        existing = self.store.read()
+        if existing is not None:
+            if schema is None or "table" not in existing.columns:
+                raise ValueError("bootstrap requires an empty state store")
+            already = existing.filter(
+                (F.col("schema") == schema) & (F.col("table") == table)
+            ).head(1)
+            if already:
+                raise ValueError(
+                    f"state already holds rows for {schema}.{table}"
+                )
+        aux_cols = (
+            [F.lit(schema).alias("schema"), F.lit(table).alias("table")]
+            if schema is not None
+            else []
+        )
         values = F.map_from_arrays(
             F.array(*[F.lit(c) for c in snapshot.columns]),
             F.array(*[F.col(c).cast("string") for c in snapshot.columns]),
         )
         state = (
             snapshot.select(
+                *aux_cols,
                 F.col(self.key_col).cast("string").alias(self.key_col),
                 values.alias("values"),
                 F.lit(snapshot_lsn).cast("long").alias("last_lsn"),
@@ -202,6 +246,10 @@ class StreamingApplyChanges:
             .withColumn("bucket", self._bucket(F.col(self.key_col)))
             .repartition(max(1, self.n_buckets // 4), "bucket")
         )
+        if existing is not None:
+            # repeat multi-table seed: commit() replaces every touched
+            # bucket wholesale, so prior tables' rows must ride along
+            state = existing.select(state.columns).unionByName(state)
         self.store.commit(state, list(range(self.n_buckets)))
 
     # -- merge ------------------------------------------------------------
@@ -209,23 +257,77 @@ class StreamingApplyChanges:
     def merge_batch(self, batch: DataFrame, batch_id: int | None = None) -> list[int]:
         """Merge one (micro-)batch of events into the state table.
         Returns the bucket ids the batch touched (for derived-state
-        maintainers layered on top, e.g. StreamingIncrementalAgg)."""
+        maintainers layered on top, e.g. StreamingIncrementalAgg).
+
+        ``schema``/``table`` columns, when the feed carries both, are
+        kept through the merge and persisted in the state ("multi-table
+        mode"): the fold keys on (schema, table, key) and TRUNCATE
+        expansion stays scoped to the truncated table. A feed must be
+        consistent about the mode — mixing a multi-table feed into
+        single-table state (or vice versa) raises, because the two key
+        spaces cannot be reconciled after the fact.
+
+        A batch containing a TRUNCATE widens the merge to EVERY live
+        bucket: the truncate event is keyless (it hashes to one
+        arbitrary bucket), but it must tombstone matching keys in all
+        buckets — restricting the merge to the batch's own buckets
+        would silently leave truncated rows alive elsewhere. Cost is
+        O(total state) for that batch, which is also the semantic
+        floor: a truncate genuinely touches every key of its table.
+        (A per-table bucket index would prune this to the table's own
+        buckets; at one-table-per-stream granularity it is the same
+        set.)"""
+        aux = [c for c in _AUX_COLS if c in batch.columns]
+        if len(aux) != len(_AUX_COLS):
+            aux = []  # need BOTH columns for per-table semantics
         batch = batch.select(
-            "lsn", "operation", "new_values", F.col(self.key_col)
+            "lsn", "operation", "new_values", *aux, F.col(self.key_col)
         ).withColumn("bucket", self._bucket(F.col(self.key_col)))
 
-        touched = [r["bucket"] for r in batch.select("bucket").distinct().collect()]
-        if not touched:
+        has_truncate = bool(
+            batch.filter(F.col("operation") == "TRUNCATE").head(1)
+        )
+        batch_buckets = [
+            r["bucket"] for r in batch.select("bucket").distinct().collect()
+        ]
+        if not batch_buckets:
             return []
+        live_buckets = [int(b) for b in self.store._load_manifest()["buckets"]]
+        if has_truncate:
+            touched = sorted(set(live_buckets) | set(batch_buckets))
+            prior = self.store.read()
+        else:
+            touched = batch_buckets
+            prior = self.store.read(touched)
 
-        prior = self.store.read(touched)
+        mode_probe = prior
+        if mode_probe is None and live_buckets:
+            # live state outside the touched buckets still fixes the mode
+            mode_probe = self.store.read(live_buckets[:1])
+        if mode_probe is not None:
+            state_aux = [c for c in _AUX_COLS if c in mode_probe.columns]
+            if bool(aux) != bool(state_aux):
+                raise ValueError(
+                    "feed/state table-identity mismatch: the batch "
+                    f"{'carries' if aux else 'lacks'} schema/table columns "
+                    f"but the existing state {'lacks' if aux else 'carries'} "
+                    "them — a stream must be consistently single-table or "
+                    "multi-table (bootstrap with schema/table for a "
+                    "multi-table stream)"
+                )
+
         events = batch.drop("bucket")
         if prior is not None:
             events = events.unionByName(self._state_as_events(prior.drop("bucket")))
 
         # tombstoned fold: every previously-present key yields a row, so
         # a touched bucket can never silently vanish from the commit
-        new_state = apply_changes_with_tombstones(events, self.key_col).withColumn(
+        fold = (
+            apply_changes_with_tombstones_multi
+            if aux
+            else apply_changes_with_tombstones
+        )
+        new_state = fold(events, self.key_col).withColumn(
             "bucket", self._bucket(F.col(self.key_col))
         ).repartition(max(1, len(touched)), "bucket")
         # The store writes a NEW immutable version dir while the fold's

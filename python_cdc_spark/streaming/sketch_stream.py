@@ -42,6 +42,31 @@ from pyspark.sql import functions as F
 
 from python_cdc_spark.queries.sketches import _GOLD, _mix32
 
+#: On-disk sketch-state format. Bumped when the hash geometry (or any
+#: register/bucket placement rule) changes, because persisted registers
+#: from an older geometry CANNOT be merged with new placements — the
+#: mix would silently corrupt estimates. v2 = low-32-bit key mask
+#: before _mix32 (r6); v1 (implicit, no "format" key) = unmasked.
+_HLL_CM_FORMAT = 2
+#: KLL buffer layout version (value/rowid buffers, no key hashing).
+_KLL_FORMAT = 1
+
+
+def _check_format(meta: dict, want: int, state_path: str) -> dict:
+    """Refuse to resume state written under a different sketch format:
+    folding new-geometry updates into old-geometry registers never
+    errors but double-places keys (ADVICE r6 #5). The caller must
+    rebuild (delete the state dir or point at a fresh one)."""
+    have = meta.get("format", 1)
+    if meta.get("version", 0) > 0 and have != want:
+        raise ValueError(
+            f"sketch state at {state_path} was written with format "
+            f"v{have}, this build writes v{want}: register/bucket "
+            "placements are incompatible — delete the state directory "
+            "(or use a fresh path) and re-fold from the source stream"
+        )
+    return meta
+
 
 class StreamingSketchAggregator:
     """Maintains one HLL (distinct keys) and one count-min sketch
@@ -83,9 +108,10 @@ class StreamingSketchAggregator:
     def _meta(self) -> dict:
         try:
             with open(self._meta_path) as f:
-                return json.load(f)
+                meta = json.load(f)
         except (OSError, ValueError):
             return {"version": 0, "folded": []}
+        return _check_format(meta, _HLL_CM_FORMAT, self.state_path)
 
     def _commit(self, version: int, folded: list) -> None:
         # Spark only replays recent uncommitted batches, so the replay
@@ -93,7 +119,12 @@ class StreamingSketchAggregator:
         tmp = self._meta_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(
-                {"version": version, "folded": sorted(folded)[-1000:]}, f
+                {
+                    "version": version,
+                    "folded": sorted(folded)[-1000:],
+                    "format": _HLL_CM_FORMAT,
+                },
+                f,
             )
         os.replace(tmp, self._meta_path)
 
@@ -312,15 +343,21 @@ class KllStreamSketch:
     def _meta(self) -> dict:
         try:
             with open(self._meta_path) as f:
-                return json.load(f)
+                meta = json.load(f)
         except (OSError, ValueError):
             return {"version": 0, "folded": []}
+        return _check_format(meta, _KLL_FORMAT, self.state_path)
 
     def _commit(self, version: int, folded: list) -> None:
         tmp = self._meta_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(
-                {"version": version, "folded": sorted(folded)[-1000:]}, f
+                {
+                    "version": version,
+                    "folded": sorted(folded)[-1000:],
+                    "format": _KLL_FORMAT,
+                },
+                f,
             )
         os.replace(tmp, self._meta_path)
 

@@ -622,3 +622,40 @@ def test_refresh_cdc_accepts_pruned_state_superset(spark, tmp_path):
     got = sorted(map(tuple, cat.rewrite(*req).collect()))
     want = sorted(map(tuple, full.rewrite(*req).collect()))
     assert got == want
+
+
+def test_refresh_cdc_null_dim_group_rebuilds(spark, tmp_path):
+    """A delta touching a NULL-dim group must rebuild that group: the
+    affected/pruned/untouched joins use null-safe equality (ADVICE r6
+    #3) — plain equality never matches NULL, which would leave the NULL
+    group's stale partial in `untouched` forever while groupBy happily
+    treats NULL as a group on the rebuild side."""
+    from python_cdc_spark.plans.rollup import RollupCatalog
+
+    schema = "grp string, v double"
+    s0 = spark.createDataFrame(
+        [("a", 1.0), (None, 5.0), (None, 7.0)], schema
+    )
+    # the CDC batch touches ONLY the NULL group: +9.0, -5.0
+    plus = spark.createDataFrame([(None, 9.0)], schema)
+    minus = spark.createDataFrame([(None, 5.0)], schema)
+    state1 = spark.createDataFrame(
+        [("a", 1.0), (None, 7.0), (None, 9.0)], schema
+    )
+    meas = {
+        "n": ("count", "1"),
+        "mx": ("max", "v"),
+        "vals": ("hll", "cast(v as bigint)"),
+    }
+    cat = RollupCatalog(spark, str(tmp_path / "cdc"))
+    cat.define("c", s0, {"grp": "grp"}, meas, fingerprint="s0")
+    cat.refresh_cdc("c", plus, minus, state=state1)
+
+    full = RollupCatalog(spark, str(tmp_path / "full"))
+    full.define("c", state1, {"grp": "grp"}, meas)
+    req = (["grp"], ["n", "mx", "vals"])
+    got = sorted(map(tuple, cat.rewrite(*req).collect()), key=str)
+    want = sorted(map(tuple, full.rewrite(*req).collect()), key=str)
+    assert got == want
+    by_grp = {t[0]: t[1:] for t in got}
+    assert by_grp[None][0] == 2 and by_grp[None][1] == 9.0  # rebuilt, not stale

@@ -217,7 +217,13 @@ def test_snapshot_bootstrap_then_stream(spark, tmp_path, feed_dir):
         "key", F.coalesce(F.col("new_values")["id"], F.col("old_values")["id"])
     )
     applier = StreamingApplyChanges(spark, str(tmp_path / "state"), "key", n_buckets=4)
-    applier.bootstrap(snapshot.withColumnRenamed("id", "key"), snapshot_lsn=100)
+    # the feed's events carry schema/table, so the seed declares them too
+    applier.bootstrap(
+        snapshot.withColumnRenamed("id", "key"),
+        snapshot_lsn=100,
+        schema="public",
+        table="users",
+    )
     # seeded state is immediately queryable, before the stream attaches
     assert {r["key"] for r in applier.current_state().collect()} == {"1", "2"}
     q = applier.start(stream, str(tmp_path / "ckpt"), available_now=True)
@@ -227,9 +233,23 @@ def test_snapshot_bootstrap_then_stream(spark, tmp_path, feed_dir):
         "1": {"key": "1", "id": "1", "name": "Ada L", "blob": "big"},
         "3": {"id": "3", "name": "New", "blob": "b3"},
     }
-    # double bootstrap is an error, not silent state loss
-    with pytest.raises(ValueError, match="empty state"):
-        applier.bootstrap(snapshot.withColumnRenamed("id", "key"), snapshot_lsn=100)
+    # re-seeding an already-seeded table is an error, not silent loss
+    with pytest.raises(ValueError, match="already holds rows"):
+        applier.bootstrap(
+            snapshot.withColumnRenamed("id", "key"),
+            snapshot_lsn=100,
+            schema="public",
+            table="users",
+        )
+    # a second TABLE may seed into the same multi-table state
+    applier.bootstrap(
+        spark.createDataFrame([("7", "9.5")], ["key", "total"]),
+        snapshot_lsn=100,
+        schema="public",
+        table="orders",
+    )
+    keys = {(r["table"], r["key"]) for r in applier.current_state().collect()}
+    assert keys == {("users", "1"), ("users", "3"), ("orders", "7")}
 
 
 def test_health_endpoint_serves_while_stream_runs(spark, tmp_path, feed_dir):
@@ -1096,3 +1116,125 @@ def test_streaming_cdc_rollup_replay_after_state_commit(spark, tmp_path, feed_di
     assert got == want
     assert [r[0] for r in got] == ["a"]  # only key 2 lives, in grp a
     assert "1" not in mb._pins()  # pin cleaned up after the fold
+
+
+def _truncate_ev_df(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "lsn bigint, operation string, schema string, table string, "
+        "new_values map<string,string>, key string",
+    )
+
+
+def test_streaming_truncate_in_later_batch_clears_other_buckets(spark, tmp_path):
+    """A TRUNCATE arriving in a batch AFTER keys were committed to other
+    buckets must still clear them: the truncate event is keyless (hashes
+    to one bucket), so the merge must widen to every live bucket — the
+    round-6 regression where truncated rows survived in buckets the
+    truncate batch never touched (ADVICE r6 #1)."""
+    from python_cdc_spark.streaming.apply_stream import StreamingApplyChanges
+
+    applier = StreamingApplyChanges(spark, str(tmp_path / "state"), "key", n_buckets=8)
+    b1 = [(i, "INSERT", "public", "users", {"id": str(i)}, str(i)) for i in range(1, 13)]
+    applier.merge_batch(_truncate_ev_df(spark, b1), 0)
+    state1 = applier.store.read()
+    n_live_buckets = state1.select("bucket").distinct().count()
+    assert n_live_buckets > 1  # keys really spread over several buckets
+    assert applier.current_state().count() == 12
+
+    # batch 2: truncate (keyless) + one post-truncate insert
+    b2 = [
+        (100, "TRUNCATE", "public", "users", None, None),
+        (101, "INSERT", "public", "users", {"id": "42"}, "42"),
+    ]
+    applier.merge_batch(_truncate_ev_df(spark, b2), 1)
+    assert {r["key"] for r in applier.current_state().collect()} == {"42"}
+
+    # batch 3: a LATE pre-truncate event must not resurrect (tombstones
+    # at the truncate LSN survived in every bucket)
+    b3 = [(50, "UPDATE", "public", "users", {"id": "3", "name": "GHOST"}, "3")]
+    applier.merge_batch(_truncate_ev_df(spark, b3), 2)
+    assert {r["key"] for r in applier.current_state().collect()} == {"42"}
+
+
+def test_streaming_truncate_scoped_to_its_table(spark, tmp_path):
+    """In a multi-table stream (events carry schema/table), a TRUNCATE
+    of one table must not tombstone another table's rows — and equal key
+    values in different tables must not merge (ADVICE r6 #2)."""
+    from python_cdc_spark.streaming.apply_stream import StreamingApplyChanges
+
+    applier = StreamingApplyChanges(spark, str(tmp_path / "state"), "key", n_buckets=8)
+    b1 = [
+        (1, "INSERT", "public", "users", {"id": "1", "name": "Ada"}, "1"),
+        (2, "INSERT", "public", "orders", {"id": "1", "total": "9"}, "1"),
+        (3, "INSERT", "public", "orders", {"id": "2", "total": "5"}, "2"),
+    ]
+    applier.merge_batch(_truncate_ev_df(spark, b1), 0)
+    # batch 2 (later batch, different buckets): truncate users ONLY
+    applier.merge_batch(
+        _truncate_ev_df(spark, [(10, "TRUNCATE", "public", "users", None, None)]), 1
+    )
+    state = {
+        (r["table"], r["key"]): dict(r["values"])
+        for r in applier.current_state().collect()
+    }
+    assert set(state) == {("orders", "1"), ("orders", "2")}
+    assert state[("orders", "1")]["total"] == "9"  # same key value as users.1
+
+    # users re-insert after its truncate lives; orders untouched
+    applier.merge_batch(
+        _truncate_ev_df(
+            spark, [(20, "INSERT", "public", "users", {"id": "1", "name": "B"}, "1")]
+        ),
+        2,
+    )
+    keys = {(r["table"], r["key"]) for r in applier.current_state().collect()}
+    assert keys == {("orders", "1"), ("orders", "2"), ("users", "1")}
+
+
+def test_streaming_mode_mismatch_raises(spark, tmp_path):
+    """A stream must be consistently single- or multi-table: merging a
+    schema/table-less batch into multi-table state (or vice versa) is a
+    key-space mismatch and must fail loudly, not fold wrong."""
+    from python_cdc_spark.streaming.apply_stream import StreamingApplyChanges
+
+    applier = StreamingApplyChanges(spark, str(tmp_path / "state"), "key", n_buckets=4)
+    applier.merge_batch(
+        _truncate_ev_df(spark, [(1, "INSERT", "public", "users", {"id": "1"}, "1")]), 0
+    )
+    bare = spark.createDataFrame(
+        [(2, "INSERT", {"id": "2"}, "2")],
+        "lsn bigint, operation string, new_values map<string,string>, key string",
+    )
+    with pytest.raises(ValueError, match="single-table or\n?.*multi-table|multi-table"):
+        applier.merge_batch(bare, 1)
+
+
+def test_sketch_state_format_mismatch_refuses_resume(spark, tmp_path):
+    """Sketch state written under an older hash geometry must refuse to
+    resume (ADVICE r6 #5): folding masked-key placements into unmasked
+    registers never errors, it just corrupts estimates. The format tag
+    in _meta.json is the guard; an unversioned meta is treated as the
+    old format."""
+    import json as _json
+
+    from python_cdc_spark.streaming.sketch_stream import (
+        StreamingSketchAggregator,
+    )
+
+    path = str(tmp_path / "sk")
+    agg = StreamingSketchAggregator(spark, path, "k")
+    agg.fold_batch(spark.createDataFrame([(1,), (2,)], "k bigint"), batch_id=0)
+    meta_path = os.path.join(path, "_meta.json")
+    meta = _json.load(open(meta_path))
+    assert meta["format"] == 2  # stamped on every commit
+
+    # tamper: simulate state persisted by the pre-mask build
+    del meta["format"]
+    with open(meta_path, "w") as f:
+        _json.dump(meta, f)
+    fresh = StreamingSketchAggregator(spark, path, "k")
+    with pytest.raises(ValueError, match="format"):
+        fresh.fold_batch(
+            spark.createDataFrame([(3,)], "k bigint"), batch_id=1
+        )
