@@ -73,6 +73,9 @@ HEADLINE = [
     # CDC-maintained rollup + quantile sketch (round 6)
     "rollup_cdc_maintained",
     "sketch_kll_quantiles",
+    # multi-table TRUNCATE apply + partition-pruned cube refresh (round 7)
+    "cdc_truncate_multi_table",
+    "rollup_cdc_partition_pruned",
 ]
 
 

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from python_cdc_spark.cdc.apply import apply_changes_typed, latest_per_key
 from python_cdc_spark.cdc.feed import events_as_cdc_feed
+from python_cdc_spark.io import table
 from python_cdc_spark.cdc.scd2 import scd2_history
 from python_cdc_spark.queries.registry import register
 from python_cdc_spark.queries.sketches import _sql_mix32
@@ -330,7 +331,14 @@ def rollup_cdc_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
         fingerprint=source_fingerprint(os.path.join(sf_dir, "events.parquet")),
     )
     plus, minus = signed_state_deltas(state0, state1, delta.select("key"), ["key"])
-    cat.refresh_cdc("user_state_cube", plus, minus, state=state1)
+    # deliberately exercise the affected-group FOLD on complete state —
+    # this gate checks the fold's algebra every round; the economics
+    # warning (pass state_complete/state_path at scale) is expected here
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        cat.refresh_cdc("user_state_cube", plus, minus, state=state1)
     out = cat.rewrite(
         dims=["event_type"],
         measures=["n_rows", "sum_value", "max_value", "distinct_users"],
@@ -360,3 +368,234 @@ def cdc_schema_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     feed = events_as_cdc_feed(spark, sf_dir)
     return schema_registry_from_feed(feed)
+
+
+@register(
+    "cdc_truncate_multi_table",
+    oracle="""
+    WITH feed AS (
+      SELECT user_id AS key,
+             CASE WHEN event_id % 2 = 0 THEN 'users' ELSE 'orders' END AS tbl,
+             event_id AS lsn,
+             CASE WHEN event_type = 'signup' THEN 'INSERT'
+                  WHEN event_type = 'error'  THEN 'DELETE'
+                  ELSE 'UPDATE' END AS operation,
+             CASE WHEN event_type <> 'error' THEN CAST(value AS VARCHAR) END AS v_value
+      FROM events
+    ),
+    t AS (SELECT CAST(FLOOR(MAX(event_id) / 2) AS BIGINT) AS tlsn FROM events),
+    bound AS (
+      SELECT key, tbl,
+             GREATEST(
+               COALESCE(MAX(CASE WHEN operation = 'DELETE' THEN lsn END), -1),
+               CASE WHEN tbl = 'users' THEN (SELECT tlsn FROM t) ELSE -1 END
+             ) AS last_del
+      FROM feed GROUP BY key, tbl
+    ),
+    live AS (
+      SELECT f.* FROM feed f JOIN bound b USING (key, tbl)
+      WHERE f.operation <> 'DELETE' AND f.lsn > b.last_del
+    )
+    SELECT tbl, CAST(key AS BIGINT) AS user_id,
+           CAST(arg_max(v_value, lsn) AS DOUBLE) AS value,
+           MAX(lsn) AS last_lsn
+    FROM live GROUP BY key, tbl
+    """,
+    doc="R3+E18: TRUNCATE honored per table in a MULTI-TABLE feed — a "
+    "T frame for one relation tombstones only that relation's keys at "
+    "the truncate LSN (pgoutput scopes T to the listed relids, "
+    "pg_output_parser.py:32-39 drops them; we apply them), while a "
+    "second table sharing key values is untouched",
+)
+def cdc_truncate_multi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two relations derived from the events table (split by event-id
+    parity, both keyed by user_id so key values COLLIDE across tables),
+    with a TRUNCATE of ``users`` injected at the median LSN. The fold is
+    the engine's multi-table apply (composite (schema, table, key)
+    state): truncated rows before the boundary die, re-inserts after it
+    live, and ``orders`` rows — same key values! — survive untouched.
+    Scale shape: the truncate expands against the feed's own key set
+    (broadcast O(tables) boundary, no extra scan), then the ordinary
+    delete-boundary fold runs; nothing is per-row Python."""
+    from python_cdc_spark.cdc.apply import apply_changes_all_tables
+
+    ev = table(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type") == "signup", F.lit("INSERT"))
+        .when(F.col("event_type") == "error", F.lit("DELETE"))
+        .otherwise(F.lit("UPDATE"))
+    )
+    feed = ev.select(
+        F.col("event_id").alias("lsn"),
+        op.alias("operation"),
+        F.lit("public").alias("schema"),
+        F.when(F.col("event_id") % 2 == 0, F.lit("users"))
+        .otherwise(F.lit("orders"))
+        .alias("table"),
+        F.when(
+            op != F.lit("DELETE"),
+            F.map_from_arrays(
+                F.array(F.lit("value")),
+                F.array(F.col("value").cast("string")),
+            ),
+        ).alias("new_values"),
+        F.col("user_id").cast("string").alias("key"),
+    )
+    trunc = ev.agg(
+        F.floor(F.max("event_id") / 2).cast("long").alias("lsn")
+    ).select(
+        "lsn",
+        F.lit("TRUNCATE").alias("operation"),
+        F.lit("public").alias("schema"),
+        F.lit("users").alias("table"),
+        F.lit(None).cast("map<string,string>").alias("new_values"),
+        F.lit(None).cast("string").alias("key"),
+    )
+    state = apply_changes_all_tables(feed.unionByName(trunc), "key")
+    return state.select(
+        F.col("table").alias("tbl"),
+        F.col("key").cast("long").alias("user_id"),
+        F.col("values")["value"].cast("double").alias("value"),
+        F.col("last_lsn"),
+    )
+
+
+@register(
+    "rollup_cdc_partition_pruned",
+    oracle=f"""
+    WITH {_FEED_CTE},
+    bound AS (
+      SELECT key,
+             COALESCE(MAX(CASE WHEN operation = 'DELETE' THEN lsn END), -1) AS last_del
+      FROM feed GROUP BY key
+    ),
+    live AS (
+      SELECT f.* FROM feed f JOIN bound b USING (key)
+      WHERE f.operation <> 'DELETE' AND f.lsn > b.last_del
+    ),
+    state AS (
+      SELECT key,
+             arg_max(v_event_type, lsn) AS event_type,
+             CAST(arg_max(v_value, lsn) AS DOUBLE) AS value
+      FROM live GROUP BY key
+    ),
+    sb AS (
+      SELECT CAST(key % 4 AS INTEGER) AS key_band, event_type, key, value
+      FROM state
+    ),
+    h AS (SELECT key_band, event_type, {_sql_mix32("key")} AS h FROM sb),
+    reg AS (
+      SELECT key_band, event_type, h % 256 AS bucket,
+             MAX(CASE WHEN (h >> 8) = 0 THEN 25
+                      ELSE 25 - length(bin(h >> 8)) END) AS r
+      FROM h GROUP BY 1, 2, 3
+    ),
+    est AS (
+      SELECT key_band, event_type, CAST(COUNT(*) AS DOUBLE) AS b,
+             SUM(CAST(1 AS DOUBLE) / (CAST(1 AS BIGINT) << r)) AS s
+      FROM reg GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT key_band, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(30,10))), 4) AS DOUBLE)
+               AS sum_value,
+             MAX(value) AS max_value
+      FROM sb GROUP BY 1, 2
+    )
+    SELECT a.key_band, a.event_type, a.n_rows, a.sum_value, a.max_value,
+           (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
+             / (e.s + (256.0 - e.b)) AS distinct_users_est
+    FROM agg a JOIN est e USING (key_band, event_type)
+    """,
+    doc="VERDICT r6 #1 — ENGINE-ENFORCED partition pruning for the "
+    "sketch-measure cube refresh: post-apply state is stored "
+    "hive-partitioned by a key-band dim, the I/U/D delta is localized "
+    "to ONE band by construction, and refresh_cdc derives the affected "
+    "partition values itself, reading only that band's subdirectories "
+    "(asserted on the enumerated input-file list in the query body); "
+    "the oracle rebuilds the cube from the fully-applied state",
+)
+def rollup_cdc_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintained-cube fold with the engine doing its own I/O
+    pruning. The change suffix is restricted to keys ≡ 0 (mod 4), the
+    state table is partitioned by that band, and the fold's state read
+    is the enumerated ``key_band=0`` directory — O(affected partitions
+    + cube) I/O, the 100 TB contract, self-asserted each run via
+    ``last_refresh_plan`` / ``last_refresh_input_files``. Results
+    (count / exact-decimal sum / max / HLL distinct per (band, type))
+    must equal the oracle's direct rebuild over final state."""
+    import hashlib
+    import os
+
+    from python_cdc_spark.cdc.ivm import signed_state_deltas
+    from python_cdc_spark.operators.ann_index import source_fingerprint
+    from python_cdc_spark.plans.rollup import RollupCatalog, finalize_sum_double
+
+    types = {"value": "double", "event_type": "string"}
+    feed = events_as_cdc_feed(spark, sf_dir)
+    lo, hi = feed.agg(F.min("lsn"), F.max("lsn")).first()
+    split = (int(lo) + int(hi)) // 2
+    band_of_key = F.pmod(F.col("key").cast("bigint"), F.lit(4)).cast("int")
+    # the delta is LOCALIZED by construction: only band-0 keys change
+    # after the split; everything else is part of the base
+    is_delta = (F.col("lsn") > split) & (band_of_key == 0)
+    base = feed.filter(~is_delta)
+    delta = feed.filter(is_delta)
+
+    state0 = (
+        apply_changes_typed(base, "key", types)
+        .withColumn("key_band", band_of_key)
+        .localCheckpoint(eager=True)
+    )
+    state1 = (
+        apply_changes_typed(feed, "key", types)
+        .withColumn("key_band", band_of_key)
+        .localCheckpoint(eager=True)
+    )
+
+    cache_key = hashlib.md5(
+        os.path.abspath(sf_dir.rstrip("/")).encode()
+    ).hexdigest()[:16]
+    root = os.path.join(".rollup_cache", cache_key + "_pp")
+    state_dir = os.path.join(root, "state1")
+    # the post-apply state as the apply pipeline would persist it:
+    # hive-partitioned by the dim-derived band column
+    state1.write.mode("overwrite").partitionBy("key_band").parquet(state_dir)
+
+    cat = RollupCatalog(spark, os.path.join(root, "cubes"))
+    cat.define(
+        "band_cube",
+        state0,
+        dims={"key_band": "key_band", "event_type": "event_type"},
+        measures={
+            "n_rows": ("count", "1"),
+            "sum_value": ("sum", "value"),
+            "max_value": ("max", "value"),
+            "distinct_users": ("hll", "cast(key as bigint)"),
+        },
+        fingerprint=source_fingerprint(os.path.join(sf_dir, "events.parquet")),
+    )
+    plus, minus = signed_state_deltas(state0, state1, delta.select("key"), ["key"])
+    cat.refresh_cdc(
+        "band_cube", plus, minus,
+        state_path=state_dir, state_partition_dim="key_band",
+    )
+    # the engine's own contract, self-gated on every run
+    assert cat.last_refresh_plan == "partition_pruned_fold"
+    assert cat.last_refresh_input_files, "no affected partition was read"
+    assert all("key_band=0" in f for f in cat.last_refresh_input_files), (
+        "refresh read outside the affected band"
+    )
+    out = cat.rewrite(
+        dims=["key_band", "event_type"],
+        measures=["n_rows", "sum_value", "max_value", "distinct_users"],
+    )
+    return finalize_sum_double(out, ["sum_value"]).select(
+        "key_band",
+        "event_type",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        "sum_value",
+        "max_value",
+        F.col("distinct_users").alias("distinct_users_est"),
+    )

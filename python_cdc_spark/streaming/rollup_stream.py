@@ -204,12 +204,16 @@ class StreamingCdcRollupMaintenance(StreamingApplyChanges):
         after = self._typed(
             self.current_state().join(keys, self.key_col, "left_semi")
         ).localCheckpoint(eager=True)
+        # typed_state() IS the complete post-apply state: declare it so
+        # the engine may take the rebuild plan for sketch measures
+        # instead of warning about fold-vs-rebuild economics
         self.catalog.refresh_cdc(
             self.cube_name,
             after,
             before,
             state=self.typed_state() if self._needs_state else None,
             batch_id=batch_id,
+            state_complete=self._needs_state,
         )
         if pin_key is not None and pin_key in pins:
             del pins[pin_key]

@@ -659,3 +659,84 @@ def test_refresh_cdc_null_dim_group_rebuilds(spark, tmp_path):
     assert got == want
     by_grp = {t[0]: t[1:] for t in got}
     assert by_grp[None][0] == 2 and by_grp[None][1] == 9.0  # rebuilt, not stale
+
+
+def test_refresh_cdc_partition_pruned_reads_only_affected(spark, tmp_path):
+    """Engine-enforced I/O pruning (VERDICT r6 #1): with state stored
+    hive-partitioned by a dim-derived column, refresh_cdc derives the
+    affected partition values from the delta and reads ONLY those
+    subdirectories — proven by the enumerated input-file list, not
+    inferred from a plan."""
+    from python_cdc_spark.plans.rollup import RollupCatalog
+
+    li = table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_returnflag", "l_shipdate"
+    ).withColumn("ship_year", F.year("l_shipdate")).drop("l_shipdate")
+    years = sorted(r[0] for r in li.select("ship_year").distinct().collect())
+    hot = years[-1]
+    assert len(years) > 2  # pruning must have something to skip
+    minus = li.filter(
+        (F.col("ship_year") == hot) & (F.col("l_orderkey") % 5 == 0)
+    )
+    plus = minus.withColumn("l_quantity", F.col("l_quantity") * 3)
+    state1 = li.exceptAll(minus).unionByName(plus)
+    state_dir = str(tmp_path / "state_parted")
+    state1.write.partitionBy("ship_year").parquet(state_dir)
+
+    dims = {"ship_year": "ship_year", "l_returnflag": "l_returnflag"}
+    meas = {"n": ("count", "1"), "max_qty": ("max", "l_quantity"),
+            "parts": ("hll", "l_partkey")}
+    cat = RollupCatalog(spark, str(tmp_path / "cdc"))
+    cat.define("c", li, dims, meas, fingerprint="s0")
+    cat.refresh_cdc(
+        "c", plus, minus,
+        state_path=state_dir, state_partition_dim="ship_year",
+    )
+    assert cat.last_refresh_plan == "partition_pruned_fold"
+    files = cat.last_refresh_input_files
+    assert files and all(f"ship_year={hot}" in f for f in files)
+    # provably less I/O than the full state
+    all_files = spark.read.parquet(state_dir).inputFiles()
+    assert len(files) < len(all_files)
+
+    full = RollupCatalog(spark, str(tmp_path / "full"))
+    full.define("c", state1, dims, meas)
+    req = (["ship_year", "l_returnflag"], ["n", "max_qty", "parts"])
+    got = sorted(map(tuple, cat.rewrite(*req).collect()))
+    want = sorted(map(tuple, full.rewrite(*req).collect()))
+    assert got == want
+
+
+def test_refresh_cdc_unpartitioned_state_warns_or_rebuilds(spark, tmp_path):
+    """Plain complete state: the default fold warns about its economics
+    (it scans what a rebuild scans, slower); state_complete=True routes
+    to the measured-faster direct rebuild. Both produce the same cube."""
+    from python_cdc_spark.plans.rollup import RollupCatalog
+
+    li = table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    minus = li.filter(F.col("l_orderkey") % 7 == 0)
+    plus = minus.withColumn("l_quantity", F.col("l_quantity") + 1)
+    state1 = li.exceptAll(minus).unionByName(plus)
+    dims = {"l_returnflag": "l_returnflag"}
+    meas = {"n": ("count", "1"), "mx": ("max", "l_quantity")}
+
+    cat1 = RollupCatalog(spark, str(tmp_path / "warned"))
+    cat1.define("c", li, dims, meas, fingerprint="s0")
+    with pytest.warns(RuntimeWarning, match="prunes rows, not I/O"):
+        cat1.refresh_cdc("c", plus, minus, state=state1)
+    assert cat1.last_refresh_plan == "affected_fold"
+
+    cat2 = RollupCatalog(spark, str(tmp_path / "rebuilt"))
+    cat2.define("c", li, dims, meas, fingerprint="s0")
+    cat2.refresh_cdc("c", plus, minus, state=state1, state_complete=True)
+    assert cat2.last_refresh_plan == "full_rebuild"
+
+    req = (["l_returnflag"], ["n", "mx"])
+    a = sorted(map(tuple, cat1.rewrite(*req).collect()))
+    b = sorted(map(tuple, cat2.rewrite(*req).collect()))
+    full = RollupCatalog(spark, str(tmp_path / "full"))
+    full.define("c", state1, dims, meas)
+    want = sorted(map(tuple, full.rewrite(*req).collect()))
+    assert a == want and b == want

@@ -1238,3 +1238,61 @@ def test_sketch_state_format_mismatch_refuses_resume(spark, tmp_path):
         fresh.fold_batch(
             spark.createDataFrame([(3,)], "k bigint"), batch_id=1
         )
+
+
+def test_streaming_cdc_rollup_replay_algebraic_cube(spark, tmp_path):
+    """The crash-window pin for a sum/count-only cube: the ALGEBRAIC
+    fold consumes signed minus images derived from the pre-batch state,
+    so it needs the version pin on replay just like the sketch path —
+    and with sketch cubes now routed to the rebuild plan
+    (state_complete), this is the case that keeps the pin machinery
+    genuinely exercised."""
+    from python_cdc_spark.plans.rollup import RollupCatalog
+    from python_cdc_spark.schemas import CDC_EVENT_SCHEMA
+    from python_cdc_spark.streaming.apply_stream import StreamingApplyChanges
+    from python_cdc_spark.streaming.rollup_stream import (
+        StreamingCdcRollupMaintenance,
+    )
+
+    dims = {"grp": "grp"}
+    meas = {"n": ("count", "1"), "total": ("sum", "v")}
+    typed = {"grp": "string", "v": "double"}
+    mb = StreamingCdcRollupMaintenance(
+        spark, str(tmp_path / "state"), str(tmp_path / "cube"), "c",
+        dims, meas, typed, n_buckets=8,
+    )
+    mb.init_cube(fingerprint="seed")
+
+    def ev_df(events):
+        rows = [dict(e, ts=None) for e in events]
+        return spark.createDataFrame(rows, CDC_EVENT_SCHEMA).withColumn(
+            "key",
+            F.coalesce(F.col("new_values")["id"], F.col("old_values")["id"]),
+        )
+
+    b1 = ev_df([
+        _ev(1, "INSERT", "1", {"id": "1", "grp": "a", "v": "10"}),
+        _ev(2, "INSERT", "2", {"id": "2", "grp": "b", "v": "20"}),
+    ])
+    mb.merge_batch(b1, batch_id=0)
+
+    b2 = ev_df([
+        _ev(3, "UPDATE", "2", {"id": "2", "grp": "a", "v": "25"}),
+        _ev(4, "DELETE", "1", None),
+    ])
+    # crash: state commit lands with the pin journaled, cube fold lost
+    pins = mb._pins()
+    pins["1"] = mb.store.version
+    mb._write_pins(pins)
+    StreamingApplyChanges.merge_batch(mb, b2, batch_id=1)
+
+    mb.merge_batch(b2, batch_id=1)  # checkpoint replay
+
+    full = RollupCatalog(spark, str(tmp_path / "full"))
+    full.define("c", mb.typed_state(), dims, meas)
+    req = (["grp"], ["n", "total"])
+    got = sorted(map(tuple, mb.rewrite(*req).collect()))
+    want = sorted(map(tuple, full.rewrite(*req).collect()))
+    assert got == want
+    assert got[0][0] == "a" and got[0][1] == 1  # only key 2 lives
+    assert "1" not in mb._pins()
