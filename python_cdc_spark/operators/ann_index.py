@@ -76,11 +76,21 @@ def appended_fraction(out_dir: str) -> float:
     return (meta.get("appended_rows") or 0) / base if base else 0.0
 
 
-def needs_refit(out_dir: str, threshold: float = 0.5) -> bool:
+def needs_refit(out_dir: str, threshold: float = 0.3) -> bool:
     """Re-fit trigger: True once the appended fraction crosses
     ``threshold``. Callers that load-or-build (the registered ANN
     queries do) treat this like a failed ``index_is_current`` — rebuild
-    with fresh quantizers, which resets the counters."""
+    with fresh quantizers, which resets the counters.
+
+    Default 0.3, set FROM the measured decay curve
+    (``tools/bench_ann_drift.py``, SCALE.md §Similarity): under
+    worst-case covariate shift frozen-quantizer recall@5 runs 0.827 →
+    0.787 → 0.740 at appended fractions 0 → 0.25 → 0.5 while a re-fit
+    holds 0.75–0.83 — the frozen curve falls below the re-fit band's
+    midpoint just past 0.25 and below its FLOOR by ~0.45, so 0.3 trips
+    while the gap is opening (~0.04) instead of after it has opened
+    (~0.09 at the old 0.5 default). Appends cheaper than a re-fit are
+    still absorbed; a workload with mild drift can raise this."""
     return appended_fraction(out_dir) > threshold
 
 

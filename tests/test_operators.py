@@ -1074,6 +1074,10 @@ def test_ann_append_drift_guard_triggers_refit(spark, tmp_path):
     )
     frac1 = appended_fraction(d)
     assert frac1 > 0 and not needs_refit(d, threshold=0.5)
+    # the measured-curve default (0.3, SCALE.md §Similarity) trips
+    # already at ~1/3 appended — where the frozen-vs-refit recall gap
+    # is opening, not after it has opened
+    assert frac1 > 0.3 and needs_refit(d)
 
     append_to_ivfpq_index(
         spark, d, e.filter(F.col("vec_id") >= 400),
