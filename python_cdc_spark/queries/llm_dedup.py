@@ -710,41 +710,38 @@ def dedup_edit_distance_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "text", "doc_id", n=3, k=_K, one_permutation=True
     )
     cand = lsh_candidate_pairs(sigs, k=_K, bands=_BANDS)
+    from python_cdc_spark.functions.text import myers_levenshtein_udf
+
     norm = docs.select("doc_id", normalized_text(F.col("text")).alias("t"))
     na = norm.select(F.col("doc_id").alias("id_a"), F.col("t").alias("ta"))
     nb = norm.select(F.col("doc_id").alias("id_b"), F.col("t").alias("tb"))
-    # BANDED DP with a per-pair abort threshold: `levenshtein(a, b, t)`
-    # runs Ukkonen's O(t·len) band and returns -1 when the distance
-    # exceeds t. With t = floor(0.3·glen) this is EXACTLY the ratio
-    # filter (distances are integers), so pruned pairs are precisely
-    # the ones the filter would drop — identical output to the oracle's
-    # full-DP + ratio plan at a fraction of the cell count, and
-    # hopeless pairs (len diff alone exceeds the band) abort without
-    # touching the matrix. An equality short-circuit keeps copy-dense
-    # corpora (replica cliques in every LSH bucket) free of DP work.
-    lev = F.when(F.col("ta") == F.col("tb"), F.lit(0)).otherwise(
-        F.expr(
-            "levenshtein(ta, tb, "
-            "cast(floor(0.3 * greatest(length(ta), length(tb))) as int))"
-        )
-    )
-    # per-pair DP cost varies ~100x with text length, so coarse tasks
+    # Exact distances via the BIT-PARALLEL Myers kernel (Arrow-batched
+    # Pandas UDF, functions/text.py): O(len) bigint ops per pair versus
+    # the JVM banded DP's O(0.3·len²) cell walk — measured 115 s → ~8 s
+    # on the 300k-pair sf1 candidate set (SCALE.md §Dedup). Full
+    # distances, so the ratio filter below is literally the oracle's
+    # ed/glen <= 0.3 predicate on identical integers.
+    #
+    # per-pair cost varies ~100x with text length, so coarse tasks
     # leave a few straggler partitions holding the mega-doc pairs
     # (measured 2x wall-clock run variance at 300k pairs / 32 tasks);
-    # fan the pair set out into many small tasks before the DP — the
-    # standard treatment for heterogeneous per-row kernels
+    # fan the pair set out into many small tasks before the kernel —
+    # the standard treatment for heterogeneous per-row work
     paired = cand.join(na, "id_a").join(nb, "id_b").repartition(256)
+    lev = myers_levenshtein_udf()
     ed = paired.select(
         "id_a",
         "id_b",
-        lev.alias("__ed"),
+        lev("ta", "tb").alias("__ed"),
         F.greatest(F.length("ta"), F.length("tb")).alias("__g"),
     )
     # __g > 0 mirrors the oracle's ed/glen division: a pair whose BOTH
-    # normalized texts are empty has ed=0 via the equality short-circuit
-    # but the oracle's ratio is a 0/0 divide (NULL) that its <= filter
-    # drops — exclude it here too (ADVICE r6 #4)
-    return ed.filter((F.col("__ed") >= 0) & (F.col("__g") > 0)).select(
+    # normalized texts are empty has ed=0 but the oracle's ratio is a
+    # 0/0 divide (NULL) that its <= filter drops (ADVICE r6 #4)
+    return ed.filter(
+        (F.col("__g") > 0)
+        & (F.col("__ed").cast("double") / F.col("__g") <= 0.3)
+    ).select(
         "id_a",
         "id_b",
         F.col("__ed").cast("long").alias("edit_distance"),
