@@ -134,6 +134,34 @@ def encode_truncate(relids: list[int], options: int = 0) -> bytes:
     return b"".join(out)
 
 
+def encode_origin(commit_lsn: int, name: str) -> bytes:
+    """Origin message (public wire format, protocol.sgml: Int64 commit
+    LSN on the origin, then the origin name as a C string) — emitted by
+    cascading publishers so subscribers can filter replayed changes."""
+    return b"O" + struct.pack(">q", commit_lsn) + _cstr(name)
+
+
+def encode_type(type_oid: int, namespace: str, name: str) -> bytes:
+    """Type message (Int32 OID, namespace cstr, name cstr): maps a
+    custom type OID — the ones relation frames carry in ``type_ids`` —
+    to its qualified name."""
+    return b"Y" + struct.pack(">i", type_oid) + _cstr(namespace) + _cstr(name)
+
+
+def encode_message(prefix: str, content: bytes, transactional: bool = True,
+                   lsn: int = 0) -> bytes:
+    """Logical decoding message (``pg_logical_emit_message``): Int8
+    transactional flag, Int64 LSN, prefix cstr, Int32 length, bytes."""
+    return (
+        b"M"
+        + struct.pack(">b", 1 if transactional else 0)
+        + struct.pack(">q", lsn)
+        + _cstr(prefix)
+        + struct.pack(">i", len(content))
+        + content
+    )
+
+
 # ---------------------------------------------------------------------------
 # decoding
 # ---------------------------------------------------------------------------
@@ -328,3 +356,86 @@ def decode_frames(
                 yield pd.DataFrame(out)
 
     return frames.select("lsn", "ts", frame_col).mapInPandas(decode, CDC_EVENT_SCHEMA)
+
+
+CONTROL_FRAME_SCHEMA = (
+    "lsn bigint, ts timestamp, kind string, name string, "
+    "origin_lsn bigint, type_oid int, transactional boolean, "
+    "content binary"
+)
+
+
+def decode_control_frames(spark: SparkSession, frames: DataFrame,
+                          frame_col: str = "frame") -> DataFrame:
+    """Decode the NON-DML control frames the DML decoder (and the
+    reference, ``pg_output_parser.py:32-39``) drops: Origin (``O``),
+    Type (``Y``), and logical-decoding Message (``M``).
+
+    These carry no apply-side semantics (filtering replayed changes by
+    origin is a publisher-topology concern; type names annotate the
+    ``type_ids`` relation frames already expose; messages are
+    application-defined), so they are surfaced as a SEPARATE observable
+    stream instead of widening the DML event schema:
+
+    - ``O`` → (kind='ORIGIN', name=origin name, origin_lsn=Int64
+      commit LSN on the origin)
+    - ``Y`` → (kind='TYPE', name='namespace.typename', type_oid)
+    - ``M`` → (kind='MESSAGE', name=prefix, transactional flag,
+      content bytes)
+
+    Same scale shape as ``decode_frames``: Arrow ``mapInPandas``,
+    partition-parallel, malformed frames dropped (R14). Cite:
+    PostgreSQL protocol.sgml "Logical Replication Message Formats".
+    """
+
+    def decode(batches: Iterator["Any"]) -> Iterator["Any"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "lsn", "ts", "kind", "name", "origin_lsn", "type_oid",
+                "transactional", "content",
+            )}
+
+            def emit(lsn, ts, kind, name, origin_lsn=None, type_oid=None,
+                     transactional=None, content=None):
+                out["lsn"].append(int(lsn))
+                out["ts"].append(ts)
+                out["kind"].append(kind)
+                out["name"].append(name)
+                out["origin_lsn"].append(origin_lsn)
+                out["type_oid"].append(type_oid)
+                out["transactional"].append(transactional)
+                out["content"].append(content)
+
+            for lsn, ts, buf in zip(pdf["lsn"], pdf["ts"], pdf[frame_col]):
+                try:
+                    buf = bytes(buf)
+                    tag = chr(buf[0]) if buf else "?"
+                    if tag == "O":
+                        (commit_lsn,) = struct.unpack_from(">q", buf, 1)
+                        name, _ = _read_cstr(buf, 9)
+                        emit(lsn, ts, "ORIGIN", name, origin_lsn=commit_lsn)
+                    elif tag == "Y":
+                        (oid,) = struct.unpack_from(">i", buf, 1)
+                        ns, pos = _read_cstr(buf, 5)
+                        tname, _ = _read_cstr(buf, pos)
+                        emit(lsn, ts, "TYPE", f"{ns}.{tname}", type_oid=oid)
+                    elif tag == "M":
+                        flag = buf[1] != 0
+                        prefix, pos = _read_cstr(buf, 10)
+                        (clen,) = struct.unpack_from(">i", buf, pos)
+                        content = buf[pos + 4:pos + 4 + clen]
+                        if len(content) != clen:
+                            continue  # truncated payload: drop (R14)
+                        emit(lsn, ts, "MESSAGE", prefix,
+                             transactional=flag, content=bytearray(content))
+                except (ValueError, IndexError, struct.error,
+                        UnicodeDecodeError):
+                    continue
+            if out["lsn"]:
+                yield pd.DataFrame(out)
+
+    return frames.select("lsn", "ts", frame_col).mapInPandas(
+        decode, CONTROL_FRAME_SCHEMA
+    )

@@ -261,3 +261,40 @@ def test_truncate_frame_clears_tables_batch_and_streaming(spark, tmp_path):
         r["key"]: dict(r["values"]) for r in applier.current_state().collect()
     }
     assert streamed == got  # ghost stayed dead; streaming == batch
+
+
+def test_control_frames_decode_and_dml_path_ignores_them(spark):
+    """Origin/Type/Message frames — the three the reference's dispatch
+    falls through on (pg_output_parser.py:32-39) — decode on the
+    control stream with their documented fields, while the DML decoder
+    keeps dropping them; malformed control frames drop (R14)."""
+    from python_cdc_spark.cdc.pgoutput import (
+        decode_control_frames,
+        encode_message,
+        encode_origin,
+        encode_type,
+    )
+
+    frames = [
+        encode_relation(7, "public", "users", ["id"]),
+        encode_origin(991234, "region_a"),
+        encode_type(60001, "public", "mood_enum"),
+        encode_message("audit", b"\x01\x02payload", transactional=True, lsn=55),
+        encode_insert(7, ["1"]),
+        encode_message("x", b"abc")[:-2],  # truncated payload: drop
+    ]
+    df = _frames_df(spark, frames)
+
+    ctl = {r["kind"]: r for r in decode_control_frames(spark, df).collect()}
+    assert set(ctl) == {"ORIGIN", "TYPE", "MESSAGE"}
+    assert ctl["ORIGIN"]["name"] == "region_a"
+    assert ctl["ORIGIN"]["origin_lsn"] == 991234
+    assert ctl["TYPE"]["name"] == "public.mood_enum"
+    assert ctl["TYPE"]["type_oid"] == 60001
+    assert ctl["MESSAGE"]["name"] == "audit"
+    assert ctl["MESSAGE"]["transactional"] is True
+    assert bytes(ctl["MESSAGE"]["content"]) == b"\x01\x02payload"
+
+    # the DML path is unchanged: only the insert decodes
+    events = decode_frames(spark, df)
+    assert [r["operation"] for r in events.collect()] == ["INSERT"]
