@@ -1,0 +1,163 @@
+"""Replication-origin tracking (pgoutput ``O`` frames) and loop filtering.
+
+PostgreSQL emits an Origin frame inside a transaction — between BEGIN
+and the first DML — when that transaction was itself replayed from
+another node (replication origins; cf. the ``origin`` publication /
+subscription parameter, values ``any`` | ``none``). Subscribers in
+bidirectional topologies filter origin-carrying transactions to break
+replication loops. The reference's dispatch falls through on ``O``
+(``pg_output_parser.py:32-39``, no loop filtering); this module
+implements the subscriber semantics on top of the control-frame codec.
+
+Semantics: the origin of a DML event is the name carried by the most
+recent marker frame at-or-before the event's LSN, where BEGIN resets
+the origin to NULL (local) and ``O`` sets it. That is a global as-of
+over the LSN axis.
+
+Scale shape (the part that matters at 100 TB): txn markers are
+O(transactions) while events are O(rows), and there is no natural
+partition key for a global ordered scan. We use the bucket-parallel
+prefix-carry pattern (same as ``operators/ranking.py``): LSNs hash to
+range buckets, a within-bucket window resolves events whose governing
+marker is in their own bucket, and the cross-bucket carry is computed
+from per-bucket LAST-marker aggregates — O(non-empty buckets) rows
+collected to the driver, forward-filled, and broadcast back. No global
+sort, no single-partition window over row-scale data.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def txn_markers(frames: DataFrame, frame_col: str = "frame") -> DataFrame:
+    """``(lsn, origin)`` for every BEGIN (origin NULL — local) and
+    Origin frame (origin = its name). All-JVM: the name is the
+    trailing cstring of the ``O`` frame (tag byte + Int64 commit LSN +
+    name + NUL), sliced with binary substring/decode — no UDF."""
+    tag = F.substring(frame_col, 1, 1)
+    begins = frames.filter(tag == F.lit("B")).select(
+        "lsn", F.lit(None).cast("string").alias("origin")
+    )
+    name = F.decode(
+        F.expr(f"substring({frame_col}, 10, length({frame_col}) - 10)"),
+        "UTF-8",
+    )
+    origins = frames.filter(tag == F.lit("O")).select(
+        "lsn", name.alias("origin")
+    )
+    return begins.unionByName(origins)
+
+
+def annotate_origins(
+    spark: SparkSession,
+    events: DataFrame,
+    frames: DataFrame,
+    frame_col: str = "frame",
+    bucket_width: int = 1 << 16,
+    initial_origin: str | None = None,
+) -> DataFrame:
+    """Add an ``origin`` column to decoded DML events: the replaying
+    node's name for origin-carrying transactions, NULL for local ones.
+
+    ``initial_origin`` seeds the carry for events that precede every
+    marker in ``frames`` — the streaming resume case, where the
+    governing marker arrived in an earlier micro-batch.
+    """
+    markers = txn_markers(frames, frame_col)
+    bucket = (F.col("lsn") / F.lit(int(bucket_width))).cast("bigint")
+
+    # Within-bucket resolution: markers sort before events at the same
+    # LSN (__is_ev ascending) so a marker is visible to a same-LSN DML.
+    mk = markers.select(
+        "lsn",
+        F.lit(0).alias("__is_ev"),
+        F.struct(F.col("origin")).alias("__m"),
+    ).withColumn("__b", bucket)
+    ev = (
+        events.withColumn("__b", bucket)
+        .withColumn("__is_ev", F.lit(1))
+        .withColumn("__m", F.lit(None).cast("struct<origin:string>"))
+    )
+    u = ev.unionByName(mk, allowMissingColumns=True)
+    w = (
+        Window.partitionBy("__b")
+        .orderBy("lsn", "__is_ev")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = u.withColumn("__wm", F.last("__m", ignorenulls=True).over(w))
+
+    # Cross-bucket carry: last marker per marker-bucket (≤ 1 row per
+    # bucket — metadata scale), forward-filled on the driver across the
+    # distinct buckets events actually occupy, broadcast-joined back.
+    marker_lasts = sorted(
+        (
+            (r["__b"], r["__last"]["origin"])
+            for r in markers.groupBy(bucket.alias("__b"))
+            .agg(F.max_by(F.struct("origin"), "lsn").alias("__last"))
+            .collect()
+        ),
+    )
+    event_buckets = sorted(
+        r["__b"] for r in events.select(bucket.alias("__b")).distinct().collect()
+    )
+    carry_rows = []
+    carry = initial_origin
+    i = 0
+    for b in event_buckets:
+        while i < len(marker_lasts) and marker_lasts[i][0] < b:
+            carry = marker_lasts[i][1]
+            i += 1
+        if carry is not None:
+            carry_rows.append((b, carry))
+    if carry_rows:
+        carry_df = spark.createDataFrame(
+            carry_rows, "__b bigint, __carry string"
+        )
+        u = u.join(F.broadcast(carry_df), "__b", "left")
+    else:
+        u = u.withColumn("__carry", F.lit(None).cast("string"))
+
+    resolved = F.when(
+        F.col("__wm").isNotNull(), F.col("__wm")["origin"]
+    ).otherwise(F.col("__carry"))
+    return (
+        u.filter(F.col("__is_ev") == 1)
+        .withColumn("origin", resolved)
+        .drop("__b", "__is_ev", "__m", "__wm", "__carry")
+    )
+
+
+def filter_by_origin(
+    events: DataFrame, origin: str | Iterable[str] = "any"
+) -> DataFrame:
+    """Apply the subscription's ``origin`` parameter to annotated
+    events: ``"any"`` keeps everything, ``"none"`` keeps only locally
+    originated transactions (origin NULL — the loop-breaking setting),
+    and an iterable of names keeps local txns plus those origins (an
+    extension PostgreSQL spells as per-origin filtering in custom
+    output plugins)."""
+    if origin == "any":
+        return events
+    if origin == "none":
+        return events.filter(F.col("origin").isNull())
+    allowed = list(origin)
+    return events.filter(
+        F.col("origin").isNull() | F.col("origin").isin(allowed)
+    )
+
+
+def last_marker(frames: DataFrame, frame_col: str = "frame"):
+    """The (lsn, origin) of the feed's final marker, or None — the
+    carry state a streaming consumer persists across micro-batches."""
+    row = (
+        txn_markers(frames, frame_col)
+        .agg(F.max_by(F.struct("lsn", "origin"), "lsn").alias("m"))
+        .first()
+    )
+    if row is None or row["m"] is None:
+        return None
+    return {"lsn": row["m"]["lsn"], "origin": row["m"]["origin"]}

@@ -134,6 +134,21 @@ def encode_truncate(relids: list[int], options: int = 0) -> bytes:
     return b"".join(out)
 
 
+def encode_begin(final_lsn: int = 0, commit_ts: int = 0, xid: int = 1) -> bytes:
+    """Begin frame (protocol.sgml: Int64 final LSN of the txn, Int64
+    commit timestamp in µs since 2000-01-01, Int32 xid). The DML
+    decoder drops it (R9); the origin resolver treats it as the
+    reset-to-local marker."""
+    return b"B" + struct.pack(">qqi", final_lsn, commit_ts, xid)
+
+
+def encode_commit(commit_lsn: int = 0, end_lsn: int = 0,
+                  commit_ts: int = 0) -> bytes:
+    """Commit frame (Int8 flags=0, Int64 commit LSN, Int64 end LSN,
+    Int64 commit timestamp)."""
+    return b"C" + struct.pack(">bqqq", 0, commit_lsn, end_lsn, commit_ts)
+
+
 def encode_origin(commit_lsn: int, name: str) -> bytes:
     """Origin message (public wire format, protocol.sgml: Int64 commit
     LSN on the origin, then the origin name as a C string) — emitted by

@@ -387,11 +387,29 @@ class StreamingWireApplyChanges(StreamingApplyChanges):
         key_col: str = "key",
         n_buckets: int = 64,
         initial_registry: dict[int, dict] | None = None,
+        origin: str = "any",
     ) -> None:
         super().__init__(spark, state_path, key_col, n_buckets)
         self.key_extractor = key_extractor
         self.registry: dict[int, dict] = dict(initial_registry or {})
         self._registry_path = state_path.rstrip("/") + "_registry.json"
+        # Subscription origin parameter ("any" | "none" | iterable of
+        # allowed origin names): with anything but "any", each batch's
+        # events are resolved against B/O txn markers and filtered
+        # BEFORE the fold — the loop-breaking subscriber semantics of
+        # bidirectional replication (cdc/origins.py). The carry (last
+        # marker of the previous batch) persists next to the registry so
+        # a transaction spanning micro-batches — or a restart — keeps
+        # its origin.
+        self.origin = origin
+        self._origin_path = state_path.rstrip("/") + "_origin.json"
+        # before/after are pinned per batch_id so a crash-replayed batch
+        # re-seeds with the carry it saw the FIRST time, not its own
+        # post-batch marker (the rollup stream's state-version-pin
+        # pattern applied to the origin carry).
+        self._origin_state: dict = {
+            "batch_id": None, "before": None, "after": None
+        }
         self._load_registry()
 
     def _load_registry(self) -> None:
@@ -402,6 +420,17 @@ class StreamingWireApplyChanges(StreamingApplyChanges):
                 persisted = {int(k): v for k, v in json.load(fh).items()}
             # learned schemas win over the constructor's initial seed
             self.registry = {**self.registry, **persisted}
+        if os.path.isfile(self._origin_path):
+            with open(self._origin_path) as fh:
+                self._origin_state = json.load(fh)
+
+    def _save_origin_state(self) -> None:
+        import json
+
+        tmp = self._origin_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(self._origin_state, fh)
+        os.replace(tmp, self._origin_path)
 
     def _save_registry(self) -> None:
         import json
@@ -430,6 +459,32 @@ class StreamingWireApplyChanges(StreamingApplyChanges):
             F.max("ts").alias("mx"), F.count(F.lit(1)).alias("n")
         ).first()
         events = decode_frames(self.spark, frames, registry=dict(self.registry))
+        if self.origin != "any":
+            from python_cdc_spark.cdc.origins import (
+                annotate_origins,
+                filter_by_origin,
+                last_marker,
+            )
+
+            st = self._origin_state
+            seed = (
+                st["before"]
+                if batch_id is not None and st["batch_id"] == batch_id
+                else st["after"]
+            )
+            marker = last_marker(frames)
+            events = filter_by_origin(
+                annotate_origins(
+                    self.spark, events, frames, initial_origin=seed
+                ),
+                self.origin,
+            ).drop("origin")
+            self._origin_state = {
+                "batch_id": batch_id,
+                "before": seed,
+                "after": marker["origin"] if marker is not None else seed,
+            }
+            self._save_origin_state()
         self.merge_batch(self.key_extractor(events), batch_id)
         # state is durable now — the capture→applied gap is the e2e lag
         self.record_latency(batch_id, stats["mx"], stats["n"])

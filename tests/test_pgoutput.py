@@ -298,3 +298,42 @@ def test_control_frames_decode_and_dml_path_ignores_them(spark):
     # the DML path is unchanged: only the insert decodes
     events = decode_frames(spark, df)
     assert [r["operation"] for r in events.collect()] == ["INSERT"]
+
+
+def test_origin_annotation_and_loop_filtering(spark):
+    """Replication-origin subscriber semantics: a txn carrying an ``O``
+    frame belongs to that origin until the next BEGIN resets to local;
+    ``origin='none'`` keeps only local txns. bucket_width=4 forces the
+    cross-bucket carry (insert at lsn 8 sits in a bucket with no
+    marker), and BEGIN at lsn 10 must override the carry in-bucket."""
+    from python_cdc_spark.cdc.origins import annotate_origins, filter_by_origin
+    from python_cdc_spark.cdc.pgoutput import (
+        encode_begin,
+        encode_commit,
+        encode_origin,
+    )
+
+    frames = [
+        encode_relation(7, "public", "users", ["id"]),  # lsn 1
+        encode_begin(),                                 # lsn 2 — local txn
+        encode_insert(7, ["1"]),                        # lsn 3
+        encode_commit(),                                # lsn 4
+        encode_begin(),                                 # lsn 5 — replayed txn
+        encode_origin(55, "region_b"),                  # lsn 6
+        encode_insert(7, ["2"]),                        # lsn 7 (same bucket)
+        encode_insert(7, ["3"]),                        # lsn 8 (carry bucket)
+        encode_commit(),                                # lsn 9
+        encode_begin(),                                 # lsn 10 — local again
+        encode_insert(7, ["4"]),                        # lsn 11
+        encode_commit(),                                # lsn 12
+    ]
+    df = _frames_df(spark, frames)
+    events = decode_frames(spark, df)
+    ann = annotate_origins(spark, events, df, bucket_width=4)
+    got = {r["new_values"]["id"]: r["origin"] for r in ann.collect()}
+    assert got == {"1": None, "2": "region_b", "3": "region_b", "4": None}
+    kept = filter_by_origin(ann, "none")
+    assert sorted(r["new_values"]["id"] for r in kept.collect()) == ["1", "4"]
+    assert filter_by_origin(ann, "any").count() == 4
+    allowed = filter_by_origin(ann, {"region_b"})
+    assert allowed.count() == 4  # explicit allow-list keeps the origin

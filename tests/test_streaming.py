@@ -1296,3 +1296,100 @@ def test_streaming_cdc_rollup_replay_algebraic_cube(spark, tmp_path):
     assert got == want
     assert got[0][0] == "a" and got[0][1] == 1  # only key 2 lives
     assert "1" not in mb._pins()
+
+
+def test_wire_stream_origin_filter_across_batches(spark, tmp_path):
+    """``origin='none'`` must drop a replayed transaction even when its
+    ``O`` marker and its DML arrive in DIFFERENT micro-batches (the
+    carry persists beside the registry), reset at the next local BEGIN,
+    survive a restart, and re-seed correctly on crash replay (the
+    before/after batch pin)."""
+    import datetime as dt
+    import time
+
+    from python_cdc_spark.cdc.pgoutput import (
+        encode_begin,
+        encode_commit,
+        encode_insert,
+        encode_origin,
+        encode_relation,
+    )
+    from python_cdc_spark.streaming import StreamingWireApplyChanges
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def frames_df(frames, lsn0):
+        rows = [
+            (lsn0 + i, t0 + dt.timedelta(seconds=lsn0 + i), bytearray(f))
+            for i, f in enumerate(frames)
+        ]
+        return spark.createDataFrame(
+            rows, "lsn bigint, ts timestamp, frame binary"
+        )
+
+    wire_dir = str(tmp_path / "wire")
+    # batch 0: local insert 1, then a replayed txn OPENS (B + O, no DML yet)
+    frames_df(
+        [
+            encode_relation(9, "public", "users", ["id"]),
+            encode_begin(),
+            encode_insert(9, ["1"]),
+            encode_commit(),
+            encode_begin(),
+            encode_origin(99, "region_b"),
+        ],
+        lsn0=1,
+    ).coalesce(1).write.mode("append").parquet(wire_dir)
+    time.sleep(1.1)
+    # batch 1: the replayed txn's DML + commit, then a local txn
+    batch1_frames = [
+        encode_insert(9, ["2"]),
+        encode_insert(9, ["3"]),
+        encode_commit(),
+        encode_begin(),
+        encode_insert(9, ["4"]),
+        encode_commit(),
+    ]
+    frames_df(batch1_frames, lsn0=10).coalesce(1).write.mode(
+        "append"
+    ).parquet(wire_dir)
+
+    stream = (
+        spark.readStream.schema("lsn bigint, ts timestamp, frame binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(wire_dir)
+    )
+    applier = StreamingWireApplyChanges(
+        spark,
+        str(tmp_path / "state"),
+        key_extractor=lambda ev: ev.withColumn(
+            "key",
+            F.coalesce(F.col("new_values")["id"], F.col("old_values")["id"]),
+        ),
+        n_buckets=4,
+        origin="none",
+    )
+    q = applier.start_wire(stream, str(tmp_path / "ckpt"), available_now=True)
+    q.awaitTermination(120)
+
+    state = sorted(r["key"] for r in applier.current_state().collect())
+    assert state == ["1", "4"]  # 2 and 3 were region_b's replay — dropped
+
+    # crash replay of batch 1: the pin re-seeds with the carry it saw
+    # the FIRST time (region_b), not its own post-batch marker (local)
+    applier.merge_wire_batch(frames_df(batch1_frames, lsn0=10), batch_id=1)
+    assert applier._origin_state["before"] == "region_b"
+    assert applier._origin_state["after"] is None
+    assert sorted(r["key"] for r in applier.current_state().collect()) == [
+        "1", "4"
+    ]
+
+    # restart: a fresh applier resumes the persisted carry
+    fresh = StreamingWireApplyChanges(
+        spark,
+        str(tmp_path / "state"),
+        key_extractor=lambda ev: ev,
+        n_buckets=4,
+        origin="none",
+    )
+    assert fresh._origin_state["after"] is None
