@@ -105,6 +105,8 @@ _WINDOW = [
 ]
 # r04-latest names that did not fit this window; they lead r8:
 # similarity_rq_topk, similarity_ivfpq_topk, similarity_ivfrq_topk
+# planned r8 debut: cdc_origin_filtered (oracle-gated query over
+# cdc/origins.py — engine + tests landed r7)
 assert len(_WINDOW) == 50, f"driver window must hold exactly 50, got {len(_WINDOW)}"
 assert len(set(_WINDOW)) == 50, "duplicate names in the driver window"
 set_priority_order(_WINDOW)

@@ -258,26 +258,46 @@ def main() -> None:
     )
     from python_cdc_spark.session import get_spark
 
-    spark = get_spark(app_name="bench_sf1")
-    spark.sparkContext.setLogLevel("ERROR")
+    def fresh_spark():
+        # SESSION ISOLATION (r7): one long-lived session accumulates
+        # eagerly-checkpointed RDDs, cached plans, and Python workers
+        # across ~150 timed queries, and the drag is real — the sf1
+        # edit-distance row measured 119 s mid-run vs 24.6 s in a fresh
+        # session (5x, reproduced). Each section now gets its own
+        # session so a row times the OPERATOR, not the session debris.
+        from pyspark.sql import SparkSession
+
+        active = SparkSession.getActiveSession()
+        if active is not None:
+            active.stop()
+        spark = get_spark(app_name="bench_sf1")
+        spark.sparkContext.setLogLevel("ERROR")
+        return spark
 
     out = {
         "metric": "relational11_plus_llm8_spark_vs_duckdb",
         "unit": "sec",
-        "sf0.1": _run_scale(spark, "/root/testdata/sf0.1"),
-        "sf1": _run_scale(spark, sf1_dir),
-        "llm_sf0.1": _run_scale(spark, "/root/testdata/sf0.1", LLM_8),
-        "llm_sf1": _run_scale(spark, sf1_dir, LLM_8),
-        "new_sf0.1": _run_scale(spark, "/root/testdata/sf0.1", NEW_OPS),
-        "new_sf1": _run_scale(spark, sf1_dir, NEW_OPS),
-        "analytics_sf0.1": _run_scale(spark, "/root/testdata/sf0.1", ANALYTICS_6),
-        "analytics_sf1": _run_scale(spark, sf1_dir, ANALYTICS_6),
-        "sketches_sf0.1": _run_scale(spark, "/root/testdata/sf0.1", SKETCHES_7),
-        "sketches_sf1": _run_scale(spark, sf1_dir, SKETCHES_7),
-        "thirdwave_sf0.1": _run_scale(spark, "/root/testdata/sf0.1", THIRD_WAVE),
-        "thirdwave_sf1": _run_scale(spark, sf1_dir, THIRD_WAVE),
-        "ann_sf0.1": _run_ann_spark_only(spark, "/root/testdata/sf0.1"),
-        "ann_sf1": _run_ann_spark_only(spark, sf1_dir),
+        "session_isolation": "fresh SparkSession per section (r7)",
+        "sf0.1": _run_scale(fresh_spark(), "/root/testdata/sf0.1"),
+        "sf1": _run_scale(fresh_spark(), sf1_dir),
+        "llm_sf0.1": _run_scale(fresh_spark(), "/root/testdata/sf0.1", LLM_8),
+        "llm_sf1": _run_scale(fresh_spark(), sf1_dir, LLM_8),
+        "new_sf0.1": _run_scale(fresh_spark(), "/root/testdata/sf0.1", NEW_OPS),
+        "new_sf1": _run_scale(fresh_spark(), sf1_dir, NEW_OPS),
+        "analytics_sf0.1": _run_scale(
+            fresh_spark(), "/root/testdata/sf0.1", ANALYTICS_6
+        ),
+        "analytics_sf1": _run_scale(fresh_spark(), sf1_dir, ANALYTICS_6),
+        "sketches_sf0.1": _run_scale(
+            fresh_spark(), "/root/testdata/sf0.1", SKETCHES_7
+        ),
+        "sketches_sf1": _run_scale(fresh_spark(), sf1_dir, SKETCHES_7),
+        "thirdwave_sf0.1": _run_scale(
+            fresh_spark(), "/root/testdata/sf0.1", THIRD_WAVE
+        ),
+        "thirdwave_sf1": _run_scale(fresh_spark(), sf1_dir, THIRD_WAVE),
+        "ann_sf0.1": _run_ann_spark_only(fresh_spark(), "/root/testdata/sf0.1"),
+        "ann_sf1": _run_ann_spark_only(fresh_spark(), sf1_dir),
     }
     out["ratio_trend"] = [out["sf0.1"]["ratio"], out["sf1"]["ratio"]]
     out["llm_ratio_trend"] = [out["llm_sf0.1"]["ratio"], out["llm_sf1"]["ratio"]]
