@@ -106,8 +106,76 @@ def expand_truncates(events: DataFrame, key_col: str) -> DataFrame:
     return rest.unionByName(keyed.select(*cols))
 
 
+def _fold_array(events: DataFrame, key_col: str) -> DataFrame:
+    """Single-shuffle fold plan: ONE groupBy(key) collects each key's
+    events and a JVM ``aggregate`` over the lsn-sorted array replays
+    them — DELETE resets the accumulator (and records the boundary),
+    a non-delete event merges its non-sentinel cells later-wins and
+    advances ``last_lsn`` iff it carried any. Catalyst higher-order
+    functions throughout; no Python, no extra shuffles.
+
+    Trade-off vs the argmax plan (module docstring): one shuffle
+    instead of three-plus-a-join, but ``collect_list`` concentrates a
+    key's whole in-feed history on one task (no map-side combine, no
+    per-column spreading), so the argmax plan remains the safer choice
+    for feeds with adversarially hot keys. For the streaming state
+    merge — where each batch contributes a bounded number of events per
+    key and prior state exactly one — the array plan measures ~2×
+    faster (tools/profile_apply_ceiling.py)."""
+    sent = UNCHANGED_SENTINEL.replace("'", "''")
+    filt = (
+        "map_filter(coalesce(e.new_values, cast(map() as "
+        f"map<string,string>)), (k2, v2) -> v2 is null or v2 != '{sent}')"
+    )
+    step = f"""named_struct(
+      'vals', case
+          when e.operation = '{OP_DELETE}'
+            then cast(map() as map<string,string>)
+          when cardinality({filt}) > 0
+            then map_concat(
+              map_filter(acc.vals, (k, v) -> not map_contains_key({filt}, k)),
+              {filt})
+          else acc.vals end,
+      'last_lsn', case
+          when e.operation = '{OP_DELETE}' then cast(null as bigint)
+          when cardinality({filt}) > 0 then e.lsn
+          else acc.last_lsn end,
+      'del_lsn', case
+          when e.operation = '{OP_DELETE}' then e.lsn
+          else acc.del_lsn end)"""
+    fold = f"""aggregate(
+      array_sort(
+        collect_list(struct(lsn, operation, new_values)),
+        (l, r) -> case when l.lsn < r.lsn then -1
+                       when l.lsn > r.lsn then 1 else 0 end),
+      named_struct(
+        'vals', cast(map() as map<string,string>),
+        'last_lsn', cast(null as bigint),
+        'del_lsn', cast(null as bigint)),
+      (acc, e) -> {step})"""
+    return (
+        events.groupBy(key_col)
+        .agg(F.expr(fold).alias("__a"))
+        .select(
+            key_col,
+            # sorted entries match the argmax plan's map key order, so
+            # the two plans are value-identical downstream (the driver's
+            # hash stringifies maps in entry order)
+            F.expr(
+                "case when cardinality(__a.vals) > 0 then "
+                "map_from_entries(array_sort(map_entries(__a.vals))) end"
+            ).alias("values"),
+            F.col("__a.last_lsn").alias("last_lsn"),
+            F.col("__a.del_lsn").alias("del_lsn"),
+        )
+    )
+
+
 def apply_changes_with_tombstones(
-    events: DataFrame, key_col: str = "key"
+    events: DataFrame,
+    key_col: str = "key",
+    plan: str = "argmax",
+    has_truncates: bool | None = None,
 ) -> DataFrame:
     """Fold a CDC feed into per-key state INCLUDING tombstones.
 
@@ -121,9 +189,24 @@ def apply_changes_with_tombstones(
     TRUNCATE events are honored by expansion into per-key deletes at
     the truncate LSN (``expand_truncates``) before the fold, so they
     inherit the same ordering, tombstone, and no-resurrection
-    semantics.
+    semantics. A caller that has already probed the feed (the streaming
+    merge computes this per batch anyway) can pass
+    ``has_truncates=False`` to skip the expansion's distinct-keys
+    shuffle; ``None`` (the default) expands unconditionally — safe for
+    any feed.
+
+    ``plan`` selects the physical strategy: ``"argmax"`` (three keyed
+    shuffles, hot-key histories spread across columns — the default)
+    or ``"array_fold"`` (one shuffle, per-key event-array replay in
+    JVM higher-order functions — see :func:`_fold_array` for when each
+    wins). Both produce identical values.
     """
-    events = expand_truncates(events, key_col)
+    if has_truncates is None or has_truncates:
+        events = expand_truncates(events, key_col)
+    if plan == "array_fold":
+        return _fold_array(events, key_col)
+    if plan != "argmax":
+        raise ValueError(f"unknown fold plan {plan!r}")
     boundaries = _delete_boundary(events, key_col)
     live = (
         events.filter(F.col("operation") != OP_DELETE)
@@ -159,7 +242,10 @@ def apply_changes_with_tombstones(
 
 
 def apply_changes_with_tombstones_multi(
-    events: DataFrame, key_col: str = "key"
+    events: DataFrame,
+    key_col: str = "key",
+    plan: str = "argmax",
+    has_truncates: bool | None = None,
 ) -> DataFrame:
     """Tombstoned fold for a MULTI-TABLE feed: state is keyed by
     ``(schema, table, key)``, so equal key values in different tables
@@ -178,7 +264,9 @@ def apply_changes_with_tombstones_multi(
     Returns ``(schema, table, key_col, values, last_lsn, del_lsn)``.
     """
     sep = "\x1f"  # ASCII unit separator — cannot occur in identifiers
-    expanded = expand_truncates(events, key_col)
+    expanded = (
+        events if has_truncates is False else expand_truncates(events, key_col)
+    )
     composite = expanded.withColumn(
         "__tk",
         F.concat_ws(
@@ -188,7 +276,11 @@ def apply_changes_with_tombstones_multi(
             F.coalesce(F.col(key_col).cast("string"), F.lit("")),
         ),
     ).drop("schema", "table", key_col)
-    folded = apply_changes_with_tombstones(composite, "__tk")
+    # expansion already ran (or was ruled out) above — the inner fold
+    # must not pay a second distinct-keys pass over the composite feed
+    folded = apply_changes_with_tombstones(
+        composite, "__tk", plan=plan, has_truncates=False
+    )
     parts = F.split(F.col("__tk"), sep, 3)
 
     def _blank_null(c: Column) -> Column:

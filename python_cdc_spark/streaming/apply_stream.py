@@ -55,11 +55,20 @@ class StreamingApplyChanges:
         key_col: str = "key",
         n_buckets: int = 64,
         retention: int = 2,
+        fold_plan: str = "array_fold",
     ) -> None:
         self.spark = spark
         self.state_path = state_path
         self.key_col = key_col
         self.n_buckets = n_buckets
+        # Physical fold strategy for the per-batch merge. The streaming
+        # merge is the case the single-shuffle array plan was built for:
+        # prior state contributes exactly ONE event per key and a batch
+        # a bounded burst, so per-key arrays stay small and the plan is
+        # ~2x the argmax plan's throughput (profile_apply_ceiling.py).
+        # Pass "argmax" for feeds with adversarially hot keys inside a
+        # single batch.
+        self.fold_plan = fold_plan
         # versions of history read_at() can time-travel to (storage
         # cost: superseded bucket files for that many commits)
         self.retention = retention
@@ -284,12 +293,20 @@ class StreamingApplyChanges:
             "lsn", "operation", "new_values", *aux, F.col(self.key_col)
         ).withColumn("bucket", self._bucket(F.col(self.key_col)))
 
-        has_truncate = bool(
-            batch.filter(F.col("operation") == "TRUNCATE").head(1)
+        # one probe job answers both questions (bucket set + truncate
+        # presence) — two separate actions would each re-execute the
+        # batch's upstream lineage (decode, key extraction)
+        probe = (
+            batch.groupBy("bucket")
+            .agg(
+                F.max(
+                    F.when(F.col("operation") == "TRUNCATE", 1).otherwise(0)
+                ).alias("__t")
+            )
+            .collect()
         )
-        batch_buckets = [
-            r["bucket"] for r in batch.select("bucket").distinct().collect()
-        ]
+        has_truncate = any(r["__t"] for r in probe)
+        batch_buckets = [r["bucket"] for r in probe]
         if not batch_buckets:
             return []
         live_buckets = [int(b) for b in self.store._load_manifest()["buckets"]]
@@ -327,7 +344,10 @@ class StreamingApplyChanges:
             if aux
             else apply_changes_with_tombstones
         )
-        new_state = fold(events, self.key_col).withColumn(
+        new_state = fold(
+            events, self.key_col,
+            plan=self.fold_plan, has_truncates=has_truncate,
+        ).withColumn(
             "bucket", self._bucket(F.col(self.key_col))
         ).repartition(max(1, len(touched)), "bucket")
         # The store writes a NEW immutable version dir while the fold's

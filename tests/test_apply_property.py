@@ -68,3 +68,106 @@ def test_apply_matches_sequential_reference(spark, events):
         for r in apply_changes(df, "key").collect()
     }
     assert got == reference_apply(events)
+
+
+def _norm_tomb(df):
+    return sorted(
+        (
+            r["key"],
+            None if r["values"] is None else dict(r["values"]),
+            r["last_lsn"],
+            r["del_lsn"],
+        )
+        for r in df.collect()
+    )
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(event_st, min_size=1, max_size=25))
+def test_fold_plans_agree(spark, events):
+    """The argmax and array_fold physical plans must be value-identical
+    on the full tombstoned output (values incl. map entry order,
+    last_lsn, del_lsn) for any event sequence."""
+    from python_cdc_spark.cdc.apply import apply_changes_with_tombstones
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for lsn, (op, key, vals) in enumerate(events, start=1):
+        new = None if op == "DELETE" else {**vals, "id": key}
+        old = {"id": key} if op != "INSERT" else None
+        rows.append(
+            (lsn, op, "public", "t", COLS, old, new, t0 + dt.timedelta(seconds=lsn))
+        )
+    df = spark.createDataFrame(rows, CDC_EVENT_SCHEMA).withColumn(
+        "key", F.coalesce(F.col("new_values")["id"], F.col("old_values")["id"])
+    )
+    a = apply_changes_with_tombstones(df, "key", plan="argmax")
+    b = apply_changes_with_tombstones(df, "key", plan="array_fold")
+    assert _norm_tomb(a) == _norm_tomb(b)
+
+
+def test_fold_plans_agree_truncate_multi_and_hint(spark):
+    """Plan agreement through the hard corners: multi-table feed with a
+    TRUNCATE scoped to one table, TOAST sentinels, delete-then-reinsert,
+    and the has_truncates=False fast path on a truncate-free feed."""
+    from python_cdc_spark.cdc.apply import (
+        apply_changes_with_tombstones,
+        apply_changes_with_tombstones_multi,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(lsn, op, schema, table, key, new):
+        return (
+            lsn, op, schema, table, COLS,
+            {"id": key} if key and op != "INSERT" else None,
+            new, t0 + dt.timedelta(seconds=lsn),
+        )
+
+    rows = [
+        ev(1, "INSERT", "public", "t1", "k1", {"id": "k1", "a": "1"}),
+        ev(2, "INSERT", "public", "t2", "k1", {"id": "k1", "a": "9"}),
+        ev(3, "UPDATE", "public", "t1", "k1",
+           {"id": "k1", "a": UNCHANGED_SENTINEL, "b": "2"}),
+        ev(4, "TRUNCATE", "public", "t1", None, None),
+        ev(5, "INSERT", "public", "t1", "k2", {"id": "k2", "c": None}),
+        ev(6, "DELETE", "public", "t2", "k1", None),
+        ev(7, "INSERT", "public", "t2", "k1", {"id": "k1", "b": "7"}),
+    ]
+    df = spark.createDataFrame(rows, CDC_EVENT_SCHEMA).withColumn(
+        "key", F.coalesce(F.col("new_values")["id"], F.col("old_values")["id"])
+    )
+
+    def norm_multi(out):
+        return sorted(
+            (
+                r["schema"], r["table"], r["key"],
+                None if r["values"] is None else dict(r["values"]),
+                r["last_lsn"], r["del_lsn"],
+            )
+            for r in out.collect()
+        )
+
+    a = norm_multi(apply_changes_with_tombstones_multi(df, "key", plan="argmax"))
+    b = norm_multi(
+        apply_changes_with_tombstones_multi(df, "key", plan="array_fold")
+    )
+    assert a == b
+    # t1's truncate tombstoned k1 but not t2's same-valued key
+    as_map = {(s, t, k): v for s, t, k, v, _, _ in a}
+    assert as_map[("public", "t1", "k1")] is None
+    assert as_map[("public", "t2", "k1")] == {"id": "k1", "b": "7"}
+    assert as_map[("public", "t1", "k2")] == {"id": "k2", "c": None}
+
+    # truncate-free feed: the has_truncates=False fast path must equal
+    # the unconditional-expansion default on both plans
+    clean = df.filter(F.col("operation") != "TRUNCATE")
+    for plan in ("argmax", "array_fold"):
+        assert _norm_tomb(
+            apply_changes_with_tombstones(clean, "key", plan=plan,
+                                          has_truncates=False)
+        ) == _norm_tomb(apply_changes_with_tombstones(clean, "key", plan=plan))
