@@ -67,7 +67,27 @@ def annotate_origins(
     marker in ``frames`` — the streaming resume case, where the
     governing marker arrived in an earlier micro-batch.
     """
-    markers = txn_markers(frames, frame_col)
+    return annotate_origins_from_markers(
+        spark,
+        events,
+        txn_markers(frames, frame_col),
+        bucket_width=bucket_width,
+        initial_origin=initial_origin,
+    )
+
+
+def annotate_origins_from_markers(
+    spark: SparkSession,
+    events: DataFrame,
+    markers: DataFrame,
+    bucket_width: int = 1 << 16,
+    initial_origin: str | None = None,
+) -> DataFrame:
+    """Core of :func:`annotate_origins` over pre-decoded txn markers
+    ``(lsn, origin)`` — origin NULL for BEGIN (reset to local), a name
+    for Origin frames. Takes markers directly so feeds that never pass
+    through the binary codec (tests, derived feeds) use the same
+    resolution machinery."""
     bucket = (F.col("lsn") / F.lit(int(bucket_width))).cast("bigint")
 
     # Within-bucket resolution: markers sort before events at the same

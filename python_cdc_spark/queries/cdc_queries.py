@@ -16,6 +16,7 @@ from python_cdc_spark.cdc.apply import apply_changes_typed, latest_per_key
 from python_cdc_spark.cdc.feed import events_as_cdc_feed
 from python_cdc_spark.io import table
 from python_cdc_spark.cdc.scd2 import scd2_history
+from python_cdc_spark.queries.helpers import dec_sum
 from python_cdc_spark.queries.registry import register
 from python_cdc_spark.queries.sketches import _sql_mix32
 
@@ -598,4 +599,78 @@ def rollup_cdc_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_value",
         "max_value",
         F.col("distinct_users").alias("distinct_users_est"),
+    )
+
+
+# --- prepared for the r8 window (debut discipline: the r7 window
+# composition was fixed by the r6 verdict, so this query ships with its
+# oracle PINNED BY PYTEST this round and registers next round by adding
+# the @register decoration with CDC_ORIGIN_FILTERED_ORACLE) -----------
+
+CDC_ORIGIN_FILTERED_ORACLE = """
+    WITH feed AS (
+      SELECT event_id, user_id, value,
+             CAST(FLOOR(event_id / 10) AS BIGINT) AS txn
+      FROM events
+    ),
+    ann AS (
+      SELECT *,
+             CASE WHEN txn % 3 = 0 THEN 'region_b'
+                  WHEN txn % 5 = 0 THEN 'region_c' END AS origin
+      FROM feed
+    )
+    SELECT COALESCE(origin, 'local') AS origin,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(30,10))), 4) AS DOUBLE)
+             AS sum_value
+    FROM ann GROUP BY COALESCE(origin, 'local')
+"""
+
+
+def cdc_origin_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R3+E18 extension: replication-origin resolution over a derived
+    multi-origin feed. Events group into transactions of ten
+    consecutive ids; every third transaction replays from ``region_b``
+    and every remaining fifth from ``region_c`` (the rest are local).
+    The SPARK side resolves each event's origin through the full
+    marker machinery — per-txn BEGIN/Origin markers interleaved on the
+    LSN axis, bucket-parallel as-of with cross-bucket carries
+    (``cdc/origins.py``; bucket_width=256 forces thousands of carry
+    buckets at sf0.1) — while the oracle derives the origin directly
+    from the transaction rule. Output: per-origin event/user counts
+    and value sums ('local' for NULL-origin transactions)."""
+    from python_cdc_spark.cdc.origins import annotate_origins_from_markers
+
+    ev = table(spark, sf_dir, "events")
+    dml = ev.select(
+        (F.col("event_id") * 4 + 2).alias("lsn"),
+        "user_id",
+        "value",
+        F.floor(F.col("event_id") / 10).cast("long").alias("txn"),
+    )
+    txns = dml.groupBy("txn").agg(F.min("lsn").alias("first_lsn"))
+    begins = txns.select(
+        (F.col("first_lsn") - 2).alias("lsn"),
+        F.lit(None).cast("string").alias("origin"),
+    )
+    origin_name = F.when(
+        F.col("txn") % 3 == 0, F.lit("region_b")
+    ).when(F.col("txn") % 5 == 0, F.lit("region_c"))
+    marks = (
+        txns.select(
+            (F.col("first_lsn") - 1).alias("lsn"),
+            origin_name.alias("origin"),
+        )
+        .filter(F.col("origin").isNotNull())
+    )
+    ann = annotate_origins_from_markers(
+        spark, dml, begins.unionByName(marks), bucket_width=256
+    )
+    return ann.groupBy(
+        F.coalesce(F.col("origin"), F.lit("local")).alias("origin")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        dec_sum(F.col("value"), "sum_value"),
     )

@@ -232,3 +232,20 @@ def test_incremental_agg_lifecycle_edges(spark):
     # final state: key1 -> (a, 5.0), key4 -> (a, 11.5); keys 2,3 dead;
     # group b nets to zero support and must be absent
     assert got == {"a": (2, 16.5)}
+
+
+def test_cdc_origin_filtered_prepared_oracle(spark, duck):
+    """The r8-prepared origin query already passes the driver-grade
+    oracle diff at the correctness scale factor (tests/oracle.py is the
+    strictest local reading of the driver's hash): the marker-machinery
+    resolution must equal the oracle's direct per-transaction rule."""
+    from python_cdc_spark.queries.cdc_queries import (
+        CDC_ORIGIN_FILTERED_ORACLE,
+        cdc_origin_filtered,
+    )
+    from tests.conftest import SF_CORRECT
+    from tests.oracle import assert_matches_oracle
+
+    df = cdc_origin_filtered(spark, SF_CORRECT)
+    assert_matches_oracle(df, duck, CDC_ORIGIN_FILTERED_ORACLE,
+                          name="cdc_origin_filtered")
