@@ -55,7 +55,7 @@ class StreamingApplyChanges:
         key_col: str = "key",
         n_buckets: int = 64,
         retention: int = 2,
-        fold_plan: str = "array_fold",
+        fold_plan: str = "auto",
     ) -> None:
         self.spark = spark
         self.state_path = state_path
@@ -66,9 +66,17 @@ class StreamingApplyChanges:
         # prior state contributes exactly ONE event per key and a batch
         # a bounded burst, so per-key arrays stay small and the plan is
         # ~2x the argmax plan's throughput (profile_apply_ceiling.py).
-        # Pass "argmax" for feeds with adversarially hot keys inside a
-        # single batch.
+        # "auto" (the default) reads the probe's per-bucket histogram
+        # and falls back to the skew-safe argmax plan for a batch whose
+        # largest bucket is both over auto_skew_ratio x the mean and
+        # over auto_skew_min_rows absolute — the bucket histogram is a
+        # free proxy for a hot key, since a hot key's events all hash
+        # to one bucket. Pass "array_fold"/"argmax" to pin the plan.
         self.fold_plan = fold_plan
+        self.auto_skew_ratio = 4.0
+        self.auto_skew_min_rows = 100_000
+        #: plan the most recent merge actually used (observability)
+        self.last_fold_plan: str | None = None
         # versions of history read_at() can time-travel to (storage
         # cost: superseded bucket files for that many commits)
         self.retention = retention
@@ -301,7 +309,8 @@ class StreamingApplyChanges:
             .agg(
                 F.max(
                     F.when(F.col("operation") == "TRUNCATE", 1).otherwise(0)
-                ).alias("__t")
+                ).alias("__t"),
+                F.count(F.lit(1)).alias("__n"),
             )
             .collect()
         )
@@ -309,6 +318,23 @@ class StreamingApplyChanges:
         batch_buckets = [r["bucket"] for r in probe]
         if not batch_buckets:
             return []
+        if self.fold_plan == "auto":
+            counts = [r["__n"] for r in probe]
+            mx = max(counts)
+            # compare the hottest bucket against the MEAN OF THE OTHERS
+            # (max-vs-overall-mean is bounded by the occupied-bucket
+            # count, so it can never fire when a burst lands in one of
+            # two buckets); a store configured with one bucket should
+            # pin the plan explicitly
+            others = (sum(counts) - mx) / max(1, len(counts) - 1)
+            skewed = (
+                mx > self.auto_skew_ratio * max(others, 1.0)
+                and mx > self.auto_skew_min_rows
+            )
+            plan = "argmax" if skewed else "array_fold"
+        else:
+            plan = self.fold_plan
+        self.last_fold_plan = plan
         live_buckets = [int(b) for b in self.store._load_manifest()["buckets"]]
         if has_truncate:
             touched = sorted(set(live_buckets) | set(batch_buckets))
@@ -346,7 +372,7 @@ class StreamingApplyChanges:
         )
         new_state = fold(
             events, self.key_col,
-            plan=self.fold_plan, has_truncates=has_truncate,
+            plan=plan, has_truncates=has_truncate,
         ).withColumn(
             "bucket", self._bucket(F.col(self.key_col))
         ).repartition(max(1, len(touched)), "bucket")

@@ -1393,3 +1393,54 @@ def test_wire_stream_origin_filter_across_batches(spark, tmp_path):
         origin="none",
     )
     assert fresh._origin_state["after"] is None
+
+
+def test_fold_plan_auto_detects_bucket_skew(spark, tmp_path):
+    """fold_plan='auto' picks the single-shuffle array plan for a
+    balanced batch and falls back to the skew-safe argmax plan when one
+    bucket holds a hot key's burst (the probe's histogram is the free
+    skew signal); pinning the plan overrides the heuristic. State must
+    be correct regardless of which plan merged which batch."""
+    from python_cdc_spark.schemas import CDC_EVENT_SCHEMA
+    from python_cdc_spark.streaming import StreamingApplyChanges
+
+    applier = StreamingApplyChanges(
+        spark, str(tmp_path / "state"), "key", n_buckets=4
+    )
+    applier.auto_skew_min_rows = 10  # test-size threshold
+
+    def events_df(rows):
+        import datetime as dt
+
+        rows = [{**r, "ts": dt.datetime(2024, 1, 1)} for r in rows]
+        return spark.createDataFrame(rows, CDC_EVENT_SCHEMA).withColumn(
+            "key", F.col("new_values")["id"]
+        )
+
+    balanced = [
+        _ev(i + 1, "INSERT", str(i % 20), {"id": str(i % 20), "v": str(i)})
+        for i in range(40)
+    ]
+    applier.merge_batch(events_df(balanced), 0)
+    assert applier.last_fold_plan == "array_fold"
+
+    hot = [
+        _ev(100 + i, "UPDATE", "7", {"id": "7", "v": f"h{i}"})
+        for i in range(60)
+    ] + [_ev(200, "INSERT", "3", {"id": "3", "v": "cold"})]
+    applier.merge_batch(events_df(hot), 1)
+    assert applier.last_fold_plan == "argmax"
+
+    applier.fold_plan = "array_fold"
+    applier.merge_batch(
+        events_df([_ev(300, "UPDATE", "7", {"id": "7", "v": "final"})]), 2
+    )
+    assert applier.last_fold_plan == "array_fold"
+
+    state = {
+        r["key"]: dict(r["values"])
+        for r in applier.current_state().collect()
+    }
+    assert state["7"] == {"id": "7", "v": "final"}
+    assert state["3"] == {"id": "3", "v": "cold"}
+    assert len(state) == 20
