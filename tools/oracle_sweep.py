@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Full-registry oracle sweep at an arbitrary scale factor.
+
+The driver's correctness gate compares every ``queries()`` entry with
+its ``oracle_sql()`` twin at sf0.01; the test suite repeats that bar.
+This tool runs the SAME differ (tests/oracle.py — the strictest local
+reading of the driver's hash) over any testdata directory, so scale-
+dependent divergence (float accumulation order, overflow, sampling
+rates, join cardinality cliffs) gets its own receipt.
+
+r7 receipt: 153/153 pass at sf0.1 (mismatch=0 error=0), NOTES_r7.md.
+
+Usage: python tools/oracle_sweep.py [sf_dir]   (default sf0.1)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    import duckdb
+
+    from python_cdc_spark.queries import QUERIES
+    from python_cdc_spark.session import get_spark
+    from tests.oracle import assert_matches_oracle
+
+    spark = get_spark(app_name="oracle_sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings events_zipf"
+    ).split():
+        p = f"{sf}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE OR REPLACE VIEW {t} AS "
+                f"SELECT * FROM read_parquet('{p}')"
+            )
+
+    ok, bad, err = [], [], []
+    for name, spec in QUERIES.items():
+        t0 = time.time()
+        try:
+            df = spec.fn(spark, sf)
+            if spec.oracle is None:
+                assert df.count() >= 0
+                kind = "rows-only"
+            else:
+                assert_matches_oracle(df, con, spec.oracle, name=name)
+                kind = "oracle"
+            ok.append(name)
+            print(f"PASS {name} ({kind}, {time.time()-t0:.1f}s)", flush=True)
+        except AssertionError as e:
+            bad.append(name)
+            print(f"MISMATCH {name}: {str(e)[:300]}", flush=True)
+        except Exception as e:  # keep sweeping; report at the end
+            err.append(name)
+            print(f"ERROR {name}: {type(e).__name__} {str(e)[:200]}", flush=True)
+    print(
+        f"SWEEP_DONE sf_dir={sf} pass={len(ok)} "
+        f"mismatch={len(bad)} error={len(err)}",
+        flush=True,
+    )
+    if bad:
+        print("MISMATCHES:", bad)
+    if err:
+        print("ERRORS:", err)
+    sys.exit(1 if (bad or err) else 0)
+
+
+if __name__ == "__main__":
+    main()
