@@ -23,6 +23,7 @@ from python_cdc_spark.cdc.feed import (  # noqa: F401
 from python_cdc_spark.cdc.pgoutput import (  # noqa: F401
     decode_frames,
     relation_registry,
+    relation_registry_versions,
 )
 from python_cdc_spark.cdc.scd2 import scd2_history  # noqa: F401
 from python_cdc_spark.cdc.typing import cast_images_to_schema  # noqa: F401

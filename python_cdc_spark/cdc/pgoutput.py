@@ -6,11 +6,14 @@ one at a time on a single thread, holding the relation registry as
 process state (``/root/reference/utils/pg_output_parser.py:13,15-39``).
 Here the same wire format is handled in two Spark passes:
 
-1. ``relation_registry`` — scan ONLY ``R`` (Relation) frames (they are
-   rare: one per table per session/DDL) and build the relid → schema
-   registry as a small driver-side dict, exactly the dynamic
-   schema-discovery role of the reference's ``_parse_relation``
-   (``pg_output_parser.py:41-97``) but derived once and broadcast.
+1. ``relation_registry_versions`` — scan ONLY ``R`` (Relation) frames
+   (they are rare: one per table per session/DDL) and build the relid →
+   LSN-versioned schema registry as a small driver-side dict, exactly
+   the dynamic schema-discovery role of the reference's
+   ``_parse_relation`` (``pg_output_parser.py:41-97``) but derived once
+   and broadcast. The version axis keeps the reference's serial
+   overwrite semantics correct under distributed decode: each DML
+   resolves the relation version in force at its own LSN.
 2. ``decode_frames`` — Arrow-batched ``mapInPandas`` over the data
    frames (``I``/``U``/``D``), each worker decoding with the broadcast
    registry. Frames referencing an unregistered relid are dropped, as
@@ -249,31 +252,73 @@ def _parse_tuple(buf: bytes, pos: int, columns: list[str]) -> tuple[dict, int]:
     return vals, pos
 
 
-def relation_registry(frames: DataFrame, frame_col: str = "frame") -> dict[int, dict]:
-    """Pass 1: the relid → relation dict from all ``R`` frames.
+def relation_registry_versions(
+    frames: DataFrame, frame_col: str = "frame"
+) -> dict[int, list[tuple[int, dict]]]:
+    """Pass 1: the relid → LSN-versioned relation list from all ``R``
+    frames, each entry ``(valid_from_lsn, rel)`` sorted ascending.
 
-    Relation frames are O(tables), not O(rows), so collecting them to
-    the driver is safe at any scale; the registry broadcasts to pass 2.
-    Later frames win (schema evolution by replacement, the reference's
-    registry overwrite at ``pg_output_parser.py:88``).
+    Relation frames are O(tables × DDLs), not O(rows), so collecting
+    them to the driver is safe at any scale; the registry broadcasts to
+    pass 2. The reference holds ONE entry per relid and overwrites it
+    in stream order (``pg_output_parser.py:88``) — correct for a serial
+    consumer, where each DML naturally sees the most recent ``R`` frame
+    before it. A distributed decode sees the whole feed at once, so the
+    same semantics need the version axis kept explicit: a DML frame
+    decodes with the relation version whose LSN is the greatest at or
+    below its own. Without it, a mid-stream column rename/drop/reorder
+    would silently mis-map every PRE-DDL tuple to the post-DDL names.
     """
     rel_rows = (
         frames.filter(F.substring(frame_col, 1, 1) == "R")
         .select("lsn", frame_col)
         .collect()
     )
-    registry: dict[int, dict] = {}
+    versions: dict[int, list[tuple[int, dict]]] = {}
     for row in sorted(rel_rows, key=lambda r: r["lsn"]):
         relid, rel = _parse_relation_frame(bytes(row[frame_col]))
-        registry[relid] = rel
-    return registry
+        versions.setdefault(relid, []).append((int(row["lsn"]), rel))
+    return versions
+
+
+def relation_registry(frames: DataFrame, frame_col: str = "frame") -> dict[int, dict]:
+    """Latest-wins projection of :func:`relation_registry_versions` —
+    the reference's single-entry registry shape (the view a consumer
+    holds AFTER draining the feed), kept for callers that carry the
+    registry across batches themselves."""
+    return {
+        relid: vers[-1][1]
+        for relid, vers in relation_registry_versions(frames, frame_col).items()
+    }
+
+
+# a plain (unversioned) registry entry is valid from the beginning of
+# the LSN axis — the carried-across-batches / snapshot-seeded case
+_LSN_MIN = -(1 << 63)
+
+
+def _normalize_registry(
+    registry: dict[int, Any],
+) -> dict[int, tuple[list[int], list[dict]]]:
+    """Accept either shape — ``{relid: rel}`` (unversioned: valid from
+    the start, the streaming carry / snapshot seed) or
+    ``{relid: [(lsn, rel), ...]}`` — and return parallel
+    ``(valid_from_lsns, rels)`` lists per relid for bisect lookup."""
+    norm: dict[int, tuple[list[int], list[dict]]] = {}
+    for relid, entry in registry.items():
+        if isinstance(entry, dict):
+            norm[relid] = ([_LSN_MIN], [entry])
+        else:
+            vers = sorted(entry, key=lambda v: v[0])
+            norm[relid] = ([v[0] for v in vers], [v[1] for v in vers])
+    return norm
 
 
 def decode_frames(
     spark: SparkSession,
     frames: DataFrame,
     frame_col: str = "frame",
-    registry: dict[int, dict] | None = None,
+    registry: dict[int, dict] | dict[int, list[tuple[int, dict]]] | None = None,
 ) -> DataFrame:
     """Pass 2: binary pgoutput frames → typed CDC events.
 
@@ -282,15 +327,36 @@ def decode_frames(
     mirroring ``parse_message``'s fall-through and the unknown-relation
     guard. Decoding runs Arrow-batched per partition — the single
     consumer loop becomes scan-parallel.
+
+    ``registry`` takes either shape: ``{relid: rel}`` (valid for the
+    whole feed — the streaming carry) or the LSN-versioned
+    ``{relid: [(valid_from_lsn, rel), ...]}`` from
+    :func:`relation_registry_versions`; the default self-scan uses the
+    versioned form so a mid-stream DDL (re-sent ``R`` frame) decodes
+    each DML with the relation version in force AT ITS LSN, matching
+    the reference's serial stream-order overwrite. A DML below its
+    relid's first known version decodes with that earliest version
+    (on a real wire ``R`` always precedes the relation's first DML in
+    a session, so this arises only in synthetic/file feeds — the
+    forgiving choice keeps snapshot-style fixtures decodable).
     """
+    from bisect import bisect_right
+
     if registry is None:
-        registry = relation_registry(frames, frame_col)
-    breg = spark.sparkContext.broadcast(registry)
+        registry = relation_registry_versions(frames, frame_col)
+    breg = spark.sparkContext.broadcast(_normalize_registry(registry))
 
     def decode(batches: Iterator["Any"]) -> Iterator["Any"]:
         import pandas as pd
 
         reg = breg.value
+
+        def rel_at(relid: int, lsn: int) -> dict | None:
+            entry = reg.get(relid)
+            if entry is None:
+                return None
+            lsns, rels = entry
+            return rels[max(bisect_right(lsns, lsn) - 1, 0)]
         for pdf in batches:
             out = {k: [] for k in (
                 "lsn", "operation", "schema", "table", "columns",
@@ -316,7 +382,7 @@ def decode_frames(
                         (nrel,) = struct.unpack_from(">i", buf, 1)
                         for j in range(nrel):
                             (t_relid,) = struct.unpack_from(">i", buf, 6 + 4 * j)
-                            t_rel = reg.get(t_relid)
+                            t_rel = rel_at(t_relid, int(lsn))
                             if t_rel is None:
                                 continue
                             out["lsn"].append(int(lsn))
@@ -331,7 +397,7 @@ def decode_frames(
                     if tag not in ("I", "U", "D"):
                         continue
                     relid = struct.unpack_from(">i", buf, 1)[0]
-                    rel = reg.get(relid)
+                    rel = rel_at(relid, int(lsn))
                     if rel is None:
                         continue  # unknown relation: drop (R10)
                     cols = rel["columns"]

@@ -488,23 +488,38 @@ class StreamingWireApplyChanges(StreamingApplyChanges):
 
     def merge_wire_batch(self, frames: DataFrame, batch_id: int | None = None) -> None:
         """One micro-batch of raw frames: registry refresh → decode → merge."""
-        from python_cdc_spark.cdc.pgoutput import _parse_relation_frame, decode_frames
+        from python_cdc_spark.cdc.pgoutput import (
+            _LSN_MIN,
+            _parse_relation_frame,
+            decode_frames,
+        )
 
         rel_rows = (
             frames.filter(F.substring("frame", 1, 1) == "R")
             .select("lsn", "frame")
             .collect()  # O(DDL events) in the batch — metadata-scale
         )
+        # The batch decodes with an LSN-VERSIONED registry: the carried
+        # registry (previous batches / snapshot seed) is valid from the
+        # start of the LSN axis, and each R frame in THIS batch opens a
+        # new version at its own LSN — so a DDL mid-batch (e.g. a column
+        # rename between two inserts of the same micro-batch) decodes
+        # each side with the schema in force at its LSN instead of
+        # letting the batch's last R frame rewrite history.
+        versions: dict[int, list] = {
+            relid: [(_LSN_MIN, rel)] for relid, rel in self.registry.items()
+        }
         if rel_rows:
             for row in sorted(rel_rows, key=lambda r: r["lsn"]):
                 relid, rel = _parse_relation_frame(bytes(row["frame"]))
-                self.registry[relid] = rel
+                versions.setdefault(relid, []).append((int(row["lsn"]), rel))
+                self.registry[relid] = rel  # latest-wins carry for the NEXT batch
             self._save_registry()
 
         stats = frames.agg(
             F.max("ts").alias("mx"), F.count(F.lit(1)).alias("n")
         ).first()
-        events = decode_frames(self.spark, frames, registry=dict(self.registry))
+        events = decode_frames(self.spark, frames, registry=versions)
         if self.origin != "any":
             from python_cdc_spark.cdc.origins import (
                 annotate_origins,

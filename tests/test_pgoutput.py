@@ -89,7 +89,8 @@ def test_unknown_relation_and_txn_markers_dropped(spark):
 
 def test_schema_evolution_by_replacement(spark):
     """A re-sent Relation message replaces the registry entry (dynamic
-    schema discovery, pg_output_parser.py:88-93)."""
+    schema discovery, pg_output_parser.py:88-93); each DML decodes with
+    the version in force AT ITS LSN."""
     frames = [
         encode_relation(1, "public", "t", ["id", "a"]),
         encode_insert(1, ["1", "x"]),
@@ -100,9 +101,31 @@ def test_schema_evolution_by_replacement(spark):
     reg = relation_registry(df)
     assert reg[1]["columns"] == ["id", "a", "b"]
     events = decode_frames(spark, df).orderBy("lsn").collect()
-    # both rows decode; the later one carries the new column
+    # both rows decode; the later one carries the new column — and the
+    # PRE-DDL event's columns list is its OWN version's, not the final
     assert events[0]["new_values"] == {"id": "1", "a": "x"}
+    assert events[0]["columns"] == ["id", "a"]
     assert events[1]["new_values"] == {"id": "2", "a": "y", "b": "z"}
+    assert events[1]["columns"] == ["id", "a", "b"]
+
+
+def test_schema_evolution_rename_is_lsn_versioned(spark):
+    """The distributed-decode case the reference's serial overwrite
+    hides: a mid-stream column RENAME (same arity, so positional
+    mapping cannot save it). Pre-DDL tuples must decode with the OLD
+    name, post-DDL with the NEW — a latest-wins registry would silently
+    stamp the new name onto history."""
+    frames = [
+        encode_relation(1, "public", "t", ["id", "amount"]),
+        encode_insert(1, ["1", "10"]),
+        encode_relation(1, "public", "t", ["id", "amount_usd"]),  # rename
+        encode_insert(1, ["2", "20"]),
+        encode_update(1, ["1", "11"]),
+    ]
+    events = decode_frames(spark, _frames_df(spark, frames)).orderBy("lsn").collect()
+    assert events[0]["new_values"] == {"id": "1", "amount": "10"}
+    assert events[1]["new_values"] == {"id": "2", "amount_usd": "20"}
+    assert events[2]["new_values"] == {"id": "1", "amount_usd": "11"}
 
 
 def test_full_wire_to_state_streaming_pipeline(spark, tmp_path):

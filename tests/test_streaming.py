@@ -558,6 +558,54 @@ def test_wire_stream_mid_stream_ddl_refreshes_registry(spark, tmp_path):
     assert fresh.registry[9]["columns"] == ["id", "name", "status"]
 
 
+def test_wire_stream_intra_batch_ddl_is_lsn_versioned(spark, tmp_path):
+    """A column RENAME landing in the MIDDLE of one micro-batch: the
+    pre-DDL insert of the same batch must decode with the old column
+    name (the serial consumer's semantics), not the batch's final
+    schema. One file → one micro-batch → both relation versions and
+    their DMLs fold together."""
+    import datetime as dt
+
+    from python_cdc_spark.cdc.pgoutput import encode_insert, encode_relation
+    from python_cdc_spark.streaming import StreamingWireApplyChanges
+
+    t0 = dt.datetime(2024, 1, 1)
+    frames = [
+        encode_relation(9, "public", "accounts", ["id", "amount"]),
+        encode_insert(9, ["1", "10"]),
+        encode_relation(9, "public", "accounts", ["id", "amount_usd"]),
+        encode_insert(9, ["2", "20"]),
+    ]
+    rows = [
+        (i + 1, t0 + dt.timedelta(seconds=i), bytearray(f))
+        for i, f in enumerate(frames)
+    ]
+    wire_dir = str(tmp_path / "wire")
+    spark.createDataFrame(
+        rows, "lsn bigint, ts timestamp, frame binary"
+    ).coalesce(1).write.mode("append").parquet(wire_dir)
+
+    stream = spark.readStream.schema(
+        "lsn bigint, ts timestamp, frame binary"
+    ).parquet(wire_dir)
+    applier = StreamingWireApplyChanges(
+        spark,
+        str(tmp_path / "state"),
+        key_extractor=lambda ev: ev.withColumn(
+            "key", F.coalesce(F.col("new_values")["id"], F.col("old_values")["id"])
+        ),
+        n_buckets=4,
+    )
+    q = applier.start_wire(stream, str(tmp_path / "ckpt"), available_now=True)
+    q.awaitTermination(120)
+
+    state = {r["key"]: dict(r["values"]) for r in applier.current_state().collect()}
+    assert state["1"] == {"id": "1", "amount": "10"}
+    assert state["2"] == {"id": "2", "amount_usd": "20"}
+    # the carry for the NEXT batch is still latest-wins
+    assert applier.registry[9]["columns"] == ["id", "amount_usd"]
+
+
 def test_streaming_incremental_agg_matches_state(spark, tmp_path, feed_dir):
     """The continuously-maintained group aggregate (bucket-level IVM)
     must equal a direct aggregate of the final applied state, across
