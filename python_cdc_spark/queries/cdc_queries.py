@@ -602,11 +602,6 @@ def rollup_cdc_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- prepared for the r8 window (debut discipline: the r7 window
-# composition was fixed by the r6 verdict, so this query ships with its
-# oracle PINNED BY PYTEST this round and registers next round by adding
-# the @register decoration with CDC_ORIGIN_FILTERED_ORACLE) -----------
-
 CDC_ORIGIN_FILTERED_ORACLE = """
     WITH feed AS (
       SELECT event_id, user_id, value,
@@ -628,6 +623,14 @@ CDC_ORIGIN_FILTERED_ORACLE = """
 """
 
 
+@register(
+    "cdc_origin_filtered",
+    oracle=CDC_ORIGIN_FILTERED_ORACLE,
+    doc="R3 extension + loop filtering: replication-origin resolution "
+    "(pgoutput O frames; the reference's dispatch drops them, "
+    "pg_output_parser.py:32-39) via bucket-parallel as-of over the LSN "
+    "axis — per-origin event/user/value rollup",
+)
 def cdc_origin_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R3+E18 extension: replication-origin resolution over a derived
     multi-origin feed. Events group into transactions of ten
@@ -673,4 +676,90 @@ def cdc_origin_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
         dec_sum(F.col("value"), "sum_value"),
+    )
+
+
+@register(
+    "cdc_schema_evolution",
+    oracle="""
+    WITH t AS (SELECT CAST(FLOOR(MAX(event_id) / 2) AS BIGINT) AS split FROM events)
+    SELECT CASE WHEN event_id < (SELECT split FROM t)
+                THEN 'amount' ELSE 'amount_usd' END AS col_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(30,10))), 4) AS DOUBLE)
+             AS sum_value
+    FROM events GROUP BY 1
+    """,
+    doc="R4+R6 through the REAL binary codec: pgoutput frames encoded "
+    "from the events table with a mid-stream column RENAME (re-sent R "
+    "frame at the median LSN), decoded with the LSN-versioned registry "
+    "— pre-DDL tuples keep the old column name, post-DDL the new",
+)
+def cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one registered query that round-trips the BINARY wire path
+    (encode → distributed Arrow decode → aggregate), not the derived
+    logical feed. Every event becomes an INSERT frame for relid 1 at
+    lsn = 2·event_id + 1; relation version 1 (``id, amount``) is valid
+    from LSN 0 and version 2 renames the column to ``amount_usd`` at
+    the even LSN 2·split (split = ⌊max event_id / 2⌋), so events with
+    event_id < split decode under the OLD name and the rest under the
+    NEW one — the serial consumer's semantics (pg_output_parser.py:88)
+    reproduced by the versioned registry under distributed decode. The
+    rollup groups by the DECODED column name; a latest-wins registry
+    would collapse both groups into ``amount_usd`` and hash-mismatch.
+    Encoding is the fixture-generator side (sources/files.py's role),
+    Arrow-batched per partition — not a hot-path pattern."""
+    from python_cdc_spark.cdc.pgoutput import (
+        decode_frames,
+        encode_insert,
+        encode_relation,
+    )
+
+    ev = table(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
+    split = int(ev.agg(F.floor(F.max("event_id") / 2)).first()[0])
+
+    def enc(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            frames = [
+                bytearray(encode_insert(1, [str(int(u)), repr(float(v))]))
+                for u, v in zip(pdf["user_id"], pdf["value"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "lsn": (pdf["event_id"] * 2 + 1).astype("int64"),
+                    "ts": pdf["ts"],
+                    "frame": frames,
+                }
+            )
+
+    dml = ev.mapInPandas(enc, "lsn bigint, ts timestamp, frame binary")
+    t0 = ev.agg(F.min("ts")).first()[0]
+    rels = spark.createDataFrame(
+        [
+            (0, t0, bytearray(encode_relation(1, "public", "ledger", ["id", "amount"]))),
+            (
+                2 * split,
+                t0,
+                bytearray(encode_relation(1, "public", "ledger", ["id", "amount_usd"])),
+            ),
+        ],
+        "lsn bigint, ts timestamp, frame binary",
+    )
+    events = decode_frames(spark, dml.unionByName(rels))
+    cells = events.select(
+        F.explode(F.map_keys("new_values")).alias("col_name"),
+        F.col("new_values")["id"].cast("long").alias("user_id"),
+        "new_values",
+    ).filter(F.col("col_name") != "id")
+    return cells.groupBy("col_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+        dec_sum(
+            F.element_at("new_values", F.col("col_name")).cast("double"), "sum_value"
+        ),
     )
