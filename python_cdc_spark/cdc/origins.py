@@ -164,7 +164,10 @@ def filter_by_origin(
         return events
     if origin == "none":
         return events.filter(F.col("origin").isNull())
-    allowed = list(origin)
+    # a bare origin name is a one-element allow-list — without this,
+    # list("region_b") would silently become a list of CHARACTERS and
+    # filter out nearly everything
+    allowed = [origin] if isinstance(origin, str) else list(origin)
     return events.filter(
         F.col("origin").isNull() | F.col("origin").isin(allowed)
     )

@@ -360,3 +360,6 @@ def test_origin_annotation_and_loop_filtering(spark):
     assert filter_by_origin(ann, "any").count() == 4
     allowed = filter_by_origin(ann, {"region_b"})
     assert allowed.count() == 4  # explicit allow-list keeps the origin
+    # a BARE name is a one-element allow-list, not an iterable of chars
+    assert filter_by_origin(ann, "region_b").count() == 4
+    assert filter_by_origin(ann, "region_c").count() == 2  # local only
