@@ -143,3 +143,94 @@ def ml_linreg_suffstats(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i, n in enumerate(names)
     ]
     return row.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+
+
+# --- PCA: oracle-gated covariance block ------------------------------
+
+#: leading dims whose covariance block the gate checks exactly; the
+#: full-dim fit itself is operators/pca.py (one-pass partitioned
+#: suffstats + driver eigh), pinned against full-data numpy by
+#: tests/test_operators.py::test_pca_fit_matches_full_data_numpy
+_COV_DIMS = 8
+
+
+def _pca_cov_oracle() -> str:
+    def el(i: int) -> str:
+        return f"CAST(embedding[{i + 1}] AS DOUBLE)"
+
+    def dsum(expr: str, alias: str) -> str:
+        return (
+            f"CAST(ROUND(SUM(CAST({expr} AS DECIMAL(30,10))), 4) AS DOUBLE)"
+            f" AS {alias}"
+        )
+
+    cols = ["CAST(COUNT(*) AS DOUBLE) AS n"]
+    for i in range(_COV_DIMS):
+        cols.append(dsum(el(i), f"s{i}"))
+    for i in range(_COV_DIMS):
+        for j in range(i, _COV_DIMS):
+            cols.append(dsum(f"{el(i)} * {el(j)}", f"p{i}_{j}"))
+    rows = [
+        f"SELECT CAST({i} AS INTEGER) AS i, CAST({j} AS INTEGER) AS j, "
+        f"p{i}_{j}/n - (s{i}/n)*(s{j}/n) AS cov FROM s"
+        for i in range(_COV_DIMS)
+        for j in range(i, _COV_DIMS)
+    ]
+    return (
+        "WITH s AS (SELECT "
+        + ", ".join(cols)
+        + " FROM embeddings) "
+        + " UNION ALL ".join(rows)
+    )
+
+
+@register(
+    "ml_pca_covariance_block",
+    oracle=_pca_cov_oracle(),
+    doc="PCA sufficient statistics, engine-exact: the 8x8 leading "
+    "covariance block of the embedding corpus from ONE decimal-routed "
+    "aggregation pass (36 upper-triangle entries) — the same "
+    "suffstats-then-driver-solve shape operators/pca.py scales to all "
+    "64 dims with per-partition numpy Gram accumulation",
+)
+def ml_pca_covariance_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariance needs Σx_i·x_j and Σx_i only, so the whole block is
+    one map + one aggregate — no shuffle beyond the aggregation itself,
+    no per-row explode (the naive (i,j)-explode inflates the corpus
+    d²/2-fold before its shuffle). Sums are decimal-routed, hence
+    order-independent and identical across engines; cov is then a pure
+    double expression over identical operands. The full-rank fit path
+    (all 64 dims, eigendecomposition, whitening projection) lives in
+    ``operators/pca.py`` where the Gram matrix accumulates per
+    partition in float64 BLAS — engine-exact gating of a dim block here
+    plus numpy-pinned tests there, because bit-pinning a 64x64 float
+    eigensolve across engines is not meaningful."""
+    from python_cdc_spark.queries.helpers import dec_sum
+
+    e = table(spark, sf_dir, "embeddings").select("embedding")
+
+    def el(i: int):
+        return F.element_at("embedding", i + 1).cast("double")
+
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    for i in range(_COV_DIMS):
+        aggs.append(dec_sum(el(i), f"s{i}"))
+    for i in range(_COV_DIMS):
+        for j in range(i, _COV_DIMS):
+            aggs.append(dec_sum(el(i) * el(j), f"p{i}_{j}"))
+    row = e.agg(*aggs)
+    cells = [
+        F.struct(
+            F.lit(i).alias("i"),
+            F.lit(j).alias("j"),
+            (
+                F.col(f"p{i}_{j}") / F.col("n")
+                - (F.col(f"s{i}") / F.col("n")) * (F.col(f"s{j}") / F.col("n"))
+            ).alias("cov"),
+        )
+        for i in range(_COV_DIMS)
+        for j in range(i, _COV_DIMS)
+    ]
+    return row.select(F.explode(F.array(*cells)).alias("c")).select(
+        "c.i", "c.j", "c.cov"
+    )

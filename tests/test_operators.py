@@ -1125,3 +1125,62 @@ def test_myers_levenshtein_matches_jvm(spark):
     ).collect()
     assert all(r["m"] == r["j"] for r in got)
     assert not lev.deterministic
+
+
+def test_pca_fit_matches_full_data_numpy(spark):
+    """The one-pass partitioned suffstats fit must equal numpy's
+    full-data PCA (sign-canonicalized) — partition splits change only
+    the float accumulation order, never the result beyond ulps."""
+    import numpy as np
+
+    from python_cdc_spark.io import table
+    from python_cdc_spark.operators.pca import (
+        pca_fit,
+        pca_transform,
+        reconstruction_error,
+    )
+
+    emb = table(spark, "/root/testdata/sf0.001", "embeddings").repartition(7)
+    model = pca_fit(emb, "embedding", k=8, dims=64)
+
+    x = np.stack([np.asarray(r["embedding"]) for r in emb.collect()]).astype(
+        np.float64
+    )
+    mean = x.mean(axis=0)
+    cov = (x - mean).T @ (x - mean) / len(x)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:8]
+    ref = evecs[:, order].T
+    for i in range(8):
+        j = int(np.argmax(np.abs(ref[i])))
+        if ref[i, j] < 0:
+            ref[i] = -ref[i]
+
+    assert model["n"] == len(x)
+    assert np.allclose(model["mean"], mean, atol=1e-9)
+    assert np.allclose(model["explained_variance"], evals[order], atol=1e-9)
+    assert np.allclose(model["components"], ref, atol=1e-7)
+
+    w = np.asarray(model["components"])
+    # orthonormal rows, descending eigenvalues
+    assert np.allclose(w @ w.T, np.eye(8), atol=1e-9)
+    ev = model["explained_variance"]
+    assert all(a >= b - 1e-12 for a, b in zip(ev, ev[1:]))
+
+    # projection matches (x - mean) @ W.T; whitening gives unit variance
+    proj = pca_transform(emb, model, out_col="p").select("p").collect()
+    got = np.stack([np.asarray(r["p"]) for r in proj])
+    want = (x - mean) @ w.T
+    assert np.allclose(np.sort(got, axis=0), np.sort(want, axis=0), atol=1e-9)
+    white = pca_transform(emb, model, out_col="p", whiten=True).select("p")
+    xw = np.stack([np.asarray(r["p"]) for r in white.collect()])
+    assert np.allclose(xw.var(axis=0), 1.0, atol=1e-6)
+
+    # reconstruction error: zero at k=d, equals the dropped-eigenvalue
+    # sum at k=8, and decreases with k
+    full = pca_fit(emb, "embedding", k=64, dims=64)
+    assert reconstruction_error(emb, full) < 1e-18
+    err8 = reconstruction_error(emb, model)
+    assert abs(err8 - (sum(evals) - sum(evals[order]))) < 1e-9
+    err4 = reconstruction_error(emb, pca_fit(emb, "embedding", k=4, dims=64))
+    assert err4 > err8
