@@ -44,8 +44,16 @@ def main() -> None:
                 f"SELECT * FROM read_parquet('{p}')"
             )
 
+    # optional name filters: any further args restrict the sweep to
+    # queries whose name contains one of them (targeted re-checks)
+    filters = sys.argv[2:]
+    items = {
+        n: s
+        for n, s in QUERIES.items()
+        if not filters or any(f in n for f in filters)
+    }
     ok, bad, err = [], [], []
-    for name, spec in QUERIES.items():
+    for name, spec in items.items():
         t0 = time.time()
         try:
             df = spec.fn(spark, sf)
