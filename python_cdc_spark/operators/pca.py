@@ -62,7 +62,12 @@ def _suffstats(df: DataFrame, vec_col: str, d: int):
                 {"n": [n], "s": [s.tolist()], "g": [g.reshape(-1).tolist()]}
             )
 
-    parts = df.select(vec_col).mapInPandas(part, _SUFF_SCHEMA).collect()
+    parts = (
+        df.select(vec_col)
+        .filter(F.col(vec_col).isNotNull())  # a null vector would fail np.stack
+        .mapInPandas(part, _SUFF_SCHEMA)
+        .collect()
+    )
     if not parts:
         raise ValueError("pca_fit: empty input")
     n = sum(r["n"] for r in parts)

@@ -363,3 +363,54 @@ def test_origin_annotation_and_loop_filtering(spark):
     # a BARE name is a one-element allow-list, not an iterable of chars
     assert filter_by_origin(ann, "region_b").count() == 4
     assert filter_by_origin(ann, "region_c").count() == 2  # local only
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_DDL_COLS = ["id", "a", "b", "c", "d"]
+
+_action_st = st.one_of(
+    st.tuples(
+        st.just("ddl"),
+        st.lists(st.sampled_from(_DDL_COLS), unique=True, min_size=1, max_size=5),
+    ),
+    st.tuples(st.just("ins"), st.integers(min_value=0, max_value=99)),
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(st.sampled_from(_DDL_COLS), unique=True, min_size=1, max_size=5),
+    st.lists(_action_st, min_size=1, max_size=20),
+)
+def test_versioned_decode_matches_serial_consumer(spark, first_cols, actions):
+    """Property: for ANY interleaving of Relation re-definitions
+    (renames, drops, reorders, adds) and inserts, the distributed
+    LSN-versioned decode equals a serial consumer that overwrites its
+    registry in stream order — the reference's exact semantics
+    (pg_output_parser.py:88). Each insert is encoded with the schema
+    in force when it was produced, as a real producer would."""
+    frames, expect = [], []
+    cur = list(first_cols)
+    frames.append(encode_relation(1, "public", "t", cur))
+    for kind, arg in actions:
+        if kind == "ddl":
+            cur = list(arg)
+            frames.append(encode_relation(1, "public", "t", cur))
+        else:
+            vals = [f"v{arg}_{i}" for i in range(len(cur))]
+            frames.append(encode_insert(1, vals))
+            # a serial consumer decodes with ITS current registry entry
+            expect.append((len(frames), dict(zip(cur, vals)), list(cur)))
+    got = [
+        (r["lsn"], dict(r["new_values"]), list(r["columns"]))
+        for r in decode_frames(spark, _frames_df(spark, frames))
+        .orderBy("lsn")
+        .collect()
+    ]
+    assert got == expect
