@@ -40,22 +40,23 @@ from python_cdc_spark.queries import (  # noqa: F401, E402
 # Round-7 rotation (VERDICT r6 item #3): freshness-ordered. Latest-green
 # rounds per name from CORRECTNESS_r01–r06 (r6: 50, r5: 50, r4: 42,
 # r3: 9; zero ever-red, zero unchecked). The window leads with this
-# round's 5 NEW registrations (debut discipline), then the 9 r03-latest
-# leaders the r6 window deferred (named in the r6 verdict), then 36 of
-# the 42 r04-latest names. The 6 r04 names that do not fit
+# round's 6 NEW registrations (debut discipline), then the 9 r03-latest
+# leaders the r6 window deferred (named in the r6 verdict), then 35 of
+# the 42 r04-latest names. The 7 r04 names that do not fit
 # (similarity_rq_topk, similarity_ivfpq_topk, similarity_ivfrq_topk —
 # the heaviest rows — plus text_repetition_filter,
-# timeseries_gapfill_locf and text_quality_classifier, all still
-# exercised by the local differ and PLANS_AUDIT every round) lead the
-# r8 window; every rotated-out name stays covered by the local differ
-# (tests/test_queries_oracle.py, ALL queries at sf0.01 + the
-# end-of-round sf0.1 sweep).
+# timeseries_gapfill_locf, text_quality_classifier and
+# text_fingerprint, all still exercised by the local differ and
+# PLANS_AUDIT every round) lead the r8 window; every rotated-out name
+# stays covered by the local differ (tests/test_queries_oracle.py, ALL
+# queries at sf0.01 + the end-of-round sf0.1 sweep).
 _WINDOW = [
     # --- New this round: first driver rows land now ---
     "cdc_truncate_multi_table",
     "rollup_cdc_partition_pruned",
     "cdc_origin_filtered",
     "cdc_schema_evolution",
+    "cdc_control_frames",
     "ml_pca_covariance_block",
     # --- The 9 r03-latest leaders (verdict r6 #3) ---
     "array_functions",
@@ -103,15 +104,15 @@ _WINDOW = [
     "text_bm25_search",
     "text_bpe_token_estimate",
     "text_duplicate_span_coverage",
-    "text_fingerprint",
 ]
 # r04-latest names that did not fit this window; they lead r8:
 # similarity_rq_topk, similarity_ivfpq_topk, similarity_ivfrq_topk,
 # text_repetition_filter, timeseries_gapfill_locf,
-# text_quality_classifier (the last three were displaced when the
-# late-r7 debuts — cdc_origin_filtered, cdc_schema_evolution,
-# ml_pca_covariance_block — took their in-window slots; every
-# rotated-out name stays covered by the local differ + the sf0.1 sweep)
+# text_quality_classifier, text_fingerprint (the last four were
+# displaced when the late-r7 debuts — cdc_origin_filtered,
+# cdc_schema_evolution, cdc_control_frames, ml_pca_covariance_block —
+# took their in-window slots; every rotated-out name stays covered by
+# the local differ + the sf0.1 sweep)
 assert len(_WINDOW) == 50, f"driver window must hold exactly 50, got {len(_WINDOW)}"
 assert len(set(_WINDOW)) == 50, "duplicate names in the driver window"
 set_priority_order(_WINDOW)

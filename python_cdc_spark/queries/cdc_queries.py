@@ -763,3 +763,99 @@ def cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at("new_values", F.col("col_name")).cast("double"), "sum_value"
         ),
     )
+
+
+@register(
+    "cdc_control_frames",
+    oracle="""
+    WITH f AS (
+      SELECT CASE event_id % 3 WHEN 0 THEN 'ORIGIN'
+                               WHEN 1 THEN 'TYPE'
+                               ELSE 'MESSAGE' END AS kind,
+             CASE event_id % 3
+               WHEN 0 THEN 'node_' || CAST(user_id % 7 AS VARCHAR)
+               WHEN 1 THEN 'public.t' || CAST(event_id % 5 AS VARCHAR)
+               ELSE 'app_' || CAST(event_id % 4 AS VARCHAR) END AS name,
+             CASE event_id % 3
+               WHEN 0 THEN event_id
+               WHEN 1 THEN 1000 + event_id % 50
+               ELSE OCTET_LENGTH(ENCODE(props))
+                    + CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END
+             END AS chk
+      FROM events
+    )
+    SELECT kind,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT name) AS BIGINT) AS n_names,
+           CAST(SUM(chk) AS BIGINT) AS checksum
+    FROM f GROUP BY kind
+    """,
+    doc="Control frames O/Y/M through the real binary codec: Origin "
+    "(name + commit LSN), Type (OID -> qualified name), and logical "
+    "Message (prefix + transactional flag + payload bytes) frames "
+    "encoded from the events table by rule, decoded on the separate "
+    "control stream the DML decoder never sees, checksummed per kind",
+)
+def cdc_control_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The control-frame round-trip companion to ``cdc_schema_evolution``:
+    every event becomes one O/Y/M frame (kind = event_id mod 3), the
+    Arrow decode (`decode_control_frames`, R14 malformed-drop included)
+    recovers name/origin_lsn/type_oid/transactional/content, and the
+    per-kind rollup checksums the decoded payloads — origin commit
+    LSNs, type OIDs, message byte lengths + transactional flags — so a
+    field decoded at the wrong offset cannot hash-match. The oracle
+    derives everything from the generation rule."""
+    from python_cdc_spark.cdc.pgoutput import (
+        decode_control_frames,
+        encode_message,
+        encode_origin,
+        encode_type,
+    )
+
+    ev = table(spark, sf_dir, "events").select("event_id", "ts", "user_id", "props")
+
+    def enc(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            frames = []
+            for eid, uid, props in zip(
+                pdf["event_id"], pdf["user_id"], pdf["props"]
+            ):
+                eid, uid = int(eid), int(uid)
+                k = eid % 3
+                if k == 0:
+                    f = encode_origin(eid, f"node_{uid % 7}")
+                elif k == 1:
+                    f = encode_type(1000 + eid % 50, "public", f"t{eid % 5}")
+                else:
+                    f = encode_message(
+                        f"app_{eid % 4}",
+                        str(props).encode("utf-8"),
+                        transactional=(eid % 2 == 0),
+                        lsn=eid,
+                    )
+                frames.append(bytearray(f))
+            yield pd.DataFrame(
+                {
+                    "lsn": pdf["event_id"].astype("int64"),
+                    "ts": pdf["ts"],
+                    "frame": frames,
+                }
+            )
+
+    frames = ev.mapInPandas(enc, "lsn bigint, ts timestamp, frame binary")
+    dec = decode_control_frames(spark, frames)
+    chk = (
+        F.coalesce(F.col("origin_lsn"), F.lit(0))
+        + F.coalesce(F.col("type_oid").cast("long"), F.lit(0))
+        + F.coalesce(F.length("content").cast("long"), F.lit(0))
+        + F.coalesce(F.col("transactional").cast("long"), F.lit(0))
+    )
+    return dec.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("name").alias("n_names"),
+        F.sum(chk).cast("long").alias("checksum"),
+    )
