@@ -76,6 +76,12 @@ HEADLINE = [
     # multi-table TRUNCATE apply + partition-pruned cube refresh (round 7)
     "cdc_truncate_multi_table",
     "rollup_cdc_partition_pruned",
+    # late round 7: origin loop-filtering, binary codec round-trips,
+    # one-pass PCA covariance
+    "cdc_origin_filtered",
+    "cdc_schema_evolution",
+    "cdc_control_frames",
+    "ml_pca_covariance_block",
 ]
 
 

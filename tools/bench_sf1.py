@@ -133,6 +133,22 @@ THIRD_WAVE = [
     "sketch_kll_quantiles",
 ]
 
+# r7 fourth wave: the six late-r7 debuts. Shapes under test: the
+# bucket-parallel origin as-of over 1M events (carry buckets scale
+# with the LSN range), two BINARY codec round-trips whose encode side
+# is the Python fixture generator (expected to dominate the Spark
+# column — disclosed, it is not the consumer hot path; decode is the
+# Arrow path that IS), the multi-table truncate fold, the engine-pruned
+# partitioned cube refresh, and the one-pass covariance block.
+FOURTH_WAVE = [
+    "cdc_origin_filtered",
+    "cdc_schema_evolution",
+    "cdc_control_frames",
+    "cdc_truncate_multi_table",
+    "rollup_cdc_partition_pruned",
+    "ml_pca_covariance_block",
+]
+
 
 def _run_ann_spark_only(spark, sf_dir: str) -> dict:
     from pyspark.sql import functions as F
@@ -296,6 +312,10 @@ def main() -> None:
             fresh_spark(), "/root/testdata/sf0.1", THIRD_WAVE
         ),
         "thirdwave_sf1": _run_scale(fresh_spark(), sf1_dir, THIRD_WAVE),
+        "fourthwave_sf0.1": _run_scale(
+            fresh_spark(), "/root/testdata/sf0.1", FOURTH_WAVE
+        ),
+        "fourthwave_sf1": _run_scale(fresh_spark(), sf1_dir, FOURTH_WAVE),
         "ann_sf0.1": _run_ann_spark_only(fresh_spark(), "/root/testdata/sf0.1"),
         "ann_sf1": _run_ann_spark_only(fresh_spark(), sf1_dir),
     }
@@ -313,6 +333,10 @@ def main() -> None:
     out["thirdwave_ratio_trend"] = [
         out["thirdwave_sf0.1"]["ratio"],
         out["thirdwave_sf1"]["ratio"],
+    ]
+    out["fourthwave_ratio_trend"] = [
+        out["fourthwave_sf0.1"]["ratio"],
+        out["fourthwave_sf1"]["ratio"],
     ]
     # spark-only: how much slower is 10x the data? (vs the 10x a
     # vector-scanning design would pay)
