@@ -37,9 +37,11 @@ from pyspark.sql import functions as F
 _SUFF_SCHEMA = "n long, s array<double>, g array<double>"
 
 
-def _suffstats(df: DataFrame, vec_col: str, d: int):
-    """(n, Σx, XᵀX) accumulated per partition, reduced on the driver.
-    Returns (n, mean vector, covariance matrix) as numpy objects."""
+def suffstats(df: DataFrame, vec_col: str, d: int):
+    """(n, Σx, XᵀX) accumulated per partition, reduced on the driver —
+    the exact mergeable monoid behind both the one-shot fit and the
+    streaming fold. Returns (n, s, g) with s a length-d numpy vector
+    and g the d×d Gram matrix."""
     import numpy as np
 
     def part(batches: Iterator) -> Iterator:
@@ -69,15 +71,41 @@ def _suffstats(df: DataFrame, vec_col: str, d: int):
         .collect()
     )
     if not parts:
-        raise ValueError("pca_fit: empty input")
+        return 0, np.zeros(d), np.zeros((d, d))
     n = sum(r["n"] for r in parts)
     s = np.sum([np.asarray(r["s"]) for r in parts], axis=0)
     g = np.sum([np.asarray(r["g"]).reshape(d, d) for r in parts], axis=0)
+    return n, s, g
+
+
+def model_from_suffstats(n: int, s, g, k: int) -> dict:
+    """The driver-side eigen step over mergeable sufficient statistics
+    (n, Σx, XᵀX) — shared by the one-shot fit and the streaming fold
+    (``streaming/pca_stream.py``), because the stats are an exact
+    commutative monoid: two datasets' (n, s, G) triples ADD."""
+    import numpy as np
+
+    if n <= 0:
+        raise ValueError("pca: empty input (no non-null vectors)")
+    s = np.asarray(s, dtype=np.float64)
+    g = np.asarray(g, dtype=np.float64).reshape(len(s), len(s))
     mean = s / n
     # covariance with the mean correction folded in: Σxxᵀ/n − μμᵀ
     # (population form; the n/(n−1) choice washes out of eigenvectors)
     cov = g / n - np.outer(mean, mean)
-    return n, mean, cov
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T  # k × d
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return {
+        "n": int(n),
+        "mean": mean.tolist(),
+        "components": comps.tolist(),
+        "explained_variance": [float(max(evals[o], 0.0)) for o in order],
+    }
 
 
 def pca_fit(
@@ -95,22 +123,8 @@ def pca_fit(
     Eigenvector SIGN is canonicalized (largest-|coordinate| entry made
     positive) so fits are comparable across runs and engines — eigh is
     otherwise free to flip any component."""
-    import numpy as np
-
-    n, mean, cov = _suffstats(df, vec_col, dims)
-    evals, evecs = np.linalg.eigh(cov)  # ascending
-    order = np.argsort(evals)[::-1][:k]
-    comps = evecs[:, order].T  # k × d
-    for i in range(comps.shape[0]):
-        j = int(np.argmax(np.abs(comps[i])))
-        if comps[i, j] < 0:
-            comps[i] = -comps[i]
-    return {
-        "n": int(n),
-        "mean": mean.tolist(),
-        "components": comps.tolist(),
-        "explained_variance": [float(max(evals[o], 0.0)) for o in order],
-    }
+    n, s, g = suffstats(df, vec_col, dims)
+    return model_from_suffstats(n, s, g, k)
 
 
 def pca_transform(

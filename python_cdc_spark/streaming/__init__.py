@@ -24,6 +24,9 @@ from python_cdc_spark.streaming.dedup_stream import (  # noqa: F401
 from python_cdc_spark.streaming.ivm_stream import (  # noqa: F401
     StreamingIncrementalAgg,
 )
+from python_cdc_spark.streaming.pca_stream import (  # noqa: F401
+    StreamingPCA,
+)
 from python_cdc_spark.streaming.windows import (  # noqa: F401
     session_window_agg,
     sliding_window_agg,

@@ -1492,3 +1492,60 @@ def test_fold_plan_auto_detects_bucket_skew(spark, tmp_path):
     assert state["7"] == {"id": "7", "v": "final"}
     assert state["3"] == {"id": "3", "v": "cold"}
     assert len(state) == 20
+
+
+def test_streaming_pca_matches_batch(spark, tmp_path):
+    """PCA suffstats are an exact monoid, so the model after streaming
+    the corpus in two micro-batches must equal a one-shot fit over the
+    union — same eigenvalues, same sign-canonicalized components.
+    Replay of a committed batch id must be a no-op, and a restarted
+    instance must resume the persisted state."""
+    import numpy as np
+
+    from python_cdc_spark.io import table
+    from python_cdc_spark.operators.pca import pca_fit
+    from python_cdc_spark.streaming import StreamingPCA
+
+    emb = table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    feed_dir = str(tmp_path / "feed")
+    emb.filter(F.col("vec_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(feed_dir)
+    emb.filter(F.col("vec_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(feed_dir)
+
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed_dir)
+    )
+    pca = StreamingPCA(spark, str(tmp_path / "state"), dims=64, k=8)
+    q = pca.start(stream, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    want = pca_fit(emb, "embedding", k=8, dims=64)
+    got = pca.model()
+    assert got["n"] == want["n"] == emb.count()
+    assert np.allclose(got["mean"], want["mean"], atol=1e-12)
+    assert np.allclose(
+        got["explained_variance"], want["explained_variance"], atol=1e-9
+    )
+    assert np.allclose(got["components"], want["components"], atol=1e-7)
+
+    # crash-replay: re-folding an already-committed batch id is a no-op
+    n_before = pca.rows_folded()
+    pca.fold_batch(emb, batch_id=0)
+    assert pca.rows_folded() == n_before
+
+    # restart resumes persisted state; dims mismatch refuses
+    fresh = StreamingPCA(spark, str(tmp_path / "state"), dims=64, k=8)
+    assert fresh.rows_folded() == n_before
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="dims"):
+        StreamingPCA(spark, str(tmp_path / "state"), dims=32).fold_batch(
+            emb, batch_id=99
+        )
