@@ -153,9 +153,18 @@ def pca_transform(
 
         if not len(col):
             return pd.Series([], dtype="object")
-        x = np.stack(col.to_numpy()).astype(np.float64)
-        y = (x - mean) @ w.T
-        return pd.Series(list(y))
+        # Nulls pass through as null output (fit-path parity: suffstats
+        # filters isNotNull; np.stack on a None would die mid-executor).
+        vals = col.to_numpy()
+        mask = np.array([v is not None for v in vals])
+        out = np.empty(len(vals), dtype=object)
+        out[~mask] = None
+        if mask.any():
+            x = np.stack(vals[mask]).astype(np.float64)
+            y = (x - mean) @ w.T
+            for i, row in zip(np.nonzero(mask)[0], y):
+                out[i] = row
+        return pd.Series(list(out))
 
     proj = pandas_udf(_proj, "array<double>")
     return df.withColumn(out_col, proj(F.col(vec_col)))
@@ -188,6 +197,11 @@ def reconstruction_error(
         if n:
             yield pd.DataFrame({"n": [n], "t": [tot]})
 
-    rows = df.select(vec_col).mapInPandas(part, "n long, t double").collect()
+    rows = (
+        df.select(vec_col)
+        .filter(F.col(vec_col).isNotNull())  # fit-path parity (suffstats)
+        .mapInPandas(part, "n long, t double")
+        .collect()
+    )
     n = sum(r["n"] for r in rows)
     return (sum(r["t"] for r in rows) / n) if n else 0.0

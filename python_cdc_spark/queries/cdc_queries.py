@@ -779,7 +779,7 @@ def cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE event_id % 3
                WHEN 0 THEN event_id
                WHEN 1 THEN 1000 + event_id % 50
-               ELSE OCTET_LENGTH(ENCODE(props))
+               ELSE OCTET_LENGTH(ENCODE(COALESCE(props, '')))
                     + CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END
              END AS chk
       FROM events
@@ -831,9 +831,12 @@ def cdc_control_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                 elif k == 1:
                     f = encode_type(1000 + eid % 50, "public", f"t{eid % 5}")
                 else:
+                    # Null props encodes as empty payload, matching the
+                    # oracle's COALESCE(props, '') — str(None) would be
+                    # the 4-byte 'None' while the SQL SUM drops the row.
                     f = encode_message(
                         f"app_{eid % 4}",
-                        str(props).encode("utf-8"),
+                        ("" if props is None else str(props)).encode("utf-8"),
                         transactional=(eid % 2 == 0),
                         lsn=eid,
                     )

@@ -1184,3 +1184,45 @@ def test_pca_fit_matches_full_data_numpy(spark):
     assert abs(err8 - (sum(evals) - sum(evals[order]))) < 1e-9
     err4 = reconstruction_error(emb, pca_fit(emb, "embedding", k=4, dims=64))
     assert err4 > err8
+
+
+def test_pca_transform_and_error_pass_null_vectors(spark):
+    """Fit-path parity for nulls: suffstats filters isNotNull, so
+    transform must pass a null embedding through as null output (not
+    die in np.stack mid-executor) and reconstruction_error must skip
+    it — a corpus with a few null embeddings is the normal case, not
+    the exception."""
+    import numpy as np
+
+    from python_cdc_spark.io import table
+    from python_cdc_spark.operators.pca import (
+        pca_fit,
+        pca_transform,
+        reconstruction_error,
+    )
+
+    emb = table(spark, "/root/testdata/sf0.001", "embeddings")
+    model = pca_fit(emb, "embedding", k=4, dims=64)
+    err_clean = reconstruction_error(emb, model)
+
+    with_null = emb.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") % 10 == 0, F.lit(None)).otherwise(F.col("embedding")),
+    )
+    rows = (
+        pca_transform(with_null, model, out_col="p")
+        .select("vec_id", "p")
+        .collect()
+    )
+    assert any(r["p"] is None for r in rows)
+    for r in rows:
+        if r["vec_id"] % 10 == 0:
+            assert r["p"] is None
+        else:
+            assert r["p"] is not None and len(r["p"]) == 4
+            assert np.isfinite(np.asarray(r["p"])).all()
+    # error over the null-bearing frame is computed over non-null rows
+    # only — finite, and in the same regime as the clean-frame error
+    err_nulls = reconstruction_error(with_null, model)
+    assert np.isfinite(err_nulls) and err_nulls > 0
+    assert abs(err_nulls - err_clean) / err_clean < 0.5

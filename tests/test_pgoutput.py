@@ -128,6 +128,28 @@ def test_schema_evolution_rename_is_lsn_versioned(spark):
     assert events[2]["new_values"] == {"id": "1", "amount_usd": "11"}
 
 
+def test_dml_below_first_relation_version_clamps_to_earliest(spark):
+    """A DML whose LSN precedes its relid's first versioned R frame
+    decodes with that EARLIEST version — the documented deviation from
+    the reference serial consumer, which would drop such a frame as
+    unknown-relation (a live wire always sends R before a relation's
+    first DML; only synthetic/file feeds hit this). Pins: (a) the
+    pre-R DML decodes with version 1's names, not a later version's,
+    and (b) it is NOT dropped."""
+    frames = [
+        encode_insert(1, ["1", "5"]),  # LSN 1 — BELOW the first R frame
+        encode_relation(1, "public", "t", ["id", "amount"]),  # LSN 2, v1
+        encode_insert(1, ["2", "6"]),
+        encode_relation(1, "public", "t", ["id", "amount_usd"]),  # LSN 4, v2
+        encode_insert(1, ["3", "7"]),
+    ]
+    events = decode_frames(spark, _frames_df(spark, frames)).orderBy("lsn").collect()
+    assert len(events) == 3  # the below-first-version DML survives
+    assert events[0]["new_values"] == {"id": "1", "amount": "5"}  # clamped to v1
+    assert events[1]["new_values"] == {"id": "2", "amount": "6"}
+    assert events[2]["new_values"] == {"id": "3", "amount_usd": "7"}
+
+
 def test_full_wire_to_state_streaming_pipeline(spark, tmp_path):
     """The reference's whole job, end to end on Structured Streaming:
     binary pgoutput frames → distributed decode → continuous apply →
