@@ -82,6 +82,8 @@ HEADLINE = [
     "cdc_schema_evolution",
     "cdc_control_frames",
     "ml_pca_covariance_block",
+    # round 8: the composite end-to-end CDC gate (every seam at once)
+    "cdc_pipeline_composite",
 ]
 
 

@@ -37,82 +37,77 @@ from python_cdc_spark.queries import (  # noqa: F401, E402
 # The driver's correctness gate checks the FIRST 50 registry entries;
 # registration order decides which queries earn a driver CORRECTNESS row.
 #
-# Round-7 rotation (VERDICT r6 item #3): freshness-ordered. Latest-green
-# rounds per name from CORRECTNESS_r01–r06 (r6: 50, r5: 50, r4: 42,
-# r3: 9; zero ever-red, zero unchecked). The window leads with this
-# round's 6 NEW registrations (debut discipline), then the 9 r03-latest
-# leaders the r6 window deferred (named in the r6 verdict), then 35 of
-# the 42 r04-latest names. The 7 r04 names that do not fit
-# (similarity_rq_topk, similarity_ivfpq_topk, similarity_ivfrq_topk —
-# the heaviest rows — plus text_repetition_filter,
-# timeseries_gapfill_locf, text_quality_classifier and
-# text_fingerprint, all still exercised by the local differ and
-# PLANS_AUDIT every round) lead the r8 window; every rotated-out name
-# stays covered by the local differ (tests/test_queries_oracle.py, ALL
-# queries at sf0.01 + the end-of-round sf0.1 sweep).
+# Round-8 rotation (VERDICT r7 item #2): freshness-ordered. Latest-green
+# rounds per name from CORRECTNESS_r01–r07 (r7: 50, r6: 50, r5: 50,
+# r4: 7; zero ever-red, zero unchecked). The window leads with this
+# round's NEW registration (debut discipline — registered at round
+# START, per the r7 ADVICE note on holding late-round debuts), then the
+# 7 r04-latest names the r7 verdict queued as this round's leaders,
+# then 42 of the 50 r05-latest names. The 8 r05 names that do not fit
+# (graph_clustering_coefficient, graph_kcore_membership,
+# dedup_edit_distance_verified, events_exact_deciles,
+# events_markov_transitions, corpus_split_chisquare,
+# timeseries_autocorrelation, sketch_kmv_returnflag_overlap — the rows
+# with the most expensive DuckDB oracles: iterative/materialized CTE
+# chains, exact global deciles, all-pairs edit distance) lead the r9
+# window; every rotated-out name stays covered by the local differ
+# (tests/test_queries_oracle.py, ALL queries at sf0.01) and the
+# end-of-round sf0.1 sweep.
 _WINDOW = [
-    # --- New this round: first driver rows land now ---
-    "cdc_truncate_multi_table",
-    "rollup_cdc_partition_pruned",
-    "cdc_origin_filtered",
-    "cdc_schema_evolution",
-    "cdc_control_frames",
-    "ml_pca_covariance_block",
-    # --- The 9 r03-latest leaders (verdict r6 #3) ---
-    "array_functions",
-    "map_functions",
-    "multimodal_frame_sample",
-    "streaming_session_window_30m",
-    "streaming_sliding_1h_30m",
-    "streaming_tumbling_hourly",
-    "text_tf_topk",
-    "text_token_stats",
-    "udf_udtf_token_explode",
-    # --- r04-latest (39 of 42) ---
-    "case_when_bucketing",
-    "corpus_chunk_sliding",
-    "corpus_curation_pipeline",
-    "corpus_decontaminate_holdout",
-    "corpus_pack_shards",
-    "corpus_quality_funnel",
-    "corpus_shuffle_epochs",
-    "corpus_stratified_sample",
-    "corpus_weighted_mixture",
-    "dedup_incremental_fold",
-    "dedup_minhash_signatures",
-    "dedup_semantic_clusters",
-    "dedup_simhash",
-    "distinct_counts",
-    "embedding_norms",
-    "events_anomaly_mad",
-    "graph_pagerank_neardup",
-    "graph_triangle_count",
-    "interval_concurrency",
-    "join_range_banded",
-    "json_extraction",
-    "ml_linreg_suffstats",
-    "multimodal_decode_meta",
-    "multimodal_resize",
-    "profile_column_stats",
-    "q21_sole_blame_supplier",
-    "salted_agg_returnflag",
-    "scalar_date_funcs",
-    "sessionize_events",
-    "similarity_lsh_buckets",
-    "similarity_pq_topk",
-    "text_bigram_lm_score",
-    "text_bm25_search",
-    "text_bpe_token_estimate",
-    "text_duplicate_span_coverage",
+    # --- New this round: first driver row lands now ---
+    "cdc_pipeline_composite",
+    # --- The 7 r04-latest leaders (verdict r7 #2) ---
+    "similarity_rq_topk",
+    "similarity_ivfpq_topk",
+    "similarity_ivfrq_topk",
+    "text_repetition_filter",
+    "timeseries_gapfill_locf",
+    "text_quality_classifier",
+    "text_fingerprint",
+    # --- r05-latest (42 of 50) ---
+    "customer_rfm_segments",
+    "data_quality_checks",
+    "events_cusum_drift",
+    "events_histogram_equiwidth",
+    "join_key_skew_report",
+    "part_affinity_lift",
+    "parts_pareto_abc",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_part_type_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_discounted_revenue",
+    "q1_pricing_summary",
+    "q22_dormant_customers",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "revenue_by_nation_region",
+    "revenue_yoy_growth",
+    "rollup_distinct_parts_rewrite",
+    "rollup_revenue_rewrite",
+    "scalar_math_funcs",
+    "scalar_string_funcs2",
+    "sketch_countmin_partkeys",
+    "sketch_hll_groupwise",
+    "sketch_hll_orderkeys",
+    "stats_deterministic_moments",
+    "text_pii_redact",
+    "text_vocab_zipf_stats",
+    "timeseries_ewma_recursive",
+    "timeseries_seasonal_profile",
+    "unpivot_quarterly_revenue",
+    "window_lag_lead",
+    "window_running_total",
+    "window_value_navigation",
 ]
-# r04-latest names that did not fit this window; they lead r8:
-# similarity_rq_topk, similarity_ivfpq_topk, similarity_ivfrq_topk,
-# text_repetition_filter, timeseries_gapfill_locf,
-# text_quality_classifier, text_fingerprint (the last four were
-# displaced when the late-r7 debuts — cdc_origin_filtered,
-# cdc_schema_evolution, cdc_control_frames, ml_pca_covariance_block —
-# took their in-window slots; every rotated-out name stays covered by
-# the local differ + the sf0.1 sweep)
 assert len(_WINDOW) == 50, f"driver window must hold exactly 50, got {len(_WINDOW)}"
 assert len(set(_WINDOW)) == 50, "duplicate names in the driver window"
 set_priority_order(_WINDOW)

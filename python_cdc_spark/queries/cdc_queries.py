@@ -862,3 +862,299 @@ def cdc_control_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("name").alias("n_names"),
         F.sum(chk).cast("long").alias("checksum"),
     )
+
+
+@register(
+    "cdc_pipeline_composite",
+    oracle="""
+    WITH p AS (
+      SELECT CAST(FLOOR(MAX(event_id) / 2) AS BIGINT) AS split_eid,
+             CAST(FLOOR(CAST(FLOOR(MAX(event_id) / 10) AS BIGINT) / 2.0)
+                  AS BIGINT) AS mid_txn
+      FROM events
+    ),
+    tl AS (
+      SELECT 8 * MIN(event_id) + 3 AS t_lsn
+      FROM events
+      WHERE CAST(FLOOR(event_id / 10) AS BIGINT) >= (SELECT mid_txn FROM p)
+        AND CAST(FLOOR(event_id / 10) AS BIGINT) % 3 <> 0
+    ),
+    feed AS (
+      SELECT 8 * event_id + 4 AS lsn,
+             CAST(user_id AS BIGINT) AS key,
+             CASE WHEN event_id % 2 = 0 THEN 'users' ELSE 'orders' END AS tbl,
+             CASE WHEN event_type = 'signup' THEN 'INSERT'
+                  WHEN event_type = 'error'  THEN 'DELETE'
+                  ELSE 'UPDATE' END AS operation,
+             CASE WHEN event_id % 2 = 0
+                       AND event_id >= (SELECT split_eid FROM p)
+                  THEN 'amount_usd' ELSE 'amount' END AS col_name,
+             value
+      FROM events
+      WHERE CAST(FLOOR(event_id / 10) AS BIGINT) % 3 <> 0
+    ),
+    bound AS (
+      SELECT key, tbl,
+             GREATEST(
+               COALESCE(MAX(CASE WHEN operation = 'DELETE' THEN lsn END), -1),
+               CASE WHEN tbl = 'users' THEN (SELECT t_lsn FROM tl) ELSE -1 END
+             ) AS last_del
+      FROM feed GROUP BY key, tbl
+    ),
+    live AS (
+      SELECT f.* FROM feed f JOIN bound b USING (key, tbl)
+      WHERE f.operation <> 'DELETE' AND f.lsn > b.last_del
+    ),
+    state AS (
+      SELECT key, tbl,
+             arg_max(col_name, lsn) AS col_name,
+             CAST(arg_max(value, lsn) AS DOUBLE) AS value,
+             MAX(lsn) AS last_lsn
+      FROM live GROUP BY key, tbl
+    )
+    SELECT CAST(key % 4 AS INTEGER) AS key_band, tbl, col_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(30,10))), 4) AS DOUBLE)
+             AS sum_value,
+           CAST(MAX(last_lsn) AS BIGINT) AS max_lsn
+    FROM state GROUP BY 1, 2, 3
+    """,
+    doc="VERDICT r7 #4 — ONE composite end-to-end CDC gate exercising "
+    "every distributed-CDC seam TOGETHER on a single binary wire feed: "
+    "mid-stream column RENAME (LSN-versioned registry), origin-carrying "
+    "transactions (B/O markers -> loop filtering), a TRUNCATE of one of "
+    "two key-COLLIDING tables (per-table scope), multi-table composite-"
+    "key fold, and a partition-pruned maintained cube over the result",
+)
+def cdc_pipeline_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole distributed CDC engine in one oracle-gated pipeline —
+    the seams that are gated separately elsewhere (schema evolution,
+    origins, multi-table TRUNCATE, maintained cube) run TOGETHER here,
+    which is where distributed CDC engines actually break.
+
+    Wire layout (all REAL pgoutput frames; every rule is derivable by
+    the oracle):
+
+    - DML: each event encodes as one I/U/D frame at ``lsn = 8*eid + 4``
+      for relid 1 (``users``, even event_id) or relid 2 (``orders``,
+      odd) — both keyed by ``user_id``, so key values COLLIDE across
+      tables. signup -> INSERT, error -> key-only DELETE, else full-row
+      UPDATE.
+    - Transactions: ``txn = floor(eid/10)``; each txn opens with a B
+      frame at ``8*first_eid`` and, when ``txn % 3 == 0``, an O frame
+      (origin ``region_b``) at ``8*first_eid + 1`` — the replayed-txn
+      shape the reference's dispatch drops on the floor
+      (``pg_output_parser.py:32-39`` falls through on O; B at :23-27
+      is decoded but carries no origin logic).
+    - DDL: relid 1's value column RENAMES ``amount -> amount_usd`` via
+      a re-sent R frame at ``8*split_eid`` (split = |max eid/2|) — the
+      serial consumer's overwrite (``pg_output_parser.py:88``) needs
+      the LSN-versioned registry under distributed decode.
+    - TRUNCATE: a T frame listing relid 1 only, at ``8*t_eid + 3``
+      where t_eid = min event of the first LOCAL txn at/after the
+      median txn (so the truncate itself survives origin filtering);
+      ``orders`` rows with the SAME key values must be untouched
+      (``pg_output_parser.py:32-39`` drops T; we apply it).
+
+    Pipeline: decode_frames (versioned registry self-scan) ->
+    annotate_origins (bucket-parallel as-of over B/O markers) ->
+    filter_by_origin("none") (loop filtering: replayed txns dropped)
+    -> apply_changes_all_tables ((schema, table, key) composite fold
+    with per-table truncate expansion) -> typed state partitioned by
+    ``key_band = key % 4`` -> RollupCatalog.refresh_cdc with
+    state_path/state_partition_dim: the post-split band-0 slice is the
+    delta, so the refresh must take the partition_pruned_fold plan and
+    read ONLY ``key_band=0`` state files (self-asserted below). The
+    oracle rebuilds the final cube from the generation rules directly.
+    """
+    import hashlib
+    import os
+
+    from python_cdc_spark.cdc.apply import apply_changes_all_tables
+    from python_cdc_spark.cdc.ivm import signed_state_deltas
+    from python_cdc_spark.cdc.origins import annotate_origins, filter_by_origin
+    from python_cdc_spark.cdc.pgoutput import (
+        decode_frames,
+        encode_begin,
+        encode_delete,
+        encode_insert,
+        encode_origin,
+        encode_relation,
+        encode_truncate,
+        encode_update,
+    )
+    from python_cdc_spark.operators.ann_index import source_fingerprint
+    from python_cdc_spark.plans.rollup import RollupCatalog, finalize_sum_double
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    head = ev.agg(F.max("event_id"), F.min("ts")).first()
+    max_eid, ts0 = int(head[0]), head[1]
+    split_eid = max_eid // 2
+    s_lsn = 8 * split_eid
+    mid_txn = (max_eid // 10) // 2
+    txn_of = F.floor(F.col("event_id") / 10).cast("long")
+    t_eid = int(
+        ev.filter((txn_of >= mid_txn) & (txn_of % 3 != 0))
+        .agg(F.min("event_id"))
+        .first()[0]
+    )
+    t_lsn = 8 * t_eid + 3
+
+    def enc_dml(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            frames, lsns = [], []
+            for eid, uid, et, v in zip(
+                pdf["event_id"], pdf["user_id"], pdf["event_type"], pdf["value"]
+            ):
+                eid = int(eid)
+                relid = 1 if eid % 2 == 0 else 2
+                kid, val = str(int(uid)), repr(float(v))
+                if et == "signup":
+                    f = encode_insert(relid, [kid, val])
+                elif et == "error":
+                    f = encode_delete(relid, [kid, None], key_only=True)
+                else:
+                    f = encode_update(relid, [kid, val])
+                frames.append(bytearray(f))
+                lsns.append(8 * eid + 4)
+            yield pd.DataFrame(
+                {
+                    "lsn": pd.Series(lsns, dtype="int64"),
+                    "ts": pdf["ts"],
+                    "frame": frames,
+                }
+            )
+
+    dml = ev.mapInPandas(enc_dml, "lsn bigint, ts timestamp, frame binary")
+
+    txns = ev.groupBy(txn_of.alias("txn")).agg(
+        F.min("event_id").alias("first_eid"), F.min("ts").alias("ts")
+    )
+
+    def enc_markers(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            lsns, tss, frames = [], [], []
+            for txn, feid, mts in zip(pdf["txn"], pdf["first_eid"], pdf["ts"]):
+                txn, feid = int(txn), int(feid)
+                b = 8 * feid
+                lsns.append(b)
+                tss.append(mts)
+                frames.append(bytearray(encode_begin(final_lsn=b, xid=txn + 1)))
+                if txn % 3 == 0:
+                    lsns.append(b + 1)
+                    tss.append(mts)
+                    frames.append(bytearray(encode_origin(b, "region_b")))
+            yield pd.DataFrame(
+                {
+                    "lsn": pd.Series(lsns, dtype="int64"),
+                    "ts": tss,
+                    "frame": frames,
+                }
+            )
+
+    markers = txns.mapInPandas(enc_markers, "lsn bigint, ts timestamp, frame binary")
+
+    ctl = spark.createDataFrame(
+        [
+            (0, ts0, bytearray(encode_relation(1, "public", "users", ["id", "amount"]))),
+            (0, ts0, bytearray(encode_relation(2, "public", "orders", ["id", "amount"]))),
+            (
+                s_lsn,
+                ts0,
+                bytearray(encode_relation(1, "public", "users", ["id", "amount_usd"])),
+            ),
+            (t_lsn, ts0, bytearray(encode_truncate([1]))),
+        ],
+        "lsn bigint, ts timestamp, frame binary",
+    )
+    # one checkpoint kills the re-encode for every downstream pass
+    # (registry scan, marker scan, both applies, delta keys)
+    frames = dml.unionByName(markers).unionByName(ctl).localCheckpoint(eager=True)
+
+    decoded = decode_frames(spark, frames)
+    ann = annotate_origins(spark, decoded, frames, bucket_width=4096)
+    feed = (
+        filter_by_origin(ann, "none")
+        .withColumn(
+            "key", F.coalesce(F.col("new_values")["id"], F.col("old_values")["id"])
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    band = F.pmod(F.col("key").cast("bigint"), F.lit(4)).cast("int")
+    # the delta is LOCALIZED by construction: post-split band-0 keys
+    # (TRUNCATE rows are keyless -> band NULL -> base, via the coalesce)
+    is_delta = (F.col("lsn") > s_lsn) & F.coalesce(band == 0, F.lit(False))
+
+    def typed(state: DataFrame) -> DataFrame:
+        vals = F.col("values")
+        return state.select(
+            F.col("table").alias("tbl"),
+            F.col("key"),
+            F.pmod(F.col("key").cast("bigint"), F.lit(4)).cast("int").alias("key_band"),
+            F.when(vals["amount_usd"].isNotNull(), F.lit("amount_usd"))
+            .otherwise(F.lit("amount"))
+            .alias("col_name"),
+            F.coalesce(vals["amount_usd"], vals["amount"])
+            .cast("double")
+            .alias("value"),
+            F.col("last_lsn"),
+        )
+
+    state0 = typed(apply_changes_all_tables(feed.filter(~is_delta), "key")).localCheckpoint(
+        eager=True
+    )
+    state1 = typed(apply_changes_all_tables(feed, "key")).localCheckpoint(eager=True)
+
+    cache_key = hashlib.md5(os.path.abspath(sf_dir.rstrip("/")).encode()).hexdigest()[:16]
+    root = os.path.join(".rollup_cache", cache_key + "_e2e")
+    state_dir = os.path.join(root, "state1")
+    state1.write.mode("overwrite").partitionBy("key_band").parquet(state_dir)
+
+    cat = RollupCatalog(spark, os.path.join(root, "cubes"))
+    cat.define(
+        "e2e_cube",
+        state0,
+        dims={"key_band": "key_band", "tbl": "tbl", "col_name": "col_name"},
+        measures={
+            "n_rows": ("count", "1"),
+            "sum_value": ("sum", "value"),
+            "max_lsn": ("max", "last_lsn"),
+        },
+        fingerprint=source_fingerprint(os.path.join(sf_dir, "events.parquet")),
+    )
+    plus, minus = signed_state_deltas(
+        state0, state1, feed.filter(is_delta).select(F.col("table").alias("tbl"), "key"),
+        ["tbl", "key"],
+    )
+    cat.refresh_cdc(
+        "e2e_cube", plus, minus, state_path=state_dir, state_partition_dim="key_band"
+    )
+    # the engine's own contract, self-gated on every run
+    assert cat.last_refresh_plan == "partition_pruned_fold"
+    assert cat.last_refresh_input_files, "no affected partition was read"
+    assert all("key_band=0" in f for f in cat.last_refresh_input_files), (
+        "refresh read outside the affected band"
+    )
+    out = cat.rewrite(
+        dims=["key_band", "tbl", "col_name"],
+        measures=["n_rows", "sum_value", "max_lsn"],
+    )
+    return finalize_sum_double(out, ["sum_value"]).select(
+        "key_band",
+        "tbl",
+        "col_name",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        "sum_value",
+        F.col("max_lsn").cast("long").alias("max_lsn"),
+    )
