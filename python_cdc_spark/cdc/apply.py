@@ -49,14 +49,16 @@ def latest_per_key(
 
 def _delete_boundary(events: DataFrame, key_col: str) -> DataFrame:
     """Per key: the lsn of the last DELETE (row lifetimes restart after
-    it), or -1 if never deleted."""
+    it), or -1 if never deleted — plus the key's FIRST event lsn (the
+    state-merge fast-path guard, free in the same aggregate)."""
     return (
         events.groupBy(key_col)
         .agg(
             F.coalesce(
                 F.max(F.when(F.col("operation") == OP_DELETE, F.col("lsn"))),
                 F.lit(-1).cast("long"),
-            ).alias("__last_delete_lsn")
+            ).alias("__last_delete_lsn"),
+            F.min("lsn").alias("__first_lsn"),
         )
     )
 
@@ -106,7 +108,9 @@ def expand_truncates(events: DataFrame, key_col: str) -> DataFrame:
     return rest.unionByName(keyed.select(*cols))
 
 
-def _fold_array(events: DataFrame, key_col: str) -> DataFrame:
+def _fold_array(
+    events: DataFrame, key_col: str, with_first_lsn: bool = False
+) -> DataFrame:
     """Single-shuffle fold plan: ONE groupBy(key) collects each key's
     events and a JVM ``aggregate`` over the lsn-sorted array replays
     them — DELETE resets the accumulator (and records the boundary),
@@ -153,9 +157,12 @@ def _fold_array(events: DataFrame, key_col: str) -> DataFrame:
         'last_lsn', cast(null as bigint),
         'del_lsn', cast(null as bigint)),
       (acc, e) -> {step})"""
+    aggs = [F.expr(fold).alias("__a")]
+    if with_first_lsn:
+        aggs.append(F.min("lsn").alias("first_lsn"))
     return (
         events.groupBy(key_col)
-        .agg(F.expr(fold).alias("__a"))
+        .agg(*aggs)
         .select(
             key_col,
             # sorted entries match the argmax plan's map key order, so
@@ -167,6 +174,7 @@ def _fold_array(events: DataFrame, key_col: str) -> DataFrame:
             ).alias("values"),
             F.col("__a.last_lsn").alias("last_lsn"),
             F.col("__a.del_lsn").alias("del_lsn"),
+            *([F.col("first_lsn")] if with_first_lsn else []),
         )
     )
 
@@ -176,6 +184,7 @@ def apply_changes_with_tombstones(
     key_col: str = "key",
     plan: str = "argmax",
     has_truncates: bool | None = None,
+    with_first_lsn: bool = False,
 ) -> DataFrame:
     """Fold a CDC feed into per-key state INCLUDING tombstones.
 
@@ -204,7 +213,7 @@ def apply_changes_with_tombstones(
     if has_truncates is None or has_truncates:
         events = expand_truncates(events, key_col)
     if plan == "array_fold":
-        return _fold_array(events, key_col)
+        return _fold_array(events, key_col, with_first_lsn=with_first_lsn)
     if plan != "argmax":
         raise ValueError(f"unknown fold plan {plan!r}")
     boundaries = _delete_boundary(events, key_col)
@@ -237,6 +246,11 @@ def apply_changes_with_tombstones(
             F.when(F.col("__last_delete_lsn") >= 0, F.col("__last_delete_lsn")).alias(
                 "del_lsn"
             ),
+            *(
+                [F.col("__first_lsn").alias("first_lsn")]
+                if with_first_lsn
+                else []
+            ),
         )
     )
 
@@ -246,6 +260,7 @@ def apply_changes_with_tombstones_multi(
     key_col: str = "key",
     plan: str = "argmax",
     has_truncates: bool | None = None,
+    with_first_lsn: bool = False,
 ) -> DataFrame:
     """Tombstoned fold for a MULTI-TABLE feed: state is keyed by
     ``(schema, table, key)``, so equal key values in different tables
@@ -279,7 +294,8 @@ def apply_changes_with_tombstones_multi(
     # expansion already ran (or was ruled out) above — the inner fold
     # must not pay a second distinct-keys pass over the composite feed
     folded = apply_changes_with_tombstones(
-        composite, "__tk", plan=plan, has_truncates=False
+        composite, "__tk", plan=plan, has_truncates=False,
+        with_first_lsn=with_first_lsn,
     )
     parts = F.split(F.col("__tk"), sep, 3)
 
@@ -293,6 +309,7 @@ def apply_changes_with_tombstones_multi(
         "values",
         "last_lsn",
         "del_lsn",
+        *(["first_lsn"] if with_first_lsn else []),
     )
 
 
@@ -348,3 +365,144 @@ def apply_changes_typed(
     for name, dtype in columns.items():
         cols.append(F.col("values").getItem(name).cast(dtype).alias(name))
     return state.select(*cols)
+
+
+def state_as_events(state: DataFrame, key_col: str = "key") -> DataFrame:
+    """Re-encode folded state rows as a minimal event feed so the fold's
+    sentinel / delete-boundary semantics compose across batches: a live
+    row becomes INSERT@last_lsn, a tombstone DELETE@del_lsn (BOTH rows
+    for keys that were deleted then re-inserted). Table-identity columns
+    (multi-table state) ride along. The replay-path building block of
+    the streaming merge (``streaming/apply_stream.py``) and of
+    :func:`merge_state_with_batch`'s late-event fallback."""
+    aux = [F.col(c) for c in ("schema", "table") if c in state.columns]
+    inserts = state.filter(F.col("values").isNotNull()).select(
+        F.col("last_lsn").alias("lsn"),
+        F.lit("INSERT").alias("operation"),
+        F.col("values").alias("new_values"),
+        *aux,
+        F.col(key_col),
+    )
+    deletes = state.filter(F.col("del_lsn").isNotNull()).select(
+        F.col("del_lsn").alias("lsn"),
+        F.lit(OP_DELETE).alias("operation"),
+        F.lit(None).cast("map<string,string>").alias("new_values"),
+        *aux,
+        F.col(key_col),
+    )
+    return inserts.unionByName(deletes)
+
+
+def merge_state_with_batch(
+    prior: DataFrame,
+    batch_events: DataFrame,
+    key_col: str = "key",
+    plan: str = "array_fold",
+) -> DataFrame:
+    """Fold ONLY the batch, then merge the two folded states per key —
+    the cheap alternative to replaying the whole prior state as events
+    through the fold every micro-batch.
+
+    The replay plan's cost is O(batch + state) EVENT-fold work per
+    merge: every prior row is re-encoded as events and pushed through
+    collect_list + array_sort + aggregate again, although it is already
+    folded. Here the prior state crosses only a join, and the per-key
+    combination is a handful of map expressions. Correctness hinges on
+    one precondition per key: every batch event must be LATER than
+    everything the prior row already folded (``first_lsn >
+    greatest(last_lsn, del_lsn)``) — true for every key of an in-order
+    replication stream, where batch N+1's LSNs all exceed batch N's.
+    Keys that violate it (late events below the prior row's horizon —
+    the cross-batch arrivals tombstones exist for) are detected from
+    the two folded rows alone and routed through the full replay fold,
+    so the merge NEVER changes semantics, only the physical plan; a
+    hypothesis property test pins merge == replay across random batch
+    splits including late and boundary-straddling events
+    (tests/test_apply_property.py).
+
+    Merge rules for a key present on both sides (all derivable from
+    the fold's own invariants — values non-null ⇒ last_lsn non-null;
+    tombstone ⇒ del_lsn non-null):
+
+    - batch folded to a tombstone or delete-then-reinsert
+      (``b.del_lsn`` set): the batch row wins outright — a delete
+      resets the accumulator, so nothing of the prior row survives.
+    - batch carried only sentinel cells (``b.values`` null, no
+      delete): the prior row rides through unchanged.
+    - otherwise: per-column later-wins — prior columns not present in
+      the batch map persist, batch columns override
+      (``map_concat(filter(prior), batch)``), entry-sorted to match
+      the fold plans' canonical map order.
+
+    Returns the same ``(aux?, key, values, last_lsn, del_lsn)`` shape
+    as the fold itself. TRUNCATE batches must take the replay path
+    (a truncate's expansion needs the full key set); this function
+    assumes ``batch_events`` contains none.
+    """
+    aux = [c for c in ("schema", "table") if c in prior.columns]
+    keys = aux + [key_col]
+    fold = (
+        apply_changes_with_tombstones_multi
+        if aux
+        else apply_changes_with_tombstones
+    )
+    ev = batch_events.select("lsn", "operation", "new_values", *keys)
+    b = fold(
+        ev, key_col, plan=plan, has_truncates=False, with_first_lsn=True
+    ).select(
+        *keys,
+        F.col("values").alias("__bv"),
+        F.col("last_lsn").alias("__bl"),
+        F.col("del_lsn").alias("__bd"),
+        F.col("first_lsn").alias("__bf"),
+    )
+    p = prior.select(*keys, "values", "last_lsn", "del_lsn")
+    j = p.join(b, keys, "full_outer")
+
+    pv, pl, pd_ = F.col("values"), F.col("last_lsn"), F.col("del_lsn")
+    bv, bl, bd, bf = F.col("__bv"), F.col("__bl"), F.col("__bd"), F.col("__bf")
+    p_absent = pl.isNull() & pd_.isNull()  # live rows carry last_lsn,
+    b_absent = bf.isNull()                 # tombstones carry del_lsn
+    fast = bf > F.greatest(pl, pd_)        # greatest skips nulls
+    take = b_absent | p_absent | fast
+
+    empty = F.expr("cast(map() as map<string,string>)")
+    merged = F.map_from_entries(
+        F.array_sort(
+            F.map_entries(
+                F.map_concat(
+                    F.map_filter(
+                        F.coalesce(pv, empty),
+                        lambda k, v: ~F.map_contains_key(bv, k),
+                    ),
+                    bv,
+                )
+            )
+        )
+    )
+    res_fast = j.filter(take).select(
+        *keys,
+        F.when(b_absent, pv)
+        .when(p_absent | bd.isNotNull(), bv)
+        .when(bv.isNull(), pv)
+        .otherwise(merged)
+        .alias("values"),
+        F.when(b_absent, pl)
+        .when(p_absent | bd.isNotNull(), bl)
+        .when(bv.isNull(), pl)
+        .otherwise(bl)
+        .alias("last_lsn"),
+        F.greatest(pd_, bd).alias("del_lsn"),
+    )
+
+    # late/straddling keys: full replay, identical to the classic path
+    slow_keys = j.filter(~take).select(*keys)
+    ev_slow = ev.join(slow_keys, keys, "left_semi")
+    pr_slow = p.join(slow_keys, keys, "left_semi")
+    replay = fold(
+        ev_slow.unionByName(state_as_events(pr_slow, key_col)),
+        key_col,
+        plan=plan,
+        has_truncates=False,
+    )
+    return res_fast.unionByName(replay.select(*res_fast.columns))

@@ -33,6 +33,8 @@ from pyspark.sql.streaming import StreamingQuery
 from python_cdc_spark.cdc.apply import (
     apply_changes_with_tombstones,
     apply_changes_with_tombstones_multi,
+    merge_state_with_batch,
+    state_as_events,
 )
 from python_cdc_spark.streaming.state_store import BucketedStateStore
 
@@ -56,6 +58,7 @@ class StreamingApplyChanges:
         n_buckets: int = 64,
         retention: int = 2,
         fold_plan: str = "auto",
+        merge_plan: str = "state_merge",
     ) -> None:
         self.spark = spark
         self.state_path = state_path
@@ -75,8 +78,21 @@ class StreamingApplyChanges:
         self.fold_plan = fold_plan
         self.auto_skew_ratio = 4.0
         self.auto_skew_min_rows = 100_000
+        # How prior state combines with a batch. "state_merge" (the
+        # default) folds ONLY the batch and joins the two folded states
+        # — prior rows cross a join instead of being re-encoded as
+        # events and replayed through collect_list+aggregate every
+        # batch; keys with late events below the prior row's horizon
+        # auto-fall back to the replay fold, so semantics are identical
+        # (cdc/apply.merge_state_with_batch; merge == replay pinned by
+        # hypothesis in tests/test_apply_property.py). "replay" pins
+        # the classic prior-state-as-events plan. TRUNCATE batches
+        # always take the replay plan (expansion needs the key set).
+        self.merge_plan = merge_plan
         #: plan the most recent merge actually used (observability)
         self.last_fold_plan: str | None = None
+        #: state-combination plan the most recent merge actually used
+        self.last_merge_plan: str | None = None
         # versions of history read_at() can time-travel to (storage
         # cost: superseded bucket files for that many commits)
         self.retention = retention
@@ -182,22 +198,7 @@ class StreamingApplyChanges:
         for keys that were deleted then re-inserted). Table-identity
         columns (multi-table state) ride along so a later batch's
         TRUNCATE expands against the right table's keys."""
-        aux = [F.col(c) for c in _AUX_COLS if c in state.columns]
-        inserts = state.filter(F.col("values").isNotNull()).select(
-            F.col("last_lsn").alias("lsn"),
-            F.lit("INSERT").alias("operation"),
-            F.col("values").alias("new_values"),
-            *aux,
-            F.col(self.key_col),
-        )
-        deletes = state.filter(F.col("del_lsn").isNotNull()).select(
-            F.col("del_lsn").alias("lsn"),
-            F.lit("DELETE").alias("operation"),
-            F.lit(None).cast("map<string,string>").alias("new_values"),
-            *aux,
-            F.col(self.key_col),
-        )
-        return inserts.unionByName(deletes)
+        return state_as_events(state, self.key_col)
 
     # -- initial snapshot --------------------------------------------------
 
@@ -360,20 +361,37 @@ class StreamingApplyChanges:
                 )
 
         events = batch.drop("bucket")
-        if prior is not None:
-            events = events.unionByName(self._state_as_events(prior.drop("bucket")))
-
-        # tombstoned fold: every previously-present key yields a row, so
-        # a touched bucket can never silently vanish from the commit
         fold = (
             apply_changes_with_tombstones_multi
             if aux
             else apply_changes_with_tombstones
         )
-        new_state = fold(
-            events, self.key_col,
-            plan=plan, has_truncates=has_truncate,
-        ).withColumn(
+        if (
+            self.merge_plan == "state_merge"
+            and prior is not None
+            and not has_truncate
+        ):
+            # fold the batch alone, join-merge with prior folded state;
+            # late keys fall back to replay inside the operator
+            self.last_merge_plan = "state_merge"
+            new_state = merge_state_with_batch(
+                prior.drop("bucket"), events, self.key_col, plan=plan
+            )
+        else:
+            # replay plan: prior state re-encoded as events rides
+            # through the same fold as the batch. Tombstoned fold:
+            # every previously-present key yields a row, so a touched
+            # bucket can never silently vanish from the commit.
+            self.last_merge_plan = "replay"
+            if prior is not None:
+                events = events.unionByName(
+                    self._state_as_events(prior.drop("bucket"))
+                )
+            new_state = fold(
+                events, self.key_col,
+                plan=plan, has_truncates=has_truncate,
+            )
+        new_state = new_state.withColumn(
             "bucket", self._bucket(F.col(self.key_col))
         ).repartition(max(1, len(touched)), "bucket")
         # The store writes a NEW immutable version dir while the fold's

@@ -171,3 +171,56 @@ def test_fold_plans_agree_truncate_multi_and_hint(spark):
             apply_changes_with_tombstones(clean, "key", plan=plan,
                                           has_truncates=False)
         ) == _norm_tomb(apply_changes_with_tombstones(clean, "key", plan=plan))
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(event_st, min_size=1, max_size=25),
+    st.lists(st.booleans(), min_size=25, max_size=25),
+)
+def test_state_merge_equals_replay(spark, events, to_batch):
+    """merge_state_with_batch == the classic replay fold for ANY split
+    of an event sequence into (prior batch, next batch) — INCLUDING
+    splits that put late events (lsns below the prior fold's horizon)
+    into the next batch, which must route through the operator's
+    replay fallback. The replay plan is the pinned cross-batch
+    semantics (streamed == batch); the merge plan may only change the
+    physical shape."""
+    from python_cdc_spark.cdc.apply import (
+        apply_changes_with_tombstones,
+        merge_state_with_batch,
+        state_as_events,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows0, rows1 = [], []
+    for lsn, (op, key, vals) in enumerate(events, start=1):
+        new = None if op == "DELETE" else {**vals, "id": key}
+        old = {"id": key} if op != "INSERT" else None
+        row = (lsn, op, "public", "t", COLS, old, new, t0 + dt.timedelta(seconds=lsn))
+        # interleaved assignment: the "next" batch freely contains lsns
+        # BELOW prior-batch lsns (the late-arrival case)
+        (rows1 if to_batch[lsn - 1] else rows0).append(row)
+    if not rows1:
+        rows1 = rows0[-1:]  # ensure a non-empty batch
+    key_expr = F.coalesce(F.col("new_values")["id"], F.col("old_values")["id"])
+    df0 = spark.createDataFrame(rows0 or [], CDC_EVENT_SCHEMA).withColumn(
+        "key", key_expr
+    )
+    df1 = spark.createDataFrame(rows1, CDC_EVENT_SCHEMA).withColumn("key", key_expr)
+
+    prior = apply_changes_with_tombstones(df0, "key", plan="array_fold")
+    merged = merge_state_with_batch(prior, df1, "key", plan="array_fold")
+    replay = apply_changes_with_tombstones(
+        df1.select("lsn", "operation", "new_values", "key").unionByName(
+            state_as_events(prior, "key")
+        ),
+        "key",
+        plan="array_fold",
+        has_truncates=False,
+    )
+    assert _norm_tomb(merged) == _norm_tomb(replay)

@@ -33,15 +33,40 @@ def main() -> None:
     spark = get_spark(app_name="oracle_sweep")
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
+    # sf1 sweeps share the box with the Spark JVM: an explicit DuckDB
+    # cap turns an oracle OOM into a recorded per-query ERROR instead
+    # of letting the OS pick a process to kill (default: no cap)
+    mem = os.environ.get("SPARK_GRAFT_DUCKDB_MEM")
+    if mem:
+        con.execute(f"SET memory_limit='{mem}'")
     for t in (
         "region nation customer supplier part orders lineitem "
         "events documents embeddings events_zipf"
     ).split():
         p = f"{sf}/{t}.parquet"
         if os.path.exists(p):
+            # make_sf_scale.py writes each table as a DIRECTORY of one
+            # file per replica (Spark reads it natively; DuckDB needs
+            # the glob)
+            src = f"{p}/*.parquet" if os.path.isdir(p) else p
+            # Normalize the timestamp FLAVOR exactly like the engine's
+            # io.table() does for Spark: .sf1 carries TIMESTAMPTZ
+            # (instant semantics for Spark), but DuckDB's date functions
+            # change RETURN TYPE on tz-aware inputs (date_trunc: DATE vs
+            # TIMESTAMPTZ), which would skew every date-typed oracle.
+            # Machine TZ is UTC, so the cast changes no values.
+            cols = con.execute(
+                f"DESCRIBE SELECT * FROM read_parquet('{src}')"
+            ).fetchall()
+            sel = ", ".join(
+                f'CAST("{c}" AS TIMESTAMP) AS "{c}"'
+                if ty == "TIMESTAMP WITH TIME ZONE"
+                else f'"{c}"'
+                for c, ty, *_ in cols
+            )
             con.execute(
                 f"CREATE OR REPLACE VIEW {t} AS "
-                f"SELECT * FROM read_parquet('{p}')"
+                f"SELECT {sel} FROM read_parquet('{src}')"
             )
 
     # optional name filters: any further args restrict the sweep to

@@ -45,6 +45,9 @@ def main() -> None:
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--plan", default="argmax",
                     choices=["argmax", "array_fold"])
+    ap.add_argument("--merge", default="replay",
+                    choices=["replay", "state_merge"],
+                    help="how prior state combines with the batch fold")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -103,6 +106,7 @@ def main() -> None:
             # instrumented): fold then commit then vacuum
             from python_cdc_spark.cdc.apply import (
                 apply_changes_with_tombstones_multi,
+                merge_state_with_batch,
             )
 
             t0 = time.perf_counter()
@@ -115,11 +119,19 @@ def main() -> None:
             ]
             prior = applier.store.read(touched)
             ev = batch.drop("bucket")
-            if prior is not None:
-                ev = ev.unionByName(applier._state_as_events(prior.drop("bucket")))
-            new_state = apply_changes_with_tombstones_multi(
-                ev, "key", plan=args.plan, has_truncates=False
-            ).withColumn(
+            if args.merge == "state_merge" and prior is not None:
+                new_state = merge_state_with_batch(
+                    prior.drop("bucket"), ev, "key", plan=args.plan
+                )
+            else:
+                if prior is not None:
+                    ev = ev.unionByName(
+                        applier._state_as_events(prior.drop("bucket"))
+                    )
+                new_state = apply_changes_with_tombstones_multi(
+                    ev, "key", plan=args.plan, has_truncates=False
+                )
+            new_state = new_state.withColumn(
                 "bucket", applier._bucket(F.col("key"))
             ).repartition(max(1, len(touched)), "bucket").localCheckpoint(eager=True)
             phases["fold"].append(time.perf_counter() - t0)
@@ -149,6 +161,7 @@ def main() -> None:
     out = {
         "metric": "apply_ceiling_phase_profile",
         "fold_plan": args.plan,
+        "merge_plan": args.merge,
         "batch_events": args.batch,
         "batches": args.batches,
         "distinct_keys": args.keys,
