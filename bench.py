@@ -83,7 +83,9 @@ HEADLINE = [
     "cdc_control_frames",
     "ml_pca_covariance_block",
     # round 8: the composite end-to-end CDC gate (every seam at once)
+    # + the Bloom membership sketch
     "cdc_pipeline_composite",
+    "sketch_bloom_membership",
 ]
 
 

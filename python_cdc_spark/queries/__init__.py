@@ -40,22 +40,25 @@ from python_cdc_spark.queries import (  # noqa: F401, E402
 # Round-8 rotation (VERDICT r7 item #2): freshness-ordered. Latest-green
 # rounds per name from CORRECTNESS_r01–r07 (r7: 50, r6: 50, r5: 50,
 # r4: 7; zero ever-red, zero unchecked). The window leads with this
-# round's NEW registration (debut discipline — registered at round
-# START, per the r7 ADVICE note on holding late-round debuts), then the
-# 7 r04-latest names the r7 verdict queued as this round's leaders,
-# then 42 of the 50 r05-latest names. The 8 r05 names that do not fit
+# round's 2 NEW registrations (debut discipline — both registered
+# mid-round, not in the window's final hours, per the r7 ADVICE note on
+# holding late-round debuts), then the 7 r04-latest names the r7
+# verdict queued as this round's leaders, then 41 of the 50 r05-latest
+# names. The 9 r05 names that do not fit
 # (graph_clustering_coefficient, graph_kcore_membership,
 # dedup_edit_distance_verified, events_exact_deciles,
 # events_markov_transitions, corpus_split_chisquare,
-# timeseries_autocorrelation, sketch_kmv_returnflag_overlap — the rows
-# with the most expensive DuckDB oracles: iterative/materialized CTE
-# chains, exact global deciles, all-pairs edit distance) lead the r9
+# timeseries_autocorrelation, sketch_kmv_returnflag_overlap,
+# part_affinity_lift — the rows with the most expensive DuckDB
+# oracles: iterative/materialized CTE chains, exact global deciles,
+# all-pairs edit distance, the pairwise-lift self-join) lead the r9
 # window; every rotated-out name stays covered by the local differ
 # (tests/test_queries_oracle.py, ALL queries at sf0.01) and the
 # end-of-round sf0.1 sweep.
 _WINDOW = [
-    # --- New this round: first driver row lands now ---
+    # --- New this round: first driver rows land now ---
     "cdc_pipeline_composite",
+    "sketch_bloom_membership",
     # --- The 7 r04-latest leaders (verdict r7 #2) ---
     "similarity_rq_topk",
     "similarity_ivfpq_topk",
@@ -64,13 +67,12 @@ _WINDOW = [
     "timeseries_gapfill_locf",
     "text_quality_classifier",
     "text_fingerprint",
-    # --- r05-latest (42 of 50) ---
+    # --- r05-latest (41 of 50) ---
     "customer_rfm_segments",
     "data_quality_checks",
     "events_cusum_drift",
     "events_histogram_equiwidth",
     "join_key_skew_report",
-    "part_affinity_lift",
     "parts_pareto_abc",
     "q10_returned_items",
     "q13_customer_distribution",

@@ -684,3 +684,119 @@ def sketch_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.crossJoin(F.broadcast(nr)).select(
         "decile", "kll_value", "target_rank", "exact_rank", "n_rows"
     )
+
+
+_BLOOM_M = 65536  # bits (2048 x 32-bit words packed in BIGINTs)
+_BLOOM_K = 3      # hash functions (mix32 with golden-ratio salts)
+
+
+def _sql_bloom_pos(key_expr: str, i_expr: str) -> str:
+    """Bit position of hash i for a key — shared by build and probe."""
+    return f"({_sql_mix32(f'(({key_expr}) + ({i_expr}) * {_GOLD})')} % {_BLOOM_M})"
+
+
+@register(
+    "sketch_bloom_membership",
+    oracle=f"""
+    WITH ks AS (SELECT UNNEST([0, 1, 2]) AS i),
+    mem AS (SELECT DISTINCT c_custkey AS k FROM customer),
+    bloom AS (
+      SELECT CAST(p >> 5 AS BIGINT) AS widx,
+             bit_or(CAST(1 AS BIGINT) << CAST(p & 31 AS INTEGER)) AS w
+      FROM (SELECT {_sql_bloom_pos("m.k", "ks.i")} AS p FROM mem m, ks)
+      GROUP BY 1
+    ),
+    probes AS (
+      SELECT 'member' AS band, o_custkey AS k
+      FROM (SELECT DISTINCT o_custkey FROM orders)
+      UNION ALL
+      SELECT 'nonmember' AS band, o_custkey + 1000000000 AS k
+      FROM (SELECT DISTINCT o_custkey FROM orders)
+    ),
+    checks AS (
+      SELECT band, k,
+             MIN(CASE WHEN (b.w & (CAST(1 AS BIGINT)
+                                   << CAST(pp.p & 31 AS INTEGER))) <> 0
+                      THEN 1 ELSE 0 END) AS hit
+      FROM (SELECT band, k, {_sql_bloom_pos("p0.k", "ks.i")} AS p
+            FROM probes p0, ks) pp
+      LEFT JOIN bloom b ON (pp.p >> 5) = b.widx
+      GROUP BY band, k
+    )
+    SELECT band,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(hit) AS BIGINT) AS n_hits,
+           CAST(SUM(hit) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS hit_rate
+    FROM checks GROUP BY band
+    """,
+    doc=f"E11: Bloom membership sketch from first principles — "
+    f"m={_BLOOM_M} bits as 32-bit words in BIGINTs, k={_BLOOM_K} mix32 "
+    f"hashes; built over customer keys, probed with order custkeys "
+    f"(members, hit rate exactly 1.0) and shifted non-members (the "
+    f"measured false-positive rate); bit-exact in both engines",
+)
+def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The membership sketch completing the mergeable family (HLL
+    count-distinct, CM frequency, KMV overlap, KLL quantiles, Bloom
+    membership). Scale shape: the filter is a bit_or-mergeable O(m/32)
+    state — each executor folds its partition's keys into word partials
+    and the combine is elementwise OR (the same map-side-combine shape
+    as the HLL registers); probing broadcasts the 2048-word table and
+    stays map-side. The 100 TB uses: pre-filtering a CDC delta's keys
+    against a table's key universe before an expensive anti-join, and
+    file-level membership pruning where exact indexes don't fit. The
+    false-positive band is the honest part of the gate: the oracle
+    replays the identical bit math, so the measured fp rate (not a
+    formula) must hash-match."""
+    i = F.explode(F.array(*[F.lit(j) for j in range(_BLOOM_K)])).alias("i")
+
+    def positions(df, key_col):
+        return df.select(
+            "*", i
+        ).select(
+            "*",
+            (_mix32(F.col(key_col) + F.col("i") * F.lit(_GOLD)) % _BLOOM_M).alias("p"),
+        )
+
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("k")
+    ).distinct()
+    bit = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p & 31 AS INT))")
+    bloom = (
+        positions(cust, "k")
+        .select(
+            F.shiftright("p", 5).cast("long").alias("widx"),
+            bit.alias("bv"),
+        )
+        .groupBy("widx")
+        .agg(F.bit_or("bv").alias("w"))
+    )
+
+    ok = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("long").alias("k")
+    ).distinct()
+    probes = ok.select(F.lit("member").alias("band"), "k").unionAll(
+        ok.select(F.lit("nonmember").alias("band"), (F.col("k") + F.lit(1000000000)).alias("k"))
+    )
+    checks = (
+        positions(probes, "k")
+        .withColumn("widx", F.shiftright("p", 5).cast("long"))
+        .join(F.broadcast(bloom), "widx", "left")
+        .select(
+            "band",
+            "k",
+            F.when(F.col("w").bitwiseAND(bit) != 0, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("hit"),
+        )
+        .groupBy("band", "k")
+        .agg(F.min("hit").alias("hit"))
+    )
+    return checks.groupBy("band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("hit").cast("long").alias("n_hits"),
+        (
+            F.sum("hit").cast("long").cast("double")
+            / F.count(F.lit(1)).cast("long").cast("double")
+        ).alias("hit_rate"),
+    )
