@@ -1549,3 +1549,60 @@ def test_streaming_pca_matches_batch(spark, tmp_path):
         StreamingPCA(spark, str(tmp_path / "state"), dims=32).fold_batch(
             emb, batch_id=99
         )
+
+
+def test_streaming_state_merge_plan_multi_table_and_late_events(spark, tmp_path):
+    """The state_merge plan (fold batch, join-merge prior state) through
+    the real streaming merge in MULTI-TABLE mode: colliding key values
+    across tables stay separate, TOAST sentinels carry prior columns
+    forward across batches, and a late event below a key's delete
+    horizon routes through the operator's replay fallback and must NOT
+    resurrect the row. End state must equal the one-shot batch fold of
+    the concatenated feed (the pinned cross-batch semantics)."""
+    from python_cdc_spark.cdc.apply import apply_changes_with_tombstones_multi
+    from python_cdc_spark.schemas import UNCHANGED_SENTINEL
+    from python_cdc_spark.streaming.apply_stream import StreamingApplyChanges
+
+    applier = StreamingApplyChanges(
+        spark, str(tmp_path / "state"), "key", n_buckets=8,
+        merge_plan="state_merge",
+    )
+    b1 = [
+        (1, "INSERT", "public", "users", {"id": "1", "name": "Ada", "mail": "a@x"}, "1"),
+        (2, "INSERT", "public", "orders", {"id": "1", "total": "9"}, "1"),
+        (3, "INSERT", "public", "users", {"id": "2", "name": "Lin"}, "2"),
+        (4, "DELETE", "public", "users", None, "2"),
+    ]
+    applier.merge_batch(_truncate_ev_df(spark, b1), 0)
+    assert applier.last_merge_plan == "replay"  # no prior state yet
+    b2 = [
+        # sentinel: mail must carry forward from batch 1
+        (10, "UPDATE", "public", "users",
+         {"id": "1", "name": "Ada L", "mail": UNCHANGED_SENTINEL}, "1"),
+        # same key VALUE, other table: must not touch users.1
+        (11, "UPDATE", "public", "orders", {"id": "1", "total": "12"}, "1"),
+        # LATE event below users.2's delete horizon (del_lsn=4): the
+        # per-key fast-path guard must send it to the replay fallback,
+        # where the tombstone keeps it dead
+        (2, "UPDATE", "public", "users", {"id": "2", "name": "GHOST"}, "2"),
+    ]
+    applier.merge_batch(_truncate_ev_df(spark, b2), 1)
+    assert applier.last_merge_plan == "state_merge"
+
+    got = {
+        (r["table"], r["key"]): dict(r["values"])
+        for r in applier.current_state().collect()
+    }
+    assert got == {
+        ("users", "1"): {"id": "1", "name": "Ada L", "mail": "a@x"},
+        ("orders", "1"): {"id": "1", "total": "12"},
+    }
+
+    # streamed == batch: the one-shot multi fold over the whole feed
+    full = apply_changes_with_tombstones_multi(
+        _truncate_ev_df(spark, b1 + b2), "key", plan="array_fold"
+    ).filter(F.col("values").isNotNull())
+    want = {
+        (r["table"], r["key"]): dict(r["values"]) for r in full.collect()
+    }
+    assert got == want
