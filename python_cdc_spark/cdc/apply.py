@@ -447,14 +447,21 @@ def merge_state_with_batch(
         else apply_changes_with_tombstones
     )
     ev = batch_events.select("lsn", "operation", "new_values", *keys)
-    b = fold(
-        ev, key_col, plan=plan, has_truncates=False, with_first_lsn=True
-    ).select(
-        *keys,
-        F.col("values").alias("__bv"),
-        F.col("last_lsn").alias("__bl"),
-        F.col("del_lsn").alias("__bd"),
-        F.col("first_lsn").alias("__bf"),
+    # The folded batch-state is referenced by BOTH branches (the merge
+    # join and the slow-key detection); an eager checkpoint folds the
+    # batch exactly once per merge instead of once per branch — and in
+    # the streaming path it also stops the second branch from
+    # re-decoding the batch's wire lineage.
+    b = (
+        fold(ev, key_col, plan=plan, has_truncates=False, with_first_lsn=True)
+        .select(
+            *keys,
+            F.col("values").alias("__bv"),
+            F.col("last_lsn").alias("__bl"),
+            F.col("del_lsn").alias("__bd"),
+            F.col("first_lsn").alias("__bf"),
+        )
+        .localCheckpoint(eager=True)
     )
     p = prior.select(*keys, "values", "last_lsn", "del_lsn")
     j = p.join(b, keys, "full_outer")
