@@ -70,16 +70,36 @@ def main() -> None:
             )
 
     # optional name filters: any further args restrict the sweep to
-    # queries whose name contains one of them (targeted re-checks)
-    filters = sys.argv[2:]
+    # queries whose name contains one of them (targeted re-checks);
+    # "--skip <file>" drops names listed one-per-line (resume support)
+    argv = sys.argv[2:]
+    skip: set[str] = set()
+    if "--skip" in argv:
+        i = argv.index("--skip")
+        with open(argv[i + 1]) as fh:
+            skip = {line.strip() for line in fh if line.strip()}
+        argv = argv[:i] + argv[i + 2:]
+    filters = argv
     items = {
         n: s
         for n, s in QUERIES.items()
-        if not filters or any(f in n for f in filters)
+        if n not in skip and (not filters or any(f in n for f in filters))
     }
+    # Per-query wall budget for the ORACLE side (sf1 sweeps: a handful
+    # of oracles are quadratic there — interrupt and record, don't hang
+    # the whole receipt). DuckDB ignores Python signals mid-query, so a
+    # watchdog thread calls con.interrupt() instead.
+    budget = float(os.environ.get("SPARK_GRAFT_ORACLE_TIMEOUT", "0") or 0)
+    import threading
+
     ok, bad, err = [], [], []
     for name, spec in items.items():
         t0 = time.time()
+        timer = None
+        if budget > 0:
+            timer = threading.Timer(budget, con.interrupt)
+            timer.daemon = True
+            timer.start()
         try:
             df = spec.fn(spark, sf)
             if spec.oracle is None:
@@ -95,7 +115,13 @@ def main() -> None:
             print(f"MISMATCH {name}: {str(e)[:300]}", flush=True)
         except Exception as e:  # keep sweeping; report at the end
             err.append(name)
-            print(f"ERROR {name}: {type(e).__name__} {str(e)[:200]}", flush=True)
+            what = type(e).__name__
+            if "interrupt" in what.lower() or "interrupt" in str(e).lower():
+                what = f"ORACLE_TIMEOUT>{int(budget)}s"
+            print(f"ERROR {name}: {what} {str(e)[:200]}", flush=True)
+        finally:
+            if timer is not None:
+                timer.cancel()
     print(
         f"SWEEP_DONE sf_dir={sf} pass={len(ok)} "
         f"mismatch={len(bad)} error={len(err)}",
