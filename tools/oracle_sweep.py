@@ -39,6 +39,10 @@ def main() -> None:
     mem = os.environ.get("SPARK_GRAFT_DUCKDB_MEM")
     if mem:
         con.execute(f"SET memory_limit='{mem}'")
+        # bound the spill too: a quadratic oracle otherwise fills the
+        # disk before it fails (graph_triangle_count at sf1 wrote 70 GB
+        # of temp before ENOSPC)
+        con.execute("SET max_temp_directory_size='32GB'")
     for t in (
         "region nation customer supplier part orders lineitem "
         "events documents embeddings events_zipf"
