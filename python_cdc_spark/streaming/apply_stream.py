@@ -58,7 +58,7 @@ class StreamingApplyChanges:
         n_buckets: int = 64,
         retention: int = 2,
         fold_plan: str = "auto",
-        merge_plan: str = "state_merge",
+        merge_plan: str = "replay",
     ) -> None:
         self.spark = spark
         self.state_path = state_path
@@ -78,16 +78,24 @@ class StreamingApplyChanges:
         self.fold_plan = fold_plan
         self.auto_skew_ratio = 4.0
         self.auto_skew_min_rows = 100_000
-        # How prior state combines with a batch. "state_merge" (the
-        # default) folds ONLY the batch and joins the two folded states
-        # — prior rows cross a join instead of being re-encoded as
-        # events and replayed through collect_list+aggregate every
-        # batch; keys with late events below the prior row's horizon
-        # auto-fall back to the replay fold, so semantics are identical
-        # (cdc/apply.merge_state_with_batch; merge == replay pinned by
-        # hypothesis in tests/test_apply_property.py). "replay" pins
-        # the classic prior-state-as-events plan. TRUNCATE batches
-        # always take the replay plan (expansion needs the key set).
+        # How prior state combines with a batch. "replay" (the default)
+        # re-encodes prior state as events and folds batch ∪ state in
+        # ONE single-shuffle array fold. "state_merge" folds only the
+        # batch and full-outer-joins the two folded states
+        # (cdc/apply.merge_state_with_batch; value-identical — merge ==
+        # replay pinned by hypothesis in tests/test_apply_property.py;
+        # late keys auto-fall back to replay). MEASURED (r8,
+        # BENCH_APPLY_PROFILE_r8.json): state_merge LOSES at both
+        # steady-state shapes on local[32] — fold 2.23→3.11 s at
+        # 125k-batch/200k-state and 1.79→2.93 s at 20k-batch — because
+        # the r7 array fold already made re-folding singleton state
+        # events cheap, while the merge pays a batch-fold checkpoint
+        # job plus two join executions (fast filter + slow-key
+        # detection) over the same state rows. Kept as an explicit
+        # plan: it is the shape that wins once state lives in a
+        # BUCKETED table whose join needs no prior-side shuffle — the
+        # named next lever in SCALE.md. TRUNCATE batches always take
+        # the replay plan (expansion needs the key set).
         self.merge_plan = merge_plan
         #: plan the most recent merge actually used (observability)
         self.last_fold_plan: str | None = None
