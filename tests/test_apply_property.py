@@ -224,3 +224,46 @@ def test_state_merge_equals_replay(spark, events, to_batch):
         has_truncates=False,
     )
     assert _norm_tomb(merged) == _norm_tomb(replay)
+
+
+def test_state_merge_argmax_plan_matches_array_fold(spark):
+    """merge_state_with_batch must be value-identical under BOTH inner
+    fold plans (the streaming merge inherits fold_plan='auto', which
+    can pick argmax for a skewed batch) — deterministic corners:
+    sentinel-only update, delete+reinsert, late event, fresh key."""
+    from python_cdc_spark.cdc.apply import (
+        apply_changes_with_tombstones,
+        merge_state_with_batch,
+    )
+
+    prior_events = [
+        (1, "INSERT", {"id": "k1", "a": "1", "b": "2"}),
+        (2, "INSERT", {"id": "k2", "a": "9"}),
+        (3, "DELETE", None),  # k3 deleted at 3
+        (2, "INSERT", {"id": "k3", "a": "x"}),
+    ]
+    rows0 = [
+        (lsn, op, None if v is None else v, key)
+        for (lsn, op, v), key in zip(prior_events, ["k1", "k2", "k3", "k3"])
+    ]
+    batch = [
+        (10, "UPDATE", {"id": "k1", "a": "7", "b": UNCHANGED_SENTINEL}, "k1"),
+        (11, "DELETE", None, "k2"),
+        (12, "INSERT", {"id": "k2", "a": "re"}, "k2"),
+        (1, "UPDATE", {"id": "k3", "a": "GHOST"}, "k3"),  # late, below del
+        (13, "INSERT", {"id": "k4", "a": "new"}, "k4"),
+    ]
+    schema = "lsn bigint, operation string, new_values map<string,string>, key string"
+    df0 = spark.createDataFrame(rows0, schema)
+    df1 = spark.createDataFrame(batch, schema)
+    outs = []
+    for plan in ("array_fold", "argmax"):
+        prior = apply_changes_with_tombstones(df0, "key", plan=plan)
+        outs.append(_norm_tomb(merge_state_with_batch(prior, df1, "key", plan=plan)))
+    assert outs[0] == outs[1]
+    live = {k: v for k, v, _, _ in outs[0] if v is not None}
+    assert live == {
+        "k1": {"id": "k1", "a": "7", "b": "2"},  # sentinel kept prior b
+        "k2": {"id": "k2", "a": "re"},           # delete+reinsert in batch
+        "k4": {"id": "k4", "a": "new"},
+    }  # k3 stays dead: the late event fell below its delete horizon

@@ -740,3 +740,14 @@ def test_refresh_cdc_unpartitioned_state_warns_or_rebuilds(spark, tmp_path):
     full.define("c", state1, dims, meas)
     want = sorted(map(tuple, full.rewrite(*req).collect()))
     assert a == want and b == want
+
+
+def test_bloom_probe_stays_broadcast(spark):
+    """The Bloom membership probe must join the 2048-word filter table
+    as a BROADCAST — a shuffled probe would move the whole probe set
+    for a metadata-sized build side, exactly the anti-pattern the
+    sketch exists to avoid at 100 TB."""
+    df = QUERIES["sketch_bloom_membership"].fn(spark, SF_SMOKE)
+    rep = plan_report(df)
+    assert rep["broadcast_join"]
+    assert not rep["cartesian"]
