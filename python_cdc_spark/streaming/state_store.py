@@ -220,3 +220,115 @@ class BucketedStateStore:
                 shutil.rmtree(full)
                 removed.append(full)
         return removed
+
+
+class BucketedTableStateStore:
+    """Versioned state as Spark BUCKETED TABLES — the r9 apply-ceiling
+    lever's storage brick (SCALE.md §CDC apply; premise measured in
+    `tools/bench_bucketed_join.py`: a bucketed prior side removes the
+    state's hash exchange from the merge join, 2 → 1 exchanges and
+    ~2.2× on the join at 200k × 125k).
+
+    Differences from :class:`BucketedStateStore` (the default):
+
+    - Each version is a whole CATALOG TABLE ``<name>_v<N>`` written via
+      ``bucketBy(n_buckets, key_col)`` + ``saveAsTable`` — Spark then
+      reports ``HashPartitioning(key, n)`` from the scan, so a join or
+      groupBy on the key needs NO prior-side shuffle. That is exactly
+      the shape ``cdc/apply.merge_state_with_batch`` wins in.
+    - The trade: a commit rewrites the WHOLE state (bucketed tables
+      cannot selectively replace buckets), so this store fits
+      full-touch merge shapes (every batch touches most buckets — the
+      saturation-profile shape), while the directory store keeps the
+      O(touched) write contract for localized batches. The r9 wiring
+      decision is per-deployment, both stores behind the same
+      read/commit/vacuum surface.
+    - Crash atomicity is the same manifest pattern: write the new
+      version's table, then swap a JSON pointer via ``os.replace``. A
+      crash before the swap leaves the old pointer and a consistent
+      old state; the orphaned table is dropped on the next commit of
+      that version number (replay) or by :meth:`vacuum`.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        name: str,
+        key_col: str = "key",
+        n_buckets: int = 64,
+    ) -> None:
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self.name = name
+        self.key_col = key_col
+        self.n_buckets = n_buckets
+        os.makedirs(self.path, exist_ok=True)
+
+    @property
+    def _pointer_path(self) -> str:
+        return os.path.join(self.path, "_current.json")
+
+    def _load(self) -> dict:
+        if not os.path.isfile(self._pointer_path):
+            return {"version": 0}
+        with open(self._pointer_path) as fh:
+            return json.load(fh)
+
+    def _swap(self, meta: dict) -> None:
+        tmp = self._pointer_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(meta, fh)
+        os.replace(tmp, self._pointer_path)
+
+    def _table(self, version: int) -> str:
+        return f"{self.name}_v{version}"
+
+    @property
+    def version(self) -> int:
+        return self._load()["version"]
+
+    def read(self) -> DataFrame | None:
+        """Current state as a BUCKETED scan (`HashPartitioning(key, n)`
+        — join/groupBy on the key without a prior-side exchange), or
+        None before the first commit."""
+        v = self.version
+        if v == 0:
+            return None
+        return self.spark.table(self._table(v))
+
+    def commit(self, state: DataFrame) -> int:
+        """Write the full state as the next version's bucketed table,
+        then atomically swap the pointer. Returns the new version."""
+        v = self.version + 1
+        tbl = self._table(v)
+        # replay after a crash-past-the-write: the orphan is
+        # unreferenced (the swap never happened), reclaim it
+        self.spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        (
+            state.write.mode("overwrite")
+            .bucketBy(self.n_buckets, self.key_col)
+            .sortBy(self.key_col)
+            .format("parquet")
+            .saveAsTable(tbl)
+        )
+        self._swap({"version": v})
+        return v
+
+    def vacuum(self, retain_last: int = 1) -> list[str]:
+        """Drop superseded version tables, keeping ``retain_last``
+        below the current pointer (time-travel window)."""
+        cur = self.version
+        dropped = []
+        for row in self.spark.sql(
+            f"SHOW TABLES LIKE '{self.name}_v*'"
+        ).collect():
+            t = row["tableName"]
+            try:
+                v = int(t.rsplit("_v", 1)[1])
+            except (IndexError, ValueError):
+                continue
+            if v < cur - retain_last:
+                self.spark.sql(f"DROP TABLE IF EXISTS {t}")
+                dropped.append(t)
+        return dropped
