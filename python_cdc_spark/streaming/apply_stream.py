@@ -24,6 +24,7 @@ is O(batch + touched_state), not O(total_state).
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -600,3 +601,89 @@ def drop_checkpoint(checkpoint_path: str) -> None:
 
     if os.path.isdir(checkpoint_path):
         shutil.rmtree(checkpoint_path)
+
+
+class StreamingApplyChangesTable:
+    """The r9 lever, wired end-to-end: streaming apply over a BUCKETED
+    TABLE state (``BucketedTableStateStore``) merged with
+    ``cdc/apply.merge_state_with_batch`` — the join plan that loses on
+    plain parquet state (BENCH_APPLY_PROFILE_r8.json) precisely because
+    the prior side must shuffle; a bucketed prior removes that exchange
+    (tools/bench_bucketed_join.py: 2 → 1 exchanges, ~2.2× on the join).
+
+    Deliberately minimal next to :class:`StreamingApplyChanges`: no
+    per-bucket pruning (a bucketed table rewrites the WHOLE state per
+    commit, so this backend fits full-touch merge shapes — the
+    saturation profile — while the directory store keeps the
+    O(touched) contract for localized batches), same fold semantics
+    (TRUNCATE batches and the cold start take the replay fold; steady
+    batches take the state-merge join with its late-event fallback).
+    Value-equality with the batch fold is pinned by
+    ``test_streaming_table_backend_matches_batch``.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_path: str,
+        key_col: str = "key",
+        n_buckets: int = 64,
+        table_name: str | None = None,
+        retention: int = 1,
+        fold_plan: str = "array_fold",
+    ) -> None:
+        from python_cdc_spark.streaming.state_store import (
+            BucketedTableStateStore,
+        )
+
+        self.spark = spark
+        self.key_col = key_col
+        self.fold_plan = fold_plan
+        self.retention = retention
+        name = table_name or (
+            "state_" + hashlib.md5(state_path.encode()).hexdigest()[:12]
+        )
+        self.store = BucketedTableStateStore(
+            spark, state_path, name, key_col=key_col, n_buckets=n_buckets
+        )
+        self.last_merge_plan: str | None = None
+
+    def merge_batch(self, batch: DataFrame, batch_id: int | None = None) -> None:
+        aux = [c for c in _AUX_COLS if c in batch.columns]
+        if len(aux) != len(_AUX_COLS):
+            aux = []
+        events = batch.select(
+            "lsn", "operation", "new_values", *aux, F.col(self.key_col)
+        )
+        has_truncate = bool(
+            events.filter(F.col("operation") == "TRUNCATE").head(1)
+        )
+        prior = self.store.read()
+        fold = (
+            apply_changes_with_tombstones_multi
+            if aux
+            else apply_changes_with_tombstones
+        )
+        if prior is not None and not has_truncate:
+            self.last_merge_plan = "state_merge"
+            new_state = merge_state_with_batch(
+                prior, events, self.key_col, plan=self.fold_plan
+            )
+        else:
+            self.last_merge_plan = "replay"
+            if prior is not None:
+                events = events.unionByName(
+                    state_as_events(prior, self.key_col)
+                )
+            new_state = fold(
+                events, self.key_col,
+                plan=self.fold_plan, has_truncates=has_truncate,
+            )
+        self.store.commit(new_state)
+        self.store.vacuum(retain_last=self.retention)
+
+    def current_state(self) -> DataFrame:
+        state = self.store.read()
+        if state is None:
+            raise ValueError("no state committed yet")
+        return state.filter(F.col("values").isNotNull()).drop("del_lsn")

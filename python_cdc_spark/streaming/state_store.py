@@ -303,8 +303,20 @@ class BucketedTableStateStore:
         v = self.version + 1
         tbl = self._table(v)
         # replay after a crash-past-the-write: the orphan is
-        # unreferenced (the swap never happened), reclaim it
+        # unreferenced (the swap never happened), reclaim it. DROP
+        # covers the same-session case; after a RESTART the in-memory
+        # catalog has forgotten the table while its managed LOCATION
+        # survives on disk and blocks the write (LOCATION_ALREADY_EXISTS)
+        # — reclaim the directory too.
         self.spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        loc = os.path.join(
+            self.spark.conf.get(
+                "spark.sql.warehouse.dir", "spark-warehouse"
+            ).replace("file:", ""),
+            tbl.lower(),
+        )
+        if os.path.isdir(loc):
+            shutil.rmtree(loc)
         (
             state.write.mode("overwrite")
             .bucketBy(self.n_buckets, self.key_col)

@@ -215,8 +215,21 @@ def test_bucketed_table_store_roundtrip_and_shuffle_free_join(spark, tmp_path):
     assert store.commit(state2) == 2
     assert store.read().agg(F.max("last_lsn")).first()[0] == 1099
 
+    # RESTART-orphan: a fresh session's in-memory catalog forgets the
+    # table but its managed LOCATION survives and would block the next
+    # write (LOCATION_ALREADY_EXISTS) — simulate by dropping v3 from
+    # the catalog while recreating its directory on disk
+    import os
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+    orphan = os.path.join(wh, "t_state_test_v3")
+    spark.sql("DROP TABLE IF EXISTS t_state_test_v3")
+    os.makedirs(orphan, exist_ok=True)
+    open(os.path.join(orphan, "part-junk.parquet"), "w").close()
+    assert store.commit(state1) == 3  # reclaims the orphan location
+    assert store.read().count() == 100
+
     # vacuum: with retain_last=0 only the current table survives
-    assert store.commit(state1) == 3
     dropped = store.vacuum(retain_last=0)
     assert "t_state_test_v1" in dropped and "t_state_test_v2" in dropped
     assert store.read().count() == 100

@@ -1606,3 +1606,62 @@ def test_streaming_state_merge_plan_multi_table_and_late_events(spark, tmp_path)
         (r["table"], r["key"]): dict(r["values"]) for r in full.collect()
     }
     assert got == want
+
+
+def test_streaming_table_backend_matches_batch(spark, tmp_path):
+    """The bucketed-TABLE state backend (StreamingApplyChangesTable:
+    BucketedTableStateStore + merge_state_with_batch) must fold a
+    multi-batch feed to exactly the one-shot batch fold's state —
+    including a TRUNCATE batch (replay plan), a steady batch
+    (state_merge plan over the shuffle-free bucketed prior), and a
+    late event below a delete horizon."""
+    from python_cdc_spark.cdc.apply import apply_changes_with_tombstones
+    from python_cdc_spark.streaming.apply_stream import (
+        StreamingApplyChangesTable,
+    )
+
+    applier = StreamingApplyChangesTable(
+        spark, str(tmp_path / "ptr"), "key", n_buckets=4,
+        table_name="t_apply_test",
+    )
+    schema = (
+        "lsn bigint, operation string, schema string, table string, "
+        "new_values map<string,string>, key string"
+    )
+    b1 = [
+        (1, "INSERT", "public", "t", {"id": "1", "v": "a"}, "1"),
+        (2, "INSERT", "public", "t", {"id": "2", "v": "b"}, "2"),
+        (3, "DELETE", "public", "t", None, "2"),
+        (4, "INSERT", "public", "t", {"id": "3", "v": "c"}, "3"),
+    ]
+    b2 = [
+        (10, "UPDATE", "public", "t", {"id": "1", "v": "a2"}, "1"),
+        (2, "UPDATE", "public", "t", {"id": "2", "v": "GHOST"}, "2"),  # late
+        (11, "INSERT", "public", "t", {"id": "4", "v": "d"}, "4"),
+    ]
+    b3 = [
+        (20, "TRUNCATE", "public", "t", None, None),
+        (21, "INSERT", "public", "t", {"id": "5", "v": "e"}, "5"),
+    ]
+    applier.merge_batch(spark.createDataFrame(b1, schema).drop("schema", "table"), 0)
+    assert applier.last_merge_plan == "replay"  # cold start
+    applier.merge_batch(spark.createDataFrame(b2, schema).drop("schema", "table"), 1)
+    assert applier.last_merge_plan == "state_merge"
+    got2 = {r["key"]: dict(r["values"]) for r in applier.current_state().collect()}
+    assert got2 == {
+        "1": {"id": "1", "v": "a2"},
+        "3": {"id": "3", "v": "c"},
+        "4": {"id": "4", "v": "d"},
+    }  # key 2 stays dead: late event below its delete horizon
+    applier.merge_batch(spark.createDataFrame(b3, schema).drop("schema", "table"), 2)
+    assert applier.last_merge_plan == "replay"  # truncate batches replay
+    got = {r["key"]: dict(r["values"]) for r in applier.current_state().collect()}
+
+    full = apply_changes_with_tombstones(
+        spark.createDataFrame(b1 + b2 + b3, schema).drop("schema", "table"),
+        "key", plan="array_fold",
+    ).filter(F.col("values").isNotNull())
+    want = {r["key"]: dict(r["values"]) for r in full.collect()}
+    assert got == want == {"5": {"id": "5", "v": "e"}}
+    for v in (1, 2, 3):
+        spark.sql(f"DROP TABLE IF EXISTS t_apply_test_v{v}")

@@ -48,6 +48,10 @@ def main() -> None:
     ap.add_argument("--merge", default="replay",
                     choices=["replay", "state_merge"],
                     help="how prior state combines with the batch fold")
+    ap.add_argument("--store", default="dirs",
+                    choices=["dirs", "table"],
+                    help="state backend: bucket directories (default) or "
+                    "a bucketed TABLE (shuffle-free merge join)")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -68,6 +72,17 @@ def main() -> None:
     applier = StreamingApplyChanges(
         spark, os.path.join(root, "state"), "key", n_buckets=args.buckets
     )
+    tstore = None
+    if args.store == "table":
+        from python_cdc_spark.streaming.state_store import (
+            BucketedTableStateStore,
+        )
+
+        spark.sql("DROP TABLE IF EXISTS prof_state_v1")
+        tstore = BucketedTableStateStore(
+            spark, os.path.join(root, "tstate"), "prof_state",
+            key_col="key", n_buckets=args.buckets,
+        )
     registry = None
     phases: dict[str, list[float]] = {
         "encode_feed": [], "decode": [], "fold": [], "commit": [], "vacuum": []
@@ -110,6 +125,34 @@ def main() -> None:
             )
 
             t0 = time.perf_counter()
+            if args.store == "table":
+                ev = events.select(
+                    "lsn", "operation", "new_values", "schema", "table",
+                    F.col("key"),
+                )
+                prior = tstore.read()
+                if prior is not None:
+                    new_state = merge_state_with_batch(
+                        prior, ev, "key", plan=args.plan
+                    ).localCheckpoint(eager=True)
+                else:
+                    new_state = apply_changes_with_tombstones_multi(
+                        ev, "key", plan=args.plan, has_truncates=False
+                    ).localCheckpoint(eager=True)
+                phases["fold"].append(time.perf_counter() - t0)
+                t0 = time.perf_counter()
+                tstore.commit(new_state)
+                phases["commit"].append(time.perf_counter() - t0)
+                t0 = time.perf_counter()
+                tstore.vacuum(retain_last=1)
+                phases["vacuum"].append(time.perf_counter() - t0)
+                print(
+                    f"# batch {b}: " + " ".join(
+                        f"{k}={v[-1]:.2f}s" for k, v in phases.items() if v
+                    ),
+                    file=sys.stderr,
+                )
+                continue
             batch = events.select(
                 "lsn", "operation", "new_values", "schema", "table",
                 F.col("key"),
@@ -148,7 +191,11 @@ def main() -> None:
                 ),
                 file=sys.stderr,
             )
-        state_rows = applier.current_state().count()
+        state_rows = (
+            tstore.read().filter("values is not null").count()
+            if args.store == "table"
+            else applier.current_state().count()
+        )
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -162,6 +209,7 @@ def main() -> None:
         "metric": "apply_ceiling_phase_profile",
         "fold_plan": args.plan,
         "merge_plan": args.merge,
+        "store": args.store,
         "batch_events": args.batch,
         "batches": args.batches,
         "distinct_keys": args.keys,
