@@ -889,7 +889,7 @@ def cdc_control_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN event_id % 2 = 0
                        AND event_id >= (SELECT split_eid FROM p)
                   THEN 'amount_usd' ELSE 'amount' END AS col_name,
-             value
+             COALESCE(value, 0.0) AS value
       FROM events
       WHERE CAST(FLOOR(event_id / 10) AS BIGINT) % 3 <> 0
     ),
@@ -897,7 +897,9 @@ def cdc_control_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT key, tbl,
              GREATEST(
                COALESCE(MAX(CASE WHEN operation = 'DELETE' THEN lsn END), -1),
-               CASE WHEN tbl = 'users' THEN (SELECT t_lsn FROM tl) ELSE -1 END
+               CASE WHEN tbl = 'users'
+                    THEN COALESCE((SELECT t_lsn FROM tl), -1)
+                    ELSE -1 END
              ) AS last_del
       FROM feed GROUP BY key, tbl
     ),
@@ -995,12 +997,16 @@ def cdc_pipeline_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
     s_lsn = 8 * split_eid
     mid_txn = (max_eid // 10) // 2
     txn_of = F.floor(F.col("event_id") / 10).cast("long")
-    t_eid = int(
+    t_row = (
         ev.filter((txn_of >= mid_txn) & (txn_of % 3 != 0))
         .agg(F.min("event_id"))
         .first()[0]
     )
-    t_lsn = 8 * t_eid + 3
+    # no LOCAL txn at/after the median (possible only on a tiny or
+    # origin-skewed input): the TRUNCATE degenerates to a no-op — no T
+    # frame is emitted and the oracle mirrors it via
+    # COALESCE(t_lsn, -1) (empty tl CTE -> NULL -> -1, below every lsn)
+    t_lsn = 8 * int(t_row) + 3 if t_row is not None else None
 
     def enc_dml(batches):
         import pandas as pd
@@ -1014,7 +1020,11 @@ def cdc_pipeline_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
             ):
                 eid = int(eid)
                 relid = 1 if eid % 2 == 0 else 2
-                kid, val = str(int(uid)), repr(float(v))
+                # a null events.value must not raise mid-executor; it
+                # encodes as the sentinel 0.0, mirrored in the oracle's
+                # COALESCE(value, 0.0) in the feed CTE
+                kid = str(int(uid))
+                val = "0.0" if pd.isna(v) else repr(float(v))
                 if et == "signup":
                     f = encode_insert(relid, [kid, val])
                 elif et == "error":
@@ -1073,8 +1083,8 @@ def cdc_pipeline_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ts0,
                 bytearray(encode_relation(1, "public", "users", ["id", "amount_usd"])),
             ),
-            (t_lsn, ts0, bytearray(encode_truncate([1]))),
-        ],
+        ]
+        + ([(t_lsn, ts0, bytearray(encode_truncate([1])))] if t_lsn is not None else []),
         "lsn bigint, ts timestamp, frame binary",
     )
     # one checkpoint kills the re-encode for every downstream pass

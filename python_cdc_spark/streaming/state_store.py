@@ -303,19 +303,32 @@ class BucketedTableStateStore:
         v = self.version + 1
         tbl = self._table(v)
         # replay after a crash-past-the-write: the orphan is
-        # unreferenced (the swap never happened), reclaim it. DROP
-        # covers the same-session case; after a RESTART the in-memory
-        # catalog has forgotten the table while its managed LOCATION
-        # survives on disk and blocks the write (LOCATION_ALREADY_EXISTS)
-        # — reclaim the directory too.
-        self.spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-        loc = os.path.join(
+        # unreferenced (the swap never happened), reclaim it. If the
+        # catalog still knows the table (same-session replay), resolve
+        # its REAL managed location from the catalog — correct under any
+        # database/location config — before dropping; only the restart
+        # case (catalog forgot the table but its managed LOCATION
+        # survives on disk and blocks the write with
+        # LOCATION_ALREADY_EXISTS) falls back to the warehouse-dir
+        # naming heuristic. Either way the rmtree is guarded to paths
+        # UNDER the session warehouse dir so a pathological config can
+        # never delete something else.
+        warehouse = os.path.realpath(
             self.spark.conf.get(
                 "spark.sql.warehouse.dir", "spark-warehouse"
-            ).replace("file:", ""),
-            tbl.lower(),
+            ).replace("file:", "")
         )
-        if os.path.isdir(loc):
+        loc = None
+        if self.spark.catalog.tableExists(tbl):
+            for row in self.spark.sql(f"DESCRIBE EXTENDED {tbl}").collect():
+                if row["col_name"] == "Location":
+                    loc = row["data_type"].replace("file:", "")
+                    break
+        self.spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        if loc is None:  # restart-orphan: catalog had forgotten the table
+            loc = os.path.join(warehouse, tbl.lower())
+        loc = os.path.realpath(loc)
+        if os.path.isdir(loc) and loc.startswith(warehouse + os.sep):
             shutil.rmtree(loc)
         (
             state.write.mode("overwrite")

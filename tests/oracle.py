@@ -75,10 +75,17 @@ def duck_rows(con, sql):
     )
 
 
-def assert_matches_oracle(df, con, sql, name="query", approx=None):
+def assert_matches_oracle(df, con, sql, name="query", approx=None,
+                          on_oracle_start=None):
     """Exact match by default; ``approx=k`` rounds floats to k digits
-    before comparing (for queries whose floating error is inherent)."""
+    before comparing (for queries whose floating error is inherent).
+    ``on_oracle_start`` fires after the Spark side has fully
+    materialized, immediately before the DuckDB execution — sweep
+    tools hang their oracle-only watchdog here so a slow SPARK query
+    can never interrupt an idle DuckDB connection."""
     s_cols, s_rows = spark_rows(df)
+    if on_oracle_start is not None:
+        on_oracle_start()
     d_cols, d_rows = duck_rows(con, sql)
     assert s_cols == d_cols, f"{name}: column mismatch {s_cols} vs {d_cols}"
     assert len(s_rows) == len(d_rows), (

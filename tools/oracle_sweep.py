@@ -92,25 +92,37 @@ def main() -> None:
     # Per-query wall budget for the ORACLE side (sf1 sweeps: a handful
     # of oracles are quadratic there — interrupt and record, don't hang
     # the whole receipt). DuckDB ignores Python signals mid-query, so a
-    # watchdog thread calls con.interrupt() instead.
+    # watchdog thread calls con.interrupt() instead. The timer arms via
+    # the differ's on_oracle_start hook — i.e. only AFTER the Spark side
+    # has fully materialized — so the budget covers DuckDB alone: a slow
+    # Spark query can neither be mislabeled ORACLE_TIMEOUT nor fire an
+    # idle interrupt that poisons the NEXT oracle execution.
     budget = float(os.environ.get("SPARK_GRAFT_ORACLE_TIMEOUT", "0") or 0)
     import threading
 
     ok, bad, err = [], [], []
+    timer = None
     for name, spec in items.items():
         t0 = time.time()
         timer = None
-        if budget > 0:
-            timer = threading.Timer(budget, con.interrupt)
-            timer.daemon = True
-            timer.start()
+
+        def _arm_watchdog():
+            nonlocal timer
+            if budget > 0:
+                timer = threading.Timer(budget, con.interrupt)
+                timer.daemon = True
+                timer.start()
+
         try:
             df = spec.fn(spark, sf)
             if spec.oracle is None:
                 assert df.count() >= 0
                 kind = "rows-only"
             else:
-                assert_matches_oracle(df, con, spec.oracle, name=name)
+                assert_matches_oracle(
+                    df, con, spec.oracle, name=name,
+                    on_oracle_start=_arm_watchdog,
+                )
                 kind = "oracle"
             ok.append(name)
             print(f"PASS {name} ({kind}, {time.time()-t0:.1f}s)", flush=True)
