@@ -86,6 +86,10 @@ HEADLINE = [
     # + the Bloom membership sketch
     "cdc_pipeline_composite",
     "sketch_bloom_membership",
+    # round 9: distributed BPE tokenizer fitting (12 sequential merge
+    # rounds — one pair-count shuffle each; latency is scheduler-floor
+    # bound at sf0.1, flat in corpus size once vocab saturates)
+    "text_bpe_learn_merges",
 ]
 
 

@@ -37,78 +37,79 @@ from python_cdc_spark.queries import (  # noqa: F401, E402
 # The driver's correctness gate checks the FIRST 50 registry entries;
 # registration order decides which queries earn a driver CORRECTNESS row.
 #
-# Round-8 rotation (VERDICT r7 item #2): freshness-ordered. Latest-green
-# rounds per name from CORRECTNESS_r01–r07 (r7: 50, r6: 50, r5: 50,
-# r4: 7; zero ever-red, zero unchecked). The window leads with this
-# round's 2 NEW registrations (debut discipline — both registered
-# mid-round, not in the window's final hours, per the r7 ADVICE note on
-# holding late-round debuts), then the 7 r04-latest names the r7
-# verdict queued as this round's leaders, then 41 of the 50 r05-latest
-# names. The 9 r05 names that do not fit
-# (graph_clustering_coefficient, graph_kcore_membership,
-# dedup_edit_distance_verified, events_exact_deciles,
-# events_markov_transitions, corpus_split_chisquare,
-# timeseries_autocorrelation, sketch_kmv_returnflag_overlap,
-# part_affinity_lift — the rows with the most expensive DuckDB
-# oracles: iterative/materialized CTE chains, exact global deciles,
-# all-pairs edit distance, the pairwise-lift self-join) lead the r9
-# window; every rotated-out name stays covered by the local differ
+# Round-9 rotation (VERDICT r8 item #1): freshness-ordered. Latest-green
+# rounds per name recomputed from CORRECTNESS_r01-r08 (r8: 49, r7: 50,
+# r6: 50, r5: 10; zero ever-red, zero unchecked). The window leads with
+# this round's debut (text_bpe_learn_merges — registered mid-round per
+# the debut discipline), then the 10 STALE names the r8 verdict queued:
+# the 9 heavy-oracle r05 rows plus q7_volume_shipping (its r8 row was
+# lost to an ORACLE-side 1 KB allocation failure; the engine side was
+# independently re-verified green). The remaining 39 slots refresh
+# r06-latest names. The 11 r06 names that do not fit
+# (corpus_split_train_holdout, dedup_components_canonical,
+# dedup_embedding_cosine, dedup_exact, dedup_keep_first,
+# dedup_lsh_verified, dedup_minhash_lsh_pairs, dedup_ngram_jaccard,
+# similarity_ann_lsh_topk, similarity_brute_topk, similarity_ivf_topk
+# — the dedup/ANN family rows with the highest sf0.01 gate cost, whose
+# families earned fresh r08 rows through their other members) lead the
+# r10 window; every rotated-out name stays covered by the local differ
 # (tests/test_queries_oracle.py, ALL queries at sf0.01) and the
-# end-of-round sf0.1 sweep.
+# end-of-round sf0.1 sweep. After r9 lands green, no name's latest
+# green driver row is older than r06.
 _WINDOW = [
-    # --- New this round: first driver rows land now ---
-    "cdc_pipeline_composite",
-    "sketch_bloom_membership",
-    # --- The 7 r04-latest leaders (verdict r7 #2) ---
-    "similarity_rq_topk",
-    "similarity_ivfpq_topk",
-    "similarity_ivfrq_topk",
-    "text_repetition_filter",
-    "timeseries_gapfill_locf",
-    "text_quality_classifier",
-    "text_fingerprint",
-    # --- r05-latest (41 of 50) ---
-    "customer_rfm_segments",
-    "data_quality_checks",
-    "events_cusum_drift",
-    "events_histogram_equiwidth",
-    "join_key_skew_report",
-    "parts_pareto_abc",
-    "q10_returned_items",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_part_type_counts",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q19_discounted_revenue",
-    "q1_pricing_summary",
-    "q22_dormant_customers",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
+    # --- New this round: first driver row lands now ---
+    "text_bpe_learn_merges",
+    # --- The 10 stale names (verdict r8 #1): 9 heavy-oracle r05 rows + q7 ---
+    "graph_clustering_coefficient",
+    "graph_kcore_membership",
+    "dedup_edit_distance_verified",
+    "events_exact_deciles",
+    "events_markov_transitions",
+    "corpus_split_chisquare",
+    "timeseries_autocorrelation",
+    "sketch_kmv_returnflag_overlap",
+    "part_affinity_lift",
     "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "revenue_by_nation_region",
-    "revenue_yoy_growth",
-    "rollup_distinct_parts_rewrite",
-    "rollup_revenue_rewrite",
-    "scalar_math_funcs",
-    "scalar_string_funcs2",
-    "sketch_countmin_partkeys",
-    "sketch_hll_groupwise",
-    "sketch_hll_orderkeys",
-    "stats_deterministic_moments",
-    "text_pii_redact",
-    "text_vocab_zipf_stats",
-    "timeseries_ewma_recursive",
-    "timeseries_seasonal_profile",
-    "unpivot_quarterly_revenue",
-    "window_lag_lead",
-    "window_running_total",
-    "window_value_navigation",
+    # --- r06-latest (39 of 50) ---
+    "agg_cube",
+    "agg_rollup",
+    "approx_distinct_users",
+    "asof_join_latest_click",
+    "cdc_apply_changes",
+    "cdc_incremental_agg",
+    "cdc_latest_per_key",
+    "cdc_op_counts",
+    "cdc_scd2_history",
+    "cdc_schema_registry",
+    "events_funnel_ordered",
+    "events_retention_cohorts",
+    "filter_predicates",
+    "grouping_sets_sql",
+    "join_anti",
+    "join_left_outer",
+    "join_range_theta",
+    "join_semi",
+    "median_exact_order_stat",
+    "multimodal_binary_metadata",
+    "multimodal_doc_embedding_join",
+    "percentile_order_values",
+    "pivot_status_by_priority",
+    "projection_compute",
+    "q11_important_parts",
+    "q12_priority_class",
+    "q20_outsized_share_suppliers",
+    "q2_min_cost_supplier",
+    "rollup_cdc_maintained",
+    "set_operations",
+    "sketch_kll_quantiles",
+    "table_row_counts",
+    "text_lang_id",
+    "text_quality_score",
+    "timeseries_moving_avg",
+    "udf_pandas_token_count",
+    "window_rank_dense_ntile",
+    "window_topk_per_group",
+    "window_trailing_range_1h",
 ]
 assert len(_WINDOW) == 50, f"driver window must hold exactly 50, got {len(_WINDOW)}"
 assert len(set(_WINDOW)) == 50, "duplicate names in the driver window"

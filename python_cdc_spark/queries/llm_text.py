@@ -767,3 +767,50 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             "<PHONE>",
         ).alias("redacted"),
     )
+
+
+_BPE_N_MERGES = 12
+_BPE_WORD_FILTER = "LEN(word) BETWEEN 2 AND 12"
+
+from python_cdc_spark.operators.bpe import bpe_oracle_sql  # noqa: E402
+
+
+@register(
+    "text_bpe_learn_merges",
+    oracle=bpe_oracle_sql(_BPE_N_MERGES, _BPE_WORD_FILTER),
+    doc="E27/LLM-pipeline: distributed BPE tokenizer FITTING — 12 greedy "
+    "merge rounds learned over the corpus word-frequency table; per "
+    "round one pair-count shuffle + a one-row argmax carry + a map-side "
+    "merge; the DuckDB oracle replays the identical loop via unrolled "
+    "CTEs with window-function islands for the left-to-right scan",
+)
+def text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fitting at corpus scale (the counterpart to
+    ``text_bpe_token_estimate``, which only APPLIES a fixed merge
+    table). Corpus-scale work is one explode→groupBy(word) shuffle;
+    the greedy loop then runs over the bounded vocabulary — per round
+    one (lhs, rhs) pair-count shuffle with map-side combine, a
+    single-row argmax collect (a model parameter, same O(k) carry rule
+    as k-means centroids), and an Arrow-batched map-side merge. The
+    vocabulary never materializes on the driver. Tie-break is
+    (pair_count DESC, lhs, rhs) — deterministic in both engines.
+    Merge semantics and the oracle's window-function replay are pinned
+    in operators/bpe.py."""
+    from python_cdc_spark.operators.bpe import learn_bpe_merges
+
+    docs = table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+            ).alias("word")
+        )
+        .filter((F.length("word") >= 2) & (F.length("word") <= 12))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    merges = learn_bpe_merges(words, _BPE_N_MERGES)
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, lhs string, rhs string, merged string, pair_count long",
+    )

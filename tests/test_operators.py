@@ -1226,3 +1226,32 @@ def test_pca_transform_and_error_pass_null_vectors(spark):
     err_nulls = reconstruction_error(with_null, model)
     assert np.isfinite(err_nulls) and err_nulls > 0
     assert abs(err_nulls - err_clean) / err_clean < 0.5
+
+
+def test_bpe_learn_merges_greedy_semantics(spark):
+    """Pins the BPE merge loop's exact semantics on a hand-computed
+    vocabulary: (a) pair counts weight by word frequency and count
+    every adjacent position, (b) the argmax tie-breaks on (lhs, rhs)
+    ascending, (c) the merge applies LEFT-TO-RIGHT NON-OVERLAPPING —
+    'aaaa' merges to [aa, aa] and 'aaa' to [aa, a], the island-parity
+    case the DuckDB oracle replays with window functions."""
+    from python_cdc_spark.operators.bpe import learn_bpe_merges
+
+    words = spark.createDataFrame(
+        [("aaaa", 2), ("aaa", 1), ("ab", 10), ("ba", 10)],
+        "word string, freq long",
+    )
+    got = learn_bpe_merges(words, 3)
+    # round 1: (a,a)=2*3+1*2=8, (a,b)=10, (b,a)=10 -> tie 10, lex: (a,b)
+    assert got[0] == (1, "a", "b", "ab", 10)
+    # round 2: 'ab' is now one symbol; (b,a)=10, (a,a)=8 -> (b,a)
+    assert got[1] == (2, "b", "a", "ba", 10)
+    # round 3: (a,a)=8 wins; 'aaaa' contributes positions 1,2,3 -> after
+    # the non-overlapping merge the state must be [aa,aa] and [aa,a]
+    assert got[2] == (3, "a", "a", "aa", 8)
+    # a 4th round would see (aa,aa)=2 from 'aaaa' and (aa,a)=1 from 'aaa'
+    got4 = learn_bpe_merges(words, 4)
+    assert got4[3] == (4, "aa", "aa", "aaaa", 2)
+    # exhaustion: single-symbol-only vocab stops early, no raise
+    tiny = spark.createDataFrame([("ab", 1)], "word string, freq long")
+    assert len(learn_bpe_merges(tiny, 5)) == 1
