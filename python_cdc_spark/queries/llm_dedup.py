@@ -619,8 +619,8 @@ def dedup_incremental_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     "graph_triangle_count",
     oracle=f"""
     WITH {_VERIFIED_PAIRS_CTES},
-    e AS (SELECT id_a AS a, id_b AS b FROM pairs),
-    tri AS (
+    e AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pairs),
+    tri AS MATERIALIZED (
       SELECT e1.a, e1.b, e2.b AS c
       FROM e e1
       JOIN e e2 ON e2.a = e1.b
@@ -636,7 +636,10 @@ def dedup_incremental_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="E26/graph: per-vertex triangle counts over the verified "
     "near-dup graph — the clustering-coefficient numerator, computed "
-    "as two keyed self-joins over the oriented (a<b) edge list",
+    "as two keyed self-joins over the oriented (a<b) edge list; e and "
+    "tri are MATERIALIZED (each is referenced 3x — binder inlining "
+    "re-ran the whole LSH pipeline per reference, the 70 GB sf1 spill "
+    "in SWEEP_SF1_r8)",
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle counting the distributed way: orient every edge low→high
@@ -753,13 +756,13 @@ def dedup_edit_distance_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     "graph_clustering_coefficient",
     oracle=f"""
     WITH {_VERIFIED_PAIRS_CTES},
-    e AS (SELECT id_a AS a, id_b AS b FROM pairs),
+    e AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pairs),
     deg AS (
       SELECT v, CAST(COUNT(*) AS BIGINT) AS degree FROM (
         SELECT a AS v FROM e UNION ALL SELECT b FROM e
       ) GROUP BY v
     ),
-    tri AS (
+    tri AS MATERIALIZED (
       SELECT e1.a, e1.b, e2.b AS c
       FROM e e1
       JOIN e e2 ON e2.a = e1.b

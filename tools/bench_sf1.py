@@ -149,6 +149,20 @@ FOURTH_WAVE = [
     "ml_pca_covariance_block",
 ]
 
+# r8/r9 fifth wave (VERDICT r8 #3): the r8 debuts — the composite
+# end-to-end CDC gate (by design a whole-pipeline re-run per call:
+# encode→decode→origins→two applies→pruned cube refresh) and the Bloom
+# membership sketch — plus the r9 BPE tokenizer fitting (12 sequential
+# merge rounds; latency is the per-round scheduler floor, flat in
+# corpus size once the vocabulary saturates). Gate-vs-derived-oracle
+# asymmetry (composite) is the ratified fourthwave pattern; the number
+# that matters is the flat absolute 0.1→1 scaling.
+FIFTH_WAVE = [
+    "cdc_pipeline_composite",
+    "sketch_bloom_membership",
+    "text_bpe_learn_merges",
+]
+
 
 def _run_ann_spark_only(spark, sf_dir: str) -> dict:
     from pyspark.sql import functions as F
@@ -316,6 +330,10 @@ def main() -> None:
             fresh_spark(), "/root/testdata/sf0.1", FOURTH_WAVE
         ),
         "fourthwave_sf1": _run_scale(fresh_spark(), sf1_dir, FOURTH_WAVE),
+        "fifthwave_sf0.1": _run_scale(
+            fresh_spark(), "/root/testdata/sf0.1", FIFTH_WAVE
+        ),
+        "fifthwave_sf1": _run_scale(fresh_spark(), sf1_dir, FIFTH_WAVE),
         "ann_sf0.1": _run_ann_spark_only(fresh_spark(), "/root/testdata/sf0.1"),
         "ann_sf1": _run_ann_spark_only(fresh_spark(), sf1_dir),
     }
@@ -337,6 +355,10 @@ def main() -> None:
     out["fourthwave_ratio_trend"] = [
         out["fourthwave_sf0.1"]["ratio"],
         out["fourthwave_sf1"]["ratio"],
+    ]
+    out["fifthwave_ratio_trend"] = [
+        out["fifthwave_sf0.1"]["ratio"],
+        out["fifthwave_sf1"]["ratio"],
     ]
     # spark-only: how much slower is 10x the data? (vs the 10x a
     # vector-scanning design would pay)
