@@ -88,8 +88,11 @@ HEADLINE = [
     "sketch_bloom_membership",
     # round 9: distributed BPE tokenizer fitting (12 sequential merge
     # rounds — one pair-count shuffle each; latency is scheduler-floor
-    # bound at sf0.1, flat in corpus size once vocab saturates)
+    # bound at sf0.1, flat in corpus size once vocab saturates),
+    # bloom delta-key pruning, and priority-sampling mixture draw
     "text_bpe_learn_merges",
+    "cdc_bloom_delta_prune",
+    "corpus_sample_weighted_priority",
 ]
 
 

@@ -40,25 +40,34 @@ from python_cdc_spark.queries import (  # noqa: F401, E402
 # Round-9 rotation (VERDICT r8 item #1): freshness-ordered. Latest-green
 # rounds per name recomputed from CORRECTNESS_r01-r08 (r8: 49, r7: 50,
 # r6: 50, r5: 10; zero ever-red, zero unchecked). The window leads with
-# this round's debut (text_bpe_learn_merges — registered mid-round per
-# the debut discipline), then the 10 STALE names the r8 verdict queued:
+# this round's three debuts (text_bpe_learn_merges,
+# cdc_bloom_delta_prune, corpus_sample_weighted_priority — registered
+# mid-round per the debut discipline), then the 10 STALE names the r8
+# verdict queued:
 # the 9 heavy-oracle r05 rows plus q7_volume_shipping (its r8 row was
 # lost to an ORACLE-side 1 KB allocation failure; the engine side was
-# independently re-verified green). The remaining 39 slots refresh
-# r06-latest names. The 11 r06 names that do not fit
+# independently re-verified green). The remaining 37 slots refresh
+# r06-latest names. The 13 r06 names that do not fit
 # (corpus_split_train_holdout, dedup_components_canonical,
 # dedup_embedding_cosine, dedup_exact, dedup_keep_first,
 # dedup_lsh_verified, dedup_minhash_lsh_pairs, dedup_ngram_jaccard,
 # similarity_ann_lsh_topk, similarity_brute_topk, similarity_ivf_topk
 # — the dedup/ANN family rows with the highest sf0.01 gate cost, whose
-# families earned fresh r08 rows through their other members) lead the
+# families earned fresh r08 rows through their other members — plus
+# agg_cube and join_left_outer, displaced by the extra debuts) lead the
 # r10 window; every rotated-out name stays covered by the local differ
 # (tests/test_queries_oracle.py, ALL queries at sf0.01) and the
 # end-of-round sf0.1 sweep. After r9 lands green, no name's latest
 # green driver row is older than r06.
 _WINDOW = [
-    # --- New this round: first driver row lands now ---
+    # --- New this round: first driver rows land now (debut-first
+    # discipline). Three debuts cost three r06 slots: agg_cube and
+    # join_left_outer rotate to r10 (their families keep fresh rows via
+    # agg_rollup/grouping_sets_sql and join_anti/join_semi/
+    # join_range_theta), joining the 11 queued dedup/ANN names. ---
     "text_bpe_learn_merges",
+    "cdc_bloom_delta_prune",
+    "corpus_sample_weighted_priority",
     # --- The 10 stale names (verdict r8 #1): 9 heavy-oracle r05 rows + q7 ---
     "graph_clustering_coefficient",
     "graph_kcore_membership",
@@ -70,8 +79,7 @@ _WINDOW = [
     "sketch_kmv_returnflag_overlap",
     "part_affinity_lift",
     "q7_volume_shipping",
-    # --- r06-latest (39 of 50) ---
-    "agg_cube",
+    # --- r06-latest (37 of 50) ---
     "agg_rollup",
     "approx_distinct_users",
     "asof_join_latest_click",
@@ -86,7 +94,6 @@ _WINDOW = [
     "filter_predicates",
     "grouping_sets_sql",
     "join_anti",
-    "join_left_outer",
     "join_range_theta",
     "join_semi",
     "median_exact_order_stat",

@@ -27,6 +27,7 @@ from python_cdc_spark.functions.text import quality_features, token_count, token
 from python_cdc_spark.io import table
 from python_cdc_spark.queries.llm_text import _SQL_TOKS  # noqa: F401 — shared dialect fragment
 from python_cdc_spark.queries.registry import register
+from python_cdc_spark.queries.sketches import _sql_mix32  # shared mix32 replay
 
 # md5 of the doc key decides every "random" assignment. Hex strings are
 # lowercase in both engines and fixed-width, so lexicographic compares
@@ -690,4 +691,99 @@ def corpus_split_chisquare(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("o").cast("long").alias("n_tokens"),
         F.count(F.lit(1)).cast("long").alias("n_types_observed"),
         dec_sum((od - F.col("e")) * (od - F.col("e")) / F.col("e"), "chi2_contrib"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (priority sampling)
+# ---------------------------------------------------------------------------
+# Duffield–Lund–Thorup priority sampling: each item draws a uniform
+# u_i ∈ (0, 1] and gets priority q_i = w_i / u_i; the sample is the k
+# largest priorities and τ is the (k+1)-th, giving the unbiased
+# subset-sum estimator ŵ_i = max(w_i, τ). The uniform is the shared
+# mix32 hash of doc_id, so both engines draw the SAME u_i, and every
+# arithmetic step is a single IEEE-exact (or correctly-rounded)
+# operation: w·2³² is an exact double for w < 2²¹, and one division is
+# correctly rounded identically everywhere — no pow/ln, which would NOT
+# be bit-stable cross-engine (that is why this is priority sampling and
+# not Efraimidis–Spirakis u^(1/w)).
+_PRIO_K = 16
+
+
+@register(
+    "corpus_sample_weighted_priority",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, n_chars AS weight,
+             CAST(n_chars AS DOUBLE) * 4294967296.0
+               / CAST({_sql_mix32("doc_id")} + 1 AS DOUBLE) AS priority
+      FROM documents
+      WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+    ),
+    top AS (
+      SELECT doc_id, weight, priority,
+             CAST(row_number() OVER (ORDER BY priority DESC, doc_id)
+                  AS INTEGER) AS sample_rank
+      FROM t ORDER BY priority DESC, doc_id LIMIT {_PRIO_K + 1}
+    ),
+    tau AS (SELECT priority AS tau FROM top WHERE sample_rank = {_PRIO_K + 1})
+    SELECT sample_rank, doc_id, CAST(weight AS BIGINT) AS weight, priority,
+           greatest(CAST(weight AS DOUBLE), tau.tau) AS est_weight
+    FROM top, tau
+    WHERE sample_rank <= {_PRIO_K}
+    """,
+    doc="LLM curation: weight-proportional sample without replacement "
+    "(priority sampling) with the Horvitz-Thompson-style max(w, tau) "
+    "estimator — the length-balanced mixture draw a training build "
+    "uses where Bernoulli rates over- or under-shoot small strata.",
+)
+def corpus_sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sample: u_i = (mix32(doc_id)+1)/2^32,
+    q_i = weight/u_i, keep the top-``_PRIO_K`` priorities, τ = the
+    (k+1)-th. Scale shape: priorities are a map-side projection; the
+    top-(k+1) is ``TakeOrderedAndProject`` — per-partition heaps merged
+    on the driver, never a full sort or shuffle of the corpus; τ rides
+    back as a broadcast one-row join. Estimator property (why this and
+    not per-stratum rank sampling): Σ max(w_i, τ) over the sample is an
+    unbiased estimate of Σ w_i, so downstream token-budget accounting
+    can use the sample alone."""
+    from python_cdc_spark.queries.sketches import _mix32
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isNotNull() & F.col("n_chars").isNotNull())
+        .select("doc_id", F.col("n_chars").alias("weight"))
+    )
+    prio = (
+        F.col("weight").cast("double")
+        * F.lit(4294967296.0)
+        / (_mix32(F.col("doc_id")) + F.lit(1)).cast("double")
+    )
+    top = (
+        d.select("doc_id", "weight", prio.alias("priority"))
+        .orderBy(F.desc("priority"), F.asc("doc_id"))
+        .limit(_PRIO_K + 1)
+    )
+    w = Window.orderBy(F.desc("priority"), F.asc("doc_id"))
+    ranked = top.select(
+        F.row_number().over(w).cast("int").alias("sample_rank"),
+        "doc_id",
+        F.col("weight").cast("long").alias("weight"),
+        "priority",
+    )
+    tau = ranked.filter(F.col("sample_rank") == _PRIO_K + 1).select(
+        F.col("priority").alias("tau")
+    )
+    return (
+        ranked.filter(F.col("sample_rank") <= _PRIO_K)
+        .crossJoin(F.broadcast(tau))
+        .select(
+            "sample_rank",
+            "doc_id",
+            "weight",
+            "priority",
+            F.greatest(F.col("weight").cast("double"), F.col("tau")).alias(
+                "est_weight"
+            ),
+        )
     )

@@ -231,3 +231,94 @@ def test_kll_stream_fold_quality_and_replay(spark, tmp_path):
     assert streamed._meta()["version"] == v + 1
     assert not _os.path.exists(_os.path.join(orphan, "junk"))
     check(streamed.quantile_estimates(qs))
+
+
+def test_bloom_delta_prune_semantics(spark):
+    """Pin the membership contract of cdc_bloom_delta_prune: the bloom
+    has NO false negatives (every delta-touched base row lands in the
+    'touched' band, never 'pruned'), the three bands partition the base
+    exactly, and the measured false-positive band matches an exact
+    recomputation (bloom-hit keys minus delta keys)."""
+    from pyspark.sql import functions as F
+
+    from python_cdc_spark.io import table
+    from python_cdc_spark.queries.sketches import cdc_bloom_delta_prune
+
+    sf = "/root/testdata/sf0.01"
+    rows = {r["band"]: r for r in cdc_bloom_delta_prune(spark, sf).collect()}
+
+    li = table(spark, sf, "lineitem")
+    orders = table(spark, sf, "orders")
+    delta_keys = (
+        orders.filter(
+            F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+        )
+        .select(F.col("o_orderkey").alias("k"))
+        .distinct()
+    )
+    n_base = li.count()
+    touched_exact = (
+        li.join(
+            delta_keys, li["l_orderkey"] == delta_keys["k"], "left_semi"
+        ).count()
+    )
+
+    # bands partition the base row-for-row
+    assert sum(r["n_rows"] for r in rows.values()) == n_base
+    assert abs(sum(r["share_rows"] for r in rows.values()) - 1.0) < 1e-12
+    # no false negatives: the touched band is EXACTLY the delta join
+    assert rows["touched"]["n_rows"] == touched_exact
+    # the filter actually prunes: misses dominate at a ~2% delta
+    assert rows["pruned"]["n_rows"] > rows["touched"]["n_rows"]
+    # fp band is small at 2^20 bits over a sf0.01 delta and measured
+    fp = rows.get("false_positive")
+    if fp is not None:
+        assert fp["n_rows"] < 0.05 * n_base
+
+
+def test_priority_sample_estimator(spark):
+    """Pin corpus_sample_weighted_priority: exactly k rows ranked by
+    priority, every kept priority >= tau (the k+1-th), est_weight is
+    max(weight, tau), and tau matches a from-scratch recomputation of
+    the (k+1)-th largest w/u priority."""
+    from pyspark.sql import functions as F
+
+    from python_cdc_spark.io import table
+    from python_cdc_spark.queries.llm_curation import (
+        _PRIO_K,
+        corpus_sample_weighted_priority,
+    )
+    from python_cdc_spark.queries.sketches import _mix32
+
+    sf = "/root/testdata/sf0.01"
+    out = corpus_sample_weighted_priority(spark, sf).collect()
+    assert len(out) == _PRIO_K
+    assert sorted(r["sample_rank"] for r in out) == list(range(1, _PRIO_K + 1))
+
+    prio = (
+        F.col("n_chars").cast("double")
+        * F.lit(4294967296.0)
+        / (_mix32(F.col("doc_id")) + F.lit(1)).cast("double")
+    )
+    all_p = sorted(
+        (
+            r["p"]
+            for r in table(spark, sf, "documents")
+            .select(prio.alias("p"))
+            .collect()
+        ),
+        reverse=True,
+    )
+    tau = all_p[_PRIO_K]  # (k+1)-th largest
+    for r in out:
+        assert r["priority"] >= tau
+        assert r["est_weight"] == max(float(r["weight"]), tau)
+    # the estimator tracks the true total weight within priority
+    # sampling's expected error (loose smoke bound, deterministic data)
+    w_true = (
+        table(spark, sf, "documents")
+        .agg(F.sum("n_chars"))
+        .collect()[0][0]
+    )
+    w_est = sum(r["est_weight"] for r in out)
+    assert 0.5 * w_true < w_est < 2.0 * w_true
