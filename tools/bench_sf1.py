@@ -161,6 +161,11 @@ FIFTH_WAVE = [
     "cdc_pipeline_composite",
     "sketch_bloom_membership",
     "text_bpe_learn_merges",
+    # r9 debuts: bloom delta-prune (map-side probe of a broadcast word
+    # table over the base scan — expect near-linear in the scan) and
+    # priority sampling (TakeOrderedAndProject — expect scan-bound)
+    "cdc_bloom_delta_prune",
+    "corpus_sample_weighted_priority",
 ]
 
 
