@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Spark-only scale trend: the same registered queries at sf0.1, the
+10x .sf1 replicas, and the 100x .sf10 replicas (tools/make_sf_scale.py
+factor 100) — one fresh session per scale, end-to-end count() timings.
+
+The claim under test is the one the whole design is graded on: plans
+built from broadcast-able dims, map-side partial aggregation, pruned
+scans, and bounded-state operators should scale ~linearly in the SCAN,
+not in shuffle or driver state. A query whose 0.1->10 time grows much
+faster than the 100x data growth has a hidden super-linear stage; a
+query that grows far slower is floor-dominated (scheduler/JVM) at the
+small end. No DuckDB side here - this is a Spark scaling receipt, not
+a comparison (the correctness twin for every one of these rows is the
+oracle sweep).
+
+Usage: python tools/bench_scale_trend.py [sf10_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# scan-heavy relational, window, dedup, sketch, CDC, and the r9 debuts:
+# one representative per plan family, all registered (oracle-checked
+# elsewhere), none index-backed (the ANN build-once path has its own
+# scaleup receipt in BENCH_SF1.json: ann_scaleup)
+TREND = [
+    "q1_pricing_summary",        # hash agg over the full lineitem scan
+    "q3_shipping_priority",      # 3-way join, broadcast dims
+    "q6_forecast_revenue",       # pushed-filter scan + global agg
+    "q18_large_volume_customers",# agg -> semi-join -> agg chain
+    "window_topk_per_group",     # partitioned window rank
+    "sessionize_events",         # gap sessionization window
+    "dedup_exact",               # sha2 hash-partition dedup
+    "sketch_hll_orderkeys",      # mergeable-sketch fold
+    "cdc_apply_changes",         # argmax fold over the change feed
+    "cdc_bloom_delta_prune",     # broadcast bloom probe over base scan
+]
+
+SCALES = []  # filled in main
+
+
+def _fresh_spark():
+    from pyspark.sql import SparkSession
+
+    from python_cdc_spark.session import get_spark
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
+    spark = get_spark(app_name="bench_scale_trend")
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def main() -> None:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sf10 = sys.argv[1] if len(sys.argv) > 1 else os.path.join(repo, ".sf10")
+    scales = [
+        ("sf0.1", "/root/testdata/sf0.1", 1.0),
+        ("sf1", os.path.join(repo, ".sf1"), 10.0),
+        ("sf10", sf10, 100.0),
+    ]
+    from python_cdc_spark.queries import QUERIES
+
+    out: dict = {
+        "metric": "spark_only_scale_trend",
+        "unit": "sec",
+        "scales": {k: {"dir": d, "x": x} for k, d, x in scales},
+        "per_query": {},
+    }
+    times: dict[str, dict[str, float]] = {n: {} for n in TREND}
+    for label, sf_dir, _x in scales:
+        spark = _fresh_spark()
+        # warmup (JVM, codegen, parquet footers)
+        QUERIES["q6_forecast_revenue"].fn(spark, sf_dir).count()
+        for name in TREND:
+            t0 = time.perf_counter()
+            QUERIES[name].fn(spark, sf_dir).count()
+            times[name][label] = round(time.perf_counter() - t0, 4)
+            print(f"# {label} {name}: {times[name][label]:.3f}s",
+                  file=sys.stderr, flush=True)
+    for name in TREND:
+        t = times[name]
+        # growth exponents: time ~ data^e between consecutive scales
+        import math
+        e01_1 = math.log(t["sf1"] / t["sf0.1"]) / math.log(10)
+        e1_10 = math.log(t["sf10"] / t["sf1"]) / math.log(10)
+        out["per_query"][name] = {
+            **t,
+            "exp_0.1_to_1": round(e01_1, 3),
+            "exp_1_to_10": round(e1_10, 3),
+        }
+    out["totals"] = {
+        label: round(sum(times[n][label] for n in TREND), 4)
+        for label, _d, _x in scales
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
