@@ -245,11 +245,24 @@ def lsh_verified_pairs(
             docs, "text", "doc_id", n=3, k=_K, one_permutation=True, cells=cells
         )
     cand = lsh_candidate_pairs(sigs, k=_K, bands=_BANDS)
+    # Size-aware join strategy for the verify pass. Catalyst's STATIC
+    # estimate of the candidate side (post-aggregation) reads small, so
+    # the planner auto-broadcasts it — correct at gate scales (~8k
+    # pairs at sf0.1) but fatal on a corpus whose near-dup clusters are
+    # wide: candidate pairs grow with sum(cluster²), and at the 100x
+    # scale-trend replicas (100-doc clusters -> 24.7M true pairs) the
+    # driver dies building the broadcast. AQE cannot save a statically
+    # chosen BHJ, so materialize the pair set once (it feeds the verify
+    # join anyway) and pick the strategy from its ACTUAL count: small ->
+    # broadcast (sf0.1 plan unchanged), large -> shuffle hash join.
+    # Found by tools/bench_scale_trend.py --wave=llm at sf10.
+    cand = cand.localCheckpoint(eager=True)
+    cand_hint = "broadcast" if cand.count() <= 2_000_000 else "shuffle_hash"
     sizes = cells.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"))
     ga = cells.select(F.col("id").alias("id_a"), "gram")
     gb = cells.select(F.col("id").alias("gb_id"), F.col("gram").alias("gram_b"))
     shared = (
-        cand.join(ga, "id_a")
+        cand.hint(cand_hint).join(ga, "id_a")
         .join(gb, (F.col("id_b") == F.col("gb_id")) & (F.col("gram") == F.col("gram_b")))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("shared"))

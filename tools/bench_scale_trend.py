@@ -42,7 +42,23 @@ TREND = [
     "cdc_bloom_delta_prune",     # broadcast bloom probe over base scan
 ]
 
-SCALES = []  # filled in main
+# second wave: the LLM-pipeline families (documents/embeddings-backed).
+# Chosen for bounded sf10 runtime and one representative per family:
+# banded LSH candidates, LSH + Myers exact verify, SemDeDup clusters,
+# map-side quality features, TF top-k, BM25 broadcast-stats search,
+# BPE merge learning (the "flat once vocab saturates" claim at 100x),
+# and the priority-sampling mixture draw.
+LLM_TREND = [
+    "dedup_minhash_lsh_pairs",
+    "dedup_lsh_verified",
+    "dedup_semantic_clusters",
+    "text_quality_score",
+    "text_tf_topk",
+    "text_bm25_search",
+    "text_bpe_learn_merges",
+    "corpus_sample_weighted_priority",
+]
+
 
 
 def _fresh_spark():
@@ -60,7 +76,9 @@ def _fresh_spark():
 
 def main() -> None:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    sf10 = sys.argv[1] if len(sys.argv) > 1 else os.path.join(repo, ".sf10")
+    argv = [a for a in sys.argv[1:] if a != "--wave=llm"]
+    trend = LLM_TREND if "--wave=llm" in sys.argv[1:] else TREND
+    sf10 = argv[0] if argv else os.path.join(repo, ".sf10")
     scales = [
         ("sf0.1", "/root/testdata/sf0.1", 1.0),
         ("sf1", os.path.join(repo, ".sf1"), 10.0),
@@ -69,23 +87,23 @@ def main() -> None:
     from python_cdc_spark.queries import QUERIES
 
     out: dict = {
-        "metric": "spark_only_scale_trend",
+        "metric": "spark_only_scale_trend_llm" if trend is LLM_TREND else "spark_only_scale_trend",
         "unit": "sec",
         "scales": {k: {"dir": d, "x": x} for k, d, x in scales},
         "per_query": {},
     }
-    times: dict[str, dict[str, float]] = {n: {} for n in TREND}
+    times: dict[str, dict[str, float]] = {n: {} for n in trend}
     for label, sf_dir, _x in scales:
         spark = _fresh_spark()
         # warmup (JVM, codegen, parquet footers)
         QUERIES["q6_forecast_revenue"].fn(spark, sf_dir).count()
-        for name in TREND:
+        for name in trend:
             t0 = time.perf_counter()
             QUERIES[name].fn(spark, sf_dir).count()
             times[name][label] = round(time.perf_counter() - t0, 4)
             print(f"# {label} {name}: {times[name][label]:.3f}s",
                   file=sys.stderr, flush=True)
-    for name in TREND:
+    for name in trend:
         t = times[name]
         # growth exponents: time ~ data^e between consecutive scales
         import math
@@ -97,7 +115,7 @@ def main() -> None:
             "exp_1_to_10": round(e1_10, 3),
         }
     out["totals"] = {
-        label: round(sum(times[n][label] for n in TREND), 4)
+        label: round(sum(times[n][label] for n in trend), 4)
         for label, _d, _x in scales
     }
     print(json.dumps(out))

@@ -127,6 +127,12 @@ def main() -> None:
     n = con.sql(f"SELECT COUNT(*) FROM read_parquet('{d}/*.parquet')").fetchone()[0]
     print(f"embeddings: {n} rows in {factor} files")
 
+    if os.environ.get("SPARK_GRAFT_NO_ZIPF"):
+        # targeted regens (scale-trend runs) skip the factor²-row skew
+        # sidecar — only tools/bench_skew.py reads it
+        print("events_zipf: skipped (SPARK_GRAFT_NO_ZIPF)")
+        return
+
     # Skew sidecar: the scaled events with a PATHOLOGICAL user_id
     # distribution — one hot key holding 50% of all rows, the rest
     # uniform over 100k cold keys (the power-law shape operators/skew.py
