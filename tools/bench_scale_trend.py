@@ -74,10 +74,34 @@ def _fresh_spark():
     return spark
 
 
+# third wave: the "production path" claims. dedup_components_canonical
+# IS the engine's recommended answer to the wide-cluster corpora that
+# make pair-emission quadratic (verified pairs -> O(log n) min-label
+# CC -> one canonical doc per cluster) — at 100x it consumes the 27.3M
+# edges wave 2 measured. The CDC maintenance family (SCD2 fold,
+# multi-table truncate fold, maintained cube), the KLL sketch, the
+# full-frame navigation window, and bucket-parallel exact deciles
+# round out the shapes wave 1/2 did not cover.
+PROD_TREND = [
+    "dedup_components_canonical",
+    "dedup_keep_first",
+    "cdc_scd2_history",
+    "cdc_truncate_multi_table",
+    "rollup_cdc_maintained",
+    "sketch_kll_quantiles",
+    "window_value_navigation",
+    "events_exact_deciles",
+]
+
+
 def main() -> None:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    argv = [a for a in sys.argv[1:] if a != "--wave=llm"]
-    trend = LLM_TREND if "--wave=llm" in sys.argv[1:] else TREND
+    argv = [a for a in sys.argv[1:] if not a.startswith("--wave=")]
+    trend = (
+        LLM_TREND if "--wave=llm" in sys.argv[1:]
+        else PROD_TREND if "--wave=prod" in sys.argv[1:]
+        else TREND
+    )
     sf10 = argv[0] if argv else os.path.join(repo, ".sf10")
     scales = [
         ("sf0.1", "/root/testdata/sf0.1", 1.0),
@@ -87,7 +111,9 @@ def main() -> None:
     from python_cdc_spark.queries import QUERIES
 
     out: dict = {
-        "metric": "spark_only_scale_trend_llm" if trend is LLM_TREND else "spark_only_scale_trend",
+        "metric": ("spark_only_scale_trend_llm" if trend is LLM_TREND
+                   else "spark_only_scale_trend_prod" if trend is PROD_TREND
+                   else "spark_only_scale_trend"),
         "unit": "sec",
         "scales": {k: {"dir": d, "x": x} for k, d, x in scales},
         "per_query": {},
