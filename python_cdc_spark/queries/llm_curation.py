@@ -726,7 +726,12 @@ _PRIO_K = 16
                   AS INTEGER) AS sample_rank
       FROM t ORDER BY priority DESC, doc_id LIMIT {_PRIO_K + 1}
     ),
-    tau AS (SELECT priority AS tau FROM top WHERE sample_rank = {_PRIO_K + 1})
+    tau AS (
+      SELECT coalesce(
+               max(CASE WHEN sample_rank = {_PRIO_K + 1} THEN priority END),
+               0.0) AS tau
+      FROM top
+    )
     SELECT sample_rank, doc_id, CAST(weight AS BIGINT) AS weight, priority,
            greatest(CAST(weight AS DOUBLE), tau.tau) AS est_weight
     FROM top, tau
@@ -771,8 +776,16 @@ def corpus_sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFra
         F.col("weight").cast("long").alias("weight"),
         "priority",
     )
-    tau = ranked.filter(F.col("sample_rank") == _PRIO_K + 1).select(
-        F.col("priority").alias("tau")
+    # τ falls back to 0.0 when the corpus has ≤ k rows (no (k+1)-th
+    # priority exists): the aggregate always yields ONE row, so a tiny
+    # corpus returns the full population with est_weight = weight
+    # instead of silently dropping everything on an empty cross join
+    # (ADVICE r9). max(w, 0) = w, so the estimator is unchanged.
+    tau = ranked.agg(
+        F.coalesce(
+            F.max(F.when(F.col("sample_rank") == _PRIO_K + 1, F.col("priority"))),
+            F.lit(0.0),
+        ).alias("tau")
     )
     return (
         ranked.filter(F.col("sample_rank") <= _PRIO_K)

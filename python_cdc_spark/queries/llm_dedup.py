@@ -228,10 +228,22 @@ def lsh_verified_pairs(
     sf_dir: str,
     cells: DataFrame | None = None,
     sigs: DataFrame | None = None,
+    scale_hint: str | None = None,
 ) -> DataFrame:
     """Verified near-dup pairs; ``cells``/``sigs`` let a caller running
     several dedup stages (bench, a real pipeline) reuse one materialized
-    gram/signature pass instead of recomputing it per stage."""
+    gram/signature pass instead of recomputing it per stage.
+
+    ``scale_hint`` gates the candidate-set size probe (ADVICE r9): a
+    caller that already knows its corpus shape passes ``"small"``
+    (candidate pairs comfortably broadcastable — skips the eager
+    localCheckpoint + count entirely) or ``"large"`` (wide near-dup
+    clusters — straight to shuffle-hash, no probe). Default ``None``
+    measures: localCheckpoint + count on the pair set, then
+    broadcast vs shuffle_hash by actual size. On a real cluster prefer
+    ``persist(StorageLevel.DISK_ONLY)`` over localCheckpoint for the
+    probe (recomputable on executor loss); here the local harness keeps
+    the cheaper call."""
     from python_cdc_spark.operators.dedup import _gram_cells
 
     docs = table(spark, sf_dir, "documents")
@@ -256,8 +268,13 @@ def lsh_verified_pairs(
     # join anyway) and pick the strategy from its ACTUAL count: small ->
     # broadcast (sf0.1 plan unchanged), large -> shuffle hash join.
     # Found by tools/bench_scale_trend.py --wave=llm at sf10.
-    cand = cand.localCheckpoint(eager=True)
-    cand_hint = "broadcast" if cand.count() <= 2_000_000 else "shuffle_hash"
+    if scale_hint == "small":
+        cand_hint = "broadcast"
+    elif scale_hint == "large":
+        cand_hint = "shuffle_hash"
+    else:
+        cand = cand.localCheckpoint(eager=True)
+        cand_hint = "broadcast" if cand.count() <= 2_000_000 else "shuffle_hash"
     sizes = cells.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"))
     ga = cells.select(F.col("id").alias("id_a"), "gram")
     gb = cells.select(F.col("id").alias("gb_id"), F.col("gram").alias("gram_b"))

@@ -698,7 +698,7 @@ def _sql_bloom_pos(key_expr: str, i_expr: str) -> str:
 @register(
     "sketch_bloom_membership",
     oracle=f"""
-    WITH ks AS (SELECT UNNEST([0, 1, 2]) AS i),
+    WITH ks AS (SELECT UNNEST([{", ".join(map(str, range(_BLOOM_K)))}]) AS i),
     mem AS (SELECT DISTINCT c_custkey AS k FROM customer),
     bloom AS (
       SELECT CAST(p >> 5 AS BIGINT) AS widx,
@@ -821,10 +821,29 @@ def _sql_pb_pos(key_expr: str, i: int) -> str:
     return f"({_sql_mix32(f'(({key_expr}) + {i * _GOLD})')} % {_PB_M})"
 
 
+# Every _PB_K-dependent oracle fragment is GENERATED from _PB_K so the
+# two engines cannot desync if the hash count changes (ADVICE r9: the
+# UNNEST list — and the probe columns/joins beside it — were literals).
+_PB_UNNEST = ", ".join(map(str, range(_PB_K)))
+_PB_BASE_COLS = ",\n             ".join(
+    f'{_sql_pb_pos("l_orderkey", j)} AS p{j}' for j in range(_PB_K)
+)
+_PB_HIT_COND = "\n                   AND ".join(
+    f"b{j}.w IS NOT NULL\n"
+    f"                   AND (b{j}.w & (CAST(1 AS BIGINT)\n"
+    f"                                << CAST(base.p{j} & 31 AS INTEGER))) <> 0"
+    for j in range(_PB_K)
+)
+_PB_JOINS = "\n      ".join(
+    f"LEFT JOIN bloom b{j} ON CAST(base.p{j} >> 5 AS BIGINT) = b{j}.widx"
+    for j in range(_PB_K)
+)
+
+
 @register(
     "cdc_bloom_delta_prune",
     oracle=f"""
-    WITH ks AS (SELECT UNNEST([0, 1, 2]) AS i),
+    WITH ks AS (SELECT UNNEST([{_PB_UNNEST}]) AS i),
     delta AS (
       SELECT DISTINCT o_orderkey AS k FROM orders
       WHERE o_orderdate >= TIMESTAMP '2001-01-01'
@@ -838,27 +857,15 @@ def _sql_pb_pos(key_expr: str, i: int) -> str:
     ),
     base AS (
       SELECT l_orderkey AS k,
-             {_sql_pb_pos("l_orderkey", 0)} AS p0,
-             {_sql_pb_pos("l_orderkey", 1)} AS p1,
-             {_sql_pb_pos("l_orderkey", 2)} AS p2
+             {_PB_BASE_COLS}
       FROM lineitem
     ),
     probed AS (
       SELECT base.k,
-             CASE WHEN b0.w IS NOT NULL
-                   AND (b0.w & (CAST(1 AS BIGINT)
-                                << CAST(base.p0 & 31 AS INTEGER))) <> 0
-                   AND b1.w IS NOT NULL
-                   AND (b1.w & (CAST(1 AS BIGINT)
-                                << CAST(base.p1 & 31 AS INTEGER))) <> 0
-                   AND b2.w IS NOT NULL
-                   AND (b2.w & (CAST(1 AS BIGINT)
-                                << CAST(base.p2 & 31 AS INTEGER))) <> 0
+             CASE WHEN {_PB_HIT_COND}
                   THEN 1 ELSE 0 END AS hit
       FROM base
-      LEFT JOIN bloom b0 ON CAST(base.p0 >> 5 AS BIGINT) = b0.widx
-      LEFT JOIN bloom b1 ON CAST(base.p1 >> 5 AS BIGINT) = b1.widx
-      LEFT JOIN bloom b2 ON CAST(base.p2 >> 5 AS BIGINT) = b2.widx
+      {_PB_JOINS}
     ),
     banded AS (
       SELECT CASE WHEN p.hit = 0 THEN 'pruned'

@@ -322,3 +322,59 @@ def test_priority_sample_estimator(spark):
     )
     w_est = sum(r["est_weight"] for r in out)
     assert 0.5 * w_true < w_est < 2.0 * w_true
+
+
+def test_priority_sample_tiny_corpus(spark, tmp_path):
+    """Pin the ADVICE-r9 degenerate case: a corpus with <= k rows has no
+    (k+1)-th priority, so tau falls back to 0.0 and the query returns
+    the FULL population with est_weight == weight (not a silently empty
+    frame), and the DuckDB oracle agrees row-for-row."""
+    import duckdb
+
+    from python_cdc_spark.queries import QUERIES
+    from python_cdc_spark.queries.llm_curation import _PRIO_K
+    from tests.oracle import assert_matches_oracle
+
+    n = _PRIO_K - 3
+    tiny = spark.createDataFrame(
+        [(i + 1, 100 + 7 * i) for i in range(n)], "doc_id long, n_chars long"
+    )
+    sf_dir = str(tmp_path)
+    tiny.write.parquet(f"{sf_dir}/documents.parquet")
+
+    spec = QUERIES["corpus_sample_weighted_priority"]
+    out = spec.fn(spark, sf_dir)
+    rows = out.collect()
+    assert len(rows) == n
+    for r in rows:
+        assert r["est_weight"] == float(r["weight"])
+
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW documents AS "
+            f"SELECT * FROM read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+        )
+        assert_matches_oracle(out, con, spec.oracle,
+                              name="corpus_sample_weighted_priority_tiny")
+    finally:
+        con.close()
+
+
+def test_lsh_verified_scale_hint_paths(spark):
+    """Pin the ADVICE-r9 scale_hint gate on lsh_verified_pairs: the
+    'small' (broadcast, no probe), 'large' (shuffle_hash, no probe),
+    and default (measured) paths return identical verified pairs."""
+    from python_cdc_spark.queries.llm_dedup import lsh_verified_pairs
+    from tests.conftest import SF_SMOKE
+
+    def rows(hint):
+        return sorted(
+            map(tuple, lsh_verified_pairs(spark, SF_SMOKE,
+                                          scale_hint=hint).collect())
+        )
+
+    measured = rows(None)
+    assert measured == rows("small")
+    assert measured == rows("large")
+    assert len(measured) > 0

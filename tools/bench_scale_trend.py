@@ -19,6 +19,7 @@ Usage: python tools/bench_scale_trend.py [sf10_dir]
 from __future__ import annotations
 
 import json
+import math
 import os
 import sys
 import time
@@ -108,6 +109,14 @@ def main() -> None:
         ("sf1", os.path.join(repo, ".sf1"), 10.0),
         ("sf10", sf10, 100.0),
     ]
+    # Validate scale dirs up front (ADVICE r9): a missing replica dir
+    # used to surface as a KeyError in the exponent math AFTER the
+    # expensive timing loop had already run on the other scales.
+    missing = [(k, d) for k, d, _x in scales if not os.path.isdir(d)]
+    if missing:
+        for k, d in missing:
+            print(f"# SKIPPING scale {k}: dir not found: {d}", file=sys.stderr)
+        scales = [s for s in scales if os.path.isdir(s[1])]
     from python_cdc_spark.queries import QUERIES
 
     out: dict = {
@@ -131,17 +140,20 @@ def main() -> None:
                   file=sys.stderr, flush=True)
     for name in trend:
         t = times[name]
-        # growth exponents: time ~ data^e between consecutive scales
-        import math
-        e01_1 = math.log(t["sf1"] / t["sf0.1"]) / math.log(10)
-        e1_10 = math.log(t["sf10"] / t["sf1"]) / math.log(10)
-        out["per_query"][name] = {
-            **t,
-            "exp_0.1_to_1": round(e01_1, 3),
-            "exp_1_to_10": round(e1_10, 3),
-        }
+        # growth exponents: time ~ data^e between consecutive scales.
+        # t.get-guarded (ADVICE r9): a query timed at only some scales
+        # (partial run, crashed scale) emits a partial row instead of
+        # discarding the collected data with a KeyError.
+        row: dict = {**t}
+        for lo, hi, key, decade in (
+            ("sf0.1", "sf1", "exp_0.1_to_1", 10),
+            ("sf1", "sf10", "exp_1_to_10", 10),
+        ):
+            if t.get(lo) and t.get(hi):
+                row[key] = round(math.log(t[hi] / t[lo]) / math.log(decade), 3)
+        out["per_query"][name] = row
     out["totals"] = {
-        label: round(sum(times[n][label] for n in trend), 4)
+        label: round(sum(times[n].get(label, 0.0) for n in trend), 4)
         for label, _d, _x in scales
     }
     print(json.dumps(out))
