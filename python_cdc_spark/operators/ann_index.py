@@ -355,3 +355,202 @@ def append_to_ivfpq_index(
     with open(meta_path, "w") as f:
         json.dump(meta, f)
     return n
+
+
+# ---------------------------------------------------------------------------
+# CDC-maintained inverted lists — the index counterpart of
+# plans/rollup.refresh_cdc (r6): fold I/U/D row-image deltas into the
+# persisted cell-partitioned layout touching ONLY the affected cell
+# directories, with the frozen coarse quantizer doing the placement and
+# the drift guard (appended_fraction/needs_refit above) escalating to a
+# full re-fit when frozen-quantizer placement has decayed.
+# ---------------------------------------------------------------------------
+
+
+def build_ivf_lists(
+    spark: SparkSession,
+    out_dir: str,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    payload: dict | None = None,
+    fingerprint: str = "",
+    params: dict | None = None,
+    exact: bool = True,
+    dims: int = 64,
+) -> int:
+    """Build (or rebuild) persisted IVF inverted lists: assign every
+    corpus vector to its coarse cell (broadcast k-row centroids, one
+    hash-agg argmax — no corpus shuffle beyond the partitioned write)
+    and write ``cells.parquet`` Hive-partitioned BY CELL plus the
+    centroids sidecar the CDC fold re-reads. ``payload`` maps extra
+    column names to Column expressions over the assigned rows (the row
+    image the index carries besides membership). Returns corpus size."""
+    from python_cdc_spark.operators.similarity import kmeans_assign
+
+    os.makedirs(out_dir, exist_ok=True)
+    centroids.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "centroids.parquet")
+    )
+    assigned = kmeans_assign(
+        corpus.select(id_col, vec_col), centroids, id_col, vec_col,
+        exact=exact, dims=dims,
+    )
+    rows = assigned.select(
+        F.col(id_col).alias("neighbor_id"),
+        "cell",
+        *[expr.alias(name) for name, expr in (payload or {}).items()],
+    )
+    write_partitioned(rows, os.path.join(out_dir, "cells.parquet"), ["cell"])
+    n = corpus.count()
+    _write_meta(
+        out_dir,
+        fingerprint,
+        params or {},
+        extra={"base_rows": n, "appended_rows": 0, "maintained": False},
+    )
+    return n
+
+
+def maintain_ivf_lists_cdc(
+    spark: SparkSession,
+    out_dir: str,
+    delta: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    op_col: str = "op",
+    payload: dict | None = None,
+    exact: bool = True,
+    dims: int = 64,
+) -> dict:
+    """Fold a CDC delta (``op`` ∈ I/U/D, id, row-image vector) into
+    persisted inverted lists, O(touched cells) like the apply store:
+
+    - placement: I/U vectors are assigned to cells via the BROADCAST
+      frozen coarse quantizer (the centroids sidecar) — one metadata
+      join, no corpus work;
+    - victim location: U/D ids must be evicted from whatever cell holds
+      them today. Absent an id→cell sidecar this is a column-pruned
+      scan of (neighbor_id, cell) — two columns of the index — against
+      the broadcast victim ids; a deployment folding deltas constantly
+      would keep that sidecar (or a Bloom gate, queries/sketches.py
+      cdc_bloom_delta_prune) to skip even the pruned scan;
+    - rewrite: ONLY touched cell directories (victims' old cells ∪
+      upserts' new cells) are re-materialized — survivors of the
+      touched cells minus victims plus the newly placed rows, written
+      via dynamic partition overwrite so untouched directories keep
+      their files byte-for-byte. A cell emptied by deletes is removed.
+
+    The drift counters advance by the upsert count, so the
+    ``needs_refit`` escalation (frozen placement decays under covariate
+    shift — measured curve in SCALE.md) keeps working across folds.
+    Returns fold stats for receipts: touched/total cells, row counts.
+    """
+    import shutil
+
+    cells_path = os.path.join(out_dir, "cells.parquet")
+    centroids = spark.read.parquet(os.path.join(out_dir, "centroids.parquet"))
+    idx = spark.read.parquet(cells_path)
+
+    victims = (
+        delta.filter(F.col(op_col).isin("U", "D"))
+        .select(F.col(id_col).alias("neighbor_id"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    upserts = delta.filter(F.col(op_col).isin("I", "U")).select(id_col, vec_col)
+
+    from python_cdc_spark.operators.similarity import kmeans_assign
+
+    placed = kmeans_assign(
+        upserts, centroids, id_col, vec_col, exact=exact, dims=dims
+    )
+    new_rows = placed.select(
+        F.col(id_col).alias("neighbor_id"),
+        "cell",
+        *[expr.alias(name) for name, expr in (payload or {}).items()],
+    ).localCheckpoint(eager=False)
+
+    # touched = victims' current cells (column-pruned scan joined with
+    # the broadcast delta ids) ∪ upserts' target cells. Both collects
+    # are delta-bounded (≤ |delta| cell ids), never corpus-scale.
+    old_cells = (
+        idx.select("neighbor_id", "cell")
+        .join(F.broadcast(victims), "neighbor_id", "left_semi")
+        .select("cell")
+        .distinct()
+    )
+    new_cells = new_rows.select("cell").distinct()
+    touched = sorted(
+        {int(r["cell"]) for r in old_cells.unionByName(new_cells).distinct().collect()}
+    )
+
+    n_upserts = new_rows.count()
+    n_victims = victims.count()
+    survivors = (
+        idx.filter(F.col("cell").isin(touched))
+        .join(F.broadcast(victims), "neighbor_id", "left_anti")
+    )
+    new_contents = survivors.unionByName(new_rows).localCheckpoint(eager=True)
+    present = {int(r["cell"]) for r in new_contents.select("cell").distinct().collect()}
+
+    # dynamic overwrite replaces exactly the partitions present in the
+    # written frame; restore the session mode afterwards
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        write_partitioned(new_contents, cells_path, ["cell"])
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+    # a touched cell with zero survivors and zero arrivals vanishes from
+    # the dynamic write — drop its directory so readers don't resurrect
+    # pre-fold rows
+    for c in set(touched) - present:
+        shutil.rmtree(os.path.join(cells_path, f"cell={c}"), ignore_errors=True)
+
+    # the rewrite replaced files under a path this session may already
+    # have a cached file listing for — invalidate it, or a post-fold
+    # reader can FAILED_READ_FILE on the overwritten partitions
+    spark.catalog.refreshByPath(cells_path)
+    total_cells = sum(
+        1 for d in os.listdir(cells_path) if d.startswith("cell=")
+    )
+    meta_path = os.path.join(out_dir, "_meta.json")
+    try:
+        with open(meta_path) as f:
+            meta = json.load(f)
+    except (OSError, ValueError):
+        meta = {"fingerprint": "", "params": {}}
+    meta["maintained"] = True
+    meta["fingerprint"] = f"{meta.get('fingerprint', '')}+cdc:{n_upserts}/{n_victims}"
+    meta["appended_rows"] = (meta.get("appended_rows") or 0) + n_upserts
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    return {
+        "touched_cells": len(touched),
+        "total_cells": total_cells,
+        "n_upserts": n_upserts,
+        "n_victims": n_victims,
+    }
+
+
+def ivf_lists_need_rebuild(out_dir: str, fingerprint: str, params: dict) -> bool:
+    """True when the persisted lists can't serve as the pristine BASE
+    for a CDC fold: missing/stale (different sources or params) or
+    already maintained (a prior fold mutated them — the gate re-derives
+    base + delta deterministically each run, so a maintained tree must
+    rebuild from scratch first)."""
+    meta_path = os.path.join(out_dir, "_meta.json")
+    if not os.path.exists(meta_path):
+        return True
+    try:
+        with open(meta_path) as f:
+            meta = json.load(f)
+    except (OSError, ValueError):
+        return True
+    return (
+        meta.get("fingerprint") != fingerprint
+        or meta.get("params") != params
+        or bool(meta.get("maintained"))
+    )

@@ -1517,13 +1517,23 @@ def _ivfrq_topk(spark: SparkSession, sf_dir: str, exact: bool) -> DataFrame:
 # distributed Lloyd the IVF index already pays, and the cache shares it).
 
 
-def _sql_full_lloyd_ctes(k: int, iters: int, dims: int) -> list[str]:
+def _sql_full_lloyd_ctes(
+    k: int, iters: int, dims: int,
+    src: str = "embeddings", assign_src: str | None = None,
+) -> list[str]:
     """CTE list replaying kmeans_fit + final assignment over the full
     64-dim embeddings in DuckDB: ``cent0``..``cent{iters}`` and
     ``assignF`` (vec_id, embedding, cell). Same init (min-md5 per
     two-hex-digit cell) and decimal-routed math as the Spark fit.
     MATERIALIZED throughout — each round references the previous CTE
-    more than once and binder inlining would re-expand the chain."""
+    more than once and binder inlining would re-expand the chain.
+
+    ``src`` is the relation the quantizer FITS on; ``assign_src`` is
+    the relation ``assignF`` finally assigns (defaults to ``src``).
+    They differ in the CDC-maintained index gate, where the fit is
+    frozen on the pre-delta base but the assignment covers the
+    post-apply corpus."""
+    assign_src = assign_src or src
 
     def score(vec: str, cent: str) -> str:
         return f"{sql_dec_dot(vec, cent, dims)} / {sql_dec_norm(cent, dims)}"
@@ -1533,7 +1543,7 @@ def _sql_full_lloyd_ctes(k: int, iters: int, dims: int) -> list[str]:
         SELECT e.vec_id, e.embedding, c.cell,
                ROW_NUMBER() OVER (PARTITION BY e.vec_id
                  ORDER BY {score} DESC, c.cell) AS arnk
-        FROM embeddings e CROSS JOIN {cent} c
+        FROM {src} e CROSS JOIN {cent} c
       ) WHERE arnk = 1
     """
     ctes = [
@@ -1544,12 +1554,12 @@ def _sql_full_lloyd_ctes(k: int, iters: int, dims: int) -> list[str]:
                              substr(md5(CAST(vec_id AS VARCHAR)), 2, 1)) - 1)
                   ) % {k} AS INTEGER) AS cell,
              min_by(embedding, md5(CAST(vec_id AS VARCHAR))) AS cvec
-      FROM embeddings GROUP BY 1
+      FROM {src} GROUP BY 1
     )""",
     ]
     for it in range(1, iters + 1):
         ctes.append(
-            f"assign{it} AS MATERIALIZED ({assign_body.format(score=score('e.embedding', 'c.cvec'), cent=f'cent{it - 1}')})"
+            f"assign{it} AS MATERIALIZED ({assign_body.format(score=score('e.embedding', 'c.cvec'), cent=f'cent{it - 1}', src=src)})"
         )
         ctes.append(
             f"""cd{it} AS MATERIALIZED (
@@ -1564,7 +1574,7 @@ def _sql_full_lloyd_ctes(k: int, iters: int, dims: int) -> list[str]:
             f"cent{it} AS MATERIALIZED (SELECT cell, list(cval ORDER BY pos) AS cvec FROM cd{it} GROUP BY cell)"
         )
     ctes.append(
-        f"assignF AS MATERIALIZED ({assign_body.format(score=score('e.embedding', 'c.cvec'), cent=f'cent{iters}')})"
+        f"assignF AS MATERIALIZED ({assign_body.format(score=score('e.embedding', 'c.cvec'), cent=f'cent{iters}', src=assign_src)})"
     )
     return ctes
 
@@ -1680,4 +1690,152 @@ def _semdedup(spark: SparkSession, sf_dir: str, exact: bool) -> DataFrame:
                 "is_dup"
             ),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# CDC-maintained ANN index — the engine's two flagship halves integrated
+# for the index the way plans/rollup.refresh_cdc integrates them for
+# rollups (r6): a persisted cell-partitioned IVF index is MAINTAINED
+# through an I/U/D vector delta touching only the affected cell
+# directories, and the gate proves maintained == from-scratch rebuild
+# on the post-apply corpus under the same frozen coarse quantizer.
+# ---------------------------------------------------------------------------
+_ACDC_K, _ACDC_ITERS = 16, 2
+
+
+def _fitted_cdc_base_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frozen coarse quantizer for the CDC-maintained index: fit on the
+    PRE-DELTA base corpus (vec_id % 10 != 0) once per testdata round and
+    cached like the IVF quantizer — maintenance folds place vectors with
+    this frozen fit; re-fitting is the needs_refit escalation, not the
+    per-delta path."""
+    from python_cdc_spark.operators.similarity import _collect_centroids, kmeans_fit
+
+    key = (sf_dir, "cdc_base", True, _ACDC_K, _ACDC_ITERS)
+    if key not in _IVF_CENT_CACHE:
+        base = (
+            table(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") % 10 != 0)
+            .select("vec_id", "embedding")
+        )
+        _IVF_CENT_CACHE[key] = _collect_centroids(
+            kmeans_fit(
+                base, "vec_id", "embedding",
+                k=_ACDC_K, iters=_ACDC_ITERS, exact=True, dims=_DIMS,
+            )
+        )
+    return spark.createDataFrame(_IVF_CENT_CACHE[key], "cell int, cvec array<double>")
+
+
+def _sql_ann_cdc_oracle(k: int, iters: int, dims: int) -> str:
+    """From-scratch rebuild on the post-apply corpus: fit the quantizer
+    on the pre-delta base (frozen, like the maintained side), assign the
+    FINAL corpus (inserts in, deletes out, updates re-imaged), emit the
+    index contents. Row-image status/head_val prove updates replaced the
+    stored vector, not just membership."""
+    ctes = _sql_full_lloyd_ctes(k, iters, dims, src="basec", assign_src="finalc")
+    return f"""
+    WITH basec AS MATERIALIZED (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 0
+    ),
+    finalc AS MATERIALIZED (
+      SELECT vec_id,
+             CASE WHEN vec_id % 10 = 7 THEN list_reverse(embedding)
+                  ELSE embedding END AS embedding
+      FROM embeddings WHERE vec_id % 10 <> 3
+    ),
+    {','.join(ctes)}
+    SELECT vec_id, CAST(cell AS INTEGER) AS cell,
+           CAST(embedding[1] AS DOUBLE) AS head_val,
+           CASE WHEN vec_id % 10 = 0 THEN 'inserted'
+                WHEN vec_id % 10 = 7 THEN 'updated'
+                ELSE 'base' END AS status
+    FROM assignF
+    """
+
+
+@register(
+    "ann_index_cdc_maintained",
+    oracle=_sql_ann_cdc_oracle(_ACDC_K, _ACDC_ITERS, _DIMS),
+    doc="FLAGSHIP INTEGRATION — CDC-maintained persistent ANN index: "
+    "the cell-partitioned inverted lists (operators/ann_index.py) are "
+    "maintained through an I/U/D vector delta — inserts/updates placed "
+    "by the BROADCAST frozen coarse quantizer, deletes/updates evicted "
+    "from their current cells, ONLY touched cell directories rewritten "
+    "(dynamic partition overwrite; O(touched) like the apply store). "
+    "The oracle rebuilds the index from scratch on the post-apply "
+    "corpus under the same frozen quantizer, so the gate proves "
+    "maintained == rebuild through inserts, re-imaged updates (row "
+    "image AND cell migration), and deletes.",
+)
+def ann_index_cdc_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The index counterpart of rollup_cdc_maintained: a persisted IVF
+    index absorbs a CDC delta in O(touched cells), never O(index).
+
+    Deterministic delta (derived from vec_id % 10, so both engines and
+    every run agree): 0 → INSERT (held out of the base build), 3 →
+    DELETE, 7 → UPDATE with the element-reversed vector (same values,
+    different direction — the cell genuinely migrates and the stored
+    row image changes). The maintenance fold: placement = one broadcast
+    join against the k frozen centroids; eviction = column-pruned
+    (neighbor_id, cell) scan against the broadcast victim ids; rewrite
+    = touched cell dirs only. Drift counters advance so needs_refit
+    still escalates to a true re-fit. Each invocation rebuilds the
+    pristine base lists first (the meta marks a maintained tree), so
+    the fold is exercised deterministically every run — same discipline
+    as rollup_cdc_maintained."""
+    import hashlib
+
+    from python_cdc_spark.operators.ann_index import (
+        build_ivf_lists,
+        ivf_lists_need_rebuild,
+        maintain_ivf_lists_cdc,
+        source_fingerprint,
+    )
+
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    m = F.col("vec_id") % 10
+    base = e.filter(m != 0)
+    cent = _fitted_cdc_base_centroids(spark, sf_dir)
+    payload = {"head_val": F.col("embedding")[0].cast("double")}
+    fp = source_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
+    params = {"k": _ACDC_K, "iters": _ACDC_ITERS, "exact": True}
+    cache_key = hashlib.md5(
+        os.path.abspath(sf_dir.rstrip("/")).encode()
+    ).hexdigest()[:16]
+    idx_dir = os.path.join(".ann_index", cache_key + "_cdc_lists")
+    if ivf_lists_need_rebuild(idx_dir, fp, params):
+        build_ivf_lists(
+            spark, idx_dir, base, cent,
+            payload=payload, fingerprint=fp, params=params,
+            exact=True, dims=_DIMS,
+        )
+    delta = (
+        e.filter(m == 0)
+        .select(F.lit("I").alias("op"), "vec_id", "embedding")
+        .unionByName(
+            e.filter(m == 7).select(
+                F.lit("U").alias("op"), "vec_id",
+                F.reverse("embedding").alias("embedding"),
+            )
+        )
+        .unionByName(
+            e.filter(m == 3).select(F.lit("D").alias("op"), "vec_id", "embedding")
+        )
+    )
+    maintain_ivf_lists_cdc(
+        spark, idx_dir, delta, payload=payload, exact=True, dims=_DIMS
+    )
+    lists = spark.read.parquet(os.path.join(idx_dir, "cells.parquet"))
+    mm = F.col("vec_id") % 10
+    return lists.select(
+        F.col("neighbor_id").cast("long").alias("vec_id"),
+        F.col("cell").cast("int").alias("cell"),
+        "head_val",
+    ).withColumn(
+        "status",
+        F.when(mm == 0, F.lit("inserted"))
+        .when(mm == 7, F.lit("updated"))
+        .otherwise(F.lit("base")),
     )

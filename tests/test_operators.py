@@ -1255,3 +1255,149 @@ def test_bpe_learn_merges_greedy_semantics(spark):
     # exhaustion: single-symbol-only vocab stops early, no raise
     tiny = spark.createDataFrame([("ab", 1)], "word string, freq long")
     assert len(learn_bpe_merges(tiny, 5)) == 1
+
+
+def test_ann_cdc_fold_touches_only_affected_cells(spark, tmp_path):
+    """Pin the O(touched) contract of maintain_ivf_lists_cdc: a surgical
+    3-op delta (one insert, one update, one delete) rewrites only the
+    affected cell directories — every untouched cell dir keeps its exact
+    file set with unchanged mtimes — evicts the deleted/updated ids,
+    places the new row images, and advances the drift counters."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from python_cdc_spark.io import table
+    from python_cdc_spark.operators.ann_index import (
+        appended_fraction,
+        build_ivf_lists,
+        maintain_ivf_lists_cdc,
+    )
+    from python_cdc_spark.queries.llm_similarity import (
+        _DIMS,
+        _fitted_cdc_base_centroids,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    e = table(spark, sf, "embeddings").select("vec_id", "embedding")
+    base = e.filter(F.col("vec_id") % 10 != 0)
+    cent = _fitted_cdc_base_centroids(spark, sf)
+    payload = {"head_val": F.col("embedding")[0].cast("double")}
+    idx_dir = str(tmp_path / "idx")
+    build_ivf_lists(spark, idx_dir, base, cent, payload=payload,
+                    fingerprint="t", params={}, exact=True, dims=_DIMS)
+    cells_path = os.path.join(idx_dir, "cells.parquet")
+
+    def snapshot():
+        snap = {}
+        for d in os.listdir(cells_path):
+            if not d.startswith("cell="):
+                continue
+            p = os.path.join(cells_path, d)
+            snap[d] = sorted(
+                (f, os.stat(os.path.join(p, f)).st_mtime_ns)
+                for f in os.listdir(p) if f.endswith(".parquet")
+            )
+        return snap
+
+    before_rows = {
+        int(r["neighbor_id"]): (int(r["cell"]), float(r["head_val"]))
+        for r in spark.read.parquet(cells_path).collect()
+    }
+    before = snapshot()
+
+    ins_id = 10   # % 10 == 0: held out of base
+    upd_id = 17   # % 10 == 7: in base
+    del_id = 13   # % 10 == 3: in base
+    assert upd_id in before_rows and del_id in before_rows
+    assert ins_id not in before_rows
+    delta = (
+        e.filter(F.col("vec_id") == ins_id)
+        .select(F.lit("I").alias("op"), "vec_id", "embedding")
+        .unionByName(
+            e.filter(F.col("vec_id") == upd_id).select(
+                F.lit("U").alias("op"), "vec_id",
+                F.reverse("embedding").alias("embedding"))
+        )
+        .unionByName(
+            e.filter(F.col("vec_id") == del_id).select(
+                F.lit("D").alias("op"), "vec_id", "embedding")
+        )
+    )
+    stats = maintain_ivf_lists_cdc(spark, idx_dir, delta, payload=payload,
+                                   exact=True, dims=_DIMS)
+    # a 3-op delta touches at most 4 cells (ins + upd old/new + del)
+    assert 1 <= stats["touched_cells"] <= 4
+    assert stats["touched_cells"] < stats["total_cells"]
+    assert stats["n_upserts"] == 2 and stats["n_victims"] == 2
+
+    after = snapshot()
+    after_rows = {
+        int(r["neighbor_id"]): (int(r["cell"]), float(r["head_val"]))
+        for r in spark.read.parquet(cells_path).collect()
+    }
+    # contents: delete gone, insert present, update re-imaged
+    assert del_id not in after_rows
+    assert ins_id in after_rows
+    assert after_rows[upd_id][1] != before_rows[upd_id][1]  # row image replaced
+    untouched_ids = set(before_rows) - {upd_id, del_id}
+    assert {i: after_rows[i] for i in untouched_ids} == {
+        i: before_rows[i] for i in untouched_ids
+    }
+    # files: every cell dir NOT in the touched set is byte-stable
+    touched_dirs = {
+        d for d in set(before) | set(after) if before.get(d) != after.get(d)
+    }
+    assert len(touched_dirs) <= stats["touched_cells"]
+    for d in set(before) - touched_dirs:
+        assert before[d] == after[d]
+    # drift counters advanced by the upsert count
+    assert appended_fraction(idx_dir) > 0
+
+
+def test_ann_cdc_fold_removes_emptied_cell(spark, tmp_path):
+    """A delta that deletes EVERY member of a cell must remove the cell
+    directory — a dynamic-overwrite write can't emit an empty partition,
+    so the fold has to reap it explicitly or readers resurrect the
+    pre-fold rows."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from python_cdc_spark.io import table
+    from python_cdc_spark.operators.ann_index import (
+        build_ivf_lists,
+        maintain_ivf_lists_cdc,
+    )
+    from python_cdc_spark.queries.llm_similarity import (
+        _DIMS,
+        _fitted_cdc_base_centroids,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    e = table(spark, sf, "embeddings").select("vec_id", "embedding")
+    base = e.filter(F.col("vec_id") % 10 != 0)
+    cent = _fitted_cdc_base_centroids(spark, sf)
+    idx_dir = str(tmp_path / "idx")
+    build_ivf_lists(spark, idx_dir, base, cent, payload=None,
+                    fingerprint="t", params={}, exact=True, dims=_DIMS)
+    cells_path = os.path.join(idx_dir, "cells.parquet")
+    lists = spark.read.parquet(cells_path)
+    # pick the smallest populated cell and delete all of its members
+    victim_cell = (
+        lists.groupBy("cell").count().orderBy("count", "cell").first()["cell"]
+    )
+    victim_ids = [
+        int(r["neighbor_id"])
+        for r in lists.filter(F.col("cell") == victim_cell).collect()
+    ]
+    n_before = lists.count()
+    delta = e.filter(F.col("vec_id").isin(victim_ids)).select(
+        F.lit("D").alias("op"), "vec_id", "embedding"
+    )
+    maintain_ivf_lists_cdc(spark, idx_dir, delta, payload=None,
+                           exact=True, dims=_DIMS)
+    assert not os.path.exists(os.path.join(cells_path, f"cell={victim_cell}"))
+    survivors = spark.read.parquet(cells_path)
+    assert survivors.filter(F.col("neighbor_id").isin(victim_ids)).count() == 0
+    assert survivors.count() == n_before - len(victim_ids)
