@@ -575,17 +575,9 @@ def sketch_hll_groupwise(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT d.decile, d.target_rank, c.v AS kll_value, c.rid AS krid
       FROM dec d JOIN cw c
         ON c.cw >= d.target_rank AND (c.cw - c.w) < d.target_rank
-    ),
-    ranks AS (
-      SELECT p.decile, p.target_rank, p.kll_value,
-             CAST(COUNT(*) AS BIGINT) AS exact_rank
-      FROM picked p JOIN li
-        ON li.v < p.kll_value
-           OR (li.v = p.kll_value AND li.rid <= p.krid)
-      GROUP BY 1, 2, 3
     )
-    SELECT decile, kll_value, target_rank, exact_rank, n_rows
-    FROM ranks CROSS JOIN nr
+    SELECT decile, kll_value, target_rank, n_rows
+    FROM picked CROSS JOIN nr
     """,
     doc="E11: mergeable KLL-style quantile sketch with a DETERMINISTIC "
     "compaction schedule — per-bucket sorted buffers, even-index "
@@ -593,12 +585,16 @@ def sketch_hll_groupwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     "global rank estimator; both engines replay the identical "
     "compaction, so the strict value hash covers the estimates (the "
     "open problem from NOTES_r5 priorities #4, closed by FIXING the "
-    "schedule instead of replaying a data-dependent one)",
+    "schedule instead of replaying a data-dependent one). PRODUCTION "
+    "variant (r10, verdict #3): one sketch scan, no rank-verify second "
+    "scan — the exact-rank quality check lives in "
+    "kll_quantiles_with_rank_verify, pinned by "
+    "tests/test_sketches.py::test_kll_rank_error_within_bound",
 )
 def sketch_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deciles of l_extendedprice from a quantile SKETCH, plus the true
-    rank of each estimate (second scan) so the oracle-gated output
-    carries the quality, not just the values.
+    """Deciles of l_extendedprice from a quantile SKETCH — the
+    production shape: ONE scan builds the per-bucket compacted
+    survivors; everything after runs on sketch-scale rows.
 
     Construction (history-independent, hence exactly replayable): rows
     hash into B=64 buckets by mix32(rowid); a bucket holding n_b rows
@@ -616,9 +612,41 @@ def sketch_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighted-rank step runs on sketch-scale data, never on the fact
     table. Rank error is bounded by the strata gaps: |exact - target|
     <= sum_b 2^(t_b), about 0.5% of n at these scales (asserted in
-    tests/test_sketches.py). The rank-verify pass is a broadcast
-    9-row theta join — one extra scan that a production caller would
-    drop."""
+    tests/test_sketches.py against kll_quantiles_with_rank_verify,
+    which adds the exact-rank second scan this production variant
+    deliberately drops)."""
+    li, picked, nr = _kll_decile_sketch(spark, sf_dir)
+    return picked.crossJoin(F.broadcast(nr)).select(
+        "decile", "kll_value", "target_rank", "n_rows"
+    )
+
+
+def kll_quantiles_with_rank_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-gate variant: the production sketch PLUS the true rank of
+    each estimate (a broadcast 9-row theta join driving one extra fact
+    scan). This is deliberately NOT the registered query — the verify
+    scan is diagnostics, not the operator (r10 verdict #3) — but the
+    rank-error bound it measures is pinned every run by
+    tests/test_sketches.py::test_kll_rank_error_within_bound."""
+    li, picked, nr = _kll_decile_sketch(spark, sf_dir)
+    ranks = (
+        F.broadcast(picked)
+        .join(
+            li,
+            (li["v"] < F.col("kll_value"))
+            | ((li["v"] == F.col("kll_value")) & (li["rid"] <= F.col("krid"))),
+        )
+        .groupBy("decile", "target_rank", "kll_value")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_rank"))
+    )
+    return ranks.crossJoin(F.broadcast(nr)).select(
+        "decile", "kll_value", "target_rank", "exact_rank", "n_rows"
+    )
+
+
+def _kll_decile_sketch(spark: SparkSession, sf_dir: str):
+    """Shared KLL pipeline: returns (fact rows, picked decile survivors
+    with krid, n_rows one-row frame)."""
     from pyspark.sql import Window
 
     li = table(spark, sf_dir, "lineitem").select(
@@ -671,19 +699,7 @@ def sketch_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("kll_value"),
         F.col("rid").alias("krid"),
     )
-    ranks = (
-        F.broadcast(picked)
-        .join(
-            li,
-            (li["v"] < F.col("kll_value"))
-            | ((li["v"] == F.col("kll_value")) & (li["rid"] <= F.col("krid"))),
-        )
-        .groupBy("decile", "target_rank", "kll_value")
-        .agg(F.count(F.lit(1)).cast("long").alias("exact_rank"))
-    )
-    return ranks.crossJoin(F.broadcast(nr)).select(
-        "decile", "kll_value", "target_rank", "exact_rank", "n_rows"
-    )
+    return li, picked, nr
 
 
 _BLOOM_M = 65536  # bits (2048 x 32-bit words packed in BIGINTs)
