@@ -37,86 +37,86 @@ from python_cdc_spark.queries import (  # noqa: F401, E402
 # The driver's correctness gate checks the FIRST 50 registry entries;
 # registration order decides which queries earn a driver CORRECTNESS row.
 #
-# Round-9 rotation (VERDICT r8 item #1): freshness-ordered. Latest-green
-# rounds per name recomputed from CORRECTNESS_r01-r08 (r8: 49, r7: 50,
-# r6: 50, r5: 10; zero ever-red, zero unchecked). The window leads with
-# this round's three debuts (text_bpe_learn_merges,
-# cdc_bloom_delta_prune, corpus_sample_weighted_priority — registered
-# mid-round per the debut discipline), then the 10 STALE names the r8
-# verdict queued:
-# the 9 heavy-oracle r05 rows plus q7_volume_shipping (its r8 row was
-# lost to an ORACLE-side 1 KB allocation failure; the engine side was
-# independently re-verified green). The remaining 37 slots refresh
-# r06-latest names. The 13 r06 names that do not fit
-# (corpus_split_train_holdout, dedup_components_canonical,
-# dedup_embedding_cosine, dedup_exact, dedup_keep_first,
-# dedup_lsh_verified, dedup_minhash_lsh_pairs, dedup_ngram_jaccard,
-# similarity_ann_lsh_topk, similarity_brute_topk, similarity_ivf_topk
-# — the dedup/ANN family rows with the highest sf0.01 gate cost, whose
-# families earned fresh r08 rows through their other members — plus
-# agg_cube and join_left_outer, displaced by the extra debuts) lead the
-# r10 window; every rotated-out name stays covered by the local differ
-# (tests/test_queries_oracle.py, ALL queries at sf0.01) and the
-# end-of-round sf0.1 sweep. After r9 lands green, no name's latest
-# green driver row is older than r06.
+# Round-10 rotation (VERDICT r9 item #1): freshness-ordered. Latest-green
+# rounds per name recomputed from CORRECTNESS_r01-r09 (r9: 50, r8: 49,
+# r7: 50, r6: 13; zero ever-red, zero never-green). The window leads
+# with this round's debut (ann_index_cdc_maintained — the CDC-maintained
+# ANN index, registered mid-round per the debut discipline), then the
+# five names whose CODE or ORACLE changed this round and whose latest
+# driver row therefore predates the change (sketch_kll_quantiles:
+# production variant without the rank-verify join; cdc_pipeline_composite:
+# fixture encode moved off the timed path; corpus_sample_weighted_priority:
+# tau degenerate-case fallback; cdc_bloom_delta_prune and
+# sketch_bloom_membership: oracles regenerated from _PB_K/_BLOOM_K),
+# then the 13 queued r06 names from the r9 verdict — dedup_lsh_verified
+# FIRST (its size-aware join fix landed after its last driver row).
+# The remaining 31 slots refresh r07-latest names, preferring the ones
+# whose family has no fresher row; the 19 r07 names that do not fit
+# (multimodal decode/resize/frame trio, the scalar-fn quartet
+# array/map/date/json, case_when_bucketing, distinct_counts,
+# profile_column_stats, embedding_norms, similarity_lsh_buckets,
+# text_token_stats, text_bpe_token_estimate, corpus_chunk_sliding,
+# corpus_shuffle_epochs, udf_udtf_token_explode, interval_concurrency,
+# salted_agg_returnflag — every one family-covered
+# by an r08/r09/r10 row) lead the r11 window. Every rotated-out name
+# stays covered by the local differ (tests/test_queries_oracle.py, ALL
+# queries at sf0.01) and the end-of-round sf0.1/sf1 sweeps. After r10
+# lands green, no name's latest green driver row is older than r07.
 _WINDOW = [
-    # --- New this round: first driver rows land now (debut-first
-    # discipline). Three debuts cost three r06 slots: agg_cube and
-    # join_left_outer rotate to r10 (their families keep fresh rows via
-    # agg_rollup/grouping_sets_sql and join_anti/join_semi/
-    # join_range_theta), joining the 11 queued dedup/ANN names. ---
-    "text_bpe_learn_merges",
-    "cdc_bloom_delta_prune",
-    "corpus_sample_weighted_priority",
-    # --- The 10 stale names (verdict r8 #1): 9 heavy-oracle r05 rows + q7 ---
-    "graph_clustering_coefficient",
-    "graph_kcore_membership",
-    "dedup_edit_distance_verified",
-    "events_exact_deciles",
-    "events_markov_transitions",
-    "corpus_split_chisquare",
-    "timeseries_autocorrelation",
-    "sketch_kmv_returnflag_overlap",
-    "part_affinity_lift",
-    "q7_volume_shipping",
-    # --- r06-latest (37 of 50) ---
-    "agg_rollup",
-    "approx_distinct_users",
-    "asof_join_latest_click",
-    "cdc_apply_changes",
-    "cdc_incremental_agg",
-    "cdc_latest_per_key",
-    "cdc_op_counts",
-    "cdc_scd2_history",
-    "cdc_schema_registry",
-    "events_funnel_ordered",
-    "events_retention_cohorts",
-    "filter_predicates",
-    "grouping_sets_sql",
-    "join_anti",
-    "join_range_theta",
-    "join_semi",
-    "median_exact_order_stat",
-    "multimodal_binary_metadata",
-    "multimodal_doc_embedding_join",
-    "percentile_order_values",
-    "pivot_status_by_priority",
-    "projection_compute",
-    "q11_important_parts",
-    "q12_priority_class",
-    "q20_outsized_share_suppliers",
-    "q2_min_cost_supplier",
-    "rollup_cdc_maintained",
-    "set_operations",
+    # --- Debut: first driver row lands now (debut-first discipline) ---
+    "ann_index_cdc_maintained",
+    # --- Changed this round: rows must postdate the change ---
     "sketch_kll_quantiles",
-    "table_row_counts",
-    "text_lang_id",
-    "text_quality_score",
-    "timeseries_moving_avg",
-    "udf_pandas_token_count",
-    "window_rank_dense_ntile",
-    "window_topk_per_group",
-    "window_trailing_range_1h",
+    "cdc_pipeline_composite",
+    "corpus_sample_weighted_priority",
+    "cdc_bloom_delta_prune",
+    "sketch_bloom_membership",
+    # --- The 13 queued r06 names (verdict r9 #1), dedup_lsh_verified first ---
+    "dedup_lsh_verified",
+    "dedup_minhash_lsh_pairs",
+    "dedup_components_canonical",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_keep_first",
+    "dedup_ngram_jaccard",
+    "similarity_ann_lsh_topk",
+    "similarity_brute_topk",
+    "similarity_ivf_topk",
+    "corpus_split_train_holdout",
+    "agg_cube",
+    "join_left_outer",
+    # --- r07-latest (31 of 50) ---
+    "cdc_control_frames",
+    "cdc_origin_filtered",
+    "cdc_schema_evolution",
+    "cdc_truncate_multi_table",
+    "corpus_curation_pipeline",
+    "corpus_decontaminate_holdout",
+    "corpus_pack_shards",
+    "corpus_quality_funnel",
+    "corpus_stratified_sample",
+    "corpus_weighted_mixture",
+    "dedup_incremental_fold",
+    "dedup_minhash_signatures",
+    "dedup_semantic_clusters",
+    "dedup_simhash",
+    "graph_pagerank_neardup",
+    "graph_triangle_count",
+    "join_range_banded",
+    "ml_linreg_suffstats",
+    "ml_pca_covariance_block",
+    "q21_sole_blame_supplier",
+    "rollup_cdc_partition_pruned",
+    "sessionize_events",
+    "similarity_pq_topk",
+    "streaming_session_window_30m",
+    "streaming_sliding_1h_30m",
+    "streaming_tumbling_hourly",
+    "text_bigram_lm_score",
+    "text_bm25_search",
+    "text_duplicate_span_coverage",
+    "text_tf_topk",
+    "events_anomaly_mad",
 ]
 assert len(_WINDOW) == 50, f"driver window must hold exactly 50, got {len(_WINDOW)}"
 assert len(set(_WINDOW)) == 50, "duplicate names in the driver window"
