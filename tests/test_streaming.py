@@ -1665,3 +1665,107 @@ def test_streaming_table_backend_matches_batch(spark, tmp_path):
     assert got == want == {"5": {"id": "5", "v": "e"}}
     for v in (1, 2, 3):
         spark.sql(f"DROP TABLE IF EXISTS t_apply_test_v{v}")
+
+
+def test_streaming_ann_index_matches_rebuild_and_replays_safely(spark, tmp_path):
+    """StreamingAnnIndex over availableNow micro-batches == from-scratch
+    placement of the post-apply corpus under the same frozen quantizer;
+    a replayed micro-batch converges to the same state (evict-then-place
+    idempotence, no batch ledger needed); drift counters advance."""
+    import json as _json
+    import os
+
+    from python_cdc_spark.io import table
+    from python_cdc_spark.operators.similarity import kmeans_assign
+    from python_cdc_spark.queries.llm_similarity import (
+        _DIMS,
+        _fitted_cdc_base_centroids,
+    )
+    from python_cdc_spark.streaming.ann_stream import StreamingAnnIndex
+
+    sf = "/root/testdata/sf0.001"
+    e = table(spark, sf, "embeddings").select("vec_id", "embedding")
+    base = e.filter(F.col("vec_id") % 10 != 0)
+    cent = _fitted_cdc_base_centroids(spark, sf)
+    payload = {"head_val": F.col("embedding")[0].cast("double")}
+
+    si = StreamingAnnIndex(
+        spark, str(tmp_path / "idx"), payload=payload, dims=_DIMS, exact=True
+    )
+    n0 = si.bootstrap(base, cent)
+    assert n0 == base.count()
+
+    vecs = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in e.filter(F.col("vec_id").isin([10, 20, 17, 27, 13, 23])).collect()
+    }
+    batch1 = [
+        {"op": "I", "vec_id": 10, "embedding": vecs[10]},
+        {"op": "U", "vec_id": 17, "embedding": vecs[17][::-1]},
+        {"op": "D", "vec_id": 13, "embedding": vecs[13]},
+    ]
+    batch2 = [
+        {"op": "I", "vec_id": 20, "embedding": vecs[20]},
+        {"op": "U", "vec_id": 27, "embedding": vecs[27][::-1]},
+        {"op": "D", "vec_id": 23, "embedding": vecs[23]},
+    ]
+    ddir = tmp_path / "deltas"
+    ddir.mkdir()
+    for i, rows in enumerate([batch1, batch2]):
+        with open(ddir / f"d{i}.json", "w") as fh:
+            for row in rows:
+                fh.write(_json.dumps(row) + "\n")
+
+    schema = "op string, vec_id long, embedding array<double>"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(ddir))
+    )
+    q = si.start(stream, str(tmp_path / "ckpt"), available_now=True)
+    q.awaitTermination(120)
+
+    got = {
+        int(r["neighbor_id"]): (int(r["cell"]), float(r["head_val"]))
+        for r in si.lists().collect()
+    }
+    # from-scratch placement of the post-apply corpus, same quantizer
+    final = (
+        e.filter((F.col("vec_id") % 10 != 0) | F.col("vec_id").isin([10, 20]))
+        .filter(~F.col("vec_id").isin([13, 23]))
+        .withColumn(
+            "embedding",
+            F.when(
+                F.col("vec_id").isin([17, 27]), F.reverse("embedding")
+            ).otherwise(F.col("embedding")),
+        )
+    )
+    expect = {
+        int(r["vec_id"]): (
+            int(r["cell"]),
+            float(r["embedding"][0]),
+        )
+        for r in kmeans_assign(
+            final, cent, "vec_id", "embedding", exact=True, dims=_DIMS
+        ).collect()
+    }
+    assert got == expect
+    assert si.appended_fraction() > 0
+
+    # replay idempotence: re-merge batch2 directly — state must not move
+    v_before = si.store.version
+    replay = spark.createDataFrame(
+        [(r["op"], r["vec_id"], r["embedding"]) for r in batch2], schema
+    )
+    si.merge_batch(replay)
+    again = {
+        int(r["neighbor_id"]): (int(r["cell"]), float(r["head_val"]))
+        for r in si.lists().collect()
+    }
+    assert again == got
+    assert si.store.version == v_before + 1  # a new version, same contents
+
+    # probe path: partition-pruned read returns exactly the probed cells
+    some_cell = next(iter(got.values()))[0]
+    probed = si.probe_cells([some_cell])
+    assert {int(r["cell"]) for r in probed.collect()} == {some_cell}
