@@ -93,6 +93,9 @@ HEADLINE = [
     "text_bpe_learn_merges",
     "cdc_bloom_delta_prune",
     "corpus_sample_weighted_priority",
+    # round 10: CDC-maintained ANN index (build base lists + fold the
+    # I/U/D delta + read back, every invocation — the maintenance gate)
+    "ann_index_cdc_maintained",
 ]
 
 
@@ -137,6 +140,7 @@ def _fast_variants(spark, sf_dir) -> dict:
     ).localCheckpoint(eager=True)
     cent = sim._fitted_centroids(spark, sf_dir, exact=False)
     sim._fitted_centroids(spark, sf_dir, exact=False, k=sim._SEM_K, iters=sim._SEM_ITERS)
+    sim._fitted_cdc_base_centroids(spark, sf_dir, exact=False)
     assigned = (
         kmeans_assign(e, cent, "vec_id", "embedding", exact=False)
         .select(F.col("vec_id").alias("neighbor_id"), "cell")
@@ -178,6 +182,9 @@ def _fast_variants(spark, sf_dir) -> dict:
         "dedup_lsh_verified": lambda s, d: lsh_verified_pairs(
             s, d, cells=cells, sigs=sigs
         ),
+        # double-math twin of the CDC-maintained index gate; the fast
+        # base quantizer is prebuilt in the warm phase below
+        "ann_index_cdc_maintained": sim.ann_cdc_maintained_fast,
     }
 
 

@@ -1704,7 +1704,9 @@ def _semdedup(spark: SparkSession, sf_dir: str, exact: bool) -> DataFrame:
 _ACDC_K, _ACDC_ITERS = 16, 2
 
 
-def _fitted_cdc_base_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _fitted_cdc_base_centroids(
+    spark: SparkSession, sf_dir: str, exact: bool = True
+) -> DataFrame:
     """Frozen coarse quantizer for the CDC-maintained index: fit on the
     PRE-DELTA base corpus (vec_id % 10 != 0) once per testdata round and
     cached like the IVF quantizer — maintenance folds place vectors with
@@ -1712,7 +1714,7 @@ def _fitted_cdc_base_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-delta path."""
     from python_cdc_spark.operators.similarity import _collect_centroids, kmeans_fit
 
-    key = (sf_dir, "cdc_base", True, _ACDC_K, _ACDC_ITERS)
+    key = (sf_dir, "cdc_base", exact, _ACDC_K, _ACDC_ITERS)
     if key not in _IVF_CENT_CACHE:
         base = (
             table(spark, sf_dir, "embeddings")
@@ -1722,7 +1724,7 @@ def _fitted_cdc_base_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         _IVF_CENT_CACHE[key] = _collect_centroids(
             kmeans_fit(
                 base, "vec_id", "embedding",
-                k=_ACDC_K, iters=_ACDC_ITERS, exact=True, dims=_DIMS,
+                k=_ACDC_K, iters=_ACDC_ITERS, exact=exact, dims=_DIMS,
             )
         )
     return spark.createDataFrame(_IVF_CENT_CACHE[key], "cell int, cvec array<double>")
@@ -1785,6 +1787,17 @@ def ann_index_cdc_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
     pristine base lists first (the meta marks a maintained tree), so
     the fold is exercised deterministically every run — same discipline
     as rollup_cdc_maintained."""
+    return _ann_cdc_maintained(spark, sf_dir, exact=True)
+
+
+def ann_cdc_maintained_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench/scale variant: identical build->fold->read pipeline, double
+    math (decimal routing exists only for oracle hashing) and its own
+    index directory."""
+    return _ann_cdc_maintained(spark, sf_dir, exact=False)
+
+
+def _ann_cdc_maintained(spark: SparkSession, sf_dir: str, exact: bool) -> DataFrame:
     import hashlib
 
     from python_cdc_spark.operators.ann_index import (
@@ -1797,19 +1810,20 @@ def ann_index_cdc_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     m = F.col("vec_id") % 10
     base = e.filter(m != 0)
-    cent = _fitted_cdc_base_centroids(spark, sf_dir)
+    cent = _fitted_cdc_base_centroids(spark, sf_dir, exact=exact)
     payload = {"head_val": F.col("embedding")[0].cast("double")}
     fp = source_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
-    params = {"k": _ACDC_K, "iters": _ACDC_ITERS, "exact": True}
+    params = {"k": _ACDC_K, "iters": _ACDC_ITERS, "exact": exact}
     cache_key = hashlib.md5(
         os.path.abspath(sf_dir.rstrip("/")).encode()
     ).hexdigest()[:16]
-    idx_dir = os.path.join(".ann_index", cache_key + "_cdc_lists")
+    suffix = "_cdc_lists" if exact else "_cdc_lists_fast"
+    idx_dir = os.path.join(".ann_index", cache_key + suffix)
     if ivf_lists_need_rebuild(idx_dir, fp, params):
         build_ivf_lists(
             spark, idx_dir, base, cent,
             payload=payload, fingerprint=fp, params=params,
-            exact=True, dims=_DIMS,
+            exact=exact, dims=_DIMS,
         )
     delta = (
         e.filter(m == 0)
@@ -1825,7 +1839,7 @@ def ann_index_cdc_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     maintain_ivf_lists_cdc(
-        spark, idx_dir, delta, payload=payload, exact=True, dims=_DIMS
+        spark, idx_dir, delta, payload=payload, exact=exact, dims=_DIMS
     )
     lists = spark.read.parquet(os.path.join(idx_dir, "cells.parquet"))
     mm = F.col("vec_id") % 10
