@@ -118,12 +118,19 @@ GATES_TREND = [
 def main() -> None:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     argv = [a for a in sys.argv[1:] if not a.startswith("--wave=")]
-    trend = (
-        LLM_TREND if "--wave=llm" in sys.argv[1:]
-        else PROD_TREND if "--wave=prod" in sys.argv[1:]
-        else GATES_TREND if "--wave=gates" in sys.argv[1:]
-        else TREND
+    trend, wave = (
+        (LLM_TREND, "llm") if "--wave=llm" in sys.argv[1:]
+        else (PROD_TREND, "prod") if "--wave=prod" in sys.argv[1:]
+        else (GATES_TREND, "gates") if "--wave=gates" in sys.argv[1:]
+        else (TREND, "core")
     )
+    # --only=a,b re-measures a subset of the wave (e.g. after a fix to
+    # one family) without paying for the whole wave at sf10
+    only = [a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("--only=")]
+    argv = [a for a in argv if not a.startswith("--only=")]
+    if only:
+        wanted = set(only[0].split(","))
+        trend = [n for n in trend if n in wanted]
     sf10 = argv[0] if argv else os.path.join(repo, ".sf10")
     scales = [
         ("sf0.1", "/root/testdata/sf0.1", 1.0),
@@ -141,10 +148,8 @@ def main() -> None:
     from python_cdc_spark.queries import QUERIES
 
     out: dict = {
-        "metric": ("spark_only_scale_trend_llm" if trend is LLM_TREND
-                   else "spark_only_scale_trend_prod" if trend is PROD_TREND
-                   else "spark_only_scale_trend_gates" if trend is GATES_TREND
-                   else "spark_only_scale_trend"),
+        "metric": ("spark_only_scale_trend" if wave == "core"
+                   else f"spark_only_scale_trend_{wave}"),
         "unit": "sec",
         "scales": {k: {"dir": d, "x": x} for k, d, x in scales},
         "per_query": {},
@@ -154,7 +159,7 @@ def main() -> None:
         spark = _fresh_spark()
         # warmup (JVM, codegen, parquet footers)
         QUERIES["q6_forecast_revenue"].fn(spark, sf_dir).count()
-        if trend is GATES_TREND:
+        if wave == "gates" and "cdc_pipeline_composite" in trend:
             # the composite's FIRST invocation per testdata dir encodes
             # and persists the wire feed (one-time fixture work, by
             # design off the timed path) — warm it so the timed rep
