@@ -48,9 +48,14 @@ def connected_components(
     are whatever ids appear in the edge list; isolated vertices (no
     edges) are the caller's to union in if needed.
     """
+    # checkpoint the edge input BEFORE symmetrization: the union's two
+    # branches would otherwise each carry a full copy of the upstream
+    # edge pipeline (for verified near-dup pairs, the entire LSH +
+    # verify plan — doubled work and doubled broadcasts; the r10 gates
+    # wave caught the doubled copy amplifying a driver OOM at sf10)
     e = edges.select(
         F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
-    )
+    ).localCheckpoint(eager=True)
     sym = (
         e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
@@ -120,9 +125,11 @@ def connected_components_star(
     forest of stars rooted at component minima; the star edges ARE the
     (v, component) mapping.
     """
+    # same upstream-duplication guard as connected_components: verts'
+    # union and the e filter would each re-derive the edge pipeline
     e0 = edges.select(
         F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
-    )
+    ).localCheckpoint(eager=True)
     verts = (
         e0.select(F.col("a").alias("v"))
         .union(e0.select(F.col("b").alias("v")))

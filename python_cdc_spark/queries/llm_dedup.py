@@ -24,6 +24,14 @@ from python_cdc_spark.queries.registry import register
 _K, _BANDS = 8, 4  # one-permutation hashing: 8 × 4-hex chunks of one md5
 _R = _K // _BANDS
 
+# Above this many documents the gram-cell table (~55 grams/doc of
+# (bigint, string) ≈ 60 B/row) exceeds what a hash build side should
+# hold (~200k docs ≈ 11M grams ≈ 650 MB hashed relation), so the verify
+# joins switch to spill-safe sort-merge; below it Catalyst's static
+# broadcast of the MB-scale gram table is strictly faster (r10 gates
+# wave; see lsh_verified_pairs).
+_GRAM_HASH_MAX_DOCS = 200_000
+
 
 @register(
     "dedup_exact",
@@ -275,17 +283,48 @@ def lsh_verified_pairs(
     else:
         cand = cand.localCheckpoint(eager=True)
         cand_hint = "broadcast" if cand.count() <= 2_000_000 else "shuffle_hash"
+    # The gram cells and per-doc sizes scale with the CORPUS — above a
+    # size bound they must never be a hash build side, no matter what
+    # Catalyst's static estimate of a lazily-checkpointed LogicalRDD
+    # says. Found at sf10 by the r10 gates wave: in the curation
+    # composition the gb gram side (30M (bigint, string) rows) was
+    # statically chosen as a build-side BROADCAST and OOM'd the driver;
+    # re-pinned as shuffle_hash it still died building per-partition
+    # hash maps (UnsafeHashedRelation cannot spill). SORT-MERGE is the
+    # strategy whose memory stays bounded regardless of corpus size
+    # (both sides spill), so past _GRAM_HASH_MAX_DOCS documents the
+    # corpus-scale sides carry merge hints. Below the bound Catalyst's
+    # static plan (broadcast the ~MB-scale gram table) is strictly
+    # faster and keeps the r9 gate plans — measured 1.7 s vs 5-7 s at
+    # sf0.1 under unconditional merge. The docs count is a parquet
+    # metadata read, same size-aware pattern as the cand probe.
     sizes = cells.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"))
-    ga = cells.select(F.col("id").alias("id_a"), "gram")
-    gb = cells.select(F.col("id").alias("gb_id"), F.col("gram").alias("gram_b"))
+    if scale_hint == "small":
+        big_corpus = False
+    elif scale_hint == "large":
+        big_corpus = True
+    else:
+        big_corpus = docs.count() > _GRAM_HASH_MAX_DOCS
+
+    def corpus_side(df: DataFrame) -> DataFrame:
+        return df.hint("merge") if big_corpus else df
+
+    ga = corpus_side(cells.select(F.col("id").alias("id_a"), "gram"))
+    gb = corpus_side(
+        cells.select(F.col("id").alias("gb_id"), F.col("gram").alias("gram_b"))
+    )
     shared = (
         cand.hint(cand_hint).join(ga, "id_a")
         .join(gb, (F.col("id_b") == F.col("gb_id")) & (F.col("gram") == F.col("gram_b")))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("set_size").alias("size_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("set_size").alias("size_b"))
+    sa = corpus_side(
+        sizes.select(F.col("id").alias("id_a"), F.col("set_size").alias("size_a"))
+    )
+    sb = corpus_side(
+        sizes.select(F.col("id").alias("id_b"), F.col("set_size").alias("size_b"))
+    )
     jac = F.col("shared").cast("double") / (
         F.col("size_a") + F.col("size_b") - F.col("shared")
     ).cast("double")

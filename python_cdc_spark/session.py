@@ -50,7 +50,11 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local[32] runs driver + all 32 executor threads in ONE JVM: the
+        # old 8g default was 0.25g/core — far below any real deployment
+        # (clusters run ~1-4g/core). 32g ≈ 1g/core on the 128 GiB box;
+        # still env-overridable for constrained hosts.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
