@@ -102,16 +102,20 @@ PROD_TREND = [
 # These are exactly the shapes where a hidden driver-side or
 # single-partition stage would most likely hide.
 GATES_TREND = [
-    "cdc_pipeline_composite",
     "streaming_tumbling_hourly",
     "streaming_session_window_30m",
     "multimodal_decode_meta",
     "multimodal_resize",
     "multimodal_frame_sample",
-    "corpus_curation_pipeline",
     "corpus_pack_shards",
     "corpus_weighted_mixture",
     "corpus_stratified_sample",
+    # the two heavy end-to-end pipelines run LAST: at sf10 their
+    # checkpoint/GC debris inflates whatever shares the session next
+    # (first run measured corpus_stratified_sample at 5.4s right after
+    # the 337s curation row vs 1.3s in a clean session)
+    "cdc_pipeline_composite",
+    "corpus_curation_pipeline",
 ]
 
 
@@ -154,18 +158,32 @@ def main() -> None:
         "scales": {k: {"dir": d, "x": x} for k, d, x in scales},
         "per_query": {},
     }
+    # --isolate: a FRESH session per query. In a shared session a heavy
+    # checkpoint-looping row pins its checkpoint RDDs in the heap and
+    # every later row pays spill/GC for it (measured at sf10:
+    # sketch_kll_quantiles 75.8s after rollup's eager state checkpoints
+    # vs 14.5-20s clean; corpus_stratified_sample 5.4s after the 337s CC
+    # row vs 1.3s clean). Isolation costs ~8s JVM per query but makes
+    # exponents attributable to the QUERY, not its session neighbors.
+    isolate = "--isolate" in sys.argv[1:]
     times: dict[str, dict[str, float]] = {n: {} for n in trend}
     for label, sf_dir, _x in scales:
-        spark = _fresh_spark()
-        # warmup (JVM, codegen, parquet footers)
-        QUERIES["q6_forecast_revenue"].fn(spark, sf_dir).count()
-        if wave == "gates" and "cdc_pipeline_composite" in trend:
-            # the composite's FIRST invocation per testdata dir encodes
-            # and persists the wire feed (one-time fixture work, by
-            # design off the timed path) — warm it so the timed rep
-            # measures decode->origins->apply->cube
-            QUERIES["cdc_pipeline_composite"].fn(spark, sf_dir).count()
+        spark = None
         for name in trend:
+            if spark is None or isolate:
+                spark = _fresh_spark()
+                # warmup (JVM, codegen, parquet footers)
+                QUERIES["q6_forecast_revenue"].fn(spark, sf_dir).count()
+                # the composite's FIRST invocation per testdata dir
+                # encodes and persists the wire feed (one-time fixture
+                # work, by design off the timed path) — warm it so the
+                # timed rep measures decode->origins->apply->cube.
+                # Under --isolate only the composite's own session pays
+                # this warm-up.
+                if wave == "gates" and "cdc_pipeline_composite" in trend and (
+                    not isolate or name == "cdc_pipeline_composite"
+                ):
+                    QUERIES["cdc_pipeline_composite"].fn(spark, sf_dir).count()
             t0 = time.perf_counter()
             QUERIES[name].fn(spark, sf_dir).count()
             times[name][label] = round(time.perf_counter() - t0, 4)
