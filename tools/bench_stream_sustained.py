@@ -1,0 +1,210 @@
+#!/usr/bin/env python
+"""Streaming gates under SUSTAINED feed at three scales (VERDICT r9 #5).
+
+The batch scale trend (tools/bench_scale_trend.py) times the registered
+queries' one-shot plans; this tool times the STREAMING maintenance gates
+the way production runs them — a multi-micro-batch availableNow drain of
+a file feed through foreachBatch state maintenance:
+
+- ``apply``       StreamingApplyChanges: per-batch fold into the
+                  bucket-partitioned keyed state store (O(batch +
+                  touched_state) claim).
+- ``cdc_rollup``  StreamingCdcRollupMaintenance: the flagship two-half
+                  integration — every batch folds signed row-image
+                  deltas into a materialized cube (algebraic sum/count
+                  measures here, so the per-batch claim is
+                  O(batch + cube), no state scan).
+- ``scd2``        StreamingSCD2: full history maintenance — the honest
+                  worst case, because the feed's keys are uniform so
+                  EVERY batch touches every bucket and rewrites the
+                  whole (growing) history. Included precisely because
+                  it is the gate where a super-linear stage would hide.
+
+Feed: ``events_as_cdc_feed`` over each scale's events table (1M / 10M /
+100M change events), written once per (gate, scale) as ``N_FILES``
+lsn-range-ordered parquet files and drained with
+``maxFilesPerTrigger = N_FILES / N_BATCHES`` — so every run is the same
+8-micro-batch sustained shape and only the data volume changes. Fresh
+session per (gate, scale): exponents attribute to the gate, not its
+session neighbors (same isolation rationale as the scale trend's
+--isolate).
+
+The scaling claim under test: events/s throughput should be flat-to-
+RISING with scale (per-event cost amortizes fixed micro-batch overhead),
+except scd2 where history ~ corpus makes per-batch rewrite volume grow
+— its exponent is expected ~1 and the receipt says so rather than
+hiding the row.
+
+Usage: python tools/bench_stream_sustained.py [--only=apply,scd2]
+       [--scales=sf0.1,sf1] [sf10_dir]
+Prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_FILES = 24
+N_BATCHES = 8
+GATES = ("apply", "cdc_rollup", "scd2")
+
+
+def _fresh_spark():
+    from pyspark.sql import SparkSession
+
+    from python_cdc_spark.session import get_spark
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
+    spark = get_spark(app_name="bench_stream_sustained")
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def _write_feed(spark, sf_dir: str, feed_dir: str) -> int:
+    """Materialize the change feed as N_FILES lsn-range-ordered parquet
+    files (micro-batches then arrive in lsn order, the shape a real
+    replication stream delivers — SCD2's history fold depends on it)."""
+    from python_cdc_spark.cdc.feed import events_as_cdc_feed
+
+    feed = events_as_cdc_feed(spark, sf_dir)
+    (
+        feed.repartitionByRange(N_FILES, "lsn")
+        .sortWithinPartitions("lsn")
+        .write.mode("overwrite")
+        .parquet(feed_dir)
+    )
+    return spark.read.parquet(feed_dir).count()
+
+
+def _feed_stream(spark, feed_dir: str):
+    from pyspark.sql import types as T
+
+    from python_cdc_spark.schemas import CDC_EVENT_SCHEMA
+
+    schema = T.StructType(
+        list(CDC_EVENT_SCHEMA.fields) + [T.StructField("key", T.StringType(), True)]
+    )
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max(1, N_FILES // N_BATCHES))
+        .parquet(feed_dir)
+    )
+
+
+def _run_gate(spark, gate: str, feed_dir: str, work: str) -> dict:
+    """Drain the feed through one maintenance gate; return timings."""
+    stream = _feed_stream(spark, feed_dir)
+    ckpt = os.path.join(work, "ckpt")
+    t0 = time.perf_counter()
+    if gate == "apply":
+        from python_cdc_spark.streaming.apply_stream import StreamingApplyChanges
+
+        g = StreamingApplyChanges(spark, os.path.join(work, "state"), "key", n_buckets=64)
+        q = g.start(stream, ckpt, available_now=True)
+        q.awaitTermination()
+        wall = time.perf_counter() - t0
+        out_rows = g.current_state().count()
+    elif gate == "scd2":
+        from python_cdc_spark.streaming.scd2_stream import StreamingScd2
+
+        g = StreamingScd2(spark, os.path.join(work, "state"), "key", n_buckets=64)
+        q = g.start(stream, ckpt, available_now=True)
+        q.awaitTermination()
+        wall = time.perf_counter() - t0
+        out_rows = g.history().count()
+    else:  # cdc_rollup
+        from python_cdc_spark.streaming.rollup_stream import StreamingCdcRollupMaintenance
+
+        g = StreamingCdcRollupMaintenance(
+            spark,
+            os.path.join(work, "state"),
+            os.path.join(work, "cube"),
+            "events_cube",
+            dims={"event_type": "event_type"},
+            measures={"n": ("count", "1"), "total": ("sum", "value")},
+            typed_columns={"event_type": "string", "value": "double"},
+            n_buckets=64,
+        )
+        g.init_cube(fingerprint="bench")
+        q = g.start(stream, ckpt, available_now=True)
+        q.awaitTermination()
+        wall = time.perf_counter() - t0
+        out_rows = g.rewrite(["event_type"], ["n", "total"]).count()
+    batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    return {"sec": round(wall, 3), "batches": batches, "out_rows": out_rows}
+
+
+def main() -> None:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf10 = argv[0] if argv else os.path.join(repo, ".sf10")
+    scales = [
+        # sf0.001/sf0.01 are smoke-only (request via --scales=)
+        ("sf0.001", "/root/testdata/sf0.001", 0.01),
+        ("sf0.01", "/root/testdata/sf0.01", 0.1),
+        ("sf0.1", "/root/testdata/sf0.1", 1.0),
+        ("sf1", os.path.join(repo, ".sf1"), 10.0),
+        ("sf10", sf10, 100.0),
+    ]
+    only = [a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("--only=")]
+    gates = [g for g in GATES if not only or g in only[0].split(",")]
+    want_scales = [
+        a.split("=", 1)[1].split(",") for a in sys.argv[1:] if a.startswith("--scales=")
+    ]
+    if want_scales:
+        scales = [s for s in scales if s[0] in want_scales[0]]
+    else:
+        scales = [s for s in scales if s[0] in ("sf0.1", "sf1", "sf10")]
+    scales = [s for s in scales if os.path.isdir(s[1])]
+
+    out: dict = {
+        "metric": "streaming_sustained_feed_trend",
+        "unit": "sec",
+        "n_files": N_FILES,
+        "n_batches": N_BATCHES,
+        "scales": {k: {"dir": d, "x": x} for k, d, x in scales},
+        "per_gate": {g: {} for g in gates},
+    }
+    events: dict[str, int] = {}
+    for label, sf_dir, _x in scales:
+        for gate in gates:
+            spark = _fresh_spark()
+            work = tempfile.mkdtemp(prefix=f"stream_sust_{gate}_{label}_")
+            try:
+                feed_dir = os.path.join(work, "feed")
+                n = _write_feed(spark, sf_dir, feed_dir)
+                events[label] = n
+                row = _run_gate(spark, gate, feed_dir, work)
+                row["events"] = n
+                row["events_per_sec"] = round(n / row["sec"], 1)
+                out["per_gate"][gate][label] = row
+                print(
+                    f"# {label} {gate}: {row['sec']}s, {n} events, "
+                    f"{row['events_per_sec']} ev/s, {row['batches']} batches, "
+                    f"{row['out_rows']} out rows",
+                    file=sys.stderr,
+                    flush=True,
+                )
+            finally:
+                shutil.rmtree(work, ignore_errors=True)
+    for gate in gates:
+        t = out["per_gate"][gate]
+        for lo, hi, key in (("sf0.1", "sf1", "exp_0.1_to_1"), ("sf1", "sf10", "exp_1_to_10")):
+            if t.get(lo) and t.get(hi):
+                t[key] = round(math.log(t[hi]["sec"] / t[lo]["sec"]) / math.log(10), 3)
+    out["events_per_scale"] = events
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
