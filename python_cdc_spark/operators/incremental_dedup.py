@@ -27,6 +27,11 @@ Storage layout under ``path`` (all parquet):
   deltas/<tag>/{cells,bands,sizes}/ + _COMMITTED
                               — one subdirectory per folded delta,
                                 committed all-or-nothing by the marker
+  deltas/g<seq>-<tag>/... + evicted/
+                              — CDC folds (``cdc_dedup_index_update``):
+                                generation-numbered, plus the id list
+                                whose earlier-generation images the
+                                delta evicts (UPDATE/DELETE)
   components_v<N>/            — versioned cluster tables
   _components_ptr             — points at the current version
 
@@ -206,15 +211,51 @@ def _prune_uncommitted_deltas(path: str) -> None:
         _write_base_ptr(path, ptr["version"], live)
 
 
+def _cdc_gen(dirpath: str) -> int:
+    """Generation of a delta directory. CDC folds name their dirs
+    ``g<seq>-<tag>`` (monotone seq); insert-only folds use the bare
+    content tag and read as generation 0 (they never evict, and the
+    documented contract is CDC-API-exclusive once the first CDC fold
+    lands, so ordering between them never matters)."""
+    base = os.path.basename(dirpath)
+    if base.startswith("g") and "-" in base:
+        head = base[1:].split("-", 1)[0]
+        if head.isdigit():
+            return int(head)
+    return 0
+
+
 def read_index_table(spark: SparkSession, path: str, name: str) -> DataFrame:
     """One of cells/bands/sizes: the current base unioned with every
     committed, not-yet-absorbed delta directory (partial folds are
-    invisible)."""
+    invisible), minus rows a LATER generation evicted.
+
+    Eviction is generation-aware so an UPDATE replaces its old image
+    without resurrecting it: a CDC delta's ``evicted`` id list applies
+    to every strictly-earlier generation (base = 0), never to the
+    evicting delta's own re-inserted rows or later ones. Per-delta
+    eviction lists are batch-scale, so the anti-joins broadcast."""
     ptr = _read_base_ptr(path)
-    paths = [os.path.join(_base_dir(path, ptr), name)] + [
-        os.path.join(d, name) for d in _committed_delta_dirs(path, ptr)
+    deltas = _committed_delta_dirs(path, ptr)
+    dirs = [(0, os.path.join(_base_dir(path, ptr), name))] + [
+        (_cdc_gen(d), os.path.join(d, name)) for d in deltas
     ]
-    return spark.read.parquet(*paths)
+    evs = [
+        (_cdc_gen(d), os.path.join(d, "evicted"))
+        for d in deltas
+        if os.path.isdir(os.path.join(d, "evicted"))
+    ]
+    if not evs:
+        return spark.read.parquet(*[p for _, p in dirs])
+    out = None
+    for gen, p in dirs:
+        df = spark.read.parquet(p)
+        later = [e for g, e in evs if g > gen]
+        if later:
+            ev = spark.read.parquet(*later).select("id").distinct()
+            df = df.join(F.broadcast(ev), "id", "left_anti")
+        out = df if out is None else out.unionByName(df)
+    return out
 
 
 def _components_pointer(path: str) -> str:
@@ -418,6 +459,171 @@ def incremental_dedup_update(
         df.write.mode("overwrite").parquet(os.path.join(delta_dir, name))
     with open(os.path.join(delta_dir, "_COMMITTED"), "w") as f:
         f.write(str(tag))
+    _swap_components(path, new_comp)
+    return new_comp
+
+
+def _cdc_delta_fingerprint(delta: DataFrame, id_col: str, op_col: str) -> str:
+    """Content tag for a CDC delta: like ``_delta_fingerprint`` but the
+    digest covers (op, id) so an INSERT-then-DELETE of the same ids in
+    two later folds cannot collide tags and silently replace history."""
+    key = F.concat_ws(":", F.col(op_col), F.col(id_col).cast("string"))
+    row = delta.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.conv(F.substring(F.sha2(key, 256), 1, 15), 16, 10).cast("decimal(38,0)")
+        ).alias("d1"),
+        F.sum(
+            F.conv(F.substring(F.sha2(key, 256), 17, 15), 16, 10).cast("decimal(38,0)")
+        ).alias("d2"),
+    ).first()
+    return f"n{row['n']}_a{row['d1']}_b{row['d2']}"
+
+
+def cdc_dedup_index_update(
+    spark: SparkSession,
+    path: str,
+    delta: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    op_col: str = "operation",
+    batch_tag: str | None = None,
+) -> DataFrame:
+    """Fold an I/U/D CDC delta into the dedup index — the near-dup
+    analog of the CDC-maintained rollup and ANN index: the index (and
+    its exact cluster table) tracks a replicated document corpus
+    through inserts, updates, and deletes in O(delta + affected
+    clusters), never O(corpus).
+
+    ``delta`` carries (``op_col`` ∈ INSERT/UPDATE/DELETE, ``id_col``,
+    ``text_col`` — the NEW text for INSERT/UPDATE, ignored for DELETE).
+
+    Mechanics:
+
+    - **Index tables**: UPDATE/DELETE ids go to the delta's ``evicted``
+      list (generation-aware reads drop the old images); INSERT/UPDATE
+      new images get fresh gram/band/size rows. One delta directory,
+      committed all-or-nothing by the ``_COMMITTED`` marker — identical
+      crash discipline to the insert-only fold.
+    - **Clusters, exactly**: deletions can SPLIT a component and
+      insertions can MERGE two, so contracted-graph folding is not
+      enough. Instead: the affected component set = components owning
+      any evicted id ∪ components of any band-collision partner of a
+      new image. Their members (minus evicted, plus new/partner docs)
+      form a subgraph whose candidate pairs re-derive from the stored
+      post-change bands and verify against the stored post-change
+      cells — O(affected members), with every verified old↔old edge
+      inside one component by CC's definition, so no cross-boundary
+      edge can be missed. Untouched components carry over unchanged.
+
+    Returns the updated (v, component) table (non-singletons, component
+    = cluster-min id — same contract as the batch operator). Once an
+    index takes CDC folds, keep using this API (the insert-only fold
+    does not know about evictions ordered after its rows)."""
+    delta = delta.select(
+        F.col(op_col).alias("__op"),
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(text_col).alias(text_col),
+    ).localCheckpoint(eager=False)
+    tag = (
+        batch_tag
+        if batch_tag is not None
+        else _cdc_delta_fingerprint(delta, id_col, "__op")
+    )
+    _prune_uncommitted_deltas(path)
+    root = _deltas_root(path)
+    seq = 1
+    if os.path.isdir(root):
+        for d in os.listdir(root):
+            g = _cdc_gen(d)
+            if d.endswith(f"-{tag}"):
+                seq = g  # replay: reuse the crashed fold's generation
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+                break
+            seq = max(seq, g + 1)
+    delta_dir = os.path.join(root, f"g{seq:06d}-{tag}")
+
+    evicted = (
+        delta.filter(F.col("__op").isin("UPDATE", "DELETE"))
+        .select(F.col(id_col).alias("id"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    new_docs = delta.filter(F.col("__op").isin("INSERT", "UPDATE")).select(
+        id_col, text_col
+    )
+    d_cells, d_bands, d_sizes = _delta_tables(new_docs, text_col, id_col)
+    d_bands = d_bands.localCheckpoint(eager=False)
+    for name, df in (("cells", d_cells), ("bands", d_bands), ("sizes", d_sizes)):
+        df.write.mode("overwrite").parquet(os.path.join(delta_dir, name))
+    evicted.write.mode("overwrite").parquet(os.path.join(delta_dir, "evicted"))
+    with open(os.path.join(delta_dir, "_COMMITTED"), "w") as f:
+        f.write(str(tag))
+
+    # post-change index: includes this delta, excludes evicted images
+    post_cells = read_index_table(spark, path, "cells")
+    post_bands = read_index_table(spark, path, "bands")
+    post_sizes = read_index_table(spark, path, "sizes")
+    old_comp = read_components(spark, path).localCheckpoint(eager=True)
+
+    new_ids = new_docs.select(F.col(id_col).alias("id")).distinct()
+    # partners: every doc whose band collides with a new image's band
+    partners = (
+        d_bands.alias("x")
+        .join(
+            post_bands.alias("y"),
+            (F.col("x.band_id") == F.col("y.band_id"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.id") != F.col("y.id")),
+        )
+        .select(F.col("y.id").alias("id"))
+        .distinct()
+    )
+    aff_seed = evicted.unionByName(partners).unionByName(new_ids).distinct()
+    aff_comp_ids = (
+        old_comp.join(aff_seed.withColumnRenamed("id", "v"), "v", "left_semi")
+        .select("component")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # membership: affected components' old members and partner
+    # singletons, minus every evicted OLD image — then the new images
+    # re-join (an UPDATE's id is in both lists: its old image leaves,
+    # its new image participates)
+    members = (
+        old_comp.join(aff_comp_ids, "component", "left_semi")
+        .select(F.col("v").alias("id"))
+        .unionByName(partners)
+        .join(evicted, "id", "left_anti")
+        .unionByName(new_ids)
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    mb = post_bands.join(members, "id", "left_semi")
+    cand = (
+        mb.alias("x")
+        .join(
+            mb.alias("y"),
+            (F.col("x.band_id") == F.col("y.band_id"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    pairs = _verify_pairs(
+        cand,
+        post_cells.join(members, "id", "left_semi"),
+        post_sizes.join(members, "id", "left_semi"),
+        _THRESHOLD,
+    )
+    sub_comp = connected_components(pairs, "id_a", "id_b")
+    new_comp = (
+        old_comp.join(aff_comp_ids, "component", "left_anti")
+        .select("v", "component")  # the anti-join key moved to the front
+        .unionByName(sub_comp)
+        .localCheckpoint(eager=True)
+    )
     _swap_components(path, new_comp)
     return new_comp
 

@@ -40,8 +40,9 @@ from python_cdc_spark.queries import (  # noqa: F401, E402
 # Round-10 rotation (VERDICT r9 item #1): freshness-ordered. Latest-green
 # rounds per name recomputed from CORRECTNESS_r01-r09 (r9: 50, r8: 49,
 # r7: 50, r6: 13; zero ever-red, zero never-green). The window leads
-# with this round's debut (ann_index_cdc_maintained — the CDC-maintained
-# ANN index, registered mid-round per the debut discipline), then the
+# with this round's debuts (ann_index_cdc_maintained — the CDC-maintained
+# ANN index — and dedup_index_cdc_maintained — the CDC-maintained dedup
+# index, both registered mid-round per the debut discipline), then the
 # five names whose CODE or ORACLE changed this round and whose latest
 # driver row therefore predates the change (sketch_kll_quantiles:
 # production variant without the rank-verify join; cdc_pipeline_composite:
@@ -63,8 +64,9 @@ from python_cdc_spark.queries import (  # noqa: F401, E402
 # queries at sf0.01) and the end-of-round sf0.1/sf1 sweeps. After r10
 # lands green, no name's latest green driver row is older than r07.
 _WINDOW = [
-    # --- Debut: first driver row lands now (debut-first discipline) ---
+    # --- Debuts: first driver rows land now (debut-first discipline) ---
     "ann_index_cdc_maintained",
+    "dedup_index_cdc_maintained",
     # --- Changed this round: rows must postdate the change ---
     "sketch_kll_quantiles",
     "cdc_pipeline_composite",
@@ -116,7 +118,8 @@ _WINDOW = [
     "text_bm25_search",
     "text_duplicate_span_coverage",
     "text_tf_topk",
-    "events_anomaly_mad",
+    # events_anomaly_mad (r07) yielded its slot to the second debut;
+    # it leads the r11 window with the other 19 deferred r07 names
 ]
 assert len(_WINDOW) == 50, f"driver window must hold exactly 50, got {len(_WINDOW)}"
 assert len(set(_WINDOW)) == 50, "duplicate names in the driver window"

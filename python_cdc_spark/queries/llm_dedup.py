@@ -76,12 +76,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_sigs() -> str:
+def _sql_sigs(src: str = "documents") -> str:
     mins = ", ".join(
         f"MIN(substr(md5(gram), {1 + 4 * i}, 4)) AS mh_{i}" for i in range(_K)
     )
     return f"""
-    t AS (SELECT doc_id, {_SQL_TOKS} AS w FROM documents),
+    t AS (SELECT doc_id, {_SQL_TOKS} AS w FROM {src}),
     cells AS (
       SELECT DISTINCT doc_id AS id, UNNEST(list_distinct({_SQL_GRAMS3})) AS gram FROM t
     ),
@@ -173,8 +173,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # The full pairs pipeline as a reusable CTE chain: dedup_lsh_verified
 # selects from it directly; dedup_components_canonical extends it with a
-# recursive closure.
-_VERIFIED_PAIRS_CTES = f"""{_sql_sigs()},
+# recursive closure; dedup_index_cdc_maintained re-sources it from a
+# post-CDC corpus CTE via _verified_pairs_ctes(src).
+def _verified_pairs_ctes(src: str = "documents") -> str:
+    return f"""{_sql_sigs(src)},
     bands AS (
       SELECT id,
              {", ".join(
@@ -213,6 +215,9 @@ _VERIFIED_PAIRS_CTES = f"""{_sql_sigs()},
       WHERE CAST(s.shared AS DOUBLE)
               / CAST(sa.set_size + sb.set_size - s.shared AS DOUBLE) >= 0.5
     )"""
+
+
+_VERIFIED_PAIRS_CTES = _verified_pairs_ctes()
 
 
 @register(
@@ -682,6 +687,87 @@ def dedup_incremental_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         return incremental_dedup_update(
             spark, tmp, docs.filter(F.col("doc_id") >= boundary)
         )
+
+
+# Post-CDC corpus for the index-maintenance gate, as one SQL CTE pair:
+# base = doc_id < ~60% boundary; the delta INSERTs the rest, UPDATEs
+# every 17th base doc (text || ' upd'), DELETEs every 23rd (unless it
+# was updated). Deterministic and reproducible on both engines.
+_CDC_CORPUS_CTES = """bounds AS (SELECT (MAX(doc_id) * 3) // 5 AS b FROM documents),
+    corpus AS (
+      SELECT doc_id,
+             CASE WHEN doc_id < (SELECT b FROM bounds) AND doc_id % 17 = 0
+                  THEN text || ' upd' ELSE text END AS text
+      FROM documents
+      WHERE NOT (doc_id < (SELECT b FROM bounds)
+                 AND doc_id % 23 = 0 AND doc_id % 17 <> 0)
+    )"""
+
+
+@register(
+    "dedup_index_cdc_maintained",
+    oracle=f"""
+    WITH RECURSIVE {_CDC_CORPUS_CTES},
+    {_verified_pairs_ctes('corpus')},
+    sym AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b AS a, id_a AS b FROM pairs
+    ),
+    reach(v, l) AS (
+      SELECT DISTINCT a, a FROM sym
+      UNION
+      SELECT s.a, r.l FROM sym s JOIN reach r ON r.v = s.b
+    )
+    SELECT v, MIN(l) AS component FROM reach GROUP BY v
+    """,
+    doc="E25/E26 + E18: CDC-MAINTAINED dedup index — an I/U/D document "
+    "delta folds into the persisted gram/band index (generation-aware "
+    "eviction) and the exact cluster table updates by affected-component "
+    "recompute; must equal the batch closure over the post-CDC corpus",
+)
+def dedup_index_cdc_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third CDC-maintained structure (after the rollup cube and the
+    ANN index): near-dup clusters that track a replicated corpus through
+    INSERT/UPDATE/DELETE in O(delta + affected clusters). The index is
+    bootstrapped on the base 60% of documents, then ONE mixed I/U/D fold
+    applies: inserts (the remaining 40%), updates (every 17th base doc's
+    text changes), deletes (every 23rd, unless updated). Deletions can
+    SPLIT clusters and inserts can MERGE them — the operator recomputes
+    exactly the affected components from the stored post-change index
+    (operators/incremental_dedup.cdc_dedup_index_update). The oracle is
+    the from-scratch recursive closure over the post-CDC corpus:
+    maintained == rebuild is the contract."""
+    import tempfile
+
+    from python_cdc_spark.operators.incremental_dedup import (
+        build_dedup_index,
+        cdc_dedup_index_update,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    b = (int(max_id) * 3) // 5
+    is_upd = (F.col("doc_id") < b) & (F.col("doc_id") % 17 == 0)
+    is_del = (
+        (F.col("doc_id") < b)
+        & (F.col("doc_id") % 23 == 0)
+        & (F.col("doc_id") % 17 != 0)
+    )
+    delta = docs.filter((F.col("doc_id") >= b) | is_upd | is_del).select(
+        F.when(F.col("doc_id") >= b, F.lit("INSERT"))
+        .when(is_upd, F.lit("UPDATE"))
+        .otherwise(F.lit("DELETE"))
+        .alias("operation"),
+        "doc_id",
+        F.when(is_upd, F.concat(F.col("text"), F.lit(" upd")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        build_dedup_index(spark, docs.filter(F.col("doc_id") < b), tmp)
+        # eagerly checkpointed inside the update → outlives the tempdir
+        return cdc_dedup_index_update(spark, tmp, delta)
 
 
 @register(

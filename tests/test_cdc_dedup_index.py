@@ -1,0 +1,172 @@
+"""CDC-maintained dedup index (operators/incremental_dedup.
+cdc_dedup_index_update): an I/U/D document delta folds into the
+persisted gram/band index with generation-aware eviction, and the exact
+cluster table updates by affected-component recompute — splits from
+deletes, merges from inserts, membership moves from updates — always
+equal to a from-scratch batch build over the post-CDC corpus.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from python_cdc_spark.operators.incremental_dedup import (
+    build_dedup_index,
+    cdc_dedup_index_update,
+    compact_dedup_index,
+    read_components,
+    read_index_table,
+    _committed_delta_dirs,
+)
+
+
+def _t(a: int, b: int) -> str:
+    return " ".join(f"tok{i}" for i in range(a, b))
+
+
+def _corpus(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _delta(spark, rows):
+    return spark.createDataFrame(rows, "operation string, doc_id long, text string")
+
+
+def _comps(df_or_spark, idx=None):
+    df = df_or_spark if idx is None else read_components(df_or_spark, idx)
+    return sorted(map(tuple, df.select("v", "component").collect()))
+
+
+def _batch_truth(spark, rows, tmp_path, name):
+    idx = str(tmp_path / name)
+    build_dedup_index(spark, _corpus(spark, rows), idx)
+    return _comps(spark, idx)
+
+
+# Base corpus: a bridged 5-cluster {40..44} (44 = the bridge: deleting
+# it must SPLIT the cluster into {40,41} and {42,43}), two 2-clusters
+# {10,11} and {20,21} (an inserted bridge must MERGE them), and a loner
+# 60 whose UPDATE moves it into {10,11}.
+BASE = [
+    (40, _t(200, 210)), (41, _t(200, 210)),
+    (42, _t(205, 215)), (43, _t(205, 215)),
+    (44, _t(200, 215)),
+    (10, _t(100, 110)), (11, _t(100, 110)),
+    (20, _t(300, 310)), (21, _t(300, 310)),
+    (60, _t(400, 410)),
+]
+
+DELTA = [
+    ("DELETE", 44, None),              # split {40..44} → {40,41}, {42,43}
+    ("INSERT", 25, _t(100, 115)),      # merge {10,11} ∪ {20,21}? no — see below
+    ("UPDATE", 60, _t(100, 110)),      # 60 joins the {10,11} cluster
+]
+
+
+def _post_rows(base, delta):
+    rows = {d: t for d, t in base}
+    for op, d, t in delta:
+        if op == "DELETE":
+            rows.pop(d)
+        else:
+            rows[d] = t
+    return sorted(rows.items())
+
+
+def test_cdc_fold_split_merge_update_matches_batch(spark, tmp_path):
+    """One mixed fold exercising all three structural events: a delete
+    that splits a bridged cluster, an insert near an existing cluster,
+    and an update that moves a doc between clusters — final components
+    must equal the batch build over the post-CDC corpus."""
+    # make the insert a true MERGE bridge: {20,21} re-texted to overlap
+    # the insert's top half
+    base = [(d, _t(105, 115)) if d in (20, 21) else (d, t) for d, t in BASE]
+    idx = str(tmp_path / "idx")
+    build_dedup_index(spark, _corpus(spark, base), idx)
+    before = dict(_comps(spark, idx))
+    # sanity: the scenario is structurally non-trivial
+    assert before[40] == before[42] == before[44]  # bridged 5-cluster
+    assert before[10] != before.get(20, -1)  # two separate clusters
+    assert 60 not in before  # loner
+
+    got = _comps(cdc_dedup_index_update(spark, idx, _delta(spark, DELTA)))
+    want = _batch_truth(spark, _post_rows(base, DELTA), tmp_path, "truth")
+    assert got == want
+    after = dict(got)
+    assert after[40] == after[41] and after[42] == after[43]
+    assert after[40] != after[42]  # the split happened
+    assert after[10] == after[20] == after[25]  # the merge happened
+    assert after[60] == after[10]  # the update moved 60 in
+
+
+def test_eviction_is_generation_aware(spark, tmp_path):
+    """An UPDATE must evict the OLD image's gram rows without touching
+    its own new image: after the fold the doc appears once, with the
+    new text's grams only; a DELETE leaves no rows at all."""
+    idx = str(tmp_path / "idx")
+    build_dedup_index(spark, _corpus(spark, BASE), idx)
+    cdc_dedup_index_update(spark, idx, _delta(spark, DELTA))
+    cells = read_index_table(spark, idx, "cells")
+    # deleted doc: gone from every table
+    assert cells.filter(F.col("id") == 44).count() == 0
+    assert read_index_table(spark, idx, "sizes").filter(F.col("id") == 44).count() == 0
+    # updated doc: exactly the new text's grams (t(100,110) = 8 grams),
+    # none of the old t(400,410) grams
+    g60 = [r["gram"] for r in cells.filter(F.col("id") == 60).collect()]
+    assert len(g60) == len(set(g60)) == 8
+    assert all("tok10" in g or "tok1" in g for g in g60)
+    assert not any("tok40" in g for g in g60)
+    # sizes row reflects the new image
+    s60 = read_index_table(spark, idx, "sizes").filter(F.col("id") == 60).collect()
+    assert [r["set_size"] for r in s60] == [8]
+
+
+def test_cdc_fold_replay_is_fixpoint(spark, tmp_path):
+    """Replaying the same delta (crash after commit, before/after the
+    swap) must reuse the same generation directory and leave components
+    and index contents identical."""
+    idx = str(tmp_path / "idx")
+    build_dedup_index(spark, _corpus(spark, BASE), idx)
+    delta = _delta(spark, DELTA)
+    comps = _comps(cdc_dedup_index_update(spark, idx, delta))
+    cells = read_index_table(spark, idx, "cells").count()
+    dirs = _committed_delta_dirs(idx)
+    assert len(dirs) == 1 and os.path.basename(dirs[0]).startswith("g000001-")
+
+    replay = _comps(cdc_dedup_index_update(spark, idx, delta))
+    assert replay == comps == _comps(spark, idx)
+    assert read_index_table(spark, idx, "cells").count() == cells
+    assert _committed_delta_dirs(idx) == dirs  # same generation reused
+
+
+def test_second_fold_and_compaction(spark, tmp_path):
+    """A second CDC fold (re-inserting a previously deleted doc and
+    deleting the merge bridge) stacks generations correctly, and
+    compaction materializes the evictions without changing answers."""
+    idx = str(tmp_path / "idx")
+    build_dedup_index(spark, _corpus(spark, BASE), idx)
+    cdc_dedup_index_update(spark, idx, _delta(spark, DELTA))
+    delta2 = [
+        ("INSERT", 44, _t(200, 215)),  # re-bridge: {40,41} ∪ {42,43} re-merge
+        ("DELETE", 25, None),
+    ]
+    got = _comps(cdc_dedup_index_update(spark, idx, _delta(spark, delta2)))
+    want = _batch_truth(
+        spark, _post_rows(_post_rows(BASE, DELTA), delta2), tmp_path, "truth2"
+    )
+    assert got == want
+    after = dict(got)
+    assert after[40] == after[44] == after[42]  # re-merged
+    assert 25 not in after
+
+    n_cells = read_index_table(spark, idx, "cells").count()
+    assert compact_dedup_index(spark, idx) == 2
+    assert read_index_table(spark, idx, "cells").count() == n_cells
+    assert _comps(spark, idx) == want
+    # compaction materialized the evictions: no evicted ids anywhere
+    assert (
+        read_index_table(spark, idx, "cells").filter(F.col("id") == 25).count() == 0
+    )
