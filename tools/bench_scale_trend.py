@@ -121,7 +121,10 @@ GATES_TREND = [
 
 def main() -> None:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    argv = [a for a in sys.argv[1:] if not a.startswith("--wave=")]
+    # positionals only: every --flag is consumed by name below (the
+    # r10 gates run lost its sf10 pass to "--isolate" being read as
+    # the sf10 dir)
+    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
     trend, wave = (
         (LLM_TREND, "llm") if "--wave=llm" in sys.argv[1:]
         else (PROD_TREND, "prod") if "--wave=prod" in sys.argv[1:]
@@ -131,7 +134,6 @@ def main() -> None:
     # --only=a,b re-measures a subset of the wave (e.g. after a fix to
     # one family) without paying for the whole wave at sf10
     only = [a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("--only=")]
-    argv = [a for a in argv if not a.startswith("--only=")]
     if only:
         wanted = set(only[0].split(","))
         trend = [n for n in trend if n in wanted]
