@@ -47,19 +47,18 @@ def main() -> None:
     spark = get_spark(app_name="bench_dedup_cdc")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # delta-rate knobs: every (1/rate)th doc updates; every (1/rate)th
-    # (shifted) deletes; inserts = the top `rate` slice of ids held out
-    # of the base. Deterministic from doc_id.
+    # delta-rate knobs, all modular on doc_id so they stay uniform over
+    # the key-offset .sf1/.sf10 replicas: residue 0 updates, residue 1
+    # deletes, residue 2 is held out of the base and inserted by the
+    # delta — each class ~ rate of the corpus, delta ~ 3*rate total.
     out: dict = {"metric": "dedup_cdc_fold_vs_rebuild", "unit": "sec",
-                 "delta_rate": rate, "per_sf": {}}
-    mod = max(2, int(round(1.0 / rate)))
+                 "delta_rate_per_class": rate, "per_sf": {}}
+    mod = max(3, int(round(1.0 / rate)))
     for sf in sf_dirs:
         docs = table(spark, sf, "documents").select("doc_id", "text")
-        max_id = int(docs.agg(F.max("doc_id")).first()[0])
-        ins_lo = max_id - int(max_id * rate)  # top slice inserted later
-        is_base = F.col("doc_id") < ins_lo
-        is_upd = is_base & (F.col("doc_id") % mod == 0)
-        is_del = is_base & (F.col("doc_id") % mod == 1)
+        is_base = F.col("doc_id") % mod != 2
+        is_upd = F.col("doc_id") % mod == 0
+        is_del = F.col("doc_id") % mod == 1
         delta = docs.filter((~is_base) | is_upd | is_del).select(
             F.when(~is_base, F.lit("INSERT"))
             .when(is_upd, F.lit("UPDATE"))
