@@ -96,6 +96,10 @@ HEADLINE = [
     # round 10: CDC-maintained ANN index (build base lists + fold the
     # I/U/D delta + read back, every invocation — the maintenance gate)
     "ann_index_cdc_maintained",
+    # round 10 second debut: CDC-maintained dedup index (build the
+    # gram/band index over the base corpus + ONE mixed I/U/D fold with
+    # affected-component recompute, every invocation)
+    "dedup_index_cdc_maintained",
 ]
 
 

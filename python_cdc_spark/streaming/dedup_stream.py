@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from python_cdc_spark.operators.incremental_dedup import (
     build_dedup_index,
+    cdc_dedup_index_update,
     incremental_dedup_update,
 )
 
@@ -107,3 +108,47 @@ class StreamingCorpusDedup:
         if available_now:
             writer = writer.trigger(availableNow=True)
         return writer.start()
+
+
+class StreamingCdcCorpusDedup(StreamingCorpusDedup):
+    """Near-dup clusters maintained by a LIVE I/U/D document CDC stream —
+    the dedup analog of ``StreamingCdcRollupMaintenance`` and the
+    streaming ANN maintenance: each micro-batch carries
+    (``op_col`` ∈ INSERT/UPDATE/DELETE, id, text) rows and folds through
+    ``cdc_dedup_index_update`` (generation-aware eviction + affected-
+    component recompute), so the cluster table tracks a corpus that
+    CHANGES, not just grows.
+
+    Restart semantics are inherited: the CDC fold is replay-idempotent
+    by tag (a replayed batch deletes and rewrites its own generation
+    directory, and the recompute is a deterministic fixpoint), with the
+    ``_folded.json`` marker skipping the recompute entirely on replay.
+    Batches must apply in stream order (generations are monotone) —
+    Structured Streaming guarantees that for a single query."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_path: str,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        op_col: str = "operation",
+    ):
+        super().__init__(spark, index_path, text_col, id_col)
+        self.op_col = op_col
+
+    def fold_batch(self, batch: DataFrame, batch_id: int | None = None) -> None:
+        if batch_id is not None and batch_id in self._folded_ids():
+            return  # checkpoint replay after a crash mid-commit
+        if not batch.isEmpty():
+            cdc_dedup_index_update(
+                self.spark,
+                self.index_path,
+                batch,
+                self.text_col,
+                self.id_col,
+                self.op_col,
+                batch_tag=None if batch_id is None else f"cdcbatch_{batch_id}",
+            )
+        if batch_id is not None:
+            self._mark_folded(batch_id)

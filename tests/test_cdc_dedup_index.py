@@ -142,6 +142,51 @@ def test_cdc_fold_replay_is_fixpoint(spark, tmp_path):
     assert _committed_delta_dirs(idx) == dirs  # same generation reused
 
 
+def test_streaming_cdc_dedup_matches_batch(spark, tmp_path):
+    """STREAMING TWIN: an I/U/D document CDC feed drained in two
+    micro-batches through StreamingCdcCorpusDedup must yield exactly
+    the components of a batch build over the post-CDC corpus, replays
+    must be no-ops, and generations must stack in stream order."""
+    from python_cdc_spark.streaming.dedup_stream import StreamingCdcCorpusDedup
+
+    base = [(d, _t(105, 115)) if d in (20, 21) else (d, t) for d, t in BASE]
+    feed = tmp_path / "cdcfeed"
+    feed.mkdir()
+    batch1 = [("DELETE", 44, None), ("INSERT", 25, _t(100, 115))]
+    batch2 = [("UPDATE", 60, _t(100, 110)), ("DELETE", 41, None)]
+    _delta(spark, batch1).coalesce(1).write.json(str(feed / "f1"))
+    _delta(spark, batch2).coalesce(1).write.json(str(feed / "f2"))
+
+    dd = StreamingCdcCorpusDedup(spark, str(tmp_path / "idx"))
+    dd.bootstrap(_corpus(spark, base))
+    stream = (
+        spark.readStream.schema("operation string, doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .json(str(feed))
+    )
+    q = dd.start(stream, str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+
+    got = _comps(dd.components())
+    want = _batch_truth(
+        spark, _post_rows(_post_rows(base, batch1), batch2), tmp_path, "truth_s"
+    )
+    assert got == want
+    dirs = [os.path.basename(d) for d in _committed_delta_dirs(str(tmp_path / "idx"))]
+    assert dirs == ["g000001-cdcbatch_0", "g000002-cdcbatch_1"]
+
+    # restarting the drained stream is a contents no-op
+    q2 = dd.start(stream, str(tmp_path / "ckpt"))
+    q2.awaitTermination(60)
+    assert _comps(dd.components()) == want
+    # a marker-less replay of an already-folded batch (crash before
+    # _folded.json committed) re-runs the fold and must be a fixpoint
+    os.remove(os.path.join(str(tmp_path / "idx"), "_folded.json"))
+    dd.fold_batch(_delta(spark, batch2), batch_id=1)
+    assert _comps(dd.components()) == want
+
+
 def test_second_fold_and_compaction(spark, tmp_path):
     """A second CDC fold (re-inserting a previously deleted doc and
     deleting the merge bridge) stacks generations correctly, and
