@@ -21,6 +21,14 @@ def spark():
 @pytest.fixture(scope="session")
 def duck():
     con = duckdb.connect()
+    # Explicit pool bound + spill cap (same practice as
+    # tools/oracle_sweep.py): without a limit DuckDB sizes its pool off
+    # total RAM and ignores the co-resident 32g Spark JVM — under
+    # concurrent peaks (recursive-closure oracles) that surfaced as
+    # transient 2 KB bad_alloc failures mid-suite (r10, twice). A
+    # bounded pool spills instead.
+    con.execute("SET memory_limit='48GB'")
+    con.execute("SET max_temp_directory_size='32GB'")
     # Views over the correctness scale factor, mirroring the driver.
     for name in ANALYTIC_TABLES:
         con.execute(
