@@ -187,6 +187,51 @@ def test_streaming_cdc_dedup_matches_batch(spark, tmp_path):
     assert _comps(dd.components()) == want
 
 
+_SHAPES = [
+    _t(0, 10), _t(0, 15), _t(5, 15),      # a bridged chain family
+    _t(100, 110), _t(100, 115),           # a second family
+    _t(400, 410),                         # a loner family
+]
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+base_st = st.dictionaries(st.integers(0, 5), st.integers(0, len(_SHAPES) - 1),
+                          min_size=1, max_size=6)
+delta_st = st.dictionaries(
+    st.integers(0, 15),
+    st.tuples(st.sampled_from(["INSERT", "UPDATE", "DELETE"]),
+              st.integers(0, len(_SHAPES) - 1)),
+    min_size=1, max_size=8,
+)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(base=base_st, delta=delta_st)
+def test_cdc_fold_matches_batch_property(spark, tmp_path_factory, base, delta):
+    """PROPERTY: for any base corpus over the shape pool and any
+    per-key-collapsed I/U/D delta (ops normalized: existing ids can
+    only UPDATE/DELETE, new ids only INSERT), one CDC fold equals the
+    batch build over the post-CDC corpus exactly."""
+    base_rows = [(i, _SHAPES[s]) for i, s in sorted(base.items())]
+    delta_rows = []
+    for i, (op, s) in sorted(delta.items()):
+        if i in base:
+            op = "UPDATE" if op == "INSERT" else op
+            delta_rows.append((op, i, _SHAPES[s] if op == "UPDATE" else None))
+        else:
+            delta_rows.append(("INSERT", i, _SHAPES[s]))
+
+    tmp = tmp_path_factory.mktemp("cdcprop")
+    idx = str(tmp / "idx")
+    build_dedup_index(spark, _corpus(spark, base_rows), idx)
+    got = _comps(cdc_dedup_index_update(spark, idx, _delta(spark, delta_rows)))
+    want = _batch_truth(spark, _post_rows(base_rows, delta_rows), tmp, "truth")
+    assert got == want
+
+
 def test_second_fold_and_compaction(spark, tmp_path):
     """A second CDC fold (re-inserting a previously deleted doc and
     deleting the merge bridge) stacks generations correctly, and
