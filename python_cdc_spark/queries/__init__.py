@@ -67,6 +67,7 @@ _WINDOW = [
     # --- Debuts: first driver rows land now (debut-first discipline) ---
     "ann_index_cdc_maintained",
     "dedup_index_cdc_maintained",
+    "bm25_index_cdc_maintained",
     # --- Changed this round: rows must postdate the change ---
     "sketch_kll_quantiles",
     "cdc_pipeline_composite",
@@ -116,10 +117,11 @@ _WINDOW = [
     "streaming_tumbling_hourly",
     "text_bigram_lm_score",
     "text_bm25_search",
-    "text_duplicate_span_coverage",
     "text_tf_topk",
-    # events_anomaly_mad (r07) yielded its slot to the second debut;
-    # it leads the r11 window with the other 19 deferred r07 names
+    # events_anomaly_mad and text_duplicate_span_coverage (both r07,
+    # family-covered by fresher rows) yielded their slots to the second
+    # and third debuts; they lead the r11 window with the other 19
+    # deferred r07 names
 ]
 assert len(_WINDOW) == 50, f"driver window must hold exactly 50, got {len(_WINDOW)}"
 assert len(set(_WINDOW)) == 50, "duplicate names in the driver window"

@@ -51,3 +51,19 @@ def sql_dec_avg(expr: str, alias: str) -> str:
         f"CAST(ROUND(SUM(CAST({expr} AS DECIMAL(30,10))), {_OUT_SCALE}) AS DOUBLE)"
         f" / COUNT({expr}) AS {alias}"
     )
+
+
+# Post-CDC document corpus for the CDC-maintained index gates
+# (dedup index, BM25 index) — ONE definition so the two gates cannot
+# drift: base = doc_id < ~60% boundary; the delta INSERTs the rest,
+# UPDATEs every 17th base doc (text || ' upd'), DELETEs every 23rd
+# (unless it was updated). Deterministic on both engines.
+CDC_CORPUS_CTES = """bounds AS (SELECT (MAX(doc_id) * 3) // 5 AS b FROM documents),
+    corpus AS (
+      SELECT doc_id,
+             CASE WHEN doc_id < (SELECT b FROM bounds) AND doc_id % 17 = 0
+                  THEN text || ' upd' ELSE text END AS text
+      FROM documents
+      WHERE NOT (doc_id < (SELECT b FROM bounds)
+                 AND doc_id % 23 = 0 AND doc_id % 17 <> 0)
+    )"""

@@ -18,6 +18,7 @@ from python_cdc_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash,
 )
+from python_cdc_spark.queries.helpers import CDC_CORPUS_CTES
 from python_cdc_spark.queries.llm_text import _SQL_GRAMS3, _SQL_NORM, _SQL_TOKS
 from python_cdc_spark.queries.registry import register
 
@@ -689,19 +690,10 @@ def dedup_incremental_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
 
-# Post-CDC corpus for the index-maintenance gate, as one SQL CTE pair:
-# base = doc_id < ~60% boundary; the delta INSERTs the rest, UPDATEs
-# every 17th base doc (text || ' upd'), DELETEs every 23rd (unless it
-# was updated). Deterministic and reproducible on both engines.
-_CDC_CORPUS_CTES = """bounds AS (SELECT (MAX(doc_id) * 3) // 5 AS b FROM documents),
-    corpus AS (
-      SELECT doc_id,
-             CASE WHEN doc_id < (SELECT b FROM bounds) AND doc_id % 17 = 0
-                  THEN text || ' upd' ELSE text END AS text
-      FROM documents
-      WHERE NOT (doc_id < (SELECT b FROM bounds)
-                 AND doc_id % 23 = 0 AND doc_id % 17 <> 0)
-    )"""
+# Post-CDC corpus for the index-maintenance gates: one shared
+# definition (queries/helpers.py CDC_CORPUS_CTES) so the dedup and
+# BM25 gates cannot drift.
+_CDC_CORPUS_CTES = CDC_CORPUS_CTES
 
 
 @register(

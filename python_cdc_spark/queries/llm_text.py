@@ -22,6 +22,7 @@ from python_cdc_spark.functions.text import (
     word_ngrams,
 )
 from python_cdc_spark.io import table
+from python_cdc_spark.queries.helpers import CDC_CORPUS_CTES
 from python_cdc_spark.queries.registry import register
 
 # DuckDB fragments mirroring functions/text.py exactly.
@@ -334,6 +335,46 @@ _BM25_TERMS = ("join", "scan", "filter", "merge")
 _BM25_K1, _BM25_B = 1.2, 0.75
 
 
+def _bm25_oracle_body(src: str = "documents") -> str:
+    """The BM25 CTE chain from tokenization to ranked top-20,
+    parameterized on the corpus source (the CDC-maintained gate
+    re-sources it from a post-CDC ``corpus`` CTE)."""
+    return f"""t AS (SELECT doc_id, {_SQL_TOKS} AS w FROM {src}),
+    tok AS (SELECT doc_id, UNNEST(w) AS token FROM t),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (
+      SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+             COUNT(*) AS n_docs
+      FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM tok
+      WHERE token IN {str(tuple(_BM25_TERMS))}
+      GROUP BY doc_id, token
+    ),
+    df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY token),
+    contrib AS (
+      SELECT tf.doc_id, tf.token,
+             CAST(
+               ((s.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * (tf.tf * ({_BM25_K1} + 1.0))
+               / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl.dl / s.avgdl))
+             AS DECIMAL(18,9)) AS c
+      FROM tf
+      JOIN df USING (token)
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats s
+    )
+    SELECT doc_id, n_terms, score, rnk FROM (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_terms,
+             CAST(SUM(c) AS DOUBLE) AS score,
+             CAST(ROW_NUMBER() OVER (
+               ORDER BY CAST(SUM(c) AS DOUBLE) DESC, doc_id) AS BIGINT) AS rnk
+      FROM contrib GROUP BY doc_id
+    ) WHERE rnk <= 20"""
+
+
 @register(
     "text_bm25_search",
     oracle=f"""
@@ -428,6 +469,64 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 20)
         .select("doc_id", "n_terms", "score", "rnk")
     )
+
+
+@register(
+    "bm25_index_cdc_maintained",
+    oracle=f"""
+    WITH {CDC_CORPUS_CTES},
+    {_bm25_oracle_body('corpus')}
+    """,
+    doc="E27 + E18: CDC-MAINTAINED BM25 index — postings/df/doclen/"
+    "globals fold under I/U/D by counter arithmetic and touched-bucket "
+    "rewrite; maintained-index search must equal the from-scratch "
+    "ranking over the post-CDC corpus",
+)
+def bm25_index_cdc_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fourth CDC-maintained structure: a persisted text-search
+    index (bucketed postings + doclen, df counters, corpus globals)
+    tracking a replicated corpus through INSERT/UPDATE/DELETE. BM25's
+    sufficient statistics are all algebraic, so the fold is counter
+    arithmetic plus a touched-bucket rewrite — and touched buckets are
+    a pure function of the delta's ids (crc32 bucketing), so unlike the
+    ANN fold there is no victim-location scan at all. Same synthetic
+    delta as the dedup-index gate (inserts 40%, updates every 17th base
+    doc, deletes every 23rd); the search result over the maintained
+    index must hash-match DuckDB's from-scratch BM25 over the post-CDC
+    corpus (operators/bm25_index.py)."""
+    import tempfile
+
+    from python_cdc_spark.operators.bm25_index import (
+        bm25_search,
+        build_bm25_index,
+        cdc_bm25_update,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    b = (int(max_id) * 3) // 5
+    is_upd = (F.col("doc_id") < b) & (F.col("doc_id") % 17 == 0)
+    is_del = (
+        (F.col("doc_id") < b)
+        & (F.col("doc_id") % 23 == 0)
+        & (F.col("doc_id") % 17 != 0)
+    )
+    delta = docs.filter((F.col("doc_id") >= b) | is_upd | is_del).select(
+        F.when(F.col("doc_id") >= b, F.lit("INSERT"))
+        .when(is_upd, F.lit("UPDATE"))
+        .otherwise(F.lit("DELETE"))
+        .alias("operation"),
+        "doc_id",
+        F.when(is_upd, F.concat(F.col("text"), F.lit(" upd")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        build_bm25_index(spark, docs.filter(F.col("doc_id") < b), tmp)
+        cdc_bm25_update(spark, tmp, delta)
+        out = bm25_search(spark, tmp, _BM25_TERMS, 20, _BM25_K1, _BM25_B)
+        # materialize before the index directory disappears
+        return out.localCheckpoint(eager=True)
 
 
 @register(
