@@ -100,6 +100,9 @@ HEADLINE = [
     # gram/band index over the base corpus + ONE mixed I/U/D fold with
     # affected-component recompute, every invocation)
     "dedup_index_cdc_maintained",
+    # round 10 third debut: CDC-maintained BM25 index (build + algebraic
+    # counter fold + maintained-index search, every invocation)
+    "bm25_index_cdc_maintained",
 ]
 
 
