@@ -18,15 +18,18 @@ def spark():
     yield s
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def duck():
+    """Fresh DuckDB connection per test. The former session-scoped
+    connection accumulated allocator state across ~160 heavy oracles
+    (recursive closures, ADC replays) and eventually failed a 2 KB
+    allocation with ~120 GB free — a process-level malloc/mapping
+    exhaustion a memory_limit did NOT prevent (r10, three incidents:
+    ivfrq twice, events_histogram once, each passing in isolation).
+    Per-test connections bound the state; the connect+views cost is
+    ~50 ms. The pool/spill caps stay (oracle_sweep practice) so a
+    single heavy oracle spills instead of competing with the 32g JVM."""
     con = duckdb.connect()
-    # Explicit pool bound + spill cap (same practice as
-    # tools/oracle_sweep.py): without a limit DuckDB sizes its pool off
-    # total RAM and ignores the co-resident 32g Spark JVM — under
-    # concurrent peaks (recursive-closure oracles) that surfaced as
-    # transient 2 KB bad_alloc failures mid-suite (r10, twice). A
-    # bounded pool spills instead.
     con.execute("SET memory_limit='48GB'")
     con.execute("SET max_temp_directory_size='32GB'")
     # Views over the correctness scale factor, mirroring the driver.
