@@ -37,91 +37,80 @@ from python_cdc_spark.queries import (  # noqa: F401, E402
 # The driver's correctness gate checks the FIRST 50 registry entries;
 # registration order decides which queries earn a driver CORRECTNESS row.
 #
-# Round-10 rotation (VERDICT r9 item #1): freshness-ordered. Latest-green
-# rounds per name recomputed from CORRECTNESS_r01-r09 (r9: 50, r8: 49,
-# r7: 50, r6: 13; zero ever-red, zero never-green). The window leads
-# with this round's debuts (ann_index_cdc_maintained — the CDC-maintained
-# ANN index — and dedup_index_cdc_maintained — the CDC-maintained dedup
-# index, both registered mid-round per the debut discipline), then the
-# five names whose CODE or ORACLE changed this round and whose latest
-# driver row therefore predates the change (sketch_kll_quantiles:
-# production variant without the rank-verify join; cdc_pipeline_composite:
-# fixture encode moved off the timed path; corpus_sample_weighted_priority:
-# tau degenerate-case fallback; cdc_bloom_delta_prune and
-# sketch_bloom_membership: oracles regenerated from _PB_K/_BLOOM_K),
-# then the 13 queued r06 names from the r9 verdict — dedup_lsh_verified
-# FIRST (its size-aware join fix landed after its last driver row).
-# The remaining 31 slots refresh r07-latest names, preferring the ones
-# whose family has no fresher row; the 19 r07 names that do not fit
-# (multimodal decode/resize/frame trio, the scalar-fn quartet
-# array/map/date/json, case_when_bucketing, distinct_counts,
-# profile_column_stats, embedding_norms, similarity_lsh_buckets,
-# text_token_stats, text_bpe_token_estimate, corpus_chunk_sliding,
-# corpus_shuffle_epochs, udf_udtf_token_explode, interval_concurrency,
-# salted_agg_returnflag — every one family-covered
-# by an r08/r09/r10 row) lead the r11 window. Every rotated-out name
-# stays covered by the local differ (tests/test_queries_oracle.py, ALL
-# queries at sf0.01) and the end-of-round sf0.1/sf1 sweeps. After r10
-# lands green, no name's latest green driver row is older than r07.
+# Round-11 rotation (VERDICT r10 item #1): freshness-ordered. Latest-green
+# rounds per name recomputed from CORRECTNESS_r01-r10 (r10: 50, r9: 47,
+# r8: 47, r7: 21; zero ever-red, zero never-green). The window leads
+# with ALL 21 r07-latest names — the standing coverage contract says no
+# name's latest green driver row may age past r08, and these are the
+# boundary set (events_anomaly_mad first: it yielded its r10 slot to a
+# debut). Next, the four names whose CODE changed this round and whose
+# latest driver row therefore predates the change
+# (bm25_index_cdc_maintained: crash-exact versioned fold + replay guard
+# + gate-cost separation; dedup_index_cdc_maintained: CDC fingerprint
+# now digests text content, gate-cost separation;
+# ann_index_cdc_maintained: gate-cost separation; text_bm25_search:
+# top-k plan pinned). The remaining 25 slots refresh r08-latest names —
+# the full r08 TPC-H block plus rollup rewrites and revenue rollups.
+# The 22 r08 names that do not fit (analytics/sketch/text/timeseries/
+# window families, every one family-covered by an r09/r10 row) lead the
+# r12 window. Every rotated-out name stays covered by the local differ
+# (tests/test_queries_oracle.py, ALL queries at sf0.01) and the
+# end-of-round sf0.1/sf1 sweeps. After r11 lands green, no name's
+# latest green driver row is older than r08.
 _WINDOW = [
-    # --- Debuts: first driver rows land now (debut-first discipline) ---
-    "ann_index_cdc_maintained",
-    "dedup_index_cdc_maintained",
-    "bm25_index_cdc_maintained",
+    # --- The 21 r07-latest names (verdict r10 #1), events_anomaly_mad first ---
+    "events_anomaly_mad",
+    "text_duplicate_span_coverage",
+    "array_functions",
+    "case_when_bucketing",
+    "corpus_chunk_sliding",
+    "corpus_shuffle_epochs",
+    "distinct_counts",
+    "embedding_norms",
+    "interval_concurrency",
+    "json_extraction",
+    "map_functions",
+    "multimodal_decode_meta",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "profile_column_stats",
+    "salted_agg_returnflag",
+    "scalar_date_funcs",
+    "similarity_lsh_buckets",
+    "text_bpe_token_estimate",
+    "text_token_stats",
+    "udf_udtf_token_explode",
     # --- Changed this round: rows must postdate the change ---
-    "sketch_kll_quantiles",
-    "cdc_pipeline_composite",
-    "corpus_sample_weighted_priority",
-    "cdc_bloom_delta_prune",
-    "sketch_bloom_membership",
-    # --- The 13 queued r06 names (verdict r9 #1), dedup_lsh_verified first ---
-    "dedup_lsh_verified",
-    "dedup_minhash_lsh_pairs",
-    "dedup_components_canonical",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_keep_first",
-    "dedup_ngram_jaccard",
-    "similarity_ann_lsh_topk",
-    "similarity_brute_topk",
-    "similarity_ivf_topk",
-    "corpus_split_train_holdout",
-    "agg_cube",
-    "join_left_outer",
-    # --- r07-latest (31 of 50) ---
-    "cdc_control_frames",
-    "cdc_origin_filtered",
-    "cdc_schema_evolution",
-    "cdc_truncate_multi_table",
-    "corpus_curation_pipeline",
-    "corpus_decontaminate_holdout",
-    "corpus_pack_shards",
-    "corpus_quality_funnel",
-    "corpus_stratified_sample",
-    "corpus_weighted_mixture",
-    "dedup_incremental_fold",
-    "dedup_minhash_signatures",
-    "dedup_semantic_clusters",
-    "dedup_simhash",
-    "graph_pagerank_neardup",
-    "graph_triangle_count",
-    "join_range_banded",
-    "ml_linreg_suffstats",
-    "ml_pca_covariance_block",
-    "q21_sole_blame_supplier",
-    "rollup_cdc_partition_pruned",
-    "sessionize_events",
-    "similarity_pq_topk",
-    "streaming_session_window_30m",
-    "streaming_sliding_1h_30m",
-    "streaming_tumbling_hourly",
-    "text_bigram_lm_score",
+    "bm25_index_cdc_maintained",
+    "dedup_index_cdc_maintained",
+    "ann_index_cdc_maintained",
     "text_bm25_search",
-    "text_tf_topk",
-    # events_anomaly_mad and text_duplicate_span_coverage (both r07,
-    # family-covered by fresher rows) yielded their slots to the second
-    # and third debuts; they lead the r11 window with the other 19
-    # deferred r07 names
+    # --- r08-latest refresh (25 of 47) ---
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_part_type_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_discounted_revenue",
+    "q22_dormant_customers",
+    "revenue_by_nation_region",
+    "revenue_yoy_growth",
+    "rollup_distinct_parts_rewrite",
+    "rollup_revenue_rewrite",
+    "customer_rfm_segments",
+    "data_quality_checks",
+    "events_cusum_drift",
+    "events_histogram_equiwidth",
+    "join_key_skew_report",
+    "parts_pareto_abc",
 ]
 assert len(_WINDOW) == 50, f"driver window must hold exactly 50, got {len(_WINDOW)}"
 assert len(set(_WINDOW)) == 50, "duplicate names in the driver window"
