@@ -1,13 +1,18 @@
 """CDC-maintained BM25 index (operators/bm25_index.py): counter
 arithmetic + touched-bucket rewrite under I/U/D must equal a
 from-scratch rebuild over the post-CDC corpus, touch only the delta's
-buckets, and reap emptied buckets.
+buckets, reap emptied buckets — and, since the r11 crash-exactness
+rework, publish every fold by ONE atomic pointer swap: a crash at any
+staged-write point leaves the previous index fully readable, and
+replaying a folded tag is a no-op (counter arithmetic is not
+replay-idempotent, so the ledger must make it so).
 """
 
 from __future__ import annotations
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from python_cdc_spark.operators.bm25_index import (
@@ -15,7 +20,11 @@ from python_cdc_spark.operators.bm25_index import (
     bm25_search,
     build_bm25_index,
     cdc_bm25_update,
+    read_df_table,
+    read_doclen,
     read_globals,
+    read_postings,
+    read_ptr,
 )
 
 
@@ -50,16 +59,15 @@ TERMS = ("join", "scan", "filter", "merge")
 
 
 def _snapshot(spark, path):
-    out = {}
-    for name in ("postings.parquet", "doclen.parquet"):
-        t = spark.read.parquet(os.path.join(path, name))
-        cols = [c for c in t.columns if c != "bucket"]
-        out[name] = sorted(map(tuple, t.select(*cols).collect()))
+    out = {
+        "postings": sorted(
+            map(tuple, read_postings(spark, path).drop("bucket").collect())
+        ),
+        "doclen": sorted(map(tuple, read_doclen(spark, path).drop("bucket").collect())),
+        "df": sorted(map(tuple, read_df_table(spark, path).collect())),
+    }
     g = read_globals(spark, path)
     out["globals"] = (int(g["n_docs"]), int(g["sum_dl"]))
-    out["df"] = sorted(
-        map(tuple, spark.read.parquet(os.path.join(path, "df.parquet")).collect())
-    )
     return out
 
 
@@ -68,7 +76,7 @@ def test_cdc_fold_equals_rebuild(spark, tmp_path):
     build_bm25_index(spark, _corpus(spark, BASE), idx)
     stats = cdc_bm25_update(spark, idx, _delta(spark, DELTA))
     assert stats["evicted_docs"] == 2 and stats["new_docs"] == 2
-    assert stats["n_docs"] == 5
+    assert stats["n_docs"] == 5 and not stats["replayed"]
 
     rebuilt = str(tmp_path / "rebuilt")
     build_bm25_index(spark, _corpus(spark, POST), rebuilt)
@@ -79,8 +87,21 @@ def test_cdc_fold_equals_rebuild(spark, tmp_path):
     assert got == want and len(got) > 0
 
 
+def _current_files(path, table, ptr):
+    """bucket → {file: mtime} for the pointer's CURRENT version dirs."""
+    out = {}
+    for b, v in ptr[table].items():
+        sub = os.path.join(path, table, f"b{int(b):04d}_v{int(v):06d}")
+        out[int(b)] = {
+            f: os.path.getmtime(os.path.join(sub, f))
+            for f in os.listdir(sub)
+            if f.endswith(".parquet")
+        }
+    return out
+
+
 def test_fold_touches_only_delta_buckets(spark, tmp_path):
-    """Untouched bucket directories keep their files byte-for-byte —
+    """Untouched buckets keep their current directory byte-for-byte —
     the O(touched) claim, pinned the same way as the ANN fold."""
     idx = str(tmp_path / "idx")
     build_bm25_index(spark, _corpus(spark, BASE), idx)
@@ -92,45 +113,141 @@ def test_fold_touches_only_delta_buckets(spark, tmp_path):
         .collect()
     }
 
-    def files(base):
-        out = {}
-        for d in os.listdir(base):
-            if d.startswith("bucket="):
-                b = int(d.split("=")[1])
-                sub = os.path.join(base, d)
-                out[b] = {
-                    f: os.path.getmtime(os.path.join(sub, f))
-                    for f in os.listdir(sub)
-                    if f.endswith(".parquet")
-                }
-        return out
-
-    postings = os.path.join(idx, "postings.parquet")
-    before = files(postings)
+    before_ptr = read_ptr(idx)
+    before = _current_files(idx, "postings", before_ptr)
     cdc_bm25_update(spark, idx, _delta(spark, DELTA))
-    after = files(postings)
+    after_ptr = read_ptr(idx)
+    after = _current_files(idx, "postings", after_ptr)
     untouched = set(before) - delta_buckets
     assert untouched, "fixture must leave some buckets untouched"
     for b in untouched:
+        assert after_ptr["postings"][str(b)] == before_ptr["postings"][str(b)]
         assert after[b] == before[b]  # same files, same mtimes
     for b in delta_buckets & set(before):
-        assert after.get(b) != before[b]
+        assert after_ptr["postings"].get(str(b)) != before_ptr["postings"][str(b)]
 
 
 def test_emptied_bucket_is_reaped(spark, tmp_path):
-    """Deleting every doc of a bucket removes its directory entirely."""
+    """Deleting every doc drops every bucket from the pointer (and its
+    directory from disk), and the index still serves + accepts
+    re-inserts."""
     idx = str(tmp_path / "idx")
     build_bm25_index(spark, _corpus(spark, BASE), idx)
-    # delete ALL docs → every bucket dir must vanish
     delta = _delta(spark, [("DELETE", d, None) for d, _ in BASE])
     stats = cdc_bm25_update(spark, idx, delta)
     assert stats["n_docs"] == 0
-    postings = os.path.join(idx, "postings.parquet")
-    assert not any(d.startswith("bucket=") for d in os.listdir(postings))
+    ptr = read_ptr(idx)
+    assert ptr["postings"] == {} and ptr["doclen"] == {}
+    assert not os.listdir(os.path.join(idx, "postings"))
     assert read_globals(spark, idx)["sum_dl"] == 0
-    # and the index still serves (empty) searches + accepts re-inserts
     delta2 = _delta(spark, [("INSERT", d, t) for d, t in BASE])
     cdc_bm25_update(spark, idx, delta2)
     rebuilt = str(tmp_path / "rebuilt")
     build_bm25_index(spark, _corpus(spark, BASE), rebuilt)
     assert _snapshot(spark, idx) == _snapshot(spark, rebuilt)
+
+
+def test_replayed_fold_is_noop(spark, tmp_path):
+    """Counter arithmetic is not replay-idempotent — the fold ledger
+    must make a second fold of the same delta a no-op (the at-least-
+    once streaming case, and the crash-after-publish batch case)."""
+    idx = str(tmp_path / "idx")
+    build_bm25_index(spark, _corpus(spark, BASE), idx)
+    first = cdc_bm25_update(spark, idx, _delta(spark, DELTA))
+    assert not first["replayed"]
+    snap = _snapshot(spark, idx)
+    ptr = read_ptr(idx)
+    again = cdc_bm25_update(spark, idx, _delta(spark, DELTA))
+    assert again["replayed"] and again["n_docs"] == first["n_docs"]
+    assert _snapshot(spark, idx) == snap
+    assert read_ptr(idx) == ptr  # not even a new version was published
+
+
+def test_distinct_delta_same_ids_is_not_a_replay(spark, tmp_path):
+    """The tag digests text content, not just (op, id): a SECOND update
+    wave over the same ids with different text must fold, not alias the
+    first (the dedup-index ADVICE failure mode)."""
+    idx = str(tmp_path / "idx")
+    build_bm25_index(spark, _corpus(spark, BASE), idx)
+    w1 = _delta(spark, [("UPDATE", 2, "first wave")])
+    w2 = _delta(spark, [("UPDATE", 2, "second wave")])
+    assert not cdc_bm25_update(spark, idx, w1)["replayed"]
+    assert not cdc_bm25_update(spark, idx, w2)["replayed"]
+    rebuilt = str(tmp_path / "rebuilt")
+    post = [(d, t) for d, t in BASE if d != 2] + [(2, "second wave")]
+    build_bm25_index(spark, _corpus(spark, post), rebuilt)
+    assert _snapshot(spark, idx) == _snapshot(spark, rebuilt)
+
+
+def test_crash_before_publish_leaves_old_index_intact(spark, tmp_path, monkeypatch):
+    """Kill the fold after every staged write but BEFORE the pointer
+    swap: reads must still serve the pre-fold index exactly, and the
+    replayed fold must converge to the correct post-state."""
+    import python_cdc_spark.operators.bm25_index as mod
+
+    idx = str(tmp_path / "idx")
+    build_bm25_index(spark, _corpus(spark, BASE), idx)
+    snap_before = _snapshot(spark, idx)
+
+    real_write_ptr = mod._write_ptr
+
+    def crash(path, ptr):
+        raise RuntimeError("crash before publish")
+
+    monkeypatch.setattr(mod, "_write_ptr", crash)
+    with pytest.raises(RuntimeError):
+        cdc_bm25_update(spark, idx, _delta(spark, DELTA))
+    monkeypatch.setattr(mod, "_write_ptr", real_write_ptr)
+
+    # every staged directory is invisible: the old pointer still rules
+    assert _snapshot(spark, idx) == snap_before
+    got = sorted(map(tuple, bm25_search(spark, idx, TERMS, 20).collect()))
+    rebuilt0 = str(tmp_path / "rebuilt0")
+    build_bm25_index(spark, _corpus(spark, BASE), rebuilt0)
+    assert got == sorted(map(tuple, bm25_search(spark, rebuilt0, TERMS, 20).collect()))
+
+    # the replay overwrites the orphaned staging dirs and lands cleanly
+    stats = cdc_bm25_update(spark, idx, _delta(spark, DELTA))
+    assert not stats["replayed"] and stats["n_docs"] == 5
+    rebuilt = str(tmp_path / "rebuilt")
+    build_bm25_index(spark, _corpus(spark, POST), rebuilt)
+    assert _snapshot(spark, idx) == _snapshot(spark, rebuilt)
+
+
+def test_crash_mid_stage_leaves_no_orphans_after_next_fold(spark, tmp_path, monkeypatch):
+    """A crash halfway through staging (meta written, buckets partial)
+    is cleaned up by the next successful fold's post-publish sweep."""
+    import python_cdc_spark.operators.bm25_index as mod
+
+    idx = str(tmp_path / "idx")
+    build_bm25_index(spark, _corpus(spark, BASE), idx)
+
+    real = mod._write_buckets
+    calls = {"n": 0}
+
+    def crash_on_second(path, table, frame, touched, versions):
+        calls["n"] += 1
+        if calls["n"] == 2:  # postings staged, doclen about to
+            raise RuntimeError("crash mid-stage")
+        return real(path, table, frame, touched, versions)
+
+    monkeypatch.setattr(mod, "_write_buckets", crash_on_second)
+    with pytest.raises(RuntimeError):
+        cdc_bm25_update(spark, idx, _delta(spark, DELTA))
+    monkeypatch.setattr(mod, "_write_buckets", real)
+
+    cdc_bm25_update(spark, idx, _delta(spark, DELTA))
+    ptr = read_ptr(idx)
+    live = {
+        os.path.join(t, f"b{int(b):04d}_v{int(v):06d}")
+        for t in ("postings", "doclen")
+        for b, v in ptr[t].items()
+    }
+    on_disk = {
+        os.path.join(t, d)
+        for t in ("postings", "doclen")
+        for d in os.listdir(os.path.join(idx, t))
+    }
+    assert on_disk == live  # the sweep reclaimed every orphan
+    metas = [d for d in os.listdir(idx) if d.startswith("meta_v")]
+    assert metas == [f"meta_v{ptr['meta']:06d}"]
