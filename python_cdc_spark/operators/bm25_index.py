@@ -280,12 +280,10 @@ def cdc_bm25_update(
     if tag in ptr["folds"]:
         return {"replayed": True, "tag": tag, "n_docs": int(read_globals(spark, path)["n_docs"])}
 
-    victims = (
-        delta.filter(F.col("__op").isin("UPDATE", "DELETE"))
-        .select("doc_id")
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    # evict-then-place (the ANN fold's discipline): every delta id's old
+    # image leaves before I/U images land, so an INSERT for an id that
+    # already exists upserts instead of silently double-counting
+    victims = delta.select("doc_id").distinct().localCheckpoint(eager=True)
     new_docs = delta.filter(F.col("__op").isin("INSERT", "UPDATE")).select(
         "doc_id", text_col
     )

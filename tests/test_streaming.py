@@ -1769,3 +1769,99 @@ def test_streaming_ann_index_matches_rebuild_and_replays_safely(spark, tmp_path)
     some_cell = next(iter(got.values()))[0]
     probed = si.probe_cells([some_cell])
     assert {int(r["cell"]) for r in probed.collect()} == {some_cell}
+
+
+def test_streaming_bm25_index_matches_rebuild_and_replays_safely(spark, tmp_path):
+    """StreamingBm25Index over availableNow micro-batches == a from-
+    scratch build over the post-apply corpus (postings, doclen, df,
+    globals, and the search ranking); a redelivered micro-batch is a
+    ledger no-op — counter arithmetic can never double-count."""
+    from python_cdc_spark.operators.bm25_index import (
+        build_bm25_index,
+        read_df_table,
+        read_doclen,
+        read_globals,
+        read_postings,
+        read_ptr,
+    )
+    from python_cdc_spark.streaming.bm25_stream import StreamingBm25Index
+
+    base = [
+        (1, "join scan filter alpha beta"),
+        (2, "merge join gamma"),
+        (3, "scan scan scan delta"),
+        (4, "filter epsilon"),
+        (5, "zeta eta theta"),
+    ]
+    batch1 = [
+        ("DELETE", 3, None),
+        ("UPDATE", 2, "filter filter iota"),
+        ("INSERT", 9, "join merge kappa"),
+    ]
+    batch2 = [
+        ("INSERT", 11, "scan filter lambda"),
+        ("UPDATE", 9, "join join mu"),
+        ("DELETE", 4, None),
+    ]
+    post = [
+        (1, "join scan filter alpha beta"),
+        (2, "filter filter iota"),
+        (5, "zeta eta theta"),
+        (9, "join join mu"),
+        (11, "scan filter lambda"),
+    ]
+    terms = ("join", "scan", "filter", "merge")
+
+    si = StreamingBm25Index(spark, str(tmp_path / "idx"))
+    assert si.bootstrap(spark.createDataFrame(base, "doc_id long, text string")) == 5
+
+    ddir = tmp_path / "deltas"
+    ddir.mkdir()
+    for i, rows in enumerate([batch1, batch2]):
+        with open(ddir / f"d{i}.json", "w") as fh:
+            for op, did, text in rows:
+                fh.write(json.dumps({"operation": op, "doc_id": did, "text": text}) + "\n")
+        # the file source orders batches by MODIFICATION TIME, and CDC
+        # folds do not commute — pin the intended order explicitly
+        os.utime(ddir / f"d{i}.json", (1_000_000 + i, 1_000_000 + i))
+    schema = "operation string, doc_id long, text string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(ddir))
+    )
+    q = si.start(stream, str(tmp_path / "ckpt"), available_now=True)
+    q.awaitTermination(120)
+
+    def snap(path):
+        g = read_globals(spark, path)
+        return {
+            "postings": sorted(
+                map(tuple, read_postings(spark, path).drop("bucket").collect())
+            ),
+            "doclen": sorted(
+                map(tuple, read_doclen(spark, path).drop("bucket").collect())
+            ),
+            "df": sorted(map(tuple, read_df_table(spark, path).collect())),
+            "globals": (int(g["n_docs"]), int(g["sum_dl"])),
+        }
+
+    rebuilt = str(tmp_path / "rebuilt")
+    build_bm25_index(
+        spark, spark.createDataFrame(post, "doc_id long, text string"), rebuilt
+    )
+    assert snap(si.path) == snap(rebuilt)
+    got = sorted(map(tuple, si.search(terms, 20).collect()))
+    from python_cdc_spark.operators.bm25_index import bm25_search
+
+    assert got == sorted(map(tuple, bm25_search(spark, rebuilt, terms, 20).collect()))
+
+    # redelivery: same batch id, same rows (the Structured Streaming
+    # contract) — the ledger makes it a no-op, pointer untouched
+    ptr = read_ptr(si.path)
+    replay = spark.createDataFrame(batch2, schema)
+    # batch ids were assigned in file order: d1.json was batch 1
+    stats = si.merge_batch(replay, batch_id=1)
+    assert stats["replayed"]
+    assert read_ptr(si.path) == ptr
+    assert snap(si.path) == snap(rebuilt)
