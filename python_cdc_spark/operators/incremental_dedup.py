@@ -391,6 +391,16 @@ def incremental_dedup_update(
     """
     tag = batch_tag if batch_tag is not None else _delta_fingerprint(delta_docs, id_col)
     delta_dir = os.path.join(_deltas_root(path), str(tag))
+    # CDC-API-exclusive contract, ENFORCED (r10 ADVICE): insert-only
+    # delta dirs read as generation 0, so a fold landed here AFTER any
+    # CDC fold would have its rows evicted by every existing generation's
+    # evicted list — silently dropped inserts. Route through the CDC API.
+    root = _deltas_root(path)
+    if os.path.isdir(root) and any(_cdc_gen(d) > 0 for d in os.listdir(root)):
+        raise ValueError(
+            "index has taken CDC folds (generation directories exist); "
+            "use cdc_dedup_index_update for all further folds"
+        )
     # idempotence: clear partials from any crashed fold, and this tag's
     # directory even if committed (crash after commit, before swap /
     # marker — recomputation is a fixpoint, see module docstring)
@@ -463,11 +473,22 @@ def incremental_dedup_update(
     return new_comp
 
 
-def _cdc_delta_fingerprint(delta: DataFrame, id_col: str, op_col: str) -> str:
+def _cdc_delta_fingerprint(
+    delta: DataFrame, id_col: str, op_col: str, text_col: str
+) -> str:
     """Content tag for a CDC delta: like ``_delta_fingerprint`` but the
-    digest covers (op, id) so an INSERT-then-DELETE of the same ids in
-    two later folds cannot collide tags and silently replace history."""
-    key = F.concat_ws(":", F.col(op_col), F.col(id_col).cast("string"))
+    digest covers (op, id, TEXT) — op so an INSERT-then-DELETE of the
+    same ids in two later folds cannot collide, and text (r10 ADVICE)
+    so a second UPDATE wave over the same id multiset with different
+    content cannot alias an earlier fold's tag and rewrite its
+    generation (which would let later generations' evicted lists
+    suppress the newest images)."""
+    key = F.concat_ws(
+        ":",
+        F.col(op_col),
+        F.col(id_col).cast("string"),
+        F.coalesce(F.col(text_col), F.lit("\x00")),
+    )
     row = delta.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(
@@ -528,7 +549,7 @@ def cdc_dedup_index_update(
     tag = (
         batch_tag
         if batch_tag is not None
-        else _cdc_delta_fingerprint(delta, id_col, "__op")
+        else _cdc_delta_fingerprint(delta, id_col, "__op", text_col)
     )
     _prune_uncommitted_deltas(path)
     root = _deltas_root(path)

@@ -67,3 +67,32 @@ CDC_CORPUS_CTES = """bounds AS (SELECT (MAX(doc_id) * 3) // 5 AS b FROM document
       WHERE NOT (doc_id < (SELECT b FROM bounds)
                  AND doc_id % 23 = 0 AND doc_id % 17 <> 0)
     )"""
+
+
+def cdc_corpus_split(docs):
+    """The Spark side of ``CDC_CORPUS_CTES`` (r10 ADVICE: one
+    definition so the maintained-index gates cannot drift from the
+    shared oracle corpus). Returns ``(base, delta)``: the pre-CDC base
+    corpus (doc_id < the ~60% boundary) and the I/U/D delta whose fold
+    over it yields exactly the oracle's ``corpus`` CTE."""
+    from pyspark.sql import functions as F
+
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    b = (int(max_id) * 3) // 5
+    is_upd = (F.col("doc_id") < b) & (F.col("doc_id") % 17 == 0)
+    is_del = (
+        (F.col("doc_id") < b)
+        & (F.col("doc_id") % 23 == 0)
+        & (F.col("doc_id") % 17 != 0)
+    )
+    delta = docs.filter((F.col("doc_id") >= b) | is_upd | is_del).select(
+        F.when(F.col("doc_id") >= b, F.lit("INSERT"))
+        .when(is_upd, F.lit("UPDATE"))
+        .otherwise(F.lit("DELETE"))
+        .alias("operation"),
+        "doc_id",
+        F.when(is_upd, F.concat(F.col("text"), F.lit(" upd")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return docs.filter(F.col("doc_id") < b), delta

@@ -502,27 +502,12 @@ def bm25_index_cdc_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
         cdc_bm25_update,
     )
 
+    from python_cdc_spark.queries.helpers import cdc_corpus_split
+
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
-    max_id = docs.agg(F.max("doc_id")).first()[0]
-    b = (int(max_id) * 3) // 5
-    is_upd = (F.col("doc_id") < b) & (F.col("doc_id") % 17 == 0)
-    is_del = (
-        (F.col("doc_id") < b)
-        & (F.col("doc_id") % 23 == 0)
-        & (F.col("doc_id") % 17 != 0)
-    )
-    delta = docs.filter((F.col("doc_id") >= b) | is_upd | is_del).select(
-        F.when(F.col("doc_id") >= b, F.lit("INSERT"))
-        .when(is_upd, F.lit("UPDATE"))
-        .otherwise(F.lit("DELETE"))
-        .alias("operation"),
-        "doc_id",
-        F.when(is_upd, F.concat(F.col("text"), F.lit(" upd")))
-        .otherwise(F.col("text"))
-        .alias("text"),
-    )
+    base, delta = cdc_corpus_split(docs)
     with tempfile.TemporaryDirectory() as tmp:
-        build_bm25_index(spark, docs.filter(F.col("doc_id") < b), tmp)
+        build_bm25_index(spark, base, tmp)
         cdc_bm25_update(spark, tmp, delta)
         out = bm25_search(spark, tmp, _BM25_TERMS, 20, _BM25_K1, _BM25_B)
         # materialize before the index directory disappears

@@ -260,3 +260,41 @@ def test_second_fold_and_compaction(spark, tmp_path):
     assert (
         read_index_table(spark, idx, "cells").filter(F.col("id") == 25).count() == 0
     )
+
+
+def test_second_update_wave_same_ids_is_not_a_replay(spark, tmp_path):
+    """r10 ADVICE: the CDC fingerprint digests TEXT, not just (op, id) —
+    a second UPDATE wave over the same id multiset with different
+    content must land as a NEW generation (not rewrite the first wave's
+    directory and let later evicted lists suppress the newest images)."""
+    idx = str(tmp_path / "idx")
+    build_dedup_index(spark, _corpus(spark, BASE), idx)
+    # wave 1: 60 joins {10,11}; an interleaved fold bumps the generation
+    cdc_dedup_index_update(spark, idx, _delta(spark, [("UPDATE", 60, _t(100, 110))]))
+    cdc_dedup_index_update(spark, idx, _delta(spark, [("DELETE", 44, None)]))
+    # wave 2: SAME (op, id) multiset as wave 1, different text — 60
+    # moves on to {20,21}
+    cdc_dedup_index_update(spark, idx, _delta(spark, [("UPDATE", 60, _t(300, 310))]))
+    dirs = _committed_delta_dirs(idx)
+    assert len(dirs) == 3, "wave 2 must be a new generation, not a rewrite"
+
+    post = [(d, t) for d, t in BASE if d not in (44, 60)] + [(60, _t(300, 310))]
+    want = _batch_truth(spark, post, tmp_path, "truth")
+    assert _comps(spark, idx) == want
+    after = dict(_comps(spark, idx))
+    assert after[60] == after[20]  # the newest image won
+
+
+def test_insert_only_fold_refused_after_cdc_fold(spark, tmp_path):
+    """r10 ADVICE: the CDC-API-exclusive contract is enforced — an
+    insert-only fold after any CDC fold would read as generation 0 and
+    have its rows evicted by every existing generation's list."""
+    from python_cdc_spark.operators.incremental_dedup import incremental_dedup_update
+
+    idx = str(tmp_path / "idx")
+    build_dedup_index(spark, _corpus(spark, BASE), idx)
+    cdc_dedup_index_update(spark, idx, _delta(spark, [("DELETE", 44, None)]))
+    with pytest.raises(ValueError, match="CDC folds"):
+        incremental_dedup_update(
+            spark, idx, _corpus(spark, [(99, _t(500, 510))])
+        )
