@@ -197,21 +197,30 @@ def _write_meta(
 def _write_buckets(
     path: str, table: str, frame: DataFrame, touched: list[int], versions: dict
 ) -> dict[str, int]:
-    """Stage new version dirs for ``touched`` buckets; buckets emptied
-    by the fold simply get no directory (and leave the pointer map).
-    Returns the updated bucket→version entries (stringified keys, JSON
-    round-trip-stable)."""
-    frame = frame.localCheckpoint(eager=True)
-    present = {int(r["bucket"]) for r in frame.select("bucket").distinct().collect()}
+    """Stage new version dirs for ``touched`` buckets in ONE Spark write
+    (``partitionBy`` into a transient staging dir, then metadata-only
+    renames into the versioned locations — not one job per bucket).
+    Buckets emptied by the fold simply get no directory (and leave the
+    pointer map). Returns the updated bucket→version entries
+    (stringified keys, JSON round-trip-stable)."""
+    staging = os.path.join(path, table, "_staging")
+    shutil.rmtree(staging, ignore_errors=True)
+    # duplicate the partition column so the data files keep ``bucket``
+    # (partitionBy lifts its column out of the files)
+    frame.withColumn("pb", F.col("bucket")).write.partitionBy("pb").mode(
+        "overwrite"
+    ).parquet(staging)
     out = {}
-    for b in touched:
-        if b not in present:
+    for entry in os.listdir(staging):
+        if not entry.startswith("pb="):
             continue
+        b = int(entry.split("=", 1)[1])
         v = int(versions.get(str(b), -1)) + 1
-        frame.filter(F.col("bucket") == b).write.mode("overwrite").parquet(
-            _bucket_dir(path, table, b, v)
-        )
+        dst = _bucket_dir(path, table, b, v)
+        shutil.rmtree(dst, ignore_errors=True)  # crashed prior attempt
+        os.replace(os.path.join(staging, entry), dst)
         out[str(b)] = v
+    shutil.rmtree(staging, ignore_errors=True)
     return out
 
 

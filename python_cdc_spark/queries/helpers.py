@@ -96,3 +96,43 @@ def cdc_corpus_split(docs):
         .alias("text"),
     )
     return docs.filter(F.col("doc_id") < b), delta
+
+
+def cached_pristine_base(cache_dir: str, fingerprint: str, params: dict, build, work_dir: str) -> bool:
+    """Gate-cost separation for the CDC-maintained-index gates (r10
+    verdict #3, the ``cdc_pipeline_composite`` pattern): the expensive
+    BASE index build is cached once per testdata fingerprint and kept
+    PRISTINE; each gate invocation file-copies it into ``work_dir`` and
+    folds there, so the per-run cost is copy + fold + read — the
+    production shape — instead of a from-scratch rebuild.
+
+    ``build(cache_dir)`` runs only on a cache miss. Returns True on a
+    miss (receipts can report cold/warm). The copy keeps every byte,
+    including the structure's own pointers/markers."""
+    import json
+    import os
+    import shutil
+
+    meta_path = os.path.join(cache_dir, "_gate_meta.json")
+    fresh = True
+    try:
+        with open(meta_path) as f:
+            meta = json.load(f)
+        fresh = not (
+            meta.get("fingerprint") == fingerprint and meta.get("params") == params
+        )
+    except (OSError, ValueError):
+        pass
+    if fresh:
+        shutil.rmtree(cache_dir, ignore_errors=True)
+        os.makedirs(cache_dir, exist_ok=True)
+        build(cache_dir)
+        tmp = meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"fingerprint": fingerprint, "params": params}, f)
+        os.replace(tmp, meta_path)
+    shutil.copytree(
+        cache_dir, work_dir, dirs_exist_ok=True,
+        ignore=shutil.ignore_patterns("_gate_meta.json"),
+    )
+    return fresh
