@@ -751,3 +751,26 @@ def test_bloom_probe_stays_broadcast(spark):
     rep = plan_report(df)
     assert rep["broadcast_join"]
     assert not rep["cartesian"]
+
+
+def test_bm25_topk_uses_take_ordered(spark, tmp_path):
+    """The BM25 top-k relies on InferWindowGroupLimit turning the
+    un-partitioned ``row_number() ≤ k`` into TakeOrderedAndProject —
+    pin that rewrite for BOTH the registered query and the maintained-
+    index search, so a Spark upgrade or refactor that silently degrades
+    it to a single-partition global sort fails here, not at 100 TB
+    (r10 verdict #3 'What's wrong')."""
+    from python_cdc_spark.operators.bm25_index import bm25_search, build_bm25_index
+    from python_cdc_spark.plans.checks import explain_str
+
+    df = QUERIES["text_bm25_search"].fn(spark, SF_SMOKE)
+    assert "TakeOrderedAndProject" in explain_str(df)
+
+    idx = str(tmp_path / "idx")
+    docs = spark.createDataFrame(
+        [(1, "join scan filter"), (2, "merge join"), (3, "scan scan")],
+        "doc_id long, text string",
+    )
+    build_bm25_index(spark, docs, idx)
+    got = bm25_search(spark, idx, ("join", "scan"), 2)
+    assert "TakeOrderedAndProject" in explain_str(got)
