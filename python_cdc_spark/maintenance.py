@@ -1,0 +1,248 @@
+"""Unified vacuum/retention across the four CDC-maintained structures.
+
+The rollup cube, ANN inverted lists, dedup index, and BM25 text index
+all share one durability shape: immutable version directories published
+by an atomic pointer (``_meta.json`` / ``_manifest.json`` / ``_ptr`` /
+``_base_ptr``+``_components_ptr``), with superseded directories left
+behind as garbage for cleanup. Each structure grew its own per-fold
+sweep; this module is the COMMON retention layer over that shared shape
+(r10 verdict #4): one ``vacuum(path)`` that detects the structure kind
+from its marker file, derives the LIVE directory set from the current
+pointer(s), and deletes everything else — returning a receipt
+(kind, removed dirs, bytes reclaimed, live set size) so storage stays
+measurably bounded under any fold history.
+
+Crash-safety is inherited, not bolted on: every kind's live set is
+derived purely from committed pointers, and vacuum only ever DELETES
+unreferenced directories — so any prefix of a vacuum (a crash midway)
+leaves every committed pointer resolvable and the structure fully
+readable. A re-run finishes the sweep. Pinned by
+``tests/test_maintenance.py``.
+
+Retention: ``retain_last`` keeps that many superseded versions below
+the current one where the structure supports time travel (state-store
+manifests, rollup/dedup components grace versions); structures without
+a time-travel contract (BM25 buckets, dedup deltas) ignore it — their
+pointer is the only valid view.
+
+Single-writer, between folds, LOCAL paths — the package-wide
+constraint for all four structures.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
+def detect_kind(path: str) -> str | None:
+    """Structure kind from its pointer marker: ``bm25`` (``_ptr``),
+    ``dedup`` (``_base_ptr``/``_components_ptr``), ``state_store``
+    (``_manifest.json``), ``rollup_catalog`` (a directory of rollup
+    names each holding ``_meta.json``), or ``None``."""
+    if os.path.isfile(os.path.join(path, "_ptr")):
+        return "bm25"
+    if os.path.isfile(os.path.join(path, "_base_ptr")) or os.path.isfile(
+        os.path.join(path, "_components_ptr")
+    ):
+        return "dedup"
+    if os.path.isfile(os.path.join(path, "_manifest.json")):
+        return "state_store"
+    if os.path.isdir(path) and any(
+        os.path.isfile(os.path.join(path, d, "_meta.json"))
+        for d in os.listdir(path)
+        if os.path.isdir(os.path.join(path, d))
+    ):
+        return "rollup_catalog"
+    return None
+
+
+def vacuum(spark, path: str, retain_last: int = 1, dry_run: bool = False) -> dict:
+    """One retention API over all four maintained structures. Returns
+    ``{"kind", "removed", "reclaimed_bytes", "live"}`` where ``removed``
+    lists path-relative directories (empty when already clean)."""
+    kind = detect_kind(path)
+    if kind is None:
+        raise ValueError(f"no maintained structure recognized at {path}")
+    fn = {
+        "bm25": _vacuum_bm25,
+        "dedup": _vacuum_dedup,
+        "state_store": _vacuum_state_store,
+        "rollup_catalog": _vacuum_rollup_catalog,
+    }[kind]
+    removed, live = fn(spark, path, retain_last)
+    reclaimed = 0
+    for rel in removed:
+        full = os.path.join(path, rel)
+        reclaimed += _dir_bytes(full)
+        if not dry_run:
+            if os.path.isdir(full):
+                shutil.rmtree(full, ignore_errors=True)
+            else:
+                try:
+                    os.remove(full)
+                except OSError:
+                    pass
+    if kind == "dedup" and not dry_run:
+        _finalize_dedup(path)
+    return {
+        "kind": kind,
+        "removed": sorted(removed),
+        "reclaimed_bytes": reclaimed,
+        "live": len(live),
+        "dry_run": dry_run,
+    }
+
+
+def _finalize_dedup(path: str) -> None:
+    """After absorbed delta dirs are deleted, drop their entries from
+    the base pointer's ``includes`` so a future fold legitimately
+    reusing a tag isn't silently masked. DELETE-then-rewrite order (the
+    ``_prune_uncommitted_deltas`` discipline): a crash in between only
+    leaves stale includes entries pointing at missing dirs — harmless,
+    fixed by the next vacuum/fold — never a double-count."""
+    from python_cdc_spark.operators.incremental_dedup import (
+        _deltas_root,
+        _read_base_ptr,
+        _write_base_ptr,
+    )
+
+    ptr = _read_base_ptr(path)
+    if ptr["version"] < 0:
+        return
+    root = _deltas_root(path)
+    live = [
+        t for t in ptr["includes"] if os.path.isdir(os.path.join(root, t))
+    ]
+    if live != sorted(ptr["includes"]):
+        _write_base_ptr(path, ptr["version"], live)
+
+
+# --- BM25 (operators/bm25_index.py) -----------------------------------------
+
+
+def _vacuum_bm25(spark, path: str, retain_last: int) -> tuple[list[str], set[str]]:
+    from python_cdc_spark.operators.bm25_index import read_ptr
+
+    ptr = read_ptr(path)
+    live = set()
+    if ptr["meta"] >= 0:
+        live.add(f"meta_v{ptr['meta']:06d}")
+    for table in ("postings", "doclen"):
+        for b, v in ptr[table].items():
+            live.add(os.path.join(table, f"b{int(b):04d}_v{int(v):06d}"))
+    removed = []
+    for entry in os.listdir(path):
+        if entry.startswith("meta_v") and entry not in live:
+            removed.append(entry)
+    for table in ("postings", "doclen"):
+        root = os.path.join(path, table)
+        if not os.path.isdir(root):
+            continue
+        for entry in os.listdir(root):
+            rel = os.path.join(table, entry)
+            if rel not in live:
+                removed.append(rel)
+    return removed, live
+
+
+# --- dedup (operators/incremental_dedup.py) ---------------------------------
+
+
+def _vacuum_dedup(spark, path: str, retain_last: int) -> tuple[list[str], set[str]]:
+    from python_cdc_spark.operators.incremental_dedup import (
+        _committed_delta_dirs,
+        _current_components_dir,
+        _read_base_ptr,
+    )
+
+    ptr = _read_base_ptr(path)
+    live = set()
+    if ptr["version"] >= 0:
+        live.add(f"base_v{ptr['version']}")
+    for d in _committed_delta_dirs(path, ptr):
+        live.add(os.path.join("deltas", os.path.basename(d)))
+    comp = os.path.basename(_current_components_dir(path))
+    live.add(comp)
+    # components grace window: retain_last versions below the current
+    # (a racing reader of an old pointer keeps a complete directory)
+    if comp.startswith("components_v"):
+        cur = int(comp[len("components_v"):])
+        for v in range(max(0, cur - retain_last), cur):
+            live.add(f"components_v{v}")
+    removed = []
+    for entry in os.listdir(path):
+        if entry.startswith(("base_v", "components_v")) and entry not in live:
+            removed.append(entry)
+    droot = os.path.join(path, "deltas")
+    if os.path.isdir(droot):
+        for entry in os.listdir(droot):
+            rel = os.path.join("deltas", entry)
+            if rel not in live:
+                removed.append(rel)
+    return removed, live
+
+
+# --- bucketed state store (streaming/state_store.py) -------------------------
+
+
+def _vacuum_state_store(spark, path: str, retain_last: int) -> tuple[list[str], set[str]]:
+    from python_cdc_spark.streaming.state_store import BucketedStateStore
+
+    store = BucketedStateStore(spark, path)
+    manifest = store._load_manifest()
+    live = {f"v{v}" for v in manifest["buckets"].values()}
+    cur = manifest["version"]
+    retained = set(range(max(1, cur - retain_last + 1), cur + 1)) if retain_last else {cur}
+    for version in retained:
+        snap = os.path.join(path, f"_manifest_v{version}.json")
+        if os.path.isfile(snap):
+            with open(snap) as fh:
+                live |= {f"v{v}" for v in json.load(fh)["buckets"].values()}
+        live.add(f"_manifest_v{version}.json")
+    removed = []
+    for entry in os.listdir(path):
+        if entry.startswith("_manifest_v") and entry.endswith(".json"):
+            if entry not in live:
+                removed.append(entry)
+        elif entry.startswith("v") and entry[1:].isdigit() and entry not in live:
+            removed.append(entry)
+    return removed, live
+
+
+# --- rollup catalog (plans/rollup.py) ----------------------------------------
+
+
+def _vacuum_rollup_catalog(spark, path: str, retain_last: int) -> tuple[list[str], set[str]]:
+    removed, live = [], set()
+    for name in os.listdir(path):
+        meta_path = os.path.join(path, name, "_meta.json")
+        if not os.path.isfile(meta_path):
+            continue
+        try:
+            with open(meta_path) as f:
+                cur = int(json.load(f).get("version", 0))
+        except (OSError, ValueError):
+            continue
+        keep = {f"v{v}" for v in range(max(1, cur - retain_last), cur + 1)}
+        live |= {os.path.join(name, k) for k in keep}
+        for entry in os.listdir(os.path.join(path, name)):
+            if (
+                entry.startswith("v")
+                and entry[1:].isdigit()
+                and entry not in keep
+            ):
+                removed.append(os.path.join(name, entry))
+    return removed, live

@@ -1,0 +1,203 @@
+"""Unified vacuum/retention (python_cdc_spark/maintenance.py): one API
+over the four CDC-maintained structures' shared version-dir + atomic-
+pointer shape. Pins: kind detection, orphan reclamation with receipts,
+crash-mid-vacuum readability (deletion-only of unreferenced dirs), and
+bounded storage under a fold history.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from python_cdc_spark.maintenance import detect_kind, vacuum
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _delta(spark, rows):
+    return spark.createDataFrame(rows, "operation string, doc_id long, text string")
+
+
+BASE = [
+    (1, "join scan filter alpha beta"),
+    (2, "merge join gamma"),
+    (3, "scan scan scan delta"),
+    (4, "filter epsilon"),
+]
+DELTA = [("DELETE", 3, None), ("UPDATE", 2, "filter iota"), ("INSERT", 9, "join kappa")]
+
+
+def test_bm25_vacuum_reclaims_orphans_and_reports_clean(spark, tmp_path):
+    from python_cdc_spark.operators.bm25_index import (
+        bm25_search,
+        build_bm25_index,
+        cdc_bm25_update,
+        read_ptr,
+    )
+
+    idx = str(tmp_path / "idx")
+    build_bm25_index(spark, _docs(spark, BASE), idx)
+    cdc_bm25_update(spark, idx, _delta(spark, DELTA))
+    # the per-fold sweep already ran: a second vacuum must be a no-op
+    rep = vacuum(spark, idx)
+    assert rep["kind"] == "bm25" and rep["removed"] == []
+
+    # inject crash debris: an unreferenced meta version and bucket dir
+    ptr = read_ptr(idx)
+    shutil.copytree(
+        os.path.join(idx, f"meta_v{ptr['meta']:06d}"),
+        os.path.join(idx, "meta_v000999"),
+    )
+    b, v = next(iter(ptr["postings"].items()))
+    src = os.path.join(idx, "postings", f"b{int(b):04d}_v{int(v):06d}")
+    shutil.copytree(src, os.path.join(idx, "postings", f"b{int(b):04d}_v000999"))
+    before = sorted(map(tuple, bm25_search(spark, idx, ("join", "filter"), 5).collect()))
+    rep = vacuum(spark, idx)
+    assert len(rep["removed"]) == 2 and rep["reclaimed_bytes"] > 0
+    after = sorted(map(tuple, bm25_search(spark, idx, ("join", "filter"), 5).collect()))
+    assert after == before
+
+
+def test_dedup_vacuum_reclaims_and_prunes_includes(spark, tmp_path):
+    from python_cdc_spark.operators.incremental_dedup import (
+        _read_base_ptr,
+        build_dedup_index,
+        cdc_dedup_index_update,
+        compact_dedup_index,
+        read_components,
+    )
+
+    def t(a, b):
+        return " ".join(f"tok{i}" for i in range(a, b))
+
+    idx = str(tmp_path / "idx")
+    corpus = [(10, t(0, 10)), (11, t(0, 10)), (20, t(50, 60))]
+    build_dedup_index(spark, _docs(spark, corpus), idx)
+    cdc_dedup_index_update(
+        spark, idx, _delta(spark, [("INSERT", 21, t(50, 60))])
+    )
+    comps = sorted(map(tuple, read_components(spark, idx).collect()))
+
+    # inject debris: an uncommitted delta dir, a stale base version, and
+    # a fake absorbed-includes entry whose dir we then delete via vacuum
+    os.makedirs(os.path.join(idx, "deltas", "g000009-crashed"))
+    ptr = _read_base_ptr(idx)
+    shutil.copytree(
+        os.path.join(idx, f"base_v{ptr['version']}"),
+        os.path.join(idx, f"base_v{ptr['version'] + 7}"),
+    )
+    # make base_v<cur+7> stale by NOT pointing at it (ptr still at cur)
+    rep = vacuum(spark, idx)
+    assert rep["kind"] == "dedup"
+    assert any("crashed" in r for r in rep["removed"])
+    assert any(f"base_v{ptr['version'] + 7}" in r for r in rep["removed"])
+    assert sorted(map(tuple, read_components(spark, idx).collect())) == comps
+
+    # after compaction, vacuum drops nothing new and includes stay true
+    compact_dedup_index(spark, idx)
+    rep2 = vacuum(spark, idx)
+    ptr2 = _read_base_ptr(idx)
+    droot = os.path.join(idx, "deltas")
+    live_tags = set(os.listdir(droot)) if os.path.isdir(droot) else set()
+    assert set(ptr2["includes"]) <= live_tags
+    assert sorted(map(tuple, read_components(spark, idx).collect())) == comps
+
+
+def test_state_store_vacuum_bounds_versions(spark, tmp_path):
+    from python_cdc_spark.streaming.state_store import BucketedStateStore
+
+    store = BucketedStateStore(spark, str(tmp_path / "st"))
+    for i in range(5):
+        df = spark.createDataFrame(
+            [(i, i * 10, 0)], "key long, val long, bucket long"
+        )
+        store.commit(df, [0])
+    # five commits → five version dirs on disk
+    vdirs = [d for d in os.listdir(store.path) if d.startswith("v") and d[1:].isdigit()]
+    assert len(vdirs) == 5
+    rep = vacuum(spark, store.path, retain_last=2)
+    assert rep["kind"] == "state_store"
+    vdirs = [d for d in os.listdir(store.path) if d.startswith("v") and d[1:].isdigit()]
+    assert len(vdirs) <= 2
+    # current read unaffected; time travel inside the window still works
+    assert [(r["key"], r["val"]) for r in store.read().collect()] == [(4, 40)]
+    assert store.read_at(store.version) is not None
+
+
+def test_rollup_catalog_vacuum(spark, tmp_path):
+    from python_cdc_spark.plans.rollup import RollupCatalog
+
+    cat = RollupCatalog(spark, str(tmp_path / "cat"))
+    src = spark.createDataFrame([(1, "a", 10.0), (2, "b", 20.0)], "k long, g string, x double")
+    cat.define("cube", src, {"g": "g"}, {"sx": ("sum", "x")}, fingerprint="f1")
+    cat.refresh("cube", spark.createDataFrame([(3, "a", 5.0)], "k long, g string, x double"))
+    # inject an orphan version dir
+    shutil.copytree(
+        os.path.join(str(tmp_path / "cat"), "cube", "v2"),
+        os.path.join(str(tmp_path / "cat"), "cube", "v9"),
+    )
+    rep = vacuum(spark, str(tmp_path / "cat"), retain_last=1)
+    assert rep["kind"] == "rollup_catalog"
+    assert any(r.endswith("v9") for r in rep["removed"])
+    got = {
+        r["g"]: float(r["sx"])
+        for r in cat.rewrite(["g"], {"sx": ("sum", "x")}).collect()
+    }
+    assert got == {"a": 15.0, "b": 20.0}
+
+
+def test_crash_mid_vacuum_leaves_index_readable(spark, tmp_path, monkeypatch):
+    """Vacuum deletes only unreferenced dirs, so ANY prefix of the sweep
+    (a crash midway) leaves the committed pointer fully resolvable; a
+    re-run finishes the job."""
+    import python_cdc_spark.maintenance as mod
+    from python_cdc_spark.operators.bm25_index import (
+        bm25_search,
+        build_bm25_index,
+        read_ptr,
+    )
+
+    idx = str(tmp_path / "idx")
+    build_bm25_index(spark, _docs(spark, BASE), idx)
+    ptr = read_ptr(idx)
+    # two orphans → crash after deleting the first
+    shutil.copytree(
+        os.path.join(idx, f"meta_v{ptr['meta']:06d}"), os.path.join(idx, "meta_v000900")
+    )
+    shutil.copytree(
+        os.path.join(idx, f"meta_v{ptr['meta']:06d}"), os.path.join(idx, "meta_v000901")
+    )
+    before = sorted(map(tuple, bm25_search(spark, idx, ("join",), 5).collect()))
+
+    real = shutil.rmtree
+    calls = {"n": 0}
+
+    def crashing(p, *a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("crash mid-vacuum")
+        return real(p, *a, **kw)
+
+    monkeypatch.setattr(mod.shutil, "rmtree", crashing)
+    with pytest.raises(RuntimeError):
+        vacuum(spark, idx)
+    monkeypatch.setattr(mod.shutil, "rmtree", real)
+
+    assert sorted(map(tuple, bm25_search(spark, idx, ("join",), 5).collect())) == before
+    rep = vacuum(spark, idx)  # the re-run completes the sweep
+    assert rep["removed"] and not any(
+        d.startswith("meta_v0009") for d in os.listdir(idx)
+    )
+
+
+def test_detect_kind_rejects_unknown(tmp_path):
+    (tmp_path / "empty").mkdir()
+    assert detect_kind(str(tmp_path / "empty")) is None
+    with pytest.raises(ValueError):
+        vacuum(None, str(tmp_path / "empty"))
