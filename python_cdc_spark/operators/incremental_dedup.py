@@ -74,6 +74,12 @@ from python_cdc_spark.operators.dedup import _gram_cells, minhash_signatures
 
 _N, _K, _BANDS, _THRESHOLD = 3, 8, 4, 0.5
 _TABLES = ("cells", "bands", "sizes")
+# CDC fold → full-recompute crossover: past this affected-membership
+# fraction the members-restricted subgraph (three corpus-scale
+# semi-joins + composition) costs more than one unrestricted candidate
+# pass over the stored post-change tables. Measured in
+# BENCH_DEDUP_CDC.json's delta-width sweep (the r10 verdict #6 receipt).
+_AFFECTED_REBUILD_FRACTION = 0.35
 
 
 def _band_stack(sigs: DataFrame, k: int = _K, bands: int = _BANDS) -> DataFrame:
@@ -588,6 +594,31 @@ def cdc_dedup_index_update(
     old_comp = read_components(spark, path).localCheckpoint(eager=True)
 
     new_ids = new_docs.select(F.col(id_col).alias("id")).distinct()
+    # Wide-delta reroute, FIRST TIER (r10 verdict #6): when the delta's
+    # own ids already exceed the crossover fraction of the corpus, skip
+    # the partner scan (itself a corpus-scale band join) and take one
+    # unrestricted candidate pass over the stored post-change tables —
+    # the rebuild plan, reading the just-folded index. Exact either way.
+    n_corpus = post_sizes.count()
+    n_delta_ids = evicted.unionByName(new_ids).distinct().count()
+    if n_corpus and n_delta_ids / n_corpus > _AFFECTED_REBUILD_FRACTION:
+        x, y = post_bands.alias("x"), post_bands.alias("y")
+        cand = (
+            x.join(
+                y,
+                (F.col("x.band_id") == F.col("y.band_id"))
+                & (F.col("x.band_key") == F.col("y.band_key"))
+                & (F.col("x.id") < F.col("y.id")),
+            )
+            .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+            .distinct()
+        )
+        pairs = _verify_pairs(cand, post_cells, post_sizes, _THRESHOLD)
+        new_comp = connected_components(pairs, "id_a", "id_b").localCheckpoint(
+            eager=True
+        )
+        _swap_components(path, new_comp)
+        return new_comp
     # partners: every doc whose band collides with a new image's band
     partners = (
         d_bands.alias("x")
@@ -620,6 +651,33 @@ def cdc_dedup_index_update(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # Wide-delta reroute, SECOND TIER (the rollup catalog's
+    # measured-faster discipline): a NARROW delta can still seed a wide
+    # affected set through band collisions — when the membership passes
+    # the crossover, the members-restricted subgraph costs corpus-scale
+    # semi-joins PLUS bookkeeping, so take the unrestricted pass.
+    # BENCH_DEDUP_CDC's delta-width sweep measures both tiers; both
+    # plans are exact, so the reroute changes cost placement, never
+    # results.
+    n_members = members.count()
+    if n_corpus and n_members / n_corpus > _AFFECTED_REBUILD_FRACTION:
+        x, y = post_bands.alias("x"), post_bands.alias("y")
+        cand = (
+            x.join(
+                y,
+                (F.col("x.band_id") == F.col("y.band_id"))
+                & (F.col("x.band_key") == F.col("y.band_key"))
+                & (F.col("x.id") < F.col("y.id")),
+            )
+            .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+            .distinct()
+        )
+        pairs = _verify_pairs(cand, post_cells, post_sizes, _THRESHOLD)
+        new_comp = connected_components(pairs, "id_a", "id_b").localCheckpoint(
+            eager=True
+        )
+        _swap_components(path, new_comp)
+        return new_comp
     mb = post_bands.join(members, "id", "left_semi")
     cand = (
         mb.alias("x")

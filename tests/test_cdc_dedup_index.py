@@ -298,3 +298,20 @@ def test_insert_only_fold_refused_after_cdc_fold(spark, tmp_path):
         incremental_dedup_update(
             spark, idx, _corpus(spark, [(99, _t(500, 510))])
         )
+
+
+def test_wide_delta_reroutes_to_full_recompute_and_matches_batch(spark, tmp_path, monkeypatch):
+    """r10 verdict #6: past the affected-fraction crossover the fold
+    takes one unrestricted candidate pass over the stored post-change
+    tables instead of the members-restricted subgraph — cost placement
+    changes, results must not. Force the crossover low to pin that the
+    reroute path itself is exact."""
+    import python_cdc_spark.operators.incremental_dedup as mod
+
+    idx = str(tmp_path / "idx")
+    build_dedup_index(spark, _corpus(spark, BASE), idx)
+    monkeypatch.setattr(mod, "_AFFECTED_REBUILD_FRACTION", 0.0)  # always reroute
+    got = _comps(cdc_dedup_index_update(spark, idx, _delta(spark, DELTA)))
+    want = _batch_truth(spark, _post_rows(BASE, DELTA), tmp_path, "truth")
+    assert got == want
+    assert _comps(spark, idx) == want  # the swap published the reroute's result

@@ -54,7 +54,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 N_FILES = 24
 N_BATCHES = 8
-GATES = ("apply", "cdc_rollup", "scd2")
+GATES = ("apply", "cdc_rollup", "scd2", "wire")
 
 
 def _fresh_spark():
@@ -101,6 +101,75 @@ def _feed_stream(spark, feed_dir: str):
     )
 
 
+def _write_wire_feed(spark, sf_dir: str, feed_dir: str) -> int:
+    """RAW pgoutput wire frames from the events table (the r10 verdict
+    #8 decode-under-feed shape): distributed mapInPandas encode of one
+    I/U/D frame per event, an initial R-frame pair, and a MID-STREAM
+    R-frame (rename amount → amount_usd at the median lsn) so every run
+    exercises live registry refresh inside the drain. Written as
+    N_FILES lsn-range-ordered files like the decoded feed."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from python_cdc_spark.cdc.pgoutput import (
+        encode_delete,
+        encode_insert,
+        encode_relation,
+        encode_update,
+    )
+    from python_cdc_spark.io import table
+
+    ev = table(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type", "value")
+    head = ev.agg(F.max("event_id"), F.min("ts")).first()
+    max_eid, ts0 = int(head[0]), head[1]
+    s_lsn = 8 * (max_eid // 2)
+
+    def enc(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            frames, lsns = [], []
+            for eid, uid, et, v in zip(
+                pdf["event_id"], pdf["user_id"], pdf["event_type"], pdf["value"]
+            ):
+                eid = int(eid)
+                relid = 1 if eid % 2 == 0 else 2
+                kid = str(int(uid))
+                val = "0.0" if pd.isna(v) else repr(float(v))
+                if et == "signup":
+                    f = encode_insert(relid, [kid, val])
+                elif et == "error":
+                    f = encode_delete(relid, [kid, None], key_only=True)
+                else:
+                    f = encode_update(relid, [kid, val])
+                frames.append(bytearray(f))
+                lsns.append(8 * eid + 4)
+            yield pd.DataFrame(
+                {"lsn": pd.Series(lsns, dtype="int64"), "ts": pdf["ts"], "frame": frames}
+            )
+
+    dml = ev.mapInPandas(enc, "lsn bigint, ts timestamp, frame binary")
+    ctl = spark.createDataFrame(
+        [
+            (0, ts0, bytearray(encode_relation(1, "public", "users", ["id", "amount"]))),
+            (0, ts0, bytearray(encode_relation(2, "public", "orders", ["id", "amount"]))),
+            (s_lsn, ts0, bytearray(encode_relation(1, "public", "users", ["id", "amount_usd"]))),
+        ],
+        "lsn bigint, ts timestamp, frame binary",
+    )
+    (
+        dml.unionByName(ctl)
+        .repartitionByRange(N_FILES, "lsn")
+        .sortWithinPartitions("lsn")
+        .write.mode("overwrite")
+        .parquet(feed_dir)
+    )
+    return spark.read.parquet(feed_dir).count()
+
+
 def _run_gate(spark, gate: str, feed_dir: str, work: str) -> dict:
     """Drain the feed through one maintenance gate; return timings."""
     stream = _feed_stream(spark, feed_dir)
@@ -122,6 +191,31 @@ def _run_gate(spark, gate: str, feed_dir: str, work: str) -> dict:
         q.awaitTermination()
         wall = time.perf_counter() - t0
         out_rows = g.history().count()
+    elif gate == "wire":
+        from pyspark.sql import functions as F
+
+        from python_cdc_spark.streaming import StreamingWireApplyChanges
+
+        wire_stream = (
+            spark.readStream.schema("lsn bigint, ts timestamp, frame binary")
+            .option("maxFilesPerTrigger", max(1, N_FILES // N_BATCHES))
+            .parquet(feed_dir)
+        )
+        g = StreamingWireApplyChanges(
+            spark,
+            os.path.join(work, "state"),
+            key_extractor=lambda ev: ev.withColumn(
+                "key",
+                F.coalesce(F.col("new_values")["id"], F.col("old_values")["id"]),
+            ),
+            n_buckets=64,
+        )
+        q = g.start_wire(wire_stream, ckpt, available_now=True)
+        q.awaitTermination()
+        wall = time.perf_counter() - t0
+        out_rows = g.current_state().count()
+        # the mid-stream DDL must have refreshed the live registry
+        assert g.registry[1]["columns"] == ["id", "amount_usd"], "DDL refresh missed"
     else:  # cdc_rollup
         from python_cdc_spark.streaming.rollup_stream import StreamingCdcRollupMaintenance
 
@@ -182,7 +276,10 @@ def main() -> None:
             work = tempfile.mkdtemp(prefix=f"stream_sust_{gate}_{label}_")
             try:
                 feed_dir = os.path.join(work, "feed")
-                n = _write_feed(spark, sf_dir, feed_dir)
+                if gate == "wire":
+                    n = _write_wire_feed(spark, sf_dir, feed_dir)
+                else:
+                    n = _write_feed(spark, sf_dir, feed_dir)
                 events[label] = n
                 row = _run_gate(spark, gate, feed_dir, work)
                 row["events"] = n
