@@ -168,6 +168,19 @@ FIFTH_WAVE = [
     "corpus_sample_weighted_priority",
 ]
 
+# r10/r11 sixth wave (VERDICT r10 #7): the three CDC-maintained index
+# debuts + the registered BM25 retrieval. All four sf1 oracles were
+# proven tractable by the r10 sf1 sweep; the gates' Spark side now pays
+# copy-fold-search over a pristine cached base (r11 gate-cost
+# separation), so the trend measures maintenance + read, not rebuild.
+SIXTH_WAVE = [
+    "bm25_index_cdc_maintained",
+    "dedup_index_cdc_maintained",
+    "ann_index_cdc_maintained",
+    "text_bm25_search",
+    "dedup_incremental_fold",
+]
+
 
 def _run_ann_spark_only(spark, sf_dir: str) -> dict:
     from pyspark.sql import functions as F
@@ -339,6 +352,10 @@ def main() -> None:
             fresh_spark(), "/root/testdata/sf0.1", FIFTH_WAVE
         ),
         "fifthwave_sf1": _run_scale(fresh_spark(), sf1_dir, FIFTH_WAVE),
+        "sixthwave_sf0.1": _run_scale(
+            fresh_spark(), "/root/testdata/sf0.1", SIXTH_WAVE
+        ),
+        "sixthwave_sf1": _run_scale(fresh_spark(), sf1_dir, SIXTH_WAVE),
         "ann_sf0.1": _run_ann_spark_only(fresh_spark(), "/root/testdata/sf0.1"),
         "ann_sf1": _run_ann_spark_only(fresh_spark(), sf1_dir),
     }
@@ -364,6 +381,10 @@ def main() -> None:
     out["fifthwave_ratio_trend"] = [
         out["fifthwave_sf0.1"]["ratio"],
         out["fifthwave_sf1"]["ratio"],
+    ]
+    out["sixthwave_ratio_trend"] = [
+        out["sixthwave_sf0.1"]["ratio"],
+        out["sixthwave_sf1"]["ratio"],
     ]
     # spark-only: how much slower is 10x the data? (vs the 10x a
     # vector-scanning design would pay)

@@ -83,7 +83,19 @@ def _write_feed(spark, sf_dir: str, feed_dir: str) -> int:
         .write.mode("overwrite")
         .parquet(feed_dir)
     )
+    _pin_mtime_order(feed_dir)
     return spark.read.parquet(feed_dir).count()
+
+
+def _pin_mtime_order(feed_dir: str) -> None:
+    """The file source orders batches by MODIFICATION TIME, and a
+    parallel write finishes its part files in arbitrary order — pin
+    mtimes to path (= lsn-range) order so micro-batches actually arrive
+    in the lsn order the maintenance gates' claims assume."""
+    import glob
+
+    for i, f in enumerate(sorted(glob.glob(os.path.join(feed_dir, "part-*")))):
+        os.utime(f, (1_700_000_000 + i, 1_700_000_000 + i))
 
 
 def _feed_stream(spark, feed_dir: str):
@@ -167,6 +179,7 @@ def _write_wire_feed(spark, sf_dir: str, feed_dir: str) -> int:
         .write.mode("overwrite")
         .parquet(feed_dir)
     )
+    _pin_mtime_order(feed_dir)
     return spark.read.parquet(feed_dir).count()
 
 
