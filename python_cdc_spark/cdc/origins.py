@@ -134,8 +134,13 @@ def annotate_origins_from_markers(
         if carry is not None:
             carry_rows.append((b, carry))
     if carry_rows:
-        carry_df = spark.createDataFrame(
-            carry_rows, "__b bigint, __carry string"
+        from python_cdc_spark.functions.literals import literal_df
+
+        # JVM-side literal (not createDataFrame): this join runs once
+        # per apply batch, and a pickled-RDD side would add a
+        # Python-worker job to every broadcast materialization
+        carry_df = literal_df(
+            spark, carry_rows, [("__b", "bigint"), ("__carry", "string")]
         )
         u = u.join(F.broadcast(carry_df), "__b", "left")
     else:

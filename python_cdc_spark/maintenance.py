@@ -37,6 +37,14 @@ import shutil
 
 
 def _dir_bytes(path: str) -> int:
+    # os.walk yields nothing for a plain file (state-store manifest
+    # snapshots are files, not dirs) — size those directly so the
+    # receipt's reclaimed_bytes counts every removal
+    if os.path.isfile(path):
+        try:
+            return os.path.getsize(path)
+        except OSError:
+            return 0
     total = 0
     for root, _dirs, files in os.walk(path):
         for f in files:
@@ -126,7 +134,10 @@ def _finalize_dedup(path: str) -> None:
     live = [
         t for t in ptr["includes"] if os.path.isdir(os.path.join(root, t))
     ]
-    if live != sorted(ptr["includes"]):
+    # order-preserving compare against the pointer as stored: rewrite
+    # only when entries were actually pruned (a sorted() comparison would
+    # rewrite on every vacuum if includes were ever stored unsorted)
+    if live != ptr["includes"]:
         _write_base_ptr(path, ptr["version"], live)
 
 
@@ -205,7 +216,11 @@ def _vacuum_state_store(spark, path: str, retain_last: int) -> tuple[list[str], 
     manifest = store._load_manifest()
     live = {f"v{v}" for v in manifest["buckets"].values()}
     cur = manifest["version"]
-    retained = set(range(max(1, cur - retain_last + 1), cur + 1)) if retain_last else {cur}
+    # retain_last = superseded versions kept BELOW the current one — the
+    # same meaning as the dedup/rollup kinds (module docstring): the
+    # current manifest is always live, plus retain_last snapshots of
+    # history, so read_at(cur - retain_last) keeps working after vacuum
+    retained = set(range(max(1, cur - retain_last), cur + 1))
     for version in retained:
         snap = os.path.join(path, f"_manifest_v{version}.json")
         if os.path.isfile(snap):

@@ -1,4 +1,4 @@
-"""CDC-maintained BM25 text index: postings + stats under I/U/D.
+"""CDC-maintained BM25 text index: positional postings + stats under I/U/D.
 
 The fourth CDC-maintained structure (rollup cube, ANN lists, dedup
 index, now the text-search index): a persisted inverted index whose
@@ -9,19 +9,34 @@ O(delta + touched buckets), never O(corpus).
 Everything BM25 needs is ALGEBRAIC, which makes this the simplest of
 the four folds:
 
-- ``postings`` (token, doc_id, tf) and ``doclen`` (doc_id, dl) live in
-  per-bucket version directories keyed by ``bucket = crc32(doc_id) %
-  N`` — and because the bucket is a pure function of the id, a fold
-  knows its touched partitions from the DELTA ALONE (the ANN fold
-  needs a victim-location scan; here there is nothing to look up).
-  Only touched buckets get new version directories — untouched buckets
-  keep their current directory byte-for-byte.
+- ``postings`` (token, doc_id, tf, positions) live in per-bucket
+  version directories keyed by ``bucket = crc32(doc_id) % N`` — and
+  because the bucket is a pure function of the id, a fold knows its
+  touched partitions from the DELTA ALONE (the ANN fold needs a
+  victim-location scan; here there is nothing to look up). Only
+  touched buckets get new version directories — untouched buckets
+  keep their current directory byte-for-byte. ``positions`` holds the
+  token's 1-based in-document offsets (sorted), so the index answers
+  PHRASE queries by adjacency join — and a fold preserves positions
+  for free, since eviction and placement are row-level.
+- ``doclen`` (doc_id, dl) is DERIVED: dl == Σ tf over the doc's
+  postings, so the fold never reads the old doclen buckets at all —
+  kept + new postings rows regroup into the touched buckets' new
+  doclen directories in the same pass.
 - ``df`` (token → document frequency) updates by counter arithmetic:
   +1 per (token, new doc), −1 per (token, evicted doc), where the
   evicted docs' tokens come from the touched buckets' postings (a
   directory-pruned read, delta-scale). Vocabulary-scale table,
   rewritten whole (bounded: vocab grows ~log corpus).
 - ``globals`` (n_docs, sum_dl) updates by two additions.
+
+Fold shape (r11 verdict #2: ONE multi-output pass, not ~12 sequential
+jobs): the checkpointed delta yields tag + touched buckets in one
+aggregate; then ONE combined frame — tokenized new postings ∪ the
+touched buckets' old postings flagged evicted-or-kept — is
+materialized once, and every output (df deltas, globals deltas, new
+postings buckets, new doclen buckets) derives from it lazily. Eight
+Spark jobs total, four of which are the output writes themselves.
 
 Crash exactness (r10 verdict #2 / ADVICE): counter arithmetic is NOT
 replay-idempotent, so the fold is staged-then-published — all new
@@ -41,12 +56,15 @@ Search (``bm25_search``) reproduces the registered
 (N − df + 0.5)/(df + 0.5) with no log, per-term contribution routed
 through DECIMAL(18,9) before the per-doc sum — so a maintained index
 answers bit-identically to a from-scratch computation over the same
-corpus, and the DuckDB oracle can gate it. At 100 TB the postings
-filter ``token IN (...)`` is a pushed predicate over the touched
-bucket files, and the doclen read is DIRECTORY-PRUNED to the buckets
-the matched postings actually hit (a ≤N_BUCKETS-element metadata
-collect) — a rare-term query reads a handful of doclen directories,
-not the corpus.
+corpus, and the DuckDB oracle can gate it. ``bm25_phrase_search``
+does the same for an exact phrase: anchor = position − term offset,
+a doc position where every phrase term lands on the same anchor is
+one occurrence; scoring is BM25 over the phrase's occurrence counts.
+At 100 TB the postings filter ``token IN (...)`` is a pushed
+predicate over the touched bucket files, and the doclen read is
+DIRECTORY-PRUNED to the buckets the matched postings actually hit
+(a ≤N_BUCKETS-element metadata collect) — a rare-term query reads a
+handful of doclen directories, not the corpus.
 
 Single writer; LOCAL path (same constraint as the other maintained
 structures: the pointer uses ``os`` primitives while parquet goes
@@ -62,11 +80,21 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from python_cdc_spark.functions.literals import literal_df
 from python_cdc_spark.functions.text import tokens
+
+
+def phrase_df(spark: SparkSession, phrase: tuple[str, ...]) -> DataFrame:
+    """(i, term) rows for a phrase, 1-based — JVM-side literal table."""
+    return literal_df(
+        spark,
+        [(i + 1, t) for i, t in enumerate(phrase)],
+        [("i", "int"), ("term", "string")],
+    )
 
 _N_BUCKETS = 64
 _PTR = "_ptr"
-_POSTINGS_SCHEMA = "doc_id long, token string, tf long, bucket int"
+_POSTINGS_SCHEMA = "doc_id long, token string, tf long, positions array<int>, bucket int"
 _DOCLEN_SCHEMA = "doc_id long, dl long, bucket int"
 
 
@@ -74,16 +102,28 @@ def _bucket(col: F.Column) -> F.Column:
     return (F.crc32(col.cast("string")) % _N_BUCKETS).cast("int")
 
 
-def _doc_tables(docs: DataFrame, text_col: str, id_col: str) -> tuple[DataFrame, DataFrame]:
-    """(token, doc_id, tf) and (doc_id, dl) — the same tokenization the
-    registered BM25 query (and its oracle twin) uses."""
+def _doc_tf(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(doc_id, token, tf, positions, bucket) — the same tokenization the
+    registered BM25 query (and its oracle twin) uses; positions are the
+    token's 1-based offsets, sorted (collect_list order is partition-
+    dependent, the sort makes the stored bytes deterministic)."""
     tok = docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
-        F.explode(tokens(F.col(text_col))).alias("token"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "token"),
     )
-    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    return tf, dl
+    return tok.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("tf"),
+        F.sort_array(F.collect_list((F.col("pos") + 1).cast("int"))).alias("positions"),
+    ).withColumn("bucket", _bucket(F.col("doc_id")))
+
+
+def _doclen_of(postings: DataFrame) -> DataFrame:
+    """doclen is derivable: dl == Σ tf per doc (total token count)."""
+    return (
+        postings.groupBy("doc_id", "bucket")
+        .agg(F.sum("tf").cast("long").alias("dl"))
+        .select("doc_id", "dl", "bucket")
+    )
 
 
 # --- pointer ---------------------------------------------------------------
@@ -189,8 +229,13 @@ def _write_meta(
 ) -> None:
     meta = _meta_dir(path, version)
     df_table.write.mode("overwrite").parquet(os.path.join(meta, "df.parquet"))
-    spark.createDataFrame(
-        [(int(n_docs), int(sum_dl))], "n_docs long, sum_dl long"
+    # range+lit, NOT createDataFrame: a Python-local 1-row frame routes
+    # the parquet write through the pickled-RDD path, which costs ~5-7 s
+    # of Python-worker setup per write in this PySpark build; the
+    # range+lit plan stays entirely JVM-side (~0.2 s)
+    spark.range(1).select(
+        F.lit(int(n_docs)).cast("long").alias("n_docs"),
+        F.lit(int(sum_dl)).cast("long").alias("sum_dl"),
     ).coalesce(1).write.mode("overwrite").parquet(os.path.join(meta, "globals.parquet"))
 
 
@@ -206,15 +251,25 @@ def _write_buckets(
     staging = os.path.join(path, table, "_staging")
     shutil.rmtree(staging, ignore_errors=True)
     # duplicate the partition column so the data files keep ``bucket``
-    # (partitionBy lifts its column out of the files)
-    frame.withColumn("pb", F.col("bucket")).write.partitionBy("pb").mode(
-        "overwrite"
-    ).parquet(staging)
+    # (partitionBy lifts its column out of the files); repartition ON the
+    # bucket value first so each bucket directory gets ONE file instead
+    # of one per upstream task — without it a 32-task frame × 64 buckets
+    # staging write fragments into ~2k tiny files and every later
+    # directory-pruned read pays file-open overhead per fragment (a
+    # deployment sizes N_BUCKETS so one file per bucket sits near the
+    # object-store sweet spot)
+    frame.withColumn("pb", F.col("bucket")).repartition(F.col("pb")).write.partitionBy(
+        "pb"
+    ).mode("overwrite").parquet(staging)
+    allowed = {int(b) for b in touched}
     out = {}
     for entry in os.listdir(staging):
         if not entry.startswith("pb="):
             continue
         b = int(entry.split("=", 1)[1])
+        # a staged bucket outside the touched set means the frame and the
+        # delta's bucketing drifted — corrupting an un-versioned bucket
+        assert b in allowed, f"staged bucket {b} outside touched set for {table}"
         v = int(versions.get(str(b), -1)) + 1
         dst = _bucket_dir(path, table, b, v)
         shutil.rmtree(dst, ignore_errors=True)  # crashed prior attempt
@@ -234,29 +289,35 @@ def build_bm25_index(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> int:
-    """Batch bootstrap: bucketed postings + doclen, df, globals — staged
-    fully, then published by one pointer swap (rebuild over a live index
-    is itself crash-safe: readers keep the old pointer until the swap)."""
+    """Batch bootstrap: bucketed positional postings + derived doclen,
+    df, globals — staged fully, then published by one pointer swap
+    (rebuild over a live index is itself crash-safe: readers keep the
+    old pointer until the swap). One tokenize pass: doclen, df, and
+    globals all derive from the checkpointed postings."""
+    from concurrent.futures import ThreadPoolExecutor
+
     old = read_ptr(path)
-    tf, dl = _doc_tables(docs, text_col, id_col)
-    tf = tf.withColumn("bucket", _bucket(F.col("doc_id"))).localCheckpoint(eager=True)
-    dl = dl.withColumn("bucket", _bucket(F.col("doc_id"))).localCheckpoint(eager=True)
+    tf = _doc_tf(docs, text_col, id_col).localCheckpoint(eager=True)
     meta_v = old["meta"] + 1
-    # versions continue past the previous generation's, so staging can
-    # never overwrite a directory the live pointer still references
-    ptr = {
-        "meta": meta_v,
-        "postings": _write_buckets(
-            path, "postings", tf, list(range(_N_BUCKETS)), old["postings"]
-        ),
-        "doclen": _write_buckets(
-            path, "doclen", dl, list(range(_N_BUCKETS)), old["doclen"]
-        ),
-        "folds": [],
-    }
+    g = tf.agg(
+        F.countDistinct("doc_id").alias("n"), F.sum("tf").alias("s")
+    ).first()
     df_table = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    g = dl.agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")).first()
-    _write_meta(spark, path, meta_v, df_table, g["n"] or 0, g["s"] or 0)
+    # versions continue past the previous generation's, so staging can
+    # never overwrite a directory the live pointer still references;
+    # the three staged outputs are path-disjoint → concurrent jobs
+    all_buckets = list(range(_N_BUCKETS))
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_post = pool.submit(_write_buckets, path, "postings", tf, all_buckets, old["postings"])
+        f_dl = pool.submit(_write_buckets, path, "doclen", _doclen_of(tf), all_buckets, old["doclen"])
+        f_meta = pool.submit(_write_meta, spark, path, meta_v, df_table, g["n"] or 0, g["s"] or 0)
+        ptr = {
+            "meta": meta_v,
+            "postings": f_post.result(),
+            "doclen": f_dl.result(),
+            "folds": [],
+        }
+        f_meta.result()
     _write_ptr(path, ptr)
     _cleanup(path, ptr)
     return int(g["n"] or 0)
@@ -278,13 +339,39 @@ def cdc_bm25_update(
     pointer swap publishes them atomically. Replaying a folded tag
     (crash after publish, or an at-least-once stream redelivering a
     batch) is a no-op via the pointer's fold ledger.
+
+    One multi-output pass (r11 verdict #2): after the delta checkpoint
+    and a single tag+touched aggregate, ONE combined frame (new
+    postings ∪ touched old postings flagged evicted/kept) feeds every
+    output — df counters, globals, new postings buckets, and new
+    doclen buckets (doclen is Σ tf, so the old doclen dirs are never
+    even read).
     """
     delta = delta.select(
         F.col(op_col).alias("__op"),
         F.col(id_col).cast("long").alias("doc_id"),
         F.col(text_col).alias(text_col),
     ).localCheckpoint(eager=True)
-    tag = batch_tag if batch_tag is not None else _delta_tag(delta, text_col)
+    # one aggregate: replay tag digests + the touched bucket set (a pure
+    # function of the delta's ids — crc32 bucketing needs no index probe)
+    key = F.concat_ws(
+        ":",
+        F.col("__op"),
+        F.col("doc_id").cast("string"),
+        F.coalesce(F.col(text_col), F.lit("\x00")),
+    )
+    row = delta.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.conv(F.substring(F.sha2(key, 256), 1, 15), 16, 10).cast("decimal(38,0)")
+        ).alias("d1"),
+        F.sum(
+            F.conv(F.substring(F.sha2(key, 256), 17, 15), 16, 10).cast("decimal(38,0)")
+        ).alias("d2"),
+        F.collect_set(_bucket(F.col("doc_id"))).alias("bs"),
+    ).first()
+    tag = batch_tag if batch_tag is not None else f"n{row['n']}_a{row['d1']}_b{row['d2']}"
+    touched = sorted(int(b) for b in row["bs"])
     ptr = read_ptr(path)
     if tag in ptr["folds"]:
         return {"replayed": True, "tag": tag, "n_docs": int(read_globals(spark, path)["n_docs"])}
@@ -292,67 +379,67 @@ def cdc_bm25_update(
     # evict-then-place (the ANN fold's discipline): every delta id's old
     # image leaves before I/U images land, so an INSERT for an id that
     # already exists upserts instead of silently double-counting
-    victims = delta.select("doc_id").distinct().localCheckpoint(eager=True)
+    victims = delta.select("doc_id").distinct().withColumn("__ev", F.lit(True))
     new_docs = delta.filter(F.col("__op").isin("INSERT", "UPDATE")).select(
         "doc_id", text_col
     )
-    new_tf, new_dl = _doc_tables(new_docs, text_col, "doc_id")
-    new_tf = new_tf.localCheckpoint(eager=True)
-    new_dl = new_dl.localCheckpoint(eager=True)
-
-    # touched buckets are a pure function of the delta's ids
-    touched = sorted(
-        {
-            int(r["b"])
-            for r in delta.select(_bucket(F.col("doc_id")).alias("b"))
-            .distinct()
-            .collect()
-        }
-    )
     tp = _read_table(spark, path, "postings", _POSTINGS_SCHEMA, ptr, touched)
-    td = _read_table(spark, path, "doclen", _DOCLEN_SCHEMA, ptr, touched)
-
-    evicted_tf = tp.join(F.broadcast(victims), "doc_id", "left_semi").localCheckpoint(
-        eager=True
+    combined = (
+        _doc_tf(new_docs, text_col, "doc_id")
+        .select("doc_id", "token", "tf", "positions", "bucket")
+        .withColumn("__new", F.lit(True))
+        .withColumn("__ev", F.lit(False))
+        .unionByName(
+            tp.select("doc_id", "token", "tf", "positions", "bucket")
+            .withColumn("__new", F.lit(False))
+            .join(F.broadcast(victims), "doc_id", "left")
+            .withColumn("__ev", F.coalesce(F.col("__ev"), F.lit(False)))
+            .select("doc_id", "token", "tf", "positions", "bucket", "__new", "__ev")
+        )
+        .localCheckpoint(eager=True)
     )
-    evicted_dl = td.join(F.broadcast(victims), "doc_id", "left_semi").localCheckpoint(
-        eager=True
-    )
-
-    # --- counters -----------------------------------------------------
-    plus = new_tf.groupBy("token").agg(F.count(F.lit(1)).alias("p"))
-    minus = evicted_tf.groupBy("token").agg(F.count(F.lit(1)).alias("m"))
+    # --- counters (one aggregate over the combined frame) --------------
+    st = combined.agg(
+        F.countDistinct(F.when(F.col("__ev"), F.col("doc_id"))).alias("ev_n"),
+        F.sum(F.when(F.col("__ev"), F.col("tf"))).alias("ev_s"),
+        F.countDistinct(F.when(F.col("__new"), F.col("doc_id"))).alias("nw_n"),
+        F.sum(F.when(F.col("__new"), F.col("tf"))).alias("nw_s"),
+    ).first()
+    # df counters by UNION + one groupBy — no join: the old table's rows
+    # carry their df, placed rows +1, evicted rows −1, one shuffle total
     old_df = read_df_table(spark, path)
     new_df = (
-        old_df.join(plus, "token", "full_outer")
-        .join(minus, "token", "full_outer")
-        .select(
-            "token",
-            (
-                F.coalesce(F.col("df"), F.lit(0))
-                + F.coalesce(F.col("p"), F.lit(0))
-                - F.coalesce(F.col("m"), F.lit(0))
-            ).alias("df"),
+        old_df.unionByName(
+            combined.filter(F.col("__new") | F.col("__ev")).select(
+                "token",
+                F.when(F.col("__new"), F.lit(1)).otherwise(F.lit(-1)).cast("long").alias("df"),
+            )
         )
+        .groupBy("token")
+        .agg(F.sum("df").alias("df"))
         .filter(F.col("df") > 0)
     )
     g = read_globals(spark, path)
-    ev = evicted_dl.agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")).first()
-    nw = new_dl.agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")).first()
-    n_docs = int(g["n_docs"]) - int(ev["n"] or 0) + int(nw["n"] or 0)
-    sum_dl = int(g["sum_dl"]) - int(ev["s"] or 0) + int(nw["s"] or 0)
+    n_docs = int(g["n_docs"]) - int(st["ev_n"] or 0) + int(st["nw_n"] or 0)
+    sum_dl = int(g["sum_dl"]) - int(st["ev_s"] or 0) + int(st["nw_s"] or 0)
 
     # --- stage touched buckets + meta, then publish --------------------
-    new_postings = tp.join(F.broadcast(victims), "doc_id", "left_anti").unionByName(
-        new_tf.withColumn("bucket", _bucket(F.col("doc_id")))
-    )
-    new_doclen = td.join(F.broadcast(victims), "doc_id", "left_anti").unionByName(
-        new_dl.withColumn("bucket", _bucket(F.col("doc_id")))
+    # the three staged outputs share no paths and all derive from the
+    # checkpointed frame, so they run as CONCURRENT Spark jobs — the
+    # publish (pointer swap) still happens only after every one landed
+    from concurrent.futures import ThreadPoolExecutor
+
+    kept = combined.filter(~F.col("__ev")).select(
+        "doc_id", "token", "tf", "positions", "bucket"
     )
     meta_v = ptr["meta"] + 1
-    _write_meta(spark, path, meta_v, new_df, n_docs, sum_dl)
-    p_entries = _write_buckets(path, "postings", new_postings, touched, ptr["postings"])
-    d_entries = _write_buckets(path, "doclen", new_doclen, touched, ptr["doclen"])
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_meta = pool.submit(_write_meta, spark, path, meta_v, new_df, n_docs, sum_dl)
+        f_post = pool.submit(_write_buckets, path, "postings", kept, touched, ptr["postings"])
+        f_dl = pool.submit(_write_buckets, path, "doclen", _doclen_of(kept), touched, ptr["doclen"])
+        f_meta.result()
+        p_entries = f_post.result()
+        d_entries = f_dl.result()
     nxt = {
         "meta": meta_v,
         "postings": {
@@ -375,34 +462,10 @@ def cdc_bm25_update(
         "tag": tag,
         "touched_buckets": len(touched),
         "total_buckets": _N_BUCKETS,
-        "evicted_docs": int(ev["n"] or 0),
-        "new_docs": int(nw["n"] or 0),
+        "evicted_docs": int(st["ev_n"] or 0),
+        "new_docs": int(st["nw_n"] or 0),
         "n_docs": n_docs,
     }
-
-
-def _delta_tag(delta: DataFrame, text_col: str) -> str:
-    """Content tag over (op, id, text): commutative 60-bit digest sums,
-    stable across partitionings/replays of the same delta, and distinct
-    for a different delta over the same ids (the dedup-index ADVICE
-    lesson: an id-only digest lets a second UPDATE wave alias the
-    first)."""
-    key = F.concat_ws(
-        ":",
-        F.col("__op"),
-        F.col("doc_id").cast("string"),
-        F.coalesce(F.col(text_col), F.lit("\x00")),
-    )
-    row = delta.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(
-            F.conv(F.substring(F.sha2(key, 256), 1, 15), 16, 10).cast("decimal(38,0)")
-        ).alias("d1"),
-        F.sum(
-            F.conv(F.substring(F.sha2(key, 256), 17, 15), 16, 10).cast("decimal(38,0)")
-        ).alias("d2"),
-    ).first()
-    return f"n{row['n']}_a{row['d1']}_b{row['d2']}"
 
 
 # --- search ----------------------------------------------------------------
@@ -465,4 +528,77 @@ def bm25_search(
         )
         .withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= k)
+    )
+
+
+def bm25_phrase_search(
+    spark: SparkSession,
+    path: str,
+    phrase: tuple[str, ...],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k EXACT-PHRASE retrieval from the maintained index's
+    positional postings. A phrase occurrence is an anchor position
+    where every phrase term lands at its offset: term i (1-based) at
+    position p contributes anchor p − i + 1, and an anchor covered by
+    all len(phrase) DISTINCT offsets is one occurrence. Scoring is
+    BM25 over the per-doc occurrence count, with df = number of docs
+    containing the phrase (computed at query time from the matched
+    postings — delta-scale, never corpus-scale: term-pushed postings
+    read, bucket-pruned doclen read, broadcast phrase map).
+
+    Returns (doc_id, phrase_tf, score, rnk) — the same shape as the
+    registered ``text_bm25_phrase_search`` so the DuckDB oracle can
+    gate a CDC-maintained index byte-for-byte.
+    """
+    from pyspark.sql import Window
+
+    g = read_globals(spark, path)
+    n_docs, sum_dl = int(g["n_docs"]), int(g["sum_dl"])
+    avgdl = float(sum_dl) / n_docs if n_docs else 0.0
+    ptr = read_ptr(path)
+    ph = phrase_df(spark, phrase)
+    post = (
+        _read_table(spark, path, "postings", _POSTINGS_SCHEMA, ptr)
+        .filter(F.col("token").isin(*phrase))
+        .select("doc_id", "token", "positions", "bucket")
+        .localCheckpoint(eager=True)  # scanned twice: bucket probe + match
+    )
+    hit_buckets = [int(r["bucket"]) for r in post.select("bucket").distinct().collect()]
+    occ = (
+        post.join(F.broadcast(ph), post["token"] == ph["term"])
+        .select("doc_id", "i", F.explode("positions").alias("pos"))
+        .select("doc_id", "i", (F.col("pos") - F.col("i") + 1).alias("anchor"))
+        .groupBy("doc_id", "anchor")
+        .agg(F.countDistinct("i").alias("hits"))
+        .filter(F.col("hits") == len(phrase))
+    )
+    ptf = occ.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("phrase_tf"))
+    pdf = ptf.agg(F.count(F.lit(1)).alias("df"))
+    dl = _read_table(spark, path, "doclen", _DOCLEN_SCHEMA, ptr, hit_buckets).select(
+        "doc_id", "dl"
+    )
+    scored = (
+        ptf.join(dl, "doc_id")
+        .crossJoin(F.broadcast(pdf))
+        .select(
+            "doc_id",
+            "phrase_tf",
+            (
+                ((F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+                * (F.col("phrase_tf") * (k1 + 1.0))
+                / (
+                    F.col("phrase_tf")
+                    + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))
+                )
+            ).cast("decimal(18,9)").cast("double").alias("score"),
+        )
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("doc_id", "phrase_tf", "score", "rnk")
     )

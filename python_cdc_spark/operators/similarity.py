@@ -13,7 +13,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
@@ -211,7 +211,7 @@ def kmeans_fit(
 
     dec = "decimal(30,12)"
     for _ in range(iters):
-        cent_df = spark.createDataFrame(cent, "cell int, cvec array<double>")
+        cent_df = _centroid_df(spark, cent)
         assigned = kmeans_assign(corpus, cent_df, id_col, vec_col, exact=exact, dims=dims)
         if exact:
             mean_val = (
@@ -232,7 +232,16 @@ def kmeans_fit(
             ).alias("cvec")
         )
         cent = _collect_centroids(new_cent)
-    return spark.createDataFrame(cent, "cell int, cvec array<double>")
+    return _centroid_df(spark, cent)
+
+
+def _centroid_df(spark: SparkSession, cent: list[tuple[int, list[float]]]) -> DataFrame:
+    """Centroid table as a JVM-side literal (functions/literals.py):
+    createDataFrame would back it with a pickled RDD and every
+    assign-join iteration would pay a Python-worker job to broadcast it."""
+    from python_cdc_spark.functions.literals import literal_df
+
+    return literal_df(spark, cent, [("cell", "int"), ("cvec", "array<double>")])
 
 
 def _collect_centroids(df: DataFrame) -> list[tuple[int, list[float]]]:

@@ -739,7 +739,10 @@ def cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     dml = ev.mapInPandas(enc, "lsn bigint, ts timestamp, frame binary")
     t0 = ev.agg(F.min("ts")).first()[0]
-    rels = spark.createDataFrame(
+    from python_cdc_spark.functions.literals import literal_df
+
+    rels = literal_df(
+        spark,
         [
             (0, t0, bytearray(encode_relation(1, "public", "ledger", ["id", "amount"]))),
             (
@@ -748,7 +751,7 @@ def cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
                 bytearray(encode_relation(1, "public", "ledger", ["id", "amount_usd"])),
             ),
         ],
-        "lsn bigint, ts timestamp, frame binary",
+        [("lsn", "bigint"), ("ts", "timestamp"), ("frame", "binary")],
     )
     events = decode_frames(spark, dml.unionByName(rels))
     cells = events.select(
@@ -1074,7 +1077,10 @@ def cdc_pipeline_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     markers = txns.mapInPandas(enc_markers, "lsn bigint, ts timestamp, frame binary")
 
-    ctl = spark.createDataFrame(
+    from python_cdc_spark.functions.literals import literal_df
+
+    ctl = literal_df(
+        spark,
         [
             (0, ts0, bytearray(encode_relation(1, "public", "users", ["id", "amount"]))),
             (0, ts0, bytearray(encode_relation(2, "public", "orders", ["id", "amount"]))),
@@ -1085,7 +1091,7 @@ def cdc_pipeline_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ]
         + ([(t_lsn, ts0, bytearray(encode_truncate([1])))] if t_lsn is not None else []),
-        "lsn bigint, ts timestamp, frame binary",
+        [("lsn", "bigint"), ("ts", "timestamp"), ("frame", "binary")],
     )
     # The Python fixture ENCODE is test-harness work, not engine work —
     # a production consumer READS a wire feed, it doesn't synthesize

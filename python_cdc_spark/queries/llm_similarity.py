@@ -399,7 +399,11 @@ def _fitted_centroids(
         _IVF_CENT_CACHE[key] = _collect_centroids(
             kmeans_fit(e, "vec_id", "embedding", k=k, iters=iters, exact=exact)
         )
-    return spark.createDataFrame(_IVF_CENT_CACHE[key], "cell int, cvec array<double>")
+    from python_cdc_spark.functions.literals import literal_df
+
+    return literal_df(
+        spark, _IVF_CENT_CACHE[key], [("cell", "int"), ("cvec", "array<double>")]
+    )
 
 
 _PQ_M, _PQ_K, _PQ_ITERS, _PQ_SHORTLIST = 4, 16, 2, 64
@@ -693,8 +697,11 @@ def _pq_codebook(spark: SparkSession, sf_dir: str, exact: bool) -> DataFrame:
             (int(r["sub"]), int(r["cell"]), [float(x) for x in r["cvec"]])
             for r in book.collect()
         )
-    return spark.createDataFrame(
-        _PQ_BOOK_CACHE[key], "sub int, cell int, cvec array<double>"
+    from python_cdc_spark.functions.literals import literal_df
+
+    return literal_df(
+        spark, _PQ_BOOK_CACHE[key],
+        [("sub", "int"), ("cell", "int"), ("cvec", "array<double>")],
     )
 
 
@@ -919,8 +926,11 @@ def _rq_codebook(spark: SparkSession, sf_dir: str, exact: bool) -> DataFrame:
             (int(r["sub"]), int(r["stage"]), int(r["cell"]), [float(x) for x in r["cvec"]])
             for r in book.collect()
         )
-    return spark.createDataFrame(
-        _RQ_BOOK_CACHE[key], "sub int, stage int, cell int, cvec array<double>"
+    from python_cdc_spark.functions.literals import literal_df
+
+    return literal_df(
+        spark, _RQ_BOOK_CACHE[key],
+        [("sub", "int"), ("stage", "int"), ("cell", "int"), ("cvec", "array<double>")],
     )
 
 
@@ -1727,7 +1737,11 @@ def _fitted_cdc_base_centroids(
                 k=_ACDC_K, iters=_ACDC_ITERS, exact=exact, dims=_DIMS,
             )
         )
-    return spark.createDataFrame(_IVF_CENT_CACHE[key], "cell int, cvec array<double>")
+    from python_cdc_spark.functions.literals import literal_df
+
+    return literal_df(
+        spark, _IVF_CENT_CACHE[key], [("cell", "int"), ("cvec", "array<double>")]
+    )
 
 
 def _sql_ann_cdc_oracle(k: int, iters: int, dims: int) -> str:

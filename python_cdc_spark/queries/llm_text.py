@@ -494,38 +494,212 @@ def bm25_index_cdc_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc, deletes every 23rd); the search result over the maintained
     index must hash-match DuckDB's from-scratch BM25 over the post-CDC
     corpus (operators/bm25_index.py)."""
+    from python_cdc_spark.operators.bm25_index import bm25_search
+
+    # refold=True: this gate IS the fold-under-test — every invocation
+    # pays copy + fold + search (the production maintenance shape), so
+    # the bench row reports real fold cost
+    work = _folded_bm25_index(spark, sf_dir, refold=True)
+    out = bm25_search(spark, work, _BM25_TERMS, 20, _BM25_K1, _BM25_B)
+    return out.localCheckpoint(eager=True)
+
+
+#: (abs sf_dir, fingerprint) → path of the latest folded maintained
+#: index. The two BM25 gates assert different aspects of ONE fold (term
+#: ranking / positional phrase match); the phrase gate reuses the index
+#: the fold gate produced instead of folding the same delta twice.
+_BM25_FOLDED_CACHE: dict = {}
+
+
+def _folded_bm25_index(spark: SparkSession, sf_dir: str, refold: bool = False) -> str:
+    """Copy the PRISTINE cached base index (gate-cost separation, r10
+    verdict #3: base build once per testdata fingerprint) into a fresh
+    work dir and fold the shared I/U/D delta (cdc_corpus_split) into it
+    — the production shape: copy + fold + read, never a from-scratch
+    rebuild per run. ``refold=False`` reuses the latest folded index."""
+    import atexit
+    import hashlib
+    import os
+    import shutil
     import tempfile
 
+    from python_cdc_spark.operators.ann_index import source_fingerprint
     from python_cdc_spark.operators.bm25_index import (
-        bm25_search,
         build_bm25_index,
         cdc_bm25_update,
     )
-
-    import hashlib
-    import os
-
-    from python_cdc_spark.operators.ann_index import source_fingerprint
     from python_cdc_spark.queries.helpers import cached_pristine_base, cdc_corpus_split
 
+    fp = source_fingerprint(os.path.join(sf_dir, "documents.parquet"))
+    key = (os.path.abspath(sf_dir.rstrip("/")), fp)
+    hit = _BM25_FOLDED_CACHE.get(key)
+    if not refold and hit and os.path.isfile(os.path.join(hit, "_ptr")):
+        return hit
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     base, delta = cdc_corpus_split(docs)
-    # gate-cost separation (r10 verdict #3): the base index builds once
-    # per testdata fingerprint; each run copies the pristine cache and
-    # pays fold + search — the production shape
-    fp = source_fingerprint(os.path.join(sf_dir, "documents.parquet"))
-    cache_key = hashlib.md5(os.path.abspath(sf_dir.rstrip("/")).encode()).hexdigest()[:16]
+    cache_key = hashlib.md5(key[0].encode()).hexdigest()[:16]
     cache = os.path.join(".bm25_cache", cache_key)
-    with tempfile.TemporaryDirectory() as tmp:
-        work = os.path.join(tmp, "idx")
-        cached_pristine_base(
-            cache, fp, {"v": 2},  # v2 = the crash-exact pointer layout
-            lambda d: build_bm25_index(spark, base, d), work,
+    if hit:
+        shutil.rmtree(os.path.dirname(hit), ignore_errors=True)
+    tmp = tempfile.mkdtemp(prefix="bm25_folded_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    work = os.path.join(tmp, "idx")
+    cached_pristine_base(
+        cache, fp, {"v": 3},  # v3 = positional postings + derived doclen
+        lambda d: build_bm25_index(spark, base, d), work,
+    )
+    cdc_bm25_update(spark, work, delta)
+    _BM25_FOLDED_CACHE[key] = work
+    return work
+
+
+_PHRASE = ("merge", "join")
+
+
+def _phrase_oracle_body(src: str = "documents") -> str:
+    """Positional replay of the phrase match: token positions via
+    UNNEST(generate_series), anchor = pos − i + 1 per phrase term i, an
+    anchor covered by all terms' distinct offsets is one occurrence —
+    the exact relational form of the index's adjacency join."""
+    vals = ", ".join(f"({i + 1}, '{t}')" for i, t in enumerate(_PHRASE))
+    m = len(_PHRASE)
+    return f"""t AS (SELECT doc_id, {_SQL_TOKS} AS w FROM {src}),
+    tok AS (
+      SELECT doc_id, i AS pos, w[i] AS token
+      FROM t, UNNEST(generate_series(1, len(w))) p(i)
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (
+      SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+             COUNT(*) AS n_docs
+      FROM dl
+    ),
+    ph(i, term) AS (VALUES {vals}),
+    anch AS (
+      SELECT tok.doc_id, tok.pos - ph.i + 1 AS anchor, ph.i AS i
+      FROM tok JOIN ph ON tok.token = ph.term
+    ),
+    occ AS (
+      SELECT doc_id, anchor FROM anch
+      GROUP BY doc_id, anchor HAVING COUNT(DISTINCT i) = {m}
+    ),
+    ptf AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS phrase_tf
+      FROM occ GROUP BY doc_id
+    ),
+    pdf AS (SELECT COUNT(*) AS df FROM ptf),
+    scored AS (
+      SELECT ptf.doc_id, ptf.phrase_tf,
+             CAST(CAST(
+               ((s.n_docs - pdf.df + 0.5) / (pdf.df + 0.5))
+               * (ptf.phrase_tf * ({_BM25_K1} + 1.0))
+               / (ptf.phrase_tf + {_BM25_K1}
+                  * (1.0 - {_BM25_B} + {_BM25_B} * dl.dl / s.avgdl))
+             AS DECIMAL(18,9)) AS DOUBLE) AS score
+      FROM ptf
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats s
+      CROSS JOIN pdf
+    )
+    SELECT doc_id, phrase_tf, score, rnk FROM (
+      SELECT doc_id, phrase_tf, score,
+             CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+      FROM scored
+    ) WHERE rnk <= 20"""
+
+
+@register(
+    "text_bm25_phrase_search",
+    oracle=f"""
+    WITH {_phrase_oracle_body('documents')}
+    """,
+    doc=f"E27: exact-PHRASE retrieval — query phrase {list(_PHRASE)}, "
+    "positional adjacency match (anchor = pos − term offset), BM25 over "
+    "per-doc phrase occurrence counts, top-20",
+)
+def text_bm25_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase retrieval over the corpus: positions via posexplode
+    (kept 1-based to match SQL ordinality), phrase occurrences by the
+    anchor trick — term i at position p votes for anchor p − i + 1, and
+    an anchor with all len(phrase) distinct term offsets is one
+    occurrence. Scale shape: the position explode is one pass, the
+    phrase map is a broadcast literal, the per-doc occurrence count is
+    one shuffle on doc_id, and corpus stats enter as broadcast
+    aggregates — no driver loop, no all-pairs anywhere. Scoring mirrors
+    text_bm25_search (rational idf, DECIMAL(18,9) routing)."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos0", "token")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "token")
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    from python_cdc_spark.operators.bm25_index import phrase_df
+
+    ph = phrase_df(spark, _PHRASE)
+    occ = (
+        tok.join(F.broadcast(ph), tok["token"] == ph["term"])
+        .select("doc_id", "i", (F.col("pos") - F.col("i") + 1).alias("anchor"))
+        .groupBy("doc_id", "anchor")
+        .agg(F.countDistinct("i").alias("hits"))
+        .filter(F.col("hits") == len(_PHRASE))
+    )
+    ptf = occ.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("phrase_tf"))
+    pdf = ptf.agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        ptf.join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(pdf))
+        .select(
+            "doc_id",
+            "phrase_tf",
+            (
+                ((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+                * (F.col("phrase_tf") * (_BM25_K1 + 1.0))
+                / (
+                    F.col("phrase_tf")
+                    + _BM25_K1
+                    * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+                )
+            ).cast("decimal(18,9)").cast("double").alias("score"),
         )
-        cdc_bm25_update(spark, work, delta)
-        out = bm25_search(spark, work, _BM25_TERMS, 20, _BM25_K1, _BM25_B)
-        # materialize before the index directory disappears
-        return out.localCheckpoint(eager=True)
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 20)
+        .select("doc_id", "phrase_tf", "score", "rnk")
+    )
+
+
+@register(
+    "bm25_phrase_cdc_maintained",
+    oracle=f"""
+    WITH {CDC_CORPUS_CTES},
+    {_phrase_oracle_body('corpus')}
+    """,
+    doc="E27 + E18: phrase search over the CDC-MAINTAINED BM25 index — "
+    "the fold must preserve positional postings exactly, so an "
+    "adjacency-join phrase match over the maintained index equals a "
+    "from-scratch positional replay over the post-CDC corpus",
+)
+def bm25_phrase_cdc_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proves the CDC fold preserves POSITIONS (r11 verdict #4): build
+    the base index, fold the shared I/U/D delta (cdc_corpus_split), then
+    answer an exact-phrase query from the index's positional postings.
+    The oracle replays positions from scratch over the post-CDC corpus
+    CTE — a fold that dropped or re-derived positions wrongly (e.g.
+    merging two images of one doc) would mis-rank immediately
+    (operators/bm25_index.py bm25_phrase_search)."""
+    from python_cdc_spark.operators.bm25_index import bm25_phrase_search
+
+    work = _folded_bm25_index(spark, sf_dir)
+    out = bm25_phrase_search(spark, work, _PHRASE, 20, _BM25_K1, _BM25_B)
+    return out.localCheckpoint(eager=True)
 
 
 @register(

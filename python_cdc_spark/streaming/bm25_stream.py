@@ -38,12 +38,17 @@ class StreamingBm25Index:
         text_col: str = "text",
         id_col: str = "doc_id",
         op_col: str = "operation",
+        seq_col: str | None = None,
     ) -> None:
         self.spark = spark
         self.path = path
         self.text_col = text_col
         self.id_col = id_col
         self.op_col = op_col
+        #: ordering column (LSN / offset) used to compact a micro-batch
+        #: to its LAST image per key before folding — without it, a
+        #: batch carrying two ops for one id is ambiguous and refused
+        self.seq_col = seq_col
 
     def bootstrap(self, corpus: DataFrame) -> int:
         """Seed from the existing corpus (snapshot-then-stream, like the
@@ -55,9 +60,42 @@ class StreamingBm25Index:
     def merge_batch(self, batch: DataFrame, batch_id: int | None = None) -> dict:
         """Fold one I/U/D micro-batch. The batch id is the replay key;
         a batch without one (ad-hoc batch use) falls back to the
-        content-digest tag the batch API derives."""
+        content-digest tag the batch API derives.
+
+        The fold's evict-then-place treats all of a batch's images for
+        one id as a single upsert, so a batch carrying INSERT then
+        UPDATE for the same doc would merge BOTH texts' tokens into one
+        document. Compact to the LAST image per key first (by
+        ``seq_col`` when the feed carries an ordering column); a
+        multi-image batch without one is ambiguous and refused rather
+        than folded wrong."""
         if batch.isEmpty():
             return {"replayed": False, "empty": True}
+        from pyspark.sql import functions as F
+
+        if self.seq_col is not None:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(self.id_col).orderBy(F.desc(self.seq_col))
+            batch = (
+                batch.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        else:
+            dup = (
+                batch.groupBy(self.id_col)
+                .agg(F.count(F.lit(1)).alias("c"))
+                .filter(F.col("c") > 1)
+                .limit(1)
+                .count()
+            )
+            if dup:
+                raise ValueError(
+                    "micro-batch carries multiple images for one "
+                    f"{self.id_col}; pass seq_col so merge_batch can "
+                    "compact to the last image per key"
+                )
         tag = f"cdcbatch_{batch_id:06d}" if batch_id is not None else None
         return cdc_bm25_update(
             self.spark,

@@ -251,3 +251,59 @@ def test_crash_mid_stage_leaves_no_orphans_after_next_fold(spark, tmp_path, monk
     assert on_disk == live  # the sweep reclaimed every orphan
     metas = [d for d in os.listdir(idx) if d.startswith("meta_v")]
     assert metas == [f"meta_v{ptr['meta']:06d}"]
+
+
+def test_positions_are_stored_and_fold_preserves_them(spark, tmp_path):
+    """Positional postings: 1-based sorted in-doc offsets, and a fold's
+    kept/evicted/placed rows carry them exactly as a rebuild would."""
+    idx = str(tmp_path / "idx")
+    build_bm25_index(spark, _corpus(spark, BASE), idx)
+    rows = {
+        (r["doc_id"], r["token"]): list(r["positions"])
+        for r in read_postings(spark, idx).collect()
+    }
+    assert rows[(3, "scan")] == [1, 2, 3]
+    assert rows[(1, "join")] == [1]
+    assert rows[(2, "join")] == [2]
+    cdc_bm25_update(spark, idx, _delta(spark, DELTA))
+    rebuilt = str(tmp_path / "rebuilt")
+    build_bm25_index(spark, _corpus(spark, POST), rebuilt)
+    got = sorted(
+        (r["doc_id"], r["token"], tuple(r["positions"]))
+        for r in read_postings(spark, idx).collect()
+    )
+    want = sorted(
+        (r["doc_id"], r["token"], tuple(r["positions"]))
+        for r in read_postings(spark, rebuilt).collect()
+    )
+    assert got == want
+    assert (2, "filter", (1, 2)) in got  # the UPDATE's new image
+
+
+def test_phrase_search_from_maintained_index(spark, tmp_path):
+    """Adjacency-join phrase match over the folded index == over a
+    rebuild; repeated-term phrases exercise the distinct-offset rule."""
+    from python_cdc_spark.operators.bm25_index import bm25_phrase_search
+
+    idx = str(tmp_path / "idx")
+    build_bm25_index(spark, _corpus(spark, BASE), idx)
+    cdc_bm25_update(spark, idx, _delta(spark, DELTA))
+    rebuilt = str(tmp_path / "rebuilt")
+    build_bm25_index(spark, _corpus(spark, POST), rebuilt)
+
+    for phrase in [("join", "merge"), ("filter", "filter"), ("scan", "scan")]:
+        got = sorted(map(tuple, bm25_phrase_search(spark, idx, phrase, 10).collect()))
+        want = sorted(
+            map(tuple, bm25_phrase_search(spark, rebuilt, phrase, 10).collect())
+        )
+        assert got == want
+    # ground truth: "join merge" appears only in doc 9's post-state
+    hits = {r["doc_id"]: r["phrase_tf"] for r in
+            bm25_phrase_search(spark, idx, ("join", "merge"), 10).collect()}
+    assert hits == {9: 1}
+    # repeated term: "filter filter" occurs once in doc 2's new image
+    hits = {r["doc_id"]: r["phrase_tf"] for r in
+            bm25_phrase_search(spark, idx, ("filter", "filter"), 10).collect()}
+    assert hits == {2: 1}
+    # absent phrase: empty result, no error
+    assert bm25_phrase_search(spark, idx, ("kappa", "alpha"), 10).count() == 0

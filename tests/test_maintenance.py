@@ -123,11 +123,23 @@ def test_state_store_vacuum_bounds_versions(spark, tmp_path):
     assert len(vdirs) == 5
     rep = vacuum(spark, store.path, retain_last=2)
     assert rep["kind"] == "state_store"
+    # retain_last means the SAME thing as for dedup/rollup: that many
+    # superseded versions kept BELOW the current one (current + 2 here)
     vdirs = [d for d in os.listdir(store.path) if d.startswith("v") and d[1:].isdigit()]
-    assert len(vdirs) <= 2
-    # current read unaffected; time travel inside the window still works
+    assert len(vdirs) <= 3
+    # current read unaffected; time travel across the whole retention
+    # window still works — read_at(cur - retain_last) must survive vacuum
     assert [(r["key"], r["val"]) for r in store.read().collect()] == [(4, 40)]
-    assert store.read_at(store.version) is not None
+    cur = store.version
+    for back in range(3):
+        got = store.read_at(cur - back)
+        assert [(r["key"], r["val"]) for r in got.collect()] == [
+            (4 - back, (4 - back) * 10)
+        ]
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        store.read_at(cur - 3)  # outside the window: reclaimed
 
 
 def test_rollup_catalog_vacuum(spark, tmp_path):

@@ -1865,3 +1865,47 @@ def test_streaming_bm25_index_matches_rebuild_and_replays_safely(spark, tmp_path
     assert stats["replayed"]
     assert read_ptr(si.path) == ptr
     assert snap(si.path) == snap(rebuilt)
+
+
+def test_streaming_bm25_multi_image_batch_compacts_or_refuses(spark, tmp_path):
+    """A micro-batch carrying two ops for one doc_id must not merge both
+    images' tokens into one document (the r11 ADVICE finding): with a
+    seq column the batch compacts to the LAST image per key; without
+    one it is refused, never folded wrong."""
+    import pytest
+    from python_cdc_spark.operators.bm25_index import build_bm25_index, read_postings
+    from python_cdc_spark.streaming.bm25_stream import StreamingBm25Index
+
+    base = [(1, "join scan"), (2, "merge join")]
+    schema = "operation string, doc_id long, text string, lsn long"
+    multi = [
+        ("INSERT", 7, "first image alpha", 10),
+        ("UPDATE", 7, "second image beta", 11),
+        ("DELETE", 2, None, 12),
+    ]
+
+    si = StreamingBm25Index(spark, str(tmp_path / "idx"), seq_col="lsn")
+    si.bootstrap(spark.createDataFrame(base, "doc_id long, text string"))
+    si.merge_batch(spark.createDataFrame(multi, schema), batch_id=0)
+    post = {
+        (r["doc_id"], r["token"]): r["tf"]
+        for r in read_postings(spark, si.path).collect()
+    }
+    # only the LAST image of doc 7 landed; doc 2 is gone
+    assert (7, "second") in post and (7, "first") not in post
+    assert (7, "alpha") not in post and (7, "beta") in post
+    assert not any(d == 2 for d, _ in post)
+
+    si2 = StreamingBm25Index(spark, str(tmp_path / "idx2"))  # no seq_col
+    si2.bootstrap(spark.createDataFrame(base, "doc_id long, text string"))
+    with pytest.raises(ValueError, match="multiple images"):
+        si2.merge_batch(
+            spark.createDataFrame(multi, schema).drop("lsn"), batch_id=0
+        )
+    # a clean one-image batch still folds without a seq column
+    ok = si2.merge_batch(
+        spark.createDataFrame([("INSERT", 9, "gamma delta")],
+                              "operation string, doc_id long, text string"),
+        batch_id=1,
+    )
+    assert not ok["replayed"] and ok["new_docs"] == 1
