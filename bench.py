@@ -100,6 +100,12 @@ HEADLINE = [
     "ann_index_cdc_maintained",
     "dedup_index_cdc_maintained",
     "bm25_index_cdc_maintained",
+    # round 12: positional postings — phrase retrieval from scratch and
+    # from the maintained index (the phrase gate reuses the fold gate's
+    # folded index, so its row is the phrase-search cost, not a second
+    # fold of the same delta)
+    "text_bm25_phrase_search",
+    "bm25_phrase_cdc_maintained",
 ]
 
 

@@ -31,28 +31,9 @@ constraint for all four structures.
 
 from __future__ import annotations
 
-import json
 import os
-import shutil
 
-
-def _dir_bytes(path: str) -> int:
-    # os.walk yields nothing for a plain file (state-store manifest
-    # snapshots are files, not dirs) — size those directly so the
-    # receipt's reclaimed_bytes counts every removal
-    if os.path.isfile(path):
-        try:
-            return os.path.getsize(path)
-        except OSError:
-            return 0
-    total = 0
-    for root, _dirs, files in os.walk(path):
-        for f in files:
-            try:
-                total += os.path.getsize(os.path.join(root, f))
-            except OSError:
-                pass
-    return total
+from python_cdc_spark import fsops
 
 
 def detect_kind(path: str) -> str | None:
@@ -60,18 +41,18 @@ def detect_kind(path: str) -> str | None:
     ``dedup`` (``_base_ptr``/``_components_ptr``), ``state_store``
     (``_manifest.json``), ``rollup_catalog`` (a directory of rollup
     names each holding ``_meta.json``), or ``None``."""
-    if os.path.isfile(os.path.join(path, "_ptr")):
+    if fsops.is_file(os.path.join(path, "_ptr")):
         return "bm25"
-    if os.path.isfile(os.path.join(path, "_base_ptr")) or os.path.isfile(
+    if fsops.is_file(os.path.join(path, "_base_ptr")) or fsops.is_file(
         os.path.join(path, "_components_ptr")
     ):
         return "dedup"
-    if os.path.isfile(os.path.join(path, "_manifest.json")):
+    if fsops.is_file(os.path.join(path, "_manifest.json")):
         return "state_store"
-    if os.path.isdir(path) and any(
-        os.path.isfile(os.path.join(path, d, "_meta.json"))
-        for d in os.listdir(path)
-        if os.path.isdir(os.path.join(path, d))
+    if any(
+        fsops.is_file(os.path.join(path, d, "_meta.json"))
+        for d in fsops.list_dir(path)
+        if fsops.is_dir(os.path.join(path, d))
     ):
         return "rollup_catalog"
     return None
@@ -94,15 +75,12 @@ def vacuum(spark, path: str, retain_last: int = 1, dry_run: bool = False) -> dic
     reclaimed = 0
     for rel in removed:
         full = os.path.join(path, rel)
-        reclaimed += _dir_bytes(full)
+        reclaimed += fsops.tree_bytes(full)
         if not dry_run:
-            if os.path.isdir(full):
-                shutil.rmtree(full, ignore_errors=True)
+            if fsops.is_dir(full):
+                fsops.remove_tree(full)
             else:
-                try:
-                    os.remove(full)
-                except OSError:
-                    pass
+                fsops.remove_file(full)
     if kind == "dedup" and not dry_run:
         _finalize_dedup(path)
     return {
@@ -132,7 +110,7 @@ def _finalize_dedup(path: str) -> None:
         return
     root = _deltas_root(path)
     live = [
-        t for t in ptr["includes"] if os.path.isdir(os.path.join(root, t))
+        t for t in ptr["includes"] if fsops.is_dir(os.path.join(root, t))
     ]
     # order-preserving compare against the pointer as stored: rewrite
     # only when entries were actually pruned (a sorted() comparison would
@@ -155,14 +133,11 @@ def _vacuum_bm25(spark, path: str, retain_last: int) -> tuple[list[str], set[str
         for b, v in ptr[table].items():
             live.add(os.path.join(table, f"b{int(b):04d}_v{int(v):06d}"))
     removed = []
-    for entry in os.listdir(path):
+    for entry in fsops.list_dir(path):
         if entry.startswith("meta_v") and entry not in live:
             removed.append(entry)
     for table in ("postings", "doclen"):
-        root = os.path.join(path, table)
-        if not os.path.isdir(root):
-            continue
-        for entry in os.listdir(root):
+        for entry in fsops.list_dir(os.path.join(path, table)):
             rel = os.path.join(table, entry)
             if rel not in live:
                 removed.append(rel)
@@ -194,15 +169,13 @@ def _vacuum_dedup(spark, path: str, retain_last: int) -> tuple[list[str], set[st
         for v in range(max(0, cur - retain_last), cur):
             live.add(f"components_v{v}")
     removed = []
-    for entry in os.listdir(path):
+    for entry in fsops.list_dir(path):
         if entry.startswith(("base_v", "components_v")) and entry not in live:
             removed.append(entry)
-    droot = os.path.join(path, "deltas")
-    if os.path.isdir(droot):
-        for entry in os.listdir(droot):
-            rel = os.path.join("deltas", entry)
-            if rel not in live:
-                removed.append(rel)
+    for entry in fsops.list_dir(os.path.join(path, "deltas")):
+        rel = os.path.join("deltas", entry)
+        if rel not in live:
+            removed.append(rel)
     return removed, live
 
 
@@ -222,13 +195,12 @@ def _vacuum_state_store(spark, path: str, retain_last: int) -> tuple[list[str], 
     # history, so read_at(cur - retain_last) keeps working after vacuum
     retained = set(range(max(1, cur - retain_last), cur + 1))
     for version in retained:
-        snap = os.path.join(path, f"_manifest_v{version}.json")
-        if os.path.isfile(snap):
-            with open(snap) as fh:
-                live |= {f"v{v}" for v in json.load(fh)["buckets"].values()}
+        snap = fsops.read_json(os.path.join(path, f"_manifest_v{version}.json"))
+        if snap is not None:
+            live |= {f"v{v}" for v in snap["buckets"].values()}
         live.add(f"_manifest_v{version}.json")
     removed = []
-    for entry in os.listdir(path):
+    for entry in fsops.list_dir(path):
         if entry.startswith("_manifest_v") and entry.endswith(".json"):
             if entry not in live:
                 removed.append(entry)
@@ -242,18 +214,14 @@ def _vacuum_state_store(spark, path: str, retain_last: int) -> tuple[list[str], 
 
 def _vacuum_rollup_catalog(spark, path: str, retain_last: int) -> tuple[list[str], set[str]]:
     removed, live = [], set()
-    for name in os.listdir(path):
-        meta_path = os.path.join(path, name, "_meta.json")
-        if not os.path.isfile(meta_path):
+    for name in fsops.list_dir(path):
+        meta = fsops.read_json(os.path.join(path, name, "_meta.json"))
+        if meta is None:
             continue
-        try:
-            with open(meta_path) as f:
-                cur = int(json.load(f).get("version", 0))
-        except (OSError, ValueError):
-            continue
+        cur = int(meta.get("version", 0))
         keep = {f"v{v}" for v in range(max(1, cur - retain_last), cur + 1)}
         live |= {os.path.join(name, k) for k in keep}
-        for entry in os.listdir(os.path.join(path, name)):
+        for entry in fsops.list_dir(os.path.join(path, name)):
             if (
                 entry.startswith("v")
                 and entry[1:].isdigit()

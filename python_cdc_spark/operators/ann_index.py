@@ -30,12 +30,12 @@ stores). Same constraint as ``streaming/state_store.py`` and
 
 from __future__ import annotations
 
-import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from python_cdc_spark import fsops
 from python_cdc_spark.io import write_partitioned
 
 
@@ -57,8 +57,7 @@ def _write_meta(
     meta = {"fingerprint": fingerprint, "params": params}
     if extra:
         meta.update(extra)
-    with open(os.path.join(out_dir, "_meta.json"), "w") as f:
-        json.dump(meta, f)
+    fsops.publish_json(os.path.join(out_dir, "_meta.json"), meta)
 
 
 def appended_fraction(out_dir: str) -> float:
@@ -67,10 +66,8 @@ def appended_fraction(out_dir: str) -> float:
     the stale codebook represents them, so recall decays as this ratio
     grows (measured in SCALE.md; tools/bench_ann_drift.py). 0.0 for a
     fresh or legacy index."""
-    try:
-        with open(os.path.join(out_dir, "_meta.json")) as f:
-            meta = json.load(f)
-    except (OSError, ValueError):
+    meta = fsops.read_json(os.path.join(out_dir, "_meta.json"))
+    if meta is None:
         return 0.0
     base = meta.get("base_rows") or 0
     return (meta.get("appended_rows") or 0) / base if base else 0.0
@@ -97,13 +94,8 @@ def needs_refit(out_dir: str, threshold: float = 0.3) -> bool:
 def index_is_current(out_dir: str, fingerprint: str, params: dict) -> bool:
     """True iff a persisted index exists at ``out_dir`` and was built
     from sources matching ``fingerprint`` with the same ``params``."""
-    meta_path = os.path.join(out_dir, "_meta.json")
-    if not os.path.exists(meta_path):
-        return False
-    try:
-        with open(meta_path) as f:
-            meta = json.load(f)
-    except (OSError, ValueError):
+    meta = fsops.read_json(os.path.join(out_dir, "_meta.json"))
+    if meta is None:
         return False
     return meta.get("fingerprint") == fingerprint and meta.get("params") == params
 
@@ -345,15 +337,10 @@ def append_to_ivfpq_index(
         .parquet(os.path.join(out_dir, "cells.parquet"))
     )
     meta_path = os.path.join(out_dir, "_meta.json")
-    try:
-        with open(meta_path) as f:
-            meta = json.load(f)
-    except (OSError, ValueError):
-        meta = {"fingerprint": "", "params": {}}
+    meta = fsops.read_json(meta_path, {"fingerprint": "", "params": {}})
     meta["fingerprint"] = f"{meta.get('fingerprint', '')}+append:{n}"
     meta["appended_rows"] = (meta.get("appended_rows") or 0) + n
-    with open(meta_path, "w") as f:
-        json.dump(meta, f)
+    fsops.publish_json(meta_path, meta)
     return n
 
 
@@ -389,7 +376,7 @@ def build_ivf_lists(
     image the index carries besides membership). Returns corpus size."""
     from python_cdc_spark.operators.similarity import kmeans_assign
 
-    os.makedirs(out_dir, exist_ok=True)
+    fsops.makedirs(out_dir)
     centroids.write.mode("overwrite").parquet(
         os.path.join(out_dir, "centroids.parquet")
     )
@@ -447,8 +434,6 @@ def maintain_ivf_lists_cdc(
     shift — measured curve in SCALE.md) keeps working across folds.
     Returns fold stats for receipts: touched/total cells, row counts.
     """
-    import shutil
-
     cells_path = os.path.join(out_dir, "cells.parquet")
     centroids = spark.read.parquet(os.path.join(out_dir, "centroids.parquet"))
     idx = spark.read.parquet(cells_path)
@@ -507,26 +492,21 @@ def maintain_ivf_lists_cdc(
     # the dynamic write — drop its directory so readers don't resurrect
     # pre-fold rows
     for c in set(touched) - present:
-        shutil.rmtree(os.path.join(cells_path, f"cell={c}"), ignore_errors=True)
+        fsops.remove_tree(os.path.join(cells_path, f"cell={c}"))
 
     # the rewrite replaced files under a path this session may already
     # have a cached file listing for — invalidate it, or a post-fold
     # reader can FAILED_READ_FILE on the overwritten partitions
     spark.catalog.refreshByPath(cells_path)
     total_cells = sum(
-        1 for d in os.listdir(cells_path) if d.startswith("cell=")
+        1 for d in fsops.list_dir(cells_path) if d.startswith("cell=")
     )
     meta_path = os.path.join(out_dir, "_meta.json")
-    try:
-        with open(meta_path) as f:
-            meta = json.load(f)
-    except (OSError, ValueError):
-        meta = {"fingerprint": "", "params": {}}
+    meta = fsops.read_json(meta_path, {"fingerprint": "", "params": {}})
     meta["maintained"] = True
     meta["fingerprint"] = f"{meta.get('fingerprint', '')}+cdc:{n_upserts}/{n_victims}"
     meta["appended_rows"] = (meta.get("appended_rows") or 0) + n_upserts
-    with open(meta_path, "w") as f:
-        json.dump(meta, f)
+    fsops.publish_json(meta_path, meta)
     return {
         "touched_cells": len(touched),
         "total_cells": total_cells,
@@ -541,13 +521,8 @@ def ivf_lists_need_rebuild(out_dir: str, fingerprint: str, params: dict) -> bool
     already maintained (a prior fold mutated them — the gate re-derives
     base + delta deterministically each run, so a maintained tree must
     rebuild from scratch first)."""
-    meta_path = os.path.join(out_dir, "_meta.json")
-    if not os.path.exists(meta_path):
-        return True
-    try:
-        with open(meta_path) as f:
-            meta = json.load(f)
-    except (OSError, ValueError):
+    meta = fsops.read_json(os.path.join(out_dir, "_meta.json"))
+    if meta is None:
         return True
     return (
         meta.get("fingerprint") != fingerprint

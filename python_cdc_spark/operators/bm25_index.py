@@ -73,13 +73,12 @@ through Spark's Hadoop FS).
 
 from __future__ import annotations
 
-import json
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from python_cdc_spark import fsops
 from python_cdc_spark.functions.literals import literal_df
 from python_cdc_spark.functions.text import tokens
 
@@ -135,18 +134,14 @@ def _ptr_path(path: str) -> str:
 
 def read_ptr(path: str) -> dict:
     """{"meta": M, "postings": {b: v}, "doclen": {b: v}, "folds": [...]}"""
-    try:
-        with open(_ptr_path(path)) as f:
-            return json.load(f)
-    except (OSError, ValueError):
-        return {"meta": -1, "postings": {}, "doclen": {}, "folds": []}
+    return fsops.read_json(
+        _ptr_path(path),
+        {"meta": -1, "postings": {}, "doclen": {}, "folds": []},
+    )
 
 
 def _write_ptr(path: str, ptr: dict) -> None:
-    tmp = _ptr_path(path) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(ptr, f)
-    os.replace(tmp, _ptr_path(path))
+    fsops.publish_json(_ptr_path(path), ptr)
 
 
 def _bucket_dir(path: str, table: str, bucket: int, version: int) -> str:
@@ -166,16 +161,14 @@ def _cleanup(path: str, ptr: dict) -> None:
     for table in ("postings", "doclen"):
         for b, v in ptr[table].items():
             live.add(os.path.relpath(_bucket_dir(path, table, int(b), v), path))
-    for entry in os.listdir(path):
+    for entry in fsops.list_dir(path):
         if entry.startswith("meta_v") and entry not in live:
-            shutil.rmtree(os.path.join(path, entry), ignore_errors=True)
+            fsops.remove_tree(os.path.join(path, entry))
     for table in ("postings", "doclen"):
         root = os.path.join(path, table)
-        if not os.path.isdir(root):
-            continue
-        for entry in os.listdir(root):
+        for entry in fsops.list_dir(root):
             if os.path.join(table, entry) not in live:
-                shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
+                fsops.remove_tree(os.path.join(root, entry))
 
 
 # --- reads -----------------------------------------------------------------
@@ -249,7 +242,7 @@ def _write_buckets(
     pointer map). Returns the updated bucket→version entries
     (stringified keys, JSON round-trip-stable)."""
     staging = os.path.join(path, table, "_staging")
-    shutil.rmtree(staging, ignore_errors=True)
+    fsops.remove_tree(staging)
     # duplicate the partition column so the data files keep ``bucket``
     # (partitionBy lifts its column out of the files); repartition ON the
     # bucket value first so each bucket directory gets ONE file instead
@@ -263,7 +256,7 @@ def _write_buckets(
     ).mode("overwrite").parquet(staging)
     allowed = {int(b) for b in touched}
     out = {}
-    for entry in os.listdir(staging):
+    for entry in fsops.list_dir(staging):
         if not entry.startswith("pb="):
             continue
         b = int(entry.split("=", 1)[1])
@@ -272,10 +265,10 @@ def _write_buckets(
         assert b in allowed, f"staged bucket {b} outside touched set for {table}"
         v = int(versions.get(str(b), -1)) + 1
         dst = _bucket_dir(path, table, b, v)
-        shutil.rmtree(dst, ignore_errors=True)  # crashed prior attempt
-        os.replace(os.path.join(staging, entry), dst)
+        fsops.remove_tree(dst)  # crashed prior attempt
+        fsops.replace(os.path.join(staging, entry), dst)
         out[str(b)] = v
-    shutil.rmtree(staging, ignore_errors=True)
+    fsops.remove_tree(staging)
     return out
 
 

@@ -64,11 +64,11 @@ fold-once guarantee (same constraint as ``streaming/state_store.py``).
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from python_cdc_spark import fsops
 from python_cdc_spark.operators.components import connected_components
 from python_cdc_spark.operators.dedup import _gram_cells, minhash_signatures
 
@@ -157,22 +157,13 @@ def _base_pointer(path: str) -> str:
 def _read_base_ptr(path: str) -> dict:
     """{"version": N, "includes": [tags]} — or the legacy flat layout
     (base tables directly under ``path``, nothing absorbed)."""
-    import json
-
-    try:
-        with open(_base_pointer(path)) as f:
-            return json.load(f)
-    except (OSError, ValueError):
-        return {"version": -1, "includes": []}
+    return fsops.read_json(_base_pointer(path), {"version": -1, "includes": []})
 
 
 def _write_base_ptr(path: str, version: int, includes: list[str]) -> None:
-    import json
-
-    tmp = _base_pointer(path) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump({"version": version, "includes": sorted(includes)}, f)
-    os.replace(tmp, _base_pointer(path))
+    fsops.publish_json(
+        _base_pointer(path), {"version": version, "includes": sorted(includes)}
+    )
 
 
 def _base_dir(path: str, ptr: dict) -> str:
@@ -186,13 +177,11 @@ def _committed_delta_dirs(path: str, ptr: dict | None = None) -> list[str]:
     ptr = ptr if ptr is not None else _read_base_ptr(path)
     absorbed = set(ptr["includes"])
     root = _deltas_root(path)
-    if not os.path.isdir(root):
-        return []
     return sorted(
         os.path.join(root, d)
-        for d in os.listdir(root)
+        for d in fsops.list_dir(root)
         if d not in absorbed
-        and os.path.exists(os.path.join(root, d, "_COMMITTED"))
+        and fsops.is_file(os.path.join(root, d, "_COMMITTED"))
     )
 
 
@@ -202,17 +191,17 @@ def _prune_uncommitted_deltas(path: str) -> None:
     not get to clean up. Single-writer: only the folding process may
     call this."""
     root = _deltas_root(path)
-    if not os.path.isdir(root):
+    if not fsops.is_dir(root):
         return
     ptr = _read_base_ptr(path)
     absorbed = set(ptr["includes"])
-    for d in os.listdir(root):
+    for d in fsops.list_dir(root):
         full = os.path.join(root, d)
-        if d in absorbed or not os.path.exists(os.path.join(full, "_COMMITTED")):
-            shutil.rmtree(full, ignore_errors=True)
+        if d in absorbed or not fsops.is_file(os.path.join(full, "_COMMITTED")):
+            fsops.remove_tree(full)
     # drop includes entries whose directories are now gone, so a future
     # fold that legitimately reuses the tag isn't silently masked
-    live = [t for t in ptr["includes"] if os.path.isdir(os.path.join(root, t))]
+    live = [t for t in ptr["includes"] if fsops.is_dir(os.path.join(root, t))]
     if ptr["version"] >= 0 and live != sorted(ptr["includes"]):
         _write_base_ptr(path, ptr["version"], live)
 
@@ -269,11 +258,10 @@ def _components_pointer(path: str) -> str:
 
 
 def _current_components_dir(path: str) -> str:
+    got = fsops.read_json(_components_pointer(path))
     try:
-        with open(_components_pointer(path)) as f:
-            version = int(f.read().strip())
-        return os.path.join(path, f"components_v{version}")
-    except (OSError, ValueError):
+        return os.path.join(path, f"components_v{int(got)}")
+    except (TypeError, ValueError):
         # legacy layout (pre-versioning) fallback
         return os.path.join(path, "components")
 
@@ -288,30 +276,27 @@ def _swap_components(path: str, new_comp: DataFrame) -> None:
     table-less: write v<N+1>, atomically repoint, prune versions < N
     (the immediately-previous version survives one generation so a
     racing reader of the old pointer still finds a complete dir)."""
+    got = fsops.read_json(_components_pointer(path))
     try:
-        with open(_components_pointer(path)) as f:
-            cur = int(f.read().strip())
-    except (OSError, ValueError):
+        cur = int(got) if got is not None else -1
+    except (TypeError, ValueError):
         cur = -1
     nxt = cur + 1
     new_comp.write.mode("overwrite").parquet(
         os.path.join(path, f"components_v{nxt}")
     )
-    tmp = _components_pointer(path) + ".tmp"
-    with open(tmp, "w") as f:
-        f.write(str(nxt))
-    os.replace(tmp, _components_pointer(path))
-    for d in os.listdir(path):
+    fsops.publish_json(_components_pointer(path), nxt)
+    for d in fsops.list_dir(path):
         if d.startswith("components_v"):
             try:
                 v = int(d[len("components_v"):])
             except ValueError:
                 continue
             if v < cur:
-                shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+                fsops.remove_tree(os.path.join(path, d))
     legacy = os.path.join(path, "components")
-    if cur == -1 and os.path.isdir(legacy):
-        shutil.rmtree(legacy, ignore_errors=True)
+    if cur == -1 and fsops.is_dir(legacy):
+        fsops.remove_tree(legacy)
 
 
 def _delta_fingerprint(delta_docs: DataFrame, id_col: str) -> str:
@@ -352,9 +337,9 @@ def build_dedup_index(
     bands.write.mode("overwrite").parquet(os.path.join(base, "bands"))
     sizes.write.mode("overwrite").parquet(os.path.join(base, "sizes"))
     _write_base_ptr(path, nxt, [])
-    shutil.rmtree(_deltas_root(path), ignore_errors=True)  # fresh bootstrap
+    fsops.remove_tree(_deltas_root(path))  # fresh bootstrap
     if ptr["version"] >= 0:
-        shutil.rmtree(_base_dir(path, ptr), ignore_errors=True)
+        fsops.remove_tree(_base_dir(path, ptr))
     b = spark.read.parquet(os.path.join(base, "bands"))
     x, y = b.alias("x"), b.alias("y")
     cand = (
@@ -402,7 +387,7 @@ def incremental_dedup_update(
     # CDC fold would have its rows evicted by every existing generation's
     # evicted list — silently dropped inserts. Route through the CDC API.
     root = _deltas_root(path)
-    if os.path.isdir(root) and any(_cdc_gen(d) > 0 for d in os.listdir(root)):
+    if any(_cdc_gen(d) > 0 for d in fsops.list_dir(root)):
         raise ValueError(
             "index has taken CDC folds (generation directories exist); "
             "use cdc_dedup_index_update for all further folds"
@@ -411,8 +396,7 @@ def incremental_dedup_update(
     # directory even if committed (crash after commit, before swap /
     # marker — recomputation is a fixpoint, see module docstring)
     _prune_uncommitted_deltas(path)
-    if os.path.isdir(delta_dir):
-        shutil.rmtree(delta_dir, ignore_errors=True)
+    fsops.remove_tree(delta_dir)
 
     d_cells, d_bands, d_sizes = _delta_tables(delta_docs, text_col, id_col)
     d_cells = d_cells.localCheckpoint(eager=False)
@@ -473,8 +457,7 @@ def incremental_dedup_update(
     # tag's subdirectory, then the _COMMITTED marker (atomic create)
     for name, df in (("cells", d_cells), ("bands", d_bands), ("sizes", d_sizes)):
         df.write.mode("overwrite").parquet(os.path.join(delta_dir, name))
-    with open(os.path.join(delta_dir, "_COMMITTED"), "w") as f:
-        f.write(str(tag))
+    fsops.write_marker(os.path.join(delta_dir, "_COMMITTED"), str(tag))
     _swap_components(path, new_comp)
     return new_comp
 
@@ -560,14 +543,13 @@ def cdc_dedup_index_update(
     _prune_uncommitted_deltas(path)
     root = _deltas_root(path)
     seq = 1
-    if os.path.isdir(root):
-        for d in os.listdir(root):
-            g = _cdc_gen(d)
-            if d.endswith(f"-{tag}"):
-                seq = g  # replay: reuse the crashed fold's generation
-                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
-                break
-            seq = max(seq, g + 1)
+    for d in fsops.list_dir(root):
+        g = _cdc_gen(d)
+        if d.endswith(f"-{tag}"):
+            seq = g  # replay: reuse the crashed fold's generation
+            fsops.remove_tree(os.path.join(root, d))
+            break
+        seq = max(seq, g + 1)
     delta_dir = os.path.join(root, f"g{seq:06d}-{tag}")
 
     evicted = (
@@ -584,8 +566,7 @@ def cdc_dedup_index_update(
     for name, df in (("cells", d_cells), ("bands", d_bands), ("sizes", d_sizes)):
         df.write.mode("overwrite").parquet(os.path.join(delta_dir, name))
     evicted.write.mode("overwrite").parquet(os.path.join(delta_dir, "evicted"))
-    with open(os.path.join(delta_dir, "_COMMITTED"), "w") as f:
-        f.write(str(tag))
+    fsops.write_marker(os.path.join(delta_dir, "_COMMITTED"), str(tag))
 
     # post-change index: includes this delta, excludes evicted images
     post_cells = read_index_table(spark, path, "cells")
@@ -730,7 +711,7 @@ def compact_dedup_index(spark: SparkSession, path: str) -> int:
     absorbed = ptr["includes"] + [os.path.basename(d) for d in deltas]
     _write_base_ptr(path, nxt, absorbed)
     for d in deltas:
-        shutil.rmtree(d, ignore_errors=True)
+        fsops.remove_tree(d)
     if ptr["version"] >= 0:
-        shutil.rmtree(_base_dir(path, ptr), ignore_errors=True)
+        fsops.remove_tree(_base_dir(path, ptr))
     return len(deltas)

@@ -51,14 +51,13 @@ so a later ``define`` against fresh sources rebuilds.
 
 from __future__ import annotations
 
-import json
 import os
-import shutil
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from python_cdc_spark import fsops
 from python_cdc_spark.operators.ann_index import index_is_current
 
 _DEC = "decimal(30,10)"
@@ -131,7 +130,7 @@ class RollupCatalog:
     def __init__(self, spark: SparkSession, base_dir: str):
         self.spark = spark
         self.base_dir = base_dir
-        os.makedirs(base_dir, exist_ok=True)
+        fsops.makedirs(base_dir)
 
     # -- meta / paths ---------------------------------------------------
 
@@ -139,17 +138,10 @@ class RollupCatalog:
         return os.path.join(self.base_dir, name, "_meta.json")
 
     def _meta(self, name: str) -> Optional[dict]:
-        try:
-            with open(self._meta_path(name)) as f:
-                return json.load(f)
-        except (OSError, ValueError):
-            return None
+        return fsops.read_json(self._meta_path(name))
 
     def _commit_meta(self, name: str, meta: dict) -> None:
-        tmp = self._meta_path(name) + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(meta, f)
-        os.replace(tmp, self._meta_path(name))
+        fsops.publish_json(self._meta_path(name), meta)
 
     def _vdir(self, name: str, version: int) -> str:
         return os.path.join(self.base_dir, name, f"v{version}")
@@ -243,8 +235,7 @@ class RollupCatalog:
         hll_dfs: dict[str, DataFrame],
     ) -> None:
         out = self._vdir(name, version)
-        if os.path.exists(out):  # crashed attempt: rewrite deterministically
-            shutil.rmtree(out)
+        fsops.remove_tree(out)  # crashed attempt: rewrite deterministically
         jobs = []
         if scalar_df is not None:
             jobs.append(("data", scalar_df))
@@ -275,10 +266,10 @@ class RollupCatalog:
         """Drop version dirs older than ``keep_from`` (the previous
         version survives one generation for concurrent readers)."""
         root = os.path.join(self.base_dir, name)
-        for entry in os.listdir(root):
+        for entry in fsops.list_dir(root):
             if entry.startswith("v") and entry[1:].isdigit():
                 if int(entry[1:]) < keep_from:
-                    shutil.rmtree(os.path.join(root, entry))
+                    fsops.remove_tree(os.path.join(root, entry))
 
     # -- build ----------------------------------------------------------
 
@@ -302,7 +293,7 @@ class RollupCatalog:
         params = self._params(dims, measures)
         if not force and index_is_current(out, fingerprint, params):
             return out
-        os.makedirs(out, exist_ok=True)
+        fsops.makedirs(out)
         old = self._meta(name)
         version = (old.get("version", 0) + 1) if old else 1
         # the hidden support count is always materialized (even for
@@ -712,7 +703,7 @@ class RollupCatalog:
 
     def _catalog(self) -> dict[str, dict]:
         entries = {}
-        for name in sorted(os.listdir(self.base_dir)):
+        for name in sorted(fsops.list_dir(self.base_dir)):
             meta = self._meta(name)
             if meta and meta.get("params", {}).get("layout") == _LAYOUT:
                 entries[name] = meta

@@ -37,80 +37,77 @@ from python_cdc_spark.queries import (  # noqa: F401, E402
 # The driver's correctness gate checks the FIRST 50 registry entries;
 # registration order decides which queries earn a driver CORRECTNESS row.
 #
-# Round-11 rotation (VERDICT r10 item #1): freshness-ordered. Latest-green
-# rounds per name recomputed from CORRECTNESS_r01-r10 (r10: 50, r9: 47,
-# r8: 47, r7: 21; zero ever-red, zero never-green). The window leads
-# with ALL 21 r07-latest names — the standing coverage contract says no
-# name's latest green driver row may age past r08, and these are the
-# boundary set (events_anomaly_mad first: it yielded its r10 slot to a
-# debut). Next, the four names whose CODE changed this round and whose
-# latest driver row therefore predates the change
-# (bm25_index_cdc_maintained: crash-exact versioned fold + replay guard
-# + gate-cost separation; dedup_index_cdc_maintained: CDC fingerprint
-# now digests text content, gate-cost separation;
-# ann_index_cdc_maintained: gate-cost separation; text_bm25_search:
-# top-k plan pinned). The remaining 25 slots refresh r08-latest names —
-# the full r08 TPC-H block plus rollup rewrites and revenue rollups.
-# The 22 r08 names that do not fit (analytics/sketch/text/timeseries/
-# window families, every one family-covered by an r09/r10 row) lead the
-# r12 window. Every rotated-out name stays covered by the local differ
-# (tests/test_queries_oracle.py, ALL queries at sf0.01) and the
-# end-of-round sf0.1/sf1 sweeps. After r11 lands green, no name's
-# latest green driver row is older than r08.
+# Round-12 rotation (VERDICT r11 item #1): freshness-ordered. Latest-green
+# rounds per name recomputed from CORRECTNESS_r01-r11 (r11: 50, r10: 46,
+# r09: 47, r08: 22; zero ever-red, zero never-green). The window leads
+# with ALL 22 r08-latest names (q4_order_priority first) — the standing
+# coverage contract's boundary set. Next, the 14 names whose CODE
+# changed this round and whose latest driver row therefore predates the
+# change (BM25: one-pass fold + positional postings, with two DEBUTS —
+# text_bm25_phrase_search, bm25_phrase_cdc_maintained; the fsops
+# isolation touched the dedup/ANN/rollup maintained structures; the
+# literal_df sweep touched the k-means/PQ/RQ codebook tables,
+# cdc_schema_evolution/cdc_pipeline_composite fixtures, and the
+# origin-carry join). The remaining 14 slots refresh the OLDEST
+# r09-latest names (agg_rollup..events_markov_transitions,
+# alphabetical). Every rotated-out name stays covered by the local
+# differ (tests/test_queries_oracle.py, ALL queries at sf0.01) and the
+# end-of-round sf0.1/sf1 sweeps. After r12 lands green, no name's
+# latest green driver row is older than r09.
 _WINDOW = [
-    # --- The 21 r07-latest names (verdict r10 #1), events_anomaly_mad first ---
-    "events_anomaly_mad",
-    "text_duplicate_span_coverage",
-    "array_functions",
-    "case_when_bucketing",
-    "corpus_chunk_sliding",
-    "corpus_shuffle_epochs",
-    "distinct_counts",
-    "embedding_norms",
-    "interval_concurrency",
-    "json_extraction",
-    "map_functions",
-    "multimodal_decode_meta",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    "profile_column_stats",
-    "salted_agg_returnflag",
-    "scalar_date_funcs",
-    "similarity_lsh_buckets",
-    "text_bpe_token_estimate",
-    "text_token_stats",
-    "udf_udtf_token_explode",
-    # --- Changed this round: rows must postdate the change ---
+    # --- The 22 r08-latest names (verdict r11 #1), q4_order_priority first ---
+    "q4_order_priority",
+    "scalar_math_funcs",
+    "scalar_string_funcs2",
+    "similarity_ivfpq_topk",
+    "similarity_ivfrq_topk",
+    "similarity_rq_topk",
+    "sketch_countmin_partkeys",
+    "sketch_hll_groupwise",
+    "sketch_hll_orderkeys",
+    "stats_deterministic_moments",
+    "text_fingerprint",
+    "text_pii_redact",
+    "text_quality_classifier",
+    "text_repetition_filter",
+    "text_vocab_zipf_stats",
+    "timeseries_ewma_recursive",
+    "timeseries_gapfill_locf",
+    "timeseries_seasonal_profile",
+    "unpivot_quarterly_revenue",
+    "window_lag_lead",
+    "window_running_total",
+    "window_value_navigation",
+    # --- Changed this round: rows must postdate the change (2 debuts) ---
     "bm25_index_cdc_maintained",
+    "bm25_phrase_cdc_maintained",
+    "text_bm25_phrase_search",
     "dedup_index_cdc_maintained",
+    "dedup_incremental_fold",
     "ann_index_cdc_maintained",
-    "text_bm25_search",
-    # --- r08-latest refresh (25 of 47) ---
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_part_type_counts",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q19_discounted_revenue",
-    "q22_dormant_customers",
-    "revenue_by_nation_region",
-    "revenue_yoy_growth",
-    "rollup_distinct_parts_rewrite",
-    "rollup_revenue_rewrite",
-    "customer_rfm_segments",
-    "data_quality_checks",
-    "events_cusum_drift",
-    "events_histogram_equiwidth",
-    "join_key_skew_report",
-    "parts_pareto_abc",
+    "similarity_ivf_topk",
+    "similarity_pq_topk",
+    "dedup_semantic_clusters",
+    "rollup_cdc_maintained",
+    "rollup_cdc_partition_pruned",
+    "cdc_schema_evolution",
+    "cdc_pipeline_composite",
+    "cdc_origin_filtered",
+    # --- Oldest r09-latest refresh (14 of 46 remaining) ---
+    "agg_rollup",
+    "approx_distinct_users",
+    "asof_join_latest_click",
+    "cdc_apply_changes",
+    "cdc_incremental_agg",
+    "cdc_latest_per_key",
+    "cdc_op_counts",
+    "cdc_scd2_history",
+    "cdc_schema_registry",
+    "corpus_split_chisquare",
+    "dedup_edit_distance_verified",
+    "events_exact_deciles",
+    "events_funnel_ordered",
+    "events_markov_transitions",
 ]
 assert len(_WINDOW) == 50, f"driver window must hold exactly 50, got {len(_WINDOW)}"
 assert len(set(_WINDOW)) == 50, "duplicate names in the driver window"

@@ -43,6 +43,12 @@ from python_cdc_spark.streaming.state_store import BucketedStateStore
 #: them — they scope TRUNCATE expansion (and the state fold) per table
 _AUX_COLS = ("schema", "table")
 
+#: Wire micro-batches at or above this row count are repartitioned to
+#: executor parallelism before the Python frame decode (a file-source
+#: batch has only file-count partitions). Below it the shuffle's fixed
+#: cost beats the decode win — latency-sized batches stay zero-copy.
+_WIDE_DECODE_ROWS = 200_000
+
 
 class StreamingApplyChanges:
     """Continuous apply-changes into a bucket-partitioned parquet state.
@@ -514,18 +520,41 @@ class StreamingWireApplyChanges(StreamingApplyChanges):
         os.replace(tmp, self._registry_path)
 
     def merge_wire_batch(self, frames: DataFrame, batch_id: int | None = None) -> None:
-        """One micro-batch of raw frames: registry refresh → decode → merge."""
+        """One micro-batch of raw frames: registry refresh → decode → merge.
+
+        Wire-profile shape (r11 verdict #3): a file-source micro-batch
+        arrives with as many partitions as it has FILES (often a
+        handful), which runs the Python frame decode nearly serially on
+        a wide executor — at 10M events that serialization, not the
+        decode loop itself, was the 0.72/decade exponent. The batch is
+        materialized ONCE (so the R-frame/stats aggregate, the decode,
+        and the merge all read memory, not three separate file scans),
+        and a batch at or above _WIDE_DECODE_ROWS is then repartitioned
+        to the session's parallelism so the decode runs executor-wide;
+        small batches skip the shuffle (its fixed cost would dominate a
+        latency-sized batch)."""
         from python_cdc_spark.cdc.pgoutput import (
             _LSN_MIN,
             _parse_relation_frame,
             decode_frames,
         )
 
-        rel_rows = (
-            frames.filter(F.substring("frame", 1, 1) == "R")
-            .select("lsn", "frame")
-            .collect()  # O(DDL events) in the batch — metadata-scale
-        )
+        frames = frames.localCheckpoint(eager=True)
+        one = frames.agg(
+            F.max("ts").alias("mx"),
+            F.count(F.lit(1)).alias("n"),
+            # O(DDL events) in the batch — metadata-scale collect
+            F.collect_list(
+                F.when(
+                    F.substring("frame", 1, 1) == "R",
+                    F.struct("lsn", "frame"),
+                )
+            ).alias("rels"),
+        ).first()
+        rel_rows = one["rels"] or []
+        if int(one["n"] or 0) >= _WIDE_DECODE_ROWS:
+            par = max(int(self.spark.sparkContext.defaultParallelism), 1)
+            frames = frames.repartition(par).localCheckpoint(eager=True)
         # The batch decodes with an LSN-VERSIONED registry: the carried
         # registry (previous batches / snapshot seed) is valid from the
         # start of the LSN axis, and each R frame in THIS batch opens a
@@ -543,9 +572,6 @@ class StreamingWireApplyChanges(StreamingApplyChanges):
                 self.registry[relid] = rel  # latest-wins carry for the NEXT batch
             self._save_registry()
 
-        stats = frames.agg(
-            F.max("ts").alias("mx"), F.count(F.lit(1)).alias("n")
-        ).first()
         events = decode_frames(self.spark, frames, registry=versions)
         if self.origin != "any":
             from python_cdc_spark.cdc.origins import (
@@ -575,7 +601,7 @@ class StreamingWireApplyChanges(StreamingApplyChanges):
             self._save_origin_state()
         self.merge_batch(self.key_extractor(events), batch_id)
         # state is durable now — the capture→applied gap is the e2e lag
-        self.record_latency(batch_id, stats["mx"], stats["n"])
+        self.record_latency(batch_id, one["mx"], one["n"])
 
     def start_wire(
         self,
