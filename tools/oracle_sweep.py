@@ -39,9 +39,17 @@ def main() -> None:
     mem = os.environ.get("SPARK_GRAFT_DUCKDB_MEM")
     if mem:
         con.execute(f"SET memory_limit='{mem}'")
-        # bound the spill too: a quadratic oracle otherwise fills the
-        # disk before it fails (graph_triangle_count at sf1 wrote 70 GB
-        # of temp before ENOSPC)
+        # an IN-MEMORY DuckDB has no temp_directory, so a memory cap
+        # alone turns the heavy CC/curation oracles into hard OOM
+        # ("failed to offload data block") instead of a spill — give it
+        # one, and bound the spill too: a quadratic oracle otherwise
+        # fills the disk before it fails (graph_triangle_count at sf1
+        # wrote 70 GB of temp before ENOSPC)
+        import tempfile
+
+        con.execute(
+            f"SET temp_directory='{tempfile.mkdtemp(prefix='duckdb_sweep_')}'"
+        )
         con.execute("SET max_temp_directory_size='32GB'")
     for t in (
         "region nation customer supplier part orders lineitem "
