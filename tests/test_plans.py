@@ -774,3 +774,12 @@ def test_bm25_topk_uses_take_ordered(spark, tmp_path):
     build_bm25_index(spark, docs, idx)
     got = bm25_search(spark, idx, ("join", "scan"), 2)
     assert "TakeOrderedAndProject" in explain_str(got)
+
+    # the phrase path (positional adjacency join) rides the same global
+    # top-k shape — pin it for the registered query AND the index search
+    from python_cdc_spark.operators.bm25_index import bm25_phrase_search
+
+    pdf = QUERIES["text_bm25_phrase_search"].fn(spark, SF_SMOKE)
+    assert "TakeOrderedAndProject" in explain_str(pdf)
+    pgot = bm25_phrase_search(spark, idx, ("join", "scan"), 2)
+    assert "TakeOrderedAndProject" in explain_str(pgot)
