@@ -106,6 +106,10 @@ HEADLINE = [
     # fold of the same delta)
     "text_bm25_phrase_search",
     "bm25_phrase_cdc_maintained",
+    # narrow-delta fold gate: a CONSTANT 15-id delta against the
+    # full-corpus index — the O(touched buckets) claim as a bench row
+    # (contrast with bm25_index_cdc_maintained's ~45%-churn fold)
+    "bm25_fold_narrow_delta",
 ]
 
 

@@ -66,6 +66,15 @@ DIRECTORY-PRUNED to the buckets the matched postings actually hit
 (a ≤N_BUCKETS-element metadata collect) — a rare-term query reads a
 handful of doclen directories, not the corpus.
 
+Positions are OPTIONAL (``build_bm25_index(store_positions=False)``):
+a positions-off index stores the same schema with an all-null
+positions column (~2× smaller postings), folds inherit the mode from
+the pointer, term search is unchanged in results and plan (it never
+selects positions — the parquet read is column-pruned either way),
+and phrase search refuses the index with a clear error instead of
+returning an empty result. The trade: pay positional storage only for
+corpora that serve phrase queries.
+
 Single writer; LOCAL path (same constraint as the other maintained
 structures: the pointer uses ``os`` primitives while parquet goes
 through Spark's Hadoop FS).
@@ -101,15 +110,30 @@ def _bucket(col: F.Column) -> F.Column:
     return (F.crc32(col.cast("string")) % _N_BUCKETS).cast("int")
 
 
-def _doc_tf(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def _doc_tf(
+    docs: DataFrame, text_col: str, id_col: str, with_positions: bool = True
+) -> DataFrame:
     """(doc_id, token, tf, positions, bucket) — the same tokenization the
     registered BM25 query (and its oracle twin) uses; positions are the
     token's 1-based offsets, sorted (collect_list order is partition-
-    dependent, the sort makes the stored bytes deterministic)."""
+    dependent, the sort makes the stored bytes deterministic).
+
+    ``with_positions=False`` (a positions-OFF index) emits a NULL
+    positions column: the schema stays identical, so folds and reads
+    never branch, but the parquet column is all-null (~2× smaller
+    postings — the documented storage/feature trade: term search never
+    reads positions either way, phrase search requires them)."""
     tok = docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.posexplode(tokens(F.col(text_col))).alias("pos", "token"),
     )
+    if not with_positions:
+        return (
+            tok.groupBy("doc_id", "token")
+            .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+            .withColumn("positions", F.lit(None).cast("array<int>"))
+            .withColumn("bucket", _bucket(F.col("doc_id")))
+        )
     return tok.groupBy("doc_id", "token").agg(
         F.count(F.lit(1)).cast("long").alias("tf"),
         F.sort_array(F.collect_list((F.col("pos") + 1).cast("int"))).alias("positions"),
@@ -133,11 +157,16 @@ def _ptr_path(path: str) -> str:
 
 
 def read_ptr(path: str) -> dict:
-    """{"meta": M, "postings": {b: v}, "doclen": {b: v}, "folds": [...]}"""
-    return fsops.read_json(
+    """{"meta": M, "postings": {b: v}, "doclen": {b: v}, "folds": [...],
+    "pos": bool} — ``pos`` records whether this index stores positional
+    postings (absent in pre-r12 pointers ⇒ True, positions were always
+    stored then); folds inherit it, phrase search requires it."""
+    ptr = fsops.read_json(
         _ptr_path(path),
-        {"meta": -1, "postings": {}, "doclen": {}, "folds": []},
+        {"meta": -1, "postings": {}, "doclen": {}, "folds": [], "pos": True},
     )
+    ptr.setdefault("pos", True)
+    return ptr
 
 
 def _write_ptr(path: str, ptr: dict) -> None:
@@ -281,16 +310,25 @@ def build_bm25_index(
     path: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    store_positions: bool = True,
 ) -> int:
     """Batch bootstrap: bucketed positional postings + derived doclen,
     df, globals — staged fully, then published by one pointer swap
     (rebuild over a live index is itself crash-safe: readers keep the
     old pointer until the swap). One tokenize pass: doclen, df, and
-    globals all derive from the checkpointed postings."""
+    globals all derive from the checkpointed postings.
+
+    ``store_positions=False`` builds a positions-OFF index: the
+    postings schema is unchanged (positions all-null, so folds/reads
+    never branch) but the stored bytes drop ~2×. Term search is
+    identical in results AND plan (it never selects positions — the
+    parquet read is column-pruned); phrase search refuses the index
+    with a clear error. The mode is recorded in the pointer and every
+    CDC fold inherits it."""
     from concurrent.futures import ThreadPoolExecutor
 
     old = read_ptr(path)
-    tf = _doc_tf(docs, text_col, id_col).localCheckpoint(eager=True)
+    tf = _doc_tf(docs, text_col, id_col, store_positions).localCheckpoint(eager=True)
     meta_v = old["meta"] + 1
     g = tf.agg(
         F.countDistinct("doc_id").alias("n"), F.sum("tf").alias("s")
@@ -309,6 +347,7 @@ def build_bm25_index(
             "postings": f_post.result(),
             "doclen": f_dl.result(),
             "folds": [],
+            "pos": bool(store_positions),
         }
         f_meta.result()
     _write_ptr(path, ptr)
@@ -378,7 +417,7 @@ def cdc_bm25_update(
     )
     tp = _read_table(spark, path, "postings", _POSTINGS_SCHEMA, ptr, touched)
     combined = (
-        _doc_tf(new_docs, text_col, "doc_id")
+        _doc_tf(new_docs, text_col, "doc_id", with_positions=ptr["pos"])
         .select("doc_id", "token", "tf", "positions", "bucket")
         .withColumn("__new", F.lit(True))
         .withColumn("__ev", F.lit(False))
@@ -447,6 +486,7 @@ def cdc_bm25_update(
         # fold (batch) or a post-checkpoint redelivery (streaming, ≤ a
         # few batches) — far inside the window, and the pointer stays KB
         "folds": (ptr["folds"] + [tag])[-64:],
+        "pos": ptr["pos"],  # folds inherit the index's positions mode
     }
     _write_ptr(path, nxt)  # the commit point
     _cleanup(path, nxt)
@@ -548,10 +588,15 @@ def bm25_phrase_search(
     """
     from pyspark.sql import Window
 
+    ptr = read_ptr(path)
+    if not ptr["pos"]:
+        raise ValueError(
+            "phrase search needs positional postings; this index was "
+            "built with store_positions=False (term search still works)"
+        )
     g = read_globals(spark, path)
     n_docs, sum_dl = int(g["n_docs"]), int(g["sum_dl"])
     avgdl = float(sum_dl) / n_docs if n_docs else 0.0
-    ptr = read_ptr(path)
     ph = phrase_df(spark, phrase)
     post = (
         _read_table(spark, path, "postings", _POSTINGS_SCHEMA, ptr)

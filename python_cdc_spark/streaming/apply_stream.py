@@ -49,6 +49,38 @@ _AUX_COLS = ("schema", "table")
 #: cost beats the decode win — latency-sized batches stay zero-copy.
 _WIDE_DECODE_ROWS = 200_000
 
+#: Bytes-based twin of the row gate, decided from the batch's SOURCE
+#: FILE SIZES (driver metadata) BEFORE the batch is materialized — a
+#: huge batch never has to be checkpointed at file-count width just to
+#: count its rows. 3 MiB ≈ the row gate's 200k events at the measured
+#: ~14 B/row parquet footprint of encoded I/U/D frames; non-file
+#: sources (no input files to size) fall back to the row gate.
+_WIDE_DECODE_BYTES = 3 * 1024 * 1024
+
+
+def _batch_input_bytes(frames: DataFrame) -> int | None:
+    """Total on-disk size of the micro-batch's source files, or None
+    when the batch has no enumerable local files (memory source, or an
+    FS whose sizes this process cannot stat)."""
+    from urllib.parse import unquote, urlparse
+
+    try:
+        files = frames.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    total = 0
+    for f in files:
+        p = urlparse(f)
+        if p.scheme not in ("", "file"):
+            return None
+        try:
+            total += os.path.getsize(unquote(p.path))
+        except OSError:
+            return None
+    return total
+
 
 class StreamingApplyChanges:
     """Continuous apply-changes into a bucket-partitioned parquet state.
@@ -529,16 +561,27 @@ class StreamingWireApplyChanges(StreamingApplyChanges):
         decode loop itself, was the 0.72/decade exponent. The batch is
         materialized ONCE (so the R-frame/stats aggregate, the decode,
         and the merge all read memory, not three separate file scans),
-        and a batch at or above _WIDE_DECODE_ROWS is then repartitioned
-        to the session's parallelism so the decode runs executor-wide;
-        small batches skip the shuffle (its fixed cost would dominate a
-        latency-sized batch)."""
+        and a wide batch is repartitioned to the session's parallelism
+        so the decode runs executor-wide; small batches skip the
+        shuffle (its fixed cost would dominate a latency-sized batch).
+
+        Wide is decided by SOURCE FILE BYTES when the batch has
+        stat-able files (>= _WIDE_DECODE_BYTES) — known on the driver
+        BEFORE materialization, so a huge batch is widened first and
+        checkpointed once, never held in memory at file-count width
+        just to count rows. Sourceless batches fall back to the row
+        gate (>= _WIDE_DECODE_ROWS), which costs a second checkpoint
+        only on the rare wide in-memory batch."""
         from python_cdc_spark.cdc.pgoutput import (
             _LSN_MIN,
             _parse_relation_frame,
             decode_frames,
         )
 
+        in_bytes = _batch_input_bytes(frames)
+        par = max(int(self.spark.sparkContext.defaultParallelism), 1)
+        if in_bytes is not None and in_bytes >= _WIDE_DECODE_BYTES:
+            frames = frames.repartition(par)
         frames = frames.localCheckpoint(eager=True)
         one = frames.agg(
             F.max("ts").alias("mx"),
@@ -552,8 +595,7 @@ class StreamingWireApplyChanges(StreamingApplyChanges):
             ).alias("rels"),
         ).first()
         rel_rows = one["rels"] or []
-        if int(one["n"] or 0) >= _WIDE_DECODE_ROWS:
-            par = max(int(self.spark.sparkContext.defaultParallelism), 1)
+        if in_bytes is None and int(one["n"] or 0) >= _WIDE_DECODE_ROWS:
             frames = frames.repartition(par).localCheckpoint(eager=True)
         # The batch decodes with an LSN-VERSIONED registry: the carried
         # registry (previous batches / snapshot seed) is valid from the

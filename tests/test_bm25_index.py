@@ -307,3 +307,54 @@ def test_phrase_search_from_maintained_index(spark, tmp_path):
     assert hits == {2: 1}
     # absent phrase: empty result, no error
     assert bm25_phrase_search(spark, idx, ("kappa", "alpha"), 10).count() == 0
+
+
+def test_positions_off_mode(spark, tmp_path):
+    """store_positions=False: same schema (all-null positions), pointer
+    records the mode, folds inherit it, term search is row-identical to
+    a positional index, phrase search refuses clearly, and the postings
+    storage is materially smaller — the documented trade."""
+    from python_cdc_spark import fsops
+    from python_cdc_spark.operators.bm25_index import bm25_phrase_search
+
+    docs = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.expr(
+            "concat_ws(' ', transform(sequence(1, 200), i -> element_at("
+            "array('join','scan','filter','merge','alpha','beta'), "
+            "int(pmod(id*7+i, 6))+1)))"
+        ).alias("text"),
+    )
+    on, off = str(tmp_path / "on"), str(tmp_path / "off")
+    build_bm25_index(spark, docs, on, store_positions=True)
+    build_bm25_index(spark, docs, off, store_positions=False)
+    assert read_ptr(on)["pos"] is True and read_ptr(off)["pos"] is False
+
+    def top(path):
+        return sorted(map(tuple, bm25_search(spark, path, TERMS, 20).collect()))
+
+    assert top(on) == top(off) and len(top(on)) == 20
+    with pytest.raises(ValueError, match="store_positions=False"):
+        bm25_phrase_search(spark, off, ("join", "scan"))
+
+    delta = _delta(
+        spark,
+        [
+            ("UPDATE", 5, "join join merge nu"),
+            ("DELETE", 10, None),
+            ("INSERT", 1000, "scan filter scan xi"),
+        ],
+    )
+    cdc_bm25_update(spark, on, delta)
+    cdc_bm25_update(spark, off, delta)
+    assert top(on) == top(off)
+    # the fold kept the positions-off invariant: every row stays null
+    assert (
+        read_postings(spark, off).filter(F.col("positions").isNotNull()).count() == 0
+    )
+    # and the positional index still answers phrases post-fold
+    assert bm25_phrase_search(spark, on, ("join", "merge")).count() > 0
+
+    b_on = fsops.tree_bytes(os.path.join(on, "postings"))
+    b_off = fsops.tree_bytes(os.path.join(off, "postings"))
+    assert b_off < 0.8 * b_on, f"positions-off not smaller: {b_off} vs {b_on}"

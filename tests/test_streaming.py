@@ -824,6 +824,61 @@ def test_streaming_corpus_dedup_replay_is_skipped(spark, tmp_path):
     assert read_index_table(spark, idx, "cells").count() == n_cells
 
 
+def test_wide_decode_bytes_gate(spark, tmp_path, monkeypatch):
+    """The wire decode's wide gate is decided from SOURCE FILE BYTES
+    (driver metadata, known before the batch materializes): a
+    file-backed batch sums its files' on-disk sizes exactly; a
+    sourceless in-memory batch reports None and falls back to the row
+    gate; and a batch widened by the bytes path merges the same state
+    as one below it."""
+    import datetime as dt
+    import glob
+
+    from python_cdc_spark.cdc.pgoutput import encode_insert, encode_relation
+    from python_cdc_spark.streaming import StreamingWireApplyChanges
+    from python_cdc_spark.streaming import apply_stream as ap
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (0, t0, bytearray(encode_relation(9, "public", "users", ["id", "name"])))
+    ] + [
+        (i, t0, bytearray(encode_insert(9, [str(i), f"user{i}"])))
+        for i in range(1, 201)
+    ]
+    wire_dir = str(tmp_path / "wire")
+    spark.createDataFrame(
+        rows, "lsn bigint, ts timestamp, frame binary"
+    ).coalesce(2).write.parquet(wire_dir)
+
+    batch = spark.read.parquet(wire_dir)
+    expect = sum(
+        os.path.getsize(f) for f in glob.glob(os.path.join(wire_dir, "*.parquet"))
+    )
+    assert ap._batch_input_bytes(batch) == expect
+    # sourceless frame: no files to size -> row-gate fallback
+    assert ap._batch_input_bytes(spark.range(5)) is None
+
+    def build(path, tag):
+        a = StreamingWireApplyChanges(
+            spark,
+            str(tmp_path / f"state_{tag}"),
+            key_extractor=lambda ev: ev.withColumn(
+                "key", F.coalesce(F.col("new_values")["id"], F.col("old_values")["id"])
+            ),
+            n_buckets=4,
+        )
+        a.merge_wire_batch(spark.read.parquet(path), batch_id=0)
+        return sorted(
+            (r["key"], dict(r["values"])["name"]) for r in a.current_state().collect()
+        )
+
+    monkeypatch.setattr(ap, "_WIDE_DECODE_BYTES", 1)  # force the wide path
+    wide = build(wire_dir, "wide")
+    monkeypatch.setattr(ap, "_WIDE_DECODE_BYTES", 1 << 40)  # force narrow
+    narrow = build(wire_dir, "narrow")
+    assert wide == narrow and len(wide) == 200
+
+
 def test_wire_apply_latency_metric_exists_and_bounded(spark, tmp_path):
     """Capture→applied latency (VERDICT r4 #6): the wire applier must
     record per-batch lag between the newest frame's capture timestamp
