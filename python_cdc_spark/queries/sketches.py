@@ -1005,3 +1005,46 @@ def cdc_bloom_delta_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_rows").over(wall).cast("double")
         ).alias("share_rows"),
     )
+
+
+@register(
+    "sketch_heavyhitters_exact",
+    oracle="""
+    WITH t AS (SELECT string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+               FROM documents),
+    tok AS (SELECT UNNEST(w) AS token FROM t),
+    n AS (SELECT COUNT(*) AS n FROM tok),
+    freq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS freq FROM tok GROUP BY token),
+    hh AS (SELECT token, freq FROM freq, n WHERE freq * 500 >= n.n)
+    SELECT token, freq,
+           CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS BIGINT) AS rnk
+    FROM hh
+    """,
+    doc="E11: EXACT heavy hitters (freq ≥ N/500 tokens) via two passes "
+    "— map-side Misra-Gries candidate summaries (zero shuffle), then an "
+    "exact broadcast-semi-join recount of candidates only; equals a "
+    "full groupBy + HAVING without shuffling the vocabulary",
+)
+def sketch_heavyhitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-items member of the sketch family (E11): every token
+    with frequency ≥ N/500, with EXACT counts. Pass 1 runs a
+    capacity-512 Misra-Gries summary per partition inside one Arrow
+    ``mapInPandas`` (vectorized value_counts per batch; undercount ≤
+    N_part/513, so every global heavy hitter survives into the
+    candidate union — capacity+1 > inv_phi is asserted). Pass 2
+    broadcast-semi-joins the candidates and recounts exactly, so the
+    oracle is a plain GROUP BY + HAVING. At 100 TB: pass 1 shuffles
+    nothing, pass 2 shuffles only candidate keys (≤ partitions × 512),
+    never the vocabulary (operators/heavy_hitters.py)."""
+    from pyspark.sql import Window
+
+    from python_cdc_spark.functions.text import tokens
+    from python_cdc_spark.operators.heavy_hitters import exact_heavy_hitters
+
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(tokens(F.col("text"))).alias("token"))
+    hh = exact_heavy_hitters(tok, "token", capacity=512, inv_phi=500)
+    w = Window.orderBy(F.desc("freq"), F.asc("token"))
+    return hh.withColumn("rnk", F.row_number().over(w).cast("long")).select(
+        "token", "freq", "rnk"
+    )

@@ -1,0 +1,63 @@
+"""Exact heavy hitters (operators/heavy_hitters.py): the Misra-Gries
+candidate pass must PRUNE under capacity pressure yet never lose a true
+heavy hitter, and the two-pass result must equal a full groupBy+HAVING
+exactly — the E11 frequent-items guarantee."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from python_cdc_spark.operators.heavy_hitters import (
+    exact_heavy_hitters,
+    mg_candidates,
+)
+
+
+def _zipfish(spark):
+    """key k_i repeated ceil(3000/i) times, i in 1..5000 — vocabulary
+    5000 with a genuinely heavy head (k_1: 3000 … k_5: 600) and a long
+    flat tail, shuffled across 8 partitions."""
+    return (
+        spark.range(1, 5001)
+        .select(
+            F.concat(F.lit("k"), F.col("id")).alias("key"),
+            F.explode(
+                F.sequence(F.lit(1), F.ceil(F.lit(3000) / F.col("id")).cast("int"))
+            ).alias("rep"),
+        )
+        .repartition(8)
+        .select("key")
+    )
+
+
+def test_mg_exact_under_pruning(spark):
+    df = _zipfish(spark).localCheckpoint(eager=True)
+    vocab = df.distinct().count()
+    assert vocab == 5000
+
+    # capacity 64 << vocab: every partition summary MUST have pruned
+    cands = mg_candidates(df, "key", 64)
+    n_cands = cands.distinct().count()
+    assert n_cands <= 8 * 64 < vocab
+
+    got = sorted(
+        map(tuple, exact_heavy_hitters(df, "key", capacity=64, inv_phi=50).collect())
+    )
+    n = df.count()
+    want = sorted(
+        map(
+            tuple,
+            df.groupBy("key")
+            .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+            .filter(F.col("freq") * 50 >= F.lit(n))
+            .collect(),
+        )
+    )
+    assert got == want and len(got) >= 5  # k1..k5 are all ≥ N/50
+
+
+def test_guarantee_precondition_is_static(spark):
+    df = _zipfish(spark)
+    with pytest.raises(ValueError, match="capacity \\+ 1 > inv_phi"):
+        exact_heavy_hitters(df, "key", capacity=49, inv_phi=50)
