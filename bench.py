@@ -110,6 +110,9 @@ HEADLINE = [
     # full-corpus index — the O(touched buckets) claim as a bench row
     # (contrast with bm25_index_cdc_maintained's ~45%-churn fold)
     "bm25_fold_narrow_delta",
+    # exact heavy hitters: map-side Misra-Gries candidates + broadcast
+    # recount — zero vocabulary shuffle
+    "sketch_heavyhitters_exact",
 ]
 
 

@@ -750,29 +750,15 @@ def bm25_fold_narrow_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.localCheckpoint(eager=True)
 
 
-def _folded_bm25_narrow(spark: SparkSession, sf_dir: str) -> str:
-    """Copy the cached FULL-corpus base index into a fresh work dir and
-    fold the constant-width narrow delta (the Spark twin of
-    ``_NARROW_CTES``). Always re-folds: this gate IS the narrow fold
-    under test."""
-    import atexit
-    import hashlib
-    import os
-    import shutil
-    import tempfile
-
-    from python_cdc_spark.operators.ann_index import source_fingerprint
-    from python_cdc_spark.operators.bm25_index import (
-        build_bm25_index,
-        cdc_bm25_update,
-    )
-    from python_cdc_spark.queries.helpers import cached_pristine_base
-
-    fp = source_fingerprint(os.path.join(sf_dir, "documents.parquet"))
-    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+def narrow_delta(docs: DataFrame) -> DataFrame:
+    """The constant-width I/U/D delta of ``_NARROW_CTES``, one
+    definition shared by the registry gate and the corpus-scale receipt
+    (tools/bench_bm25_cdc.py): 12 fixed ids (7..18; even → UPDATE with
+    ' nd', odd → DELETE) + 3 inserts cloning docs 1..3 past
+    max(doc_id)."""
     mx = int(docs.agg(F.max("doc_id")).first()[0])
     in_band = F.col("doc_id").between(7, 18)
-    delta = (
+    return (
         docs.filter(in_band & (F.col("doc_id") % 2 == 0))
         .select(
             F.lit("UPDATE").alias("operation"),
@@ -794,6 +780,29 @@ def _folded_bm25_narrow(spark: SparkSession, sf_dir: str) -> str:
             )
         )
     )
+
+
+def _folded_bm25_narrow(spark: SparkSession, sf_dir: str) -> str:
+    """Copy the cached FULL-corpus base index into a fresh work dir and
+    fold the constant-width narrow delta (the Spark twin of
+    ``_NARROW_CTES``). Always re-folds: this gate IS the narrow fold
+    under test."""
+    import atexit
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from python_cdc_spark.operators.ann_index import source_fingerprint
+    from python_cdc_spark.operators.bm25_index import (
+        build_bm25_index,
+        cdc_bm25_update,
+    )
+    from python_cdc_spark.queries.helpers import cached_pristine_base
+
+    fp = source_fingerprint(os.path.join(sf_dir, "documents.parquet"))
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    delta = narrow_delta(docs)
     cache_key = hashlib.md5(os.path.abspath(sf_dir.rstrip("/")).encode()).hexdigest()[:16]
     cache = os.path.join(".bm25_cache", cache_key + "_full")
     tmp = tempfile.mkdtemp(prefix="bm25_narrow_")
