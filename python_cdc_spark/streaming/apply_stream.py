@@ -58,18 +58,11 @@ _WIDE_DECODE_ROWS = 200_000
 _WIDE_DECODE_BYTES = 3 * 1024 * 1024
 
 
-def _batch_input_bytes(frames: DataFrame) -> int | None:
-    """Total on-disk size of the micro-batch's source files, or None
-    when the batch has no enumerable local files (memory source, or an
-    FS whose sizes this process cannot stat)."""
+def _stat_uris(files: list[str]) -> int | None:
+    """Sum of on-disk sizes for file:// (or bare-path) URIs; None as
+    soon as any entry is remote or un-stat-able."""
     from urllib.parse import unquote, urlparse
 
-    try:
-        files = frames.inputFiles()
-    except Exception:
-        return None
-    if not files:
-        return None
     total = 0
     for f in files:
         p = urlparse(f)
@@ -80,6 +73,45 @@ def _batch_input_bytes(frames: DataFrame) -> int | None:
         except OSError:
             return None
     return total
+
+
+def _batch_input_bytes(frames: DataFrame) -> int | None:
+    """Total on-disk size of a BATCH DataFrame's source files, or None
+    when the frame has no enumerable local files. Streaming micro-batch
+    frames report NO input files (the plan is a streaming-relation
+    wrapper) — those go through ``_source_log_bytes`` instead."""
+    try:
+        files = frames.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    return _stat_uris(files)
+
+
+def _source_log_bytes(checkpoint_path: str | None, batch_id: int | None) -> int | None:
+    """Micro-batch size from the file source's checkpoint metadata log
+    (``<ckpt>/sources/0/<batch_id>``: one JSON file-entry per line) —
+    the driver-side record of exactly which files this batch reads,
+    available BEFORE the batch materializes. None for non-file sources,
+    a missing log, or remote/un-stat-able paths."""
+    import json
+
+    if not checkpoint_path or batch_id is None:
+        return None
+    p = os.path.join(checkpoint_path, "sources", "0", str(batch_id))
+    try:
+        with open(p) as fh:
+            lines = fh.read().splitlines()
+    except OSError:
+        return None
+    files = []
+    for ln in lines[1:]:  # line 0 is the log-format version marker
+        try:
+            files.append(json.loads(ln)["path"])
+        except (ValueError, KeyError):
+            return None
+    return _stat_uris(files) if files else None
 
 
 class StreamingApplyChanges:
@@ -565,13 +597,15 @@ class StreamingWireApplyChanges(StreamingApplyChanges):
         so the decode runs executor-wide; small batches skip the
         shuffle (its fixed cost would dominate a latency-sized batch).
 
-        Wide is decided by SOURCE FILE BYTES when the batch has
-        stat-able files (>= _WIDE_DECODE_BYTES) — known on the driver
-        BEFORE materialization, so a huge batch is widened first and
-        checkpointed once, never held in memory at file-count width
-        just to count rows. Sourceless batches fall back to the row
-        gate (>= _WIDE_DECODE_ROWS), which costs a second checkpoint
-        only on the rare wide in-memory batch."""
+        Wide is decided by SOURCE FILE BYTES (>= _WIDE_DECODE_BYTES) —
+        known on the driver BEFORE materialization, so a huge batch is
+        widened first and checkpointed once, never held in memory at
+        file-count width just to count rows. The size comes from the
+        batch frame's own input files (batch-mode calls) or the file
+        source's checkpoint metadata log (streaming micro-batches
+        report no input files). Sourceless batches fall back to the
+        row gate (>= _WIDE_DECODE_ROWS), which costs a second
+        checkpoint only on the rare wide in-memory batch."""
         from python_cdc_spark.cdc.pgoutput import (
             _LSN_MIN,
             _parse_relation_frame,
@@ -579,6 +613,8 @@ class StreamingWireApplyChanges(StreamingApplyChanges):
         )
 
         in_bytes = _batch_input_bytes(frames)
+        if in_bytes is None:
+            in_bytes = _source_log_bytes(getattr(self, "_wire_ckpt", None), batch_id)
         par = max(int(self.spark.sparkContext.defaultParallelism), 1)
         if in_bytes is not None and in_bytes >= _WIDE_DECODE_BYTES:
             frames = frames.repartition(par)
@@ -652,6 +688,7 @@ class StreamingWireApplyChanges(StreamingApplyChanges):
         available_now: bool = False,
     ) -> StreamingQuery:
         """Attach to a streaming RAW-frame feed (lsn, ts, frame binary)."""
+        self._wire_ckpt = checkpoint_path  # for the per-batch bytes signal
         writer = (
             frames.writeStream.outputMode("update")
             .option("checkpointLocation", checkpoint_path)

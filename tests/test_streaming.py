@@ -878,6 +878,30 @@ def test_wide_decode_bytes_gate(spark, tmp_path, monkeypatch):
     narrow = build(wire_dir, "narrow")
     assert wide == narrow and len(wide) == 200
 
+    # STREAMING micro-batches report no input files; the signal must
+    # come from the file source's checkpoint metadata log instead, and
+    # it must equal the batch's true on-disk size
+    ckpt = str(tmp_path / "ckpt_probe")
+    probe = []
+
+    def fb(df, bid):
+        assert ap._batch_input_bytes(df) is None  # the streaming gap
+        probe.append(ap._source_log_bytes(ckpt, bid))
+
+    q = (
+        spark.readStream.schema("lsn bigint, ts timestamp, frame binary")
+        .parquet(wire_dir)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch(fb)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert probe == [expect]
+    # non-file / missing-log cases degrade to None (row-gate fallback)
+    assert ap._source_log_bytes(ckpt, 999) is None
+    assert ap._source_log_bytes(None, 0) is None
+
 
 def test_wire_apply_latency_metric_exists_and_bounded(spark, tmp_path):
     """Capture→applied latency (VERDICT r4 #6): the wire applier must
