@@ -76,6 +76,11 @@ def exact_heavy_hitters(
     The exactness precondition is static: the MG guarantee covers every
     key above N/(capacity+1), and the threshold N/inv_phi exceeds that
     exactly when ``capacity + 1 > inv_phi``.
+
+    NULL keys are excluded on both passes (pandas value_counts drops
+    them; the recount's equi-join never matches them) — callers whose
+    oracle is a plain GROUP BY must filter nulls on the oracle side or
+    guarantee a null-free column, as the registered token query does.
     """
     if capacity + 1 <= inv_phi:
         raise ValueError(
