@@ -469,3 +469,145 @@ class KllStreamSketch:
         if available_now:
             writer = writer.trigger(availableNow=True)
         return writer.start()
+
+
+class MgStreamSketch:
+    """Streaming Misra-Gries summary: the frequent-items member of the
+    streaming sketch family (batch twin: ``operators/heavy_hitters.py``).
+
+    State is the MG summary itself — at most ``capacity`` (key, c)
+    rows. Each micro-batch folds by counter merge (batch groupBy-count
+    ∪ old summary → sum per key) followed by the batched MG decrement:
+    when the merged summary exceeds capacity, the (capacity+1)-th
+    largest count is subtracted from every counter and non-positive
+    counters drop. MG summaries are MERGEABLE (Agarwal et al.,
+    "Mergeable Summaries"): the merged undercount is at most
+    Σ N_batch/(capacity+1) = N_total/(capacity+1), so after any number
+    of micro-batches ``candidates()`` still contains EVERY key whose
+    stream-lifetime frequency exceeds N/(capacity+1) — the same
+    guarantee the batch operator gets in one pass, which makes
+    stream-candidates + exact recount equal a batch
+    ``exact_heavy_hitters`` over the same data (pinned).
+
+    The decrement threshold is read from a ``limit(capacity+1)``
+    collect — ≤513 rows, metadata-scale — and the state write is
+    summary-sized; per-batch cost is O(batch + capacity) regardless of
+    stream length. ``total()`` tracks the folded item count for
+    threshold arithmetic.
+
+    Restart semantics are identical to
+    :class:`StreamingSketchAggregator` (versioned dirs + atomic meta
+    commit carrying the replay guard AND the running total, so a
+    crash-replay can neither double-count the summary nor the total).
+    Single writer; ``state_path`` must be LOCAL.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_path: str,
+        key_col: str,
+        capacity: int = 512,
+    ):
+        self.spark = spark
+        self.state_path = state_path
+        self.key_col = key_col
+        self.capacity = capacity
+        os.makedirs(state_path, exist_ok=True)
+
+    @property
+    def _meta_path(self) -> str:
+        return os.path.join(self.state_path, "_meta.json")
+
+    def _meta(self) -> dict:
+        try:
+            with open(self._meta_path) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return {"version": 0, "folded": [], "n_total": 0}
+
+    def _commit(self, version: int, folded: list, n_total: int) -> None:
+        tmp = self._meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "version": version,
+                    "folded": sorted(folded)[-1000:],
+                    "n_total": int(n_total),
+                },
+                f,
+            )
+        os.replace(tmp, self._meta_path)
+
+    def _vdir(self, version: int) -> str:
+        return os.path.join(self.state_path, f"v{version}")
+
+    def summary(self) -> DataFrame:
+        """(key, c) — MG lower-bound counters, ≤ capacity rows."""
+        v = self._meta()["version"]
+        if v == 0:
+            return self.spark.createDataFrame([], f"{self.key_col} string, c long")
+        return self.spark.read.parquet(self._vdir(v))
+
+    def candidates(self) -> DataFrame:
+        """Keys guaranteed to include every item with lifetime
+        frequency > total()/(capacity+1)."""
+        return self.summary().select(self.key_col)
+
+    def total(self) -> int:
+        """Items folded so far (crash-consistent with the summary)."""
+        return int(self._meta()["n_total"])
+
+    def fold_batch(self, batch: DataFrame, batch_id: int | None = None) -> None:
+        meta = self._meta()
+        if batch_id is not None and batch_id in meta["folded"]:
+            return  # checkpoint replay after a crash past the commit
+        if batch.isEmpty():
+            if batch_id is not None:
+                self._commit(meta["version"], meta["folded"] + [batch_id], meta["n_total"])
+            return
+        bc = batch.select(F.col(self.key_col).cast("string").alias(self.key_col))
+        n_batch = bc.count()
+        merged = bc.groupBy(self.key_col).agg(F.count(F.lit(1)).cast("long").alias("c"))
+        cur = meta["version"]
+        if cur > 0:
+            merged = (
+                self.summary()
+                .unionByName(merged)
+                .groupBy(self.key_col)
+                .agg(F.sum("c").cast("long").alias("c"))
+            )
+        merged = merged.localCheckpoint(eager=True)
+        if merged.count() > self.capacity:
+            # the (capacity+1)-th largest count, deterministic tiebreak;
+            # ≤ capacity+1 collected rows — metadata-scale
+            head = merged.orderBy(F.desc("c"), F.asc(self.key_col)).limit(
+                self.capacity + 1
+            ).collect()
+            sub = int(head[-1]["c"])
+            merged = merged.filter(F.col("c") > sub).select(
+                self.key_col, (F.col("c") - sub).cast("long").alias("c")
+            )
+        nxt = cur + 1
+        out = self._vdir(nxt)
+        if os.path.exists(out):  # crashed attempt: rewrite deterministically
+            shutil.rmtree(out)
+        merged.coalesce(1).write.parquet(out)
+        folded = meta["folded"] + ([batch_id] if batch_id is not None else [])
+        self._commit(nxt, folded, meta["n_total"] + n_batch)
+        for entry in os.listdir(self.state_path):
+            if (
+                entry.startswith("v")
+                and entry[1:].isdigit()
+                and int(entry[1:]) < nxt - 1
+            ):
+                shutil.rmtree(os.path.join(self.state_path, entry))
+
+    def start(self, stream: DataFrame, checkpoint: str, available_now: bool = True):
+        writer = (
+            stream.writeStream.option("checkpointLocation", checkpoint)
+            .foreachBatch(lambda df, bid: self.fold_batch(df, bid))
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()

@@ -61,3 +61,46 @@ def test_guarantee_precondition_is_static(spark):
     df = _zipfish(spark)
     with pytest.raises(ValueError, match="capacity \\+ 1 > inv_phi"):
         exact_heavy_hitters(df, "key", capacity=49, inv_phi=50)
+
+
+def test_streaming_mg_matches_batch_heavy_hitters(spark, tmp_path):
+    """The streaming MG summary (streaming/sketch_stream.py
+    MgStreamSketch) folded over micro-batches must preserve the merged
+    guarantee: stream-candidates + exact recount equals the one-pass
+    batch exact_heavy_hitters over the same data. Replay is a no-op for
+    both the summary and the running total; a fresh instance resumes
+    the committed state."""
+    from python_cdc_spark.streaming.sketch_stream import MgStreamSketch
+
+    df = _zipfish(spark).localCheckpoint(eager=True)
+    n = df.count()
+    mg = MgStreamSketch(spark, str(tmp_path / "mg"), "key", capacity=64)
+    splits = [df.filter(F.crc32(F.col("key")) % 4 == i) for i in range(4)]
+    for i, part in enumerate(splits):
+        mg.fold_batch(part, batch_id=i)
+    assert mg.total() == n
+    assert mg.summary().count() <= 64
+
+    before = sorted(map(tuple, mg.summary().collect()))
+    mg.fold_batch(splits[0], batch_id=0)  # checkpoint replay
+    assert mg.total() == n
+    assert sorted(map(tuple, mg.summary().collect())) == before
+
+    got = sorted(
+        map(
+            tuple,
+            df.join(F.broadcast(mg.candidates()), "key")
+            .groupBy("key")
+            .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+            .filter(F.col("freq") * 50 >= F.lit(n))
+            .collect(),
+        )
+    )
+    want = sorted(
+        map(tuple, exact_heavy_hitters(df, "key", capacity=64, inv_phi=50).collect())
+    )
+    assert got == want and len(got) >= 5
+
+    fresh = MgStreamSketch(spark, str(tmp_path / "mg"), "key", capacity=64)
+    assert fresh.total() == n
+    assert sorted(map(tuple, fresh.summary().collect())) == before
