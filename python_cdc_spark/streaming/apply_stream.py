@@ -605,7 +605,14 @@ class StreamingWireApplyChanges(StreamingApplyChanges):
         source's checkpoint metadata log (streaming micro-batches
         report no input files). Sourceless batches fall back to the
         row gate (>= _WIDE_DECODE_ROWS), which costs a second
-        checkpoint only on the rare wide in-memory batch."""
+        checkpoint only on the rare wide in-memory batch.
+
+        The byte threshold SELF-TUNES: _WIDE_DECODE_BYTES only seeds
+        the first decision (calibrated to ~14 B/row parquet frames);
+        once a batch has been counted, the observed bytes/row ratio
+        re-expresses the ROW gate in bytes, so a feed with fat frames
+        (large text payloads) widens at the same row count as a lean
+        one instead of at 14× fewer rows."""
         from python_cdc_spark.cdc.pgoutput import (
             _LSN_MIN,
             _parse_relation_frame,
@@ -616,7 +623,9 @@ class StreamingWireApplyChanges(StreamingApplyChanges):
         if in_bytes is None:
             in_bytes = _source_log_bytes(getattr(self, "_wire_ckpt", None), batch_id)
         par = max(int(self.spark.sparkContext.defaultParallelism), 1)
-        if in_bytes is not None and in_bytes >= _WIDE_DECODE_BYTES:
+        bpr = getattr(self, "_bytes_per_row", None)
+        wide_bytes = _WIDE_DECODE_BYTES if bpr is None else bpr * _WIDE_DECODE_ROWS
+        if in_bytes is not None and in_bytes >= wide_bytes:
             frames = frames.repartition(par)
         frames = frames.localCheckpoint(eager=True)
         one = frames.agg(
@@ -630,6 +639,8 @@ class StreamingWireApplyChanges(StreamingApplyChanges):
                 )
             ).alias("rels"),
         ).first()
+        if in_bytes is not None and int(one["n"] or 0) > 0:
+            self._bytes_per_row = in_bytes / int(one["n"])
         rel_rows = one["rels"] or []
         if in_bytes is None and int(one["n"] or 0) >= _WIDE_DECODE_ROWS:
             frames = frames.repartition(par).localCheckpoint(eager=True)

@@ -878,6 +878,20 @@ def test_wide_decode_bytes_gate(spark, tmp_path, monkeypatch):
     narrow = build(wire_dir, "narrow")
     assert wide == narrow and len(wide) == 200
 
+    # the byte threshold self-tunes: after one counted batch the
+    # applier knows THIS feed's bytes/row and re-expresses the row
+    # gate in bytes from it (the seed constant only covers batch 0)
+    tune = StreamingWireApplyChanges(
+        spark,
+        str(tmp_path / "state_tune"),
+        key_extractor=lambda ev: ev.withColumn(
+            "key", F.coalesce(F.col("new_values")["id"], F.col("old_values")["id"])
+        ),
+        n_buckets=4,
+    )
+    tune.merge_wire_batch(spark.read.parquet(wire_dir), batch_id=0)
+    assert abs(tune._bytes_per_row - expect / 201) < 1e-9  # 200 DML + 1 R frame
+
     # STREAMING micro-batches report no input files; the signal must
     # come from the file source's checkpoint metadata log instead, and
     # it must equal the batch's true on-disk size
