@@ -113,6 +113,10 @@ HEADLINE = [
     # exact heavy hitters: map-side Misra-Gries candidates + broadcast
     # recount — zero vocabulary shuffle
     "sketch_heavyhitters_exact",
+    # dedup twin of the narrow fold gate: the SAME 15-id delta through
+    # the affected-component incremental path (under the reroute
+    # threshold at every scale)
+    "dedup_fold_narrow_delta",
 ]
 
 

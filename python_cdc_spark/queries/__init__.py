@@ -41,16 +41,17 @@ from python_cdc_spark.queries import (  # noqa: F401, E402
 # rounds per name recomputed from CORRECTNESS_r01-r11 (r11: 50, r10: 46,
 # r09: 47, r08: 22; zero ever-red, zero never-green). The window leads
 # with ALL 22 r08-latest names (q4_order_priority first) — the standing
-# coverage contract's boundary set. Next, the 16 names whose CODE
+# coverage contract's boundary set. Next, the 17 names whose CODE
 # changed this round and whose latest driver row therefore predates the
 # change (BM25: one-pass fold + positional postings + positions-optional
-# mode; FOUR DEBUTS — text_bm25_phrase_search, bm25_phrase_cdc_maintained,
-# bm25_fold_narrow_delta, sketch_heavyhitters_exact; the fsops
-# isolation touched the dedup/ANN/rollup maintained structures; the
-# literal_df sweep touched the k-means/PQ/RQ codebook tables,
+# mode; FIVE DEBUTS — text_bm25_phrase_search, bm25_phrase_cdc_maintained,
+# bm25_fold_narrow_delta, dedup_fold_narrow_delta,
+# sketch_heavyhitters_exact; the fsops isolation touched the
+# dedup/ANN/rollup maintained structures; the literal_df sweep touched
+# the k-means/PQ/RQ codebook tables,
 # cdc_schema_evolution/cdc_pipeline_composite fixtures, and the
-# origin-carry join). The remaining 12 slots refresh the OLDEST
-# r09-latest names (agg_rollup..events_exact_deciles,
+# origin-carry join). The remaining 11 slots refresh the OLDEST
+# r09-latest names (agg_rollup..dedup_edit_distance_verified,
 # alphabetical). Every rotated-out name stays covered by the local
 # differ (tests/test_queries_oracle.py, ALL queries at sf0.01) and the
 # end-of-round sf0.1/sf1 sweeps. After r12 lands green, no name's
@@ -79,9 +80,10 @@ _WINDOW = [
     "window_lag_lead",
     "window_running_total",
     "window_value_navigation",
-    # --- Changed this round: rows must postdate the change (4 debuts) ---
+    # --- Changed this round: rows must postdate the change (5 debuts) ---
     "sketch_heavyhitters_exact",
     "bm25_fold_narrow_delta",
+    "dedup_fold_narrow_delta",
     "bm25_index_cdc_maintained",
     "bm25_phrase_cdc_maintained",
     "text_bm25_phrase_search",
@@ -108,7 +110,6 @@ _WINDOW = [
     "cdc_schema_registry",
     "corpus_split_chisquare",
     "dedup_edit_distance_verified",
-    "events_exact_deciles",
 ]
 assert len(_WINDOW) == 50, f"driver window must hold exactly 50, got {len(_WINDOW)}"
 assert len(set(_WINDOW)) == 50, "duplicate names in the driver window"

@@ -1067,3 +1067,67 @@ def graph_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("v")
         .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
     )
+
+
+from python_cdc_spark.queries.llm_text import _NARROW_CTES as _NARROW_CORPUS_CTES
+
+
+@register(
+    "dedup_fold_narrow_delta",
+    oracle=f"""
+    WITH RECURSIVE {_NARROW_CORPUS_CTES},
+    {_verified_pairs_ctes('corpus')},
+    sym AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b AS a, id_a AS b FROM pairs
+    ),
+    reach(v, l) AS (
+      SELECT DISTINCT a, a FROM sym
+      UNION
+      SELECT s.a, r.l FROM sym s JOIN reach r ON r.v = s.b
+    )
+    SELECT v, MIN(l) AS component FROM reach GROUP BY v
+    """,
+    doc="E25/E26 + E18: NARROW-delta fold into the CDC-maintained dedup "
+    "index — the constant 15-id I/U/D delta (shared with "
+    "bm25_fold_narrow_delta) against a FULL-corpus index; the delta "
+    "fraction stays far below the 0.35 reroute threshold at every "
+    "scale, so the driver row exercises and prices the "
+    "affected-component incremental path, not the rebuild reroute",
+)
+def dedup_fold_narrow_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup twin of ``bm25_fold_narrow_delta`` (driver-row symmetry
+    for the O(delta + affected) claim): where dedup_index_cdc_maintained
+    folds a ~45%-churn delta that reroutes to the full-recompute path at
+    every scale, this gate folds the CONSTANT 15-id delta into an index
+    over the FULL corpus — 15/N is under the 0.35 crossover for any
+    corpus of ≥43 docs, so the affected-component recompute (partner
+    scan + subgraph reverify, O(delta + affected members)) is the path
+    under test, and the maintained cluster table must equal DuckDB's
+    from-scratch recursive closure over the post-delta corpus."""
+    import hashlib
+    import os
+    import tempfile
+
+    from python_cdc_spark.operators.ann_index import source_fingerprint
+    from python_cdc_spark.operators.incremental_dedup import (
+        build_dedup_index,
+        cdc_dedup_index_update,
+    )
+    from python_cdc_spark.queries.helpers import cached_pristine_base
+    from python_cdc_spark.queries.llm_text import narrow_delta
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    delta = narrow_delta(docs)
+    fp = source_fingerprint(os.path.join(sf_dir, "documents.parquet"))
+    cache_key = hashlib.md5(os.path.abspath(sf_dir.rstrip("/")).encode()).hexdigest()[:16]
+    cache = os.path.join(".dedup_cache", cache_key + "_full")
+    with tempfile.TemporaryDirectory() as tmp:
+        work = os.path.join(tmp, "idx")
+        cached_pristine_base(
+            cache, fp, {"v": 1, "scope": "full"},
+            lambda d: build_dedup_index(spark, docs, d), work,
+        )
+        # eagerly checkpointed inside the update → outlives the tempdir
+        return cdc_dedup_index_update(spark, work, delta)
