@@ -77,15 +77,18 @@ def exact_heavy_hitters(
     key above N/(capacity+1), and the threshold N/inv_phi exceeds that
     exactly when ``capacity + 1 > inv_phi``.
 
-    NULL keys are excluded on both passes (pandas value_counts drops
-    them; the recount's equi-join never matches them) — callers whose
-    oracle is a plain GROUP BY must filter nulls on the oracle side or
-    guarantee a null-free column, as the registered token query does.
+    NULL keys are excluded from the result (SQL GROUP BY keeps a NULL
+    group, but pandas value_counts and the recount equi-join both drop
+    it), and N is counted over the NULL-FILTERED frame so the threshold
+    agrees with the keys being counted — on a nullable column the
+    result equals ``GROUP BY col HAVING COUNT(*) * inv_phi >= N`` over
+    ``WHERE col IS NOT NULL``.
     """
     if capacity + 1 <= inv_phi:
         raise ValueError(
             f"exactness needs capacity + 1 > inv_phi, got {capacity=} {inv_phi=}"
         )
+    df = df.filter(F.col(col).isNotNull())
     cands = mg_candidates(df, col, capacity).distinct()
     stats = df.agg(F.count(F.lit(1)).alias("__n"))
     return (

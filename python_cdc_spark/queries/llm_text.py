@@ -813,9 +813,14 @@ def _folded_bm25_narrow(spark: SparkSession, sf_dir: str) -> str:
         lambda d: build_bm25_index(spark, docs, d), work,
     )
     stats = cdc_bm25_update(spark, work, delta)
-    # the O(touched) self-assert: a 15-id delta may touch at most 15
-    # buckets regardless of corpus size
-    assert stats["touched_buckets"] <= 15 < stats["total_buckets"], stats
+    # the O(touched) self-check: a 15-id delta may touch at most 15
+    # buckets regardless of corpus size. An explicit raise (not assert)
+    # so the gate's contract survives `python -O`.
+    if not (stats["touched_buckets"] <= 15 < stats["total_buckets"]):
+        raise RuntimeError(
+            f"narrow-delta fold touched more buckets than its O(touched) "
+            f"contract allows: {stats}"
+        )
     return work
 
 

@@ -79,7 +79,14 @@ def _batch_input_bytes(frames: DataFrame) -> int | None:
     """Total on-disk size of a BATCH DataFrame's source files, or None
     when the frame has no enumerable local files. Streaming micro-batch
     frames report NO input files (the plan is a streaming-relation
-    wrapper) — those go through ``_source_log_bytes`` instead."""
+    wrapper) — those go through ``_source_log_bytes`` instead.
+
+    Assumption: the frame covers its input files EXACTLY. A caller that
+    passes a filtered subset of a scan still reports the whole scan's
+    bytes here, which inflates the self-tuned bytes/row ratio in
+    ``merge_wire_batch`` and makes later batches widen later than
+    intended (perf drift only — results are unaffected). Wire feeds
+    pass whole micro-batches, which satisfy the assumption."""
     try:
         files = frames.inputFiles()
     except Exception:
@@ -90,28 +97,57 @@ def _batch_input_bytes(frames: DataFrame) -> int | None:
 
 
 def _source_log_bytes(checkpoint_path: str | None, batch_id: int | None) -> int | None:
-    """Micro-batch size from the file source's checkpoint metadata log
-    (``<ckpt>/sources/0/<batch_id>``: one JSON file-entry per line) —
+    """Micro-batch size from the file source's checkpoint metadata log —
     the driver-side record of exactly which files this batch reads,
-    available BEFORE the batch materializes. None for non-file sources,
-    a missing log, or remote/un-stat-able paths."""
+    available BEFORE the batch materializes. Sums across EVERY
+    ``<ckpt>/sources/*`` directory (multi-source queries keep one log
+    per source), and for each source reads ``<batch_id>`` or — on
+    compaction-interval batches, which the file source writes as
+    ``<batch_id>.compact`` holding ALL entries since stream start — the
+    compact file filtered to entries whose ``batchId`` equals this
+    batch. None for non-file sources, a missing log, or
+    remote/un-stat-able paths."""
     import json
 
     if not checkpoint_path or batch_id is None:
         return None
-    p = os.path.join(checkpoint_path, "sources", "0", str(batch_id))
+    sources_dir = os.path.join(checkpoint_path, "sources")
     try:
-        with open(p) as fh:
-            lines = fh.read().splitlines()
+        source_ids = sorted(os.listdir(sources_dir))
     except OSError:
         return None
-    files = []
-    for ln in lines[1:]:  # line 0 is the log-format version marker
-        try:
-            files.append(json.loads(ln)["path"])
-        except (ValueError, KeyError):
+    total = 0
+    saw_any = False
+    for sid in source_ids:
+        files = []
+        for name, is_compact in ((str(batch_id), False), (f"{batch_id}.compact", True)):
+            p = os.path.join(sources_dir, sid, name)
+            try:
+                with open(p) as fh:
+                    lines = fh.read().splitlines()
+            except OSError:
+                continue
+            ok = True
+            for ln in lines[1:]:  # line 0 is the log-format version marker
+                try:
+                    entry = json.loads(ln)
+                    if is_compact and int(entry.get("batchId", -1)) != batch_id:
+                        continue  # compact files replay the whole history
+                    files.append(entry["path"])
+                except (ValueError, KeyError, TypeError):
+                    ok = False
+                    break
+            if ok:
+                break  # parsed this source's log; don't also read the twin
+            files = []
+        if not files:
+            continue  # source contributed no files this batch (or no log)
+        sz = _stat_uris(files)
+        if sz is None:
             return None
-    return _stat_uris(files) if files else None
+        total += sz
+        saw_any = True
+    return total if saw_any else None
 
 
 class StreamingApplyChanges:

@@ -500,6 +500,17 @@ class MgStreamSketch:
     commit carrying the replay guard AND the running total, so a
     crash-replay can neither double-count the summary nor the total).
     Single writer; ``state_path`` must be LOCAL.
+
+    KEY-TYPE COERCION: the persisted summary schema is fixed at
+    ``{key_col} string, c long`` and ``fold_batch`` casts the key to
+    string, so a non-string key column round-trips as its string
+    rendering — ``candidates()`` returns STRING keys, and a recount
+    join back to the source column needs a caller-side
+    ``cast('string')`` on the source (the pinned batch-equivalence test
+    does exactly that). Derive-from-input-type (as the batch
+    ``mg_candidates`` does) would make the state schema depend on the
+    first stream attached; a fixed string schema keeps restarts
+    schema-stable across callers.
     """
 
     def __init__(

@@ -104,3 +104,21 @@ def test_streaming_mg_matches_batch_heavy_hitters(spark, tmp_path):
     fresh = MgStreamSketch(spark, str(tmp_path / "mg"), "key", capacity=64)
     assert fresh.total() == n
     assert sorted(map(tuple, fresh.summary().collect())) == before
+
+
+def test_nullable_key_column_matches_null_filtered_group_by(spark):
+    """ADVICE r12: on a nullable column N must be counted over the
+    NULL-FILTERED frame (value_counts and the recount join both drop
+    NULLs), so the result equals GROUP BY + HAVING over
+    ``WHERE key IS NOT NULL`` — pinned with enough NULL rows that the
+    unfiltered N would flip the verdict for a borderline key."""
+    # 60 'a', 40 'b', 900 NULLs → non-null N = 100. With inv_phi=2 the
+    # threshold is freq*2 >= 100: 'a' passes, 'b' misses. Counting N
+    # over ALL 1000 rows (the old bug) would reject BOTH.
+    rows = [("a",)] * 60 + [("b",)] * 40 + [(None,)] * 900
+    df = spark.createDataFrame(rows, "key string").repartition(4)
+    got = {
+        (r["key"], r["freq"])
+        for r in exact_heavy_hitters(df, "key", capacity=16, inv_phi=2).collect()
+    }
+    assert got == {("a", 60)}

@@ -277,3 +277,44 @@ def test_reader_during_vacuum_stays_readable(spark, tmp_path):
     )
     vacuum(spark, didx, retain_last=1)
     assert not os.path.isdir(old_dir)
+
+
+def test_state_store_direct_vacuum_matches_unified(spark, tmp_path):
+    """r12 verdict "what's wrong" #1: ``BucketedStateStore.vacuum`` and
+    ``maintenance.vacuum`` must agree that retain_last means N
+    superseded versions BELOW the always-live current one. Two
+    identical stores, one vacuumed through each path: the surviving
+    entries must be identical, and read_at must reach exactly
+    cur - retain_last through BOTH."""
+    from python_cdc_spark.streaming.state_store import BucketedStateStore
+
+    def build(path):
+        store = BucketedStateStore(spark, path)
+        for i in range(6):
+            df = spark.createDataFrame(
+                [(i, i * 10, 0)], "key long, val long, bucket long"
+            )
+            store.commit(df, [0])
+        return store
+
+    direct = build(str(tmp_path / "direct"))
+    unified = build(str(tmp_path / "unified"))
+
+    direct.vacuum(retain_last=2)
+    vacuum(spark, unified.path, retain_last=2)
+
+    survivors = lambda p: sorted(
+        e for e in os.listdir(p)
+        if e.startswith(("v", "_manifest_v")) and not e.endswith(".tmp")
+    )
+    assert survivors(direct.path) == survivors(unified.path)
+    for store in (direct, unified):
+        cur = store.version
+        # the documented window: current plus 2 superseded below it
+        for back in range(3):
+            got = store.read_at(cur - back)
+            assert [(r["key"], r["val"]) for r in got.collect()] == [
+                (5 - back, (5 - back) * 10)
+            ]
+        with pytest.raises(FileNotFoundError):
+            store.read_at(cur - 3)

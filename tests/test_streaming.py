@@ -916,6 +916,35 @@ def test_wide_decode_bytes_gate(spark, tmp_path, monkeypatch):
     assert ap._source_log_bytes(ckpt, 999) is None
     assert ap._source_log_bytes(None, 0) is None
 
+    # compaction-interval batches land as '<id>.compact' holding the
+    # WHOLE history tagged by batchId, and multi-source queries keep
+    # one log per sources/<i> dir — both must still produce the exact
+    # per-batch byte sum instead of falling back to the row gate
+    import json as _json
+
+    files = sorted(glob.glob(os.path.join(wire_dir, "*.parquet")))
+    assert len(files) == 2
+    synth = str(tmp_path / "ckpt_synth")
+    os.makedirs(os.path.join(synth, "sources", "0"))
+    os.makedirs(os.path.join(synth, "sources", "1"))
+    with open(os.path.join(synth, "sources", "0", "9.compact"), "w") as fh:
+        fh.write("v1\n")
+        # history entry from an OLD batch must be filtered out
+        fh.write(_json.dumps({"path": files[0], "batchId": 3}) + "\n")
+        fh.write(_json.dumps({"path": files[0], "batchId": 9}) + "\n")
+    with open(os.path.join(synth, "sources", "1", "9"), "w") as fh:
+        fh.write("v1\n")
+        fh.write(_json.dumps({"path": files[1], "batchId": 9}) + "\n")
+    assert ap._source_log_bytes(synth, 9) == (
+        os.path.getsize(files[0]) + os.path.getsize(files[1])
+    )
+    # batch where only ONE source contributed files still sums correctly
+    assert ap._source_log_bytes(synth, 3) is None  # no plain log for 3
+    with open(os.path.join(synth, "sources", "1", "3"), "w") as fh:
+        fh.write("v1\n")
+        fh.write(_json.dumps({"path": files[1], "batchId": 3}) + "\n")
+    assert ap._source_log_bytes(synth, 3) == os.path.getsize(files[1])
+
 
 def test_wire_apply_latency_metric_exists_and_bounded(spark, tmp_path):
     """Capture→applied latency (VERDICT r4 #6): the wire applier must
