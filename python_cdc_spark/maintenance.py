@@ -101,11 +101,11 @@ def _finalize_dedup(path: str) -> None:
     fixed by the next vacuum/fold — never a double-count."""
     from python_cdc_spark.operators.incremental_dedup import (
         _deltas_root,
-        _read_base_ptr,
+        _read_base_ptr_with_token,
         _write_base_ptr,
     )
 
-    ptr = _read_base_ptr(path)
+    ptr, tok = _read_base_ptr_with_token(path)
     if ptr["version"] < 0:
         return
     root = _deltas_root(path)
@@ -116,7 +116,7 @@ def _finalize_dedup(path: str) -> None:
     # only when entries were actually pruned (a sorted() comparison would
     # rewrite on every vacuum if includes were ever stored unsorted)
     if live != ptr["includes"]:
-        _write_base_ptr(path, ptr["version"], live)
+        _write_base_ptr(path, ptr["version"], live, tok)
 
 
 # --- BM25 (operators/bm25_index.py) -----------------------------------------
@@ -134,12 +134,22 @@ def _vacuum_bm25(spark, path: str, retain_last: int) -> tuple[list[str], set[str
             live.add(os.path.join(table, f"b{int(b):04d}_v{int(v):06d}"))
     removed = []
     for entry in fsops.list_dir(path):
+        # _meta_staging_*: a crashed writer's private staging dir that
+        # never got claimed — reclaim only past the age gate (young
+        # staging may belong to a live concurrent writer)
         if entry.startswith("meta_v") and entry not in live:
+            removed.append(entry)
+        elif entry.startswith("_meta_staging_") and fsops.staging_is_stale(
+            os.path.join(path, entry)
+        ):
             removed.append(entry)
     for table in ("postings", "doclen"):
         for entry in fsops.list_dir(os.path.join(path, table)):
             rel = os.path.join(table, entry)
-            if rel not in live:
+            if entry.startswith("_staging_"):
+                if fsops.staging_is_stale(os.path.join(path, rel)):
+                    removed.append(rel)
+            elif rel not in live:
                 removed.append(rel)
     return removed, live
 
@@ -170,7 +180,14 @@ def _vacuum_dedup(spark, path: str, retain_last: int) -> tuple[list[str], set[st
             live.add(f"components_v{v}")
     removed = []
     for entry in fsops.list_dir(path):
+        # *_staging_*: a crashed writer's private staging dir that
+        # never got claimed — age-gated (a young one may belong to a
+        # live concurrent writer)
         if entry.startswith(("base_v", "components_v")) and entry not in live:
+            removed.append(entry)
+        elif entry.startswith(
+            ("_base_staging_", "_components_staging_")
+        ) and fsops.staging_is_stale(os.path.join(path, entry)):
             removed.append(entry)
     for entry in fsops.list_dir(os.path.join(path, "deltas")):
         rel = os.path.join("deltas", entry)
@@ -226,6 +243,12 @@ def _vacuum_rollup_catalog(spark, path: str, retain_last: int) -> tuple[list[str
                 entry.startswith("v")
                 and entry[1:].isdigit()
                 and entry not in keep
+            ) or (
+                entry.startswith("_v_staging_")
+                and fsops.staging_is_stale(os.path.join(path, name, entry))
             ):
+                # _v_staging_*: a crashed writer's private staging dir
+                # that never got claimed — age-gated (a young one may
+                # belong to a live concurrent writer)
                 removed.append(os.path.join(name, entry))
     return removed, live

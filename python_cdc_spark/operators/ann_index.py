@@ -337,10 +337,15 @@ def append_to_ivfpq_index(
         .parquet(os.path.join(out_dir, "cells.parquet"))
     )
     meta_path = os.path.join(out_dir, "_meta.json")
-    meta = fsops.read_json(meta_path, {"fingerprint": "", "params": {}})
+    # conditional meta publish (fsops.cas_publish): a racing
+    # append/fold loses at the swap instead of silently dropping the
+    # winner's fingerprint lineage
+    meta, tok = fsops.read_json_with_token(
+        meta_path, {"fingerprint": "", "params": {}}
+    )
     meta["fingerprint"] = f"{meta.get('fingerprint', '')}+append:{n}"
     meta["appended_rows"] = (meta.get("appended_rows") or 0) + n
-    fsops.publish_json(meta_path, meta)
+    fsops.cas_publish(meta_path, meta, tok)
     return n
 
 
@@ -502,11 +507,14 @@ def maintain_ivf_lists_cdc(
         1 for d in fsops.list_dir(cells_path) if d.startswith("cell=")
     )
     meta_path = os.path.join(out_dir, "_meta.json")
-    meta = fsops.read_json(meta_path, {"fingerprint": "", "params": {}})
+    # conditional meta publish — same CAS discipline as the append path
+    meta, tok = fsops.read_json_with_token(
+        meta_path, {"fingerprint": "", "params": {}}
+    )
     meta["maintained"] = True
     meta["fingerprint"] = f"{meta.get('fingerprint', '')}+cdc:{n_upserts}/{n_victims}"
     meta["appended_rows"] = (meta.get("appended_rows") or 0) + n_upserts
-    fsops.publish_json(meta_path, meta)
+    fsops.cas_publish(meta_path, meta, tok)
     return {
         "touched_cells": len(touched),
         "total_cells": total_cells,

@@ -161,16 +161,27 @@ def read_ptr(path: str) -> dict:
     "pos": bool} — ``pos`` records whether this index stores positional
     postings (absent in pre-r12 pointers ⇒ True, positions were always
     stored then); folds inherit it, phrase search requires it."""
-    ptr = fsops.read_json(
+    return _read_ptr_with_token(path)[0]
+
+
+def _read_ptr_with_token(path: str) -> tuple[dict, object]:
+    """Pointer plus its identity token — every writer reads through
+    this so its eventual ``_write_ptr`` can be conditional (optimistic
+    concurrency at the pointer swap; fsops.cas_publish)."""
+    ptr, tok = fsops.read_json_with_token(
         _ptr_path(path),
         {"meta": -1, "postings": {}, "doclen": {}, "folds": [], "pos": True},
     )
     ptr.setdefault("pos", True)
-    return ptr
+    return ptr, tok
 
 
-def _write_ptr(path: str, ptr: dict) -> None:
-    fsops.publish_json(_ptr_path(path), ptr)
+def _write_ptr(path: str, ptr: dict, expected_token: object) -> None:
+    """The commit point: conditional on the pointer not having moved
+    since this writer's read — two racing folds/builds resolve to
+    exactly one winner, the loser raising ConcurrentWriterError with
+    its staged dirs left for vacuum."""
+    fsops.cas_publish(_ptr_path(path), ptr, expected_token)
 
 
 def _bucket_dir(path: str, table: str, bucket: int, version: int) -> str:
@@ -193,10 +204,20 @@ def _cleanup(path: str, ptr: dict) -> None:
     for entry in fsops.list_dir(path):
         if entry.startswith("meta_v") and entry not in live:
             fsops.remove_tree(os.path.join(path, entry))
+        elif entry.startswith("_meta_staging_") and fsops.staging_is_stale(
+            os.path.join(path, entry)
+        ):
+            # a crashed writer's private staging never got claimed;
+            # YOUNG staging may belong to a live concurrent writer —
+            # never sweep it mid-write (age gate, fsops.STAGING_TTL_SECS)
+            fsops.remove_tree(os.path.join(path, entry))
     for table in ("postings", "doclen"):
         root = os.path.join(path, table)
         for entry in fsops.list_dir(root):
-            if os.path.join(table, entry) not in live:
+            if entry.startswith("_staging_"):
+                if fsops.staging_is_stale(os.path.join(root, entry)):
+                    fsops.remove_tree(os.path.join(root, entry))
+            elif os.path.join(table, entry) not in live:
                 fsops.remove_tree(os.path.join(root, entry))
 
 
@@ -248,9 +269,15 @@ def read_globals(spark: SparkSession, path: str):
 
 def _write_meta(
     spark: SparkSession, path: str, version: int, df_table: DataFrame, n_docs: int, sum_dl: int
-) -> None:
-    meta = _meta_dir(path, version)
-    df_table.write.mode("overwrite").parquet(os.path.join(meta, "df.parquet"))
+) -> int:
+    """Stage df + globals into a writer-private dir, then claim the
+    first free ``meta_v*`` slot at-or-past the hinted version (racing
+    writers never clobber each other). Returns the CLAIMED version —
+    the pointer must record this, not the hint."""
+    import uuid
+
+    staging = os.path.join(path, f"_meta_staging_{uuid.uuid4().hex[:12]}")
+    df_table.write.mode("overwrite").parquet(os.path.join(staging, "df.parquet"))
     # range+lit, NOT createDataFrame: a Python-local 1-row frame routes
     # the parquet write through the pickled-RDD path, which costs ~5-7 s
     # of Python-worker setup per write in this PySpark build; the
@@ -258,7 +285,11 @@ def _write_meta(
     spark.range(1).select(
         F.lit(int(n_docs)).cast("long").alias("n_docs"),
         F.lit(int(sum_dl)).cast("long").alias("sum_dl"),
-    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(meta, "globals.parquet"))
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(staging, "globals.parquet"))
+    v = version
+    while not fsops.rename_no_clobber(staging, _meta_dir(path, v)):
+        v += 1
+    return v
 
 
 def _write_buckets(
@@ -270,7 +301,11 @@ def _write_buckets(
     Buckets emptied by the fold simply get no directory (and leave the
     pointer map). Returns the updated bucket→version entries
     (stringified keys, JSON round-trip-stable)."""
-    staging = os.path.join(path, table, "_staging")
+    # writer-PRIVATE staging dir (random suffix): racing writers stage
+    # side by side instead of clobbering one shared _staging tree
+    import uuid
+
+    staging = os.path.join(path, table, f"_staging_{uuid.uuid4().hex[:12]}")
     fsops.remove_tree(staging)
     # duplicate the partition column so the data files keep ``bucket``
     # (partitionBy lifts its column out of the files); repartition ON the
@@ -292,10 +327,15 @@ def _write_buckets(
         # a staged bucket outside the touched set means the frame and the
         # delta's bucketing drifted — corrupting an un-versioned bucket
         assert b in allowed, f"staged bucket {b} outside touched set for {table}"
+        # claim the first FREE versioned slot at-or-past the hint: an
+        # occupied slot (crashed prior attempt, or a racing writer's
+        # staged/committed dir) is never clobbered — the losing
+        # pointer's unreferenced slots are reclaimed by cleanup/vacuum
         v = int(versions.get(str(b), -1)) + 1
-        dst = _bucket_dir(path, table, b, v)
-        fsops.remove_tree(dst)  # crashed prior attempt
-        fsops.replace(os.path.join(staging, entry), dst)
+        while not fsops.rename_no_clobber(
+            os.path.join(staging, entry), _bucket_dir(path, table, b, v)
+        ):
+            v += 1
         out[str(b)] = v
     fsops.remove_tree(staging)
     return out
@@ -327,7 +367,7 @@ def build_bm25_index(
     CDC fold inherits it."""
     from concurrent.futures import ThreadPoolExecutor
 
-    old = read_ptr(path)
+    old, tok = _read_ptr_with_token(path)
     tf = _doc_tf(docs, text_col, id_col, store_positions).localCheckpoint(eager=True)
     meta_v = old["meta"] + 1
     g = tf.agg(
@@ -343,14 +383,14 @@ def build_bm25_index(
         f_dl = pool.submit(_write_buckets, path, "doclen", _doclen_of(tf), all_buckets, old["doclen"])
         f_meta = pool.submit(_write_meta, spark, path, meta_v, df_table, g["n"] or 0, g["s"] or 0)
         ptr = {
-            "meta": meta_v,
+            "meta": None,  # filled with the CLAIMED meta version below
             "postings": f_post.result(),
             "doclen": f_dl.result(),
             "folds": [],
             "pos": bool(store_positions),
         }
-        f_meta.result()
-    _write_ptr(path, ptr)
+        ptr["meta"] = f_meta.result()
+    _write_ptr(path, ptr, tok)
     _cleanup(path, ptr)
     return int(g["n"] or 0)
 
@@ -404,7 +444,7 @@ def cdc_bm25_update(
     ).first()
     tag = batch_tag if batch_tag is not None else f"n{row['n']}_a{row['d1']}_b{row['d2']}"
     touched = sorted(int(b) for b in row["bs"])
-    ptr = read_ptr(path)
+    ptr, tok = _read_ptr_with_token(path)
     if tag in ptr["folds"]:
         return {"replayed": True, "tag": tag, "n_docs": int(read_globals(spark, path)["n_docs"])}
 
@@ -469,7 +509,7 @@ def cdc_bm25_update(
         f_meta = pool.submit(_write_meta, spark, path, meta_v, new_df, n_docs, sum_dl)
         f_post = pool.submit(_write_buckets, path, "postings", kept, touched, ptr["postings"])
         f_dl = pool.submit(_write_buckets, path, "doclen", _doclen_of(kept), touched, ptr["doclen"])
-        f_meta.result()
+        meta_v = f_meta.result()  # the CLAIMED slot (≥ the hint)
         p_entries = f_post.result()
         d_entries = f_dl.result()
     nxt = {
@@ -488,7 +528,7 @@ def cdc_bm25_update(
         "folds": (ptr["folds"] + [tag])[-64:],
         "pos": ptr["pos"],  # folds inherit the index's positions mode
     }
-    _write_ptr(path, nxt)  # the commit point
+    _write_ptr(path, nxt, tok)  # the commit point (CAS on the read token)
     _cleanup(path, nxt)
     return {
         "replayed": False,

@@ -157,13 +157,45 @@ def _base_pointer(path: str) -> str:
 def _read_base_ptr(path: str) -> dict:
     """{"version": N, "includes": [tags]} — or the legacy flat layout
     (base tables directly under ``path``, nothing absorbed)."""
-    return fsops.read_json(_base_pointer(path), {"version": -1, "includes": []})
+    return _read_base_ptr_with_token(path)[0]
 
 
-def _write_base_ptr(path: str, version: int, includes: list[str]) -> None:
-    fsops.publish_json(
-        _base_pointer(path), {"version": version, "includes": sorted(includes)}
+def _read_base_ptr_with_token(path: str) -> tuple[dict, object]:
+    """Pointer plus identity token for a conditional ``_write_base_ptr``
+    (optimistic concurrency at the swap; fsops.cas_publish)."""
+    return fsops.read_json_with_token(
+        _base_pointer(path), {"version": -1, "includes": []}
     )
+
+
+def _write_base_ptr(
+    path: str, version: int, includes: list[str], expected_token: object
+) -> None:
+    """Commit point: conditional on the pointer not having moved since
+    this writer's read — racing rebuild/compact/prune writers resolve
+    to one winner, the loser raising ConcurrentWriterError."""
+    fsops.cas_publish(
+        _base_pointer(path),
+        {"version": version, "includes": sorted(includes)},
+        expected_token,
+    )
+
+
+def _claim_base(path: str, hint: int, write_tables) -> tuple[str, int]:
+    """Stage a new base into a writer-private dir (``write_tables`` is
+    called with the staging path), then claim the first free
+    ``base_v*`` slot at-or-past ``hint`` via non-clobbering rename.
+    Returns (claimed dir, claimed version) — the pointer must record
+    the claimed version, not the hint. Racing writers each claim a
+    distinct slot; the losing pointer's slot is vacuum fodder."""
+    import uuid
+
+    stage = os.path.join(path, f"_base_staging_{uuid.uuid4().hex[:12]}")
+    write_tables(stage)
+    v = hint
+    while not fsops.rename_no_clobber(stage, os.path.join(path, f"base_v{v}")):
+        v += 1
+    return os.path.join(path, f"base_v{v}"), v
 
 
 def _base_dir(path: str, ptr: dict) -> str:
@@ -193,7 +225,7 @@ def _prune_uncommitted_deltas(path: str) -> None:
     root = _deltas_root(path)
     if not fsops.is_dir(root):
         return
-    ptr = _read_base_ptr(path)
+    ptr, tok = _read_base_ptr_with_token(path)
     absorbed = set(ptr["includes"])
     for d in fsops.list_dir(root):
         full = os.path.join(root, d)
@@ -203,7 +235,7 @@ def _prune_uncommitted_deltas(path: str) -> None:
     # fold that legitimately reuses the tag isn't silently masked
     live = [t for t in ptr["includes"] if fsops.is_dir(os.path.join(root, t))]
     if ptr["version"] >= 0 and live != sorted(ptr["includes"]):
-        _write_base_ptr(path, ptr["version"], live)
+        _write_base_ptr(path, ptr["version"], live, tok)
 
 
 def _cdc_gen(dirpath: str) -> int:
@@ -273,19 +305,24 @@ def read_components(spark: SparkSession, path: str) -> DataFrame:
 
 def _swap_components(path: str, new_comp: DataFrame) -> None:
     """Publish a new components version without ever leaving the index
-    table-less: write v<N+1>, atomically repoint, prune versions < N
+    table-less: write v<N+1>, conditionally repoint (CAS on the
+    pointer read — a racing writer loses cleanly), prune versions < N
     (the immediately-previous version survives one generation so a
     racing reader of the old pointer still finds a complete dir)."""
-    got = fsops.read_json(_components_pointer(path))
+    import uuid
+
+    got, tok = fsops.read_json_with_token(_components_pointer(path))
     try:
         cur = int(got) if got is not None else -1
     except (TypeError, ValueError):
         cur = -1
+    # stage-and-claim, then CAS the pointer at the claimed version
+    stage = os.path.join(path, f"_components_staging_{uuid.uuid4().hex[:12]}")
+    new_comp.write.mode("overwrite").parquet(stage)
     nxt = cur + 1
-    new_comp.write.mode("overwrite").parquet(
-        os.path.join(path, f"components_v{nxt}")
-    )
-    fsops.publish_json(_components_pointer(path), nxt)
+    while not fsops.rename_no_clobber(stage, os.path.join(path, f"components_v{nxt}")):
+        nxt += 1
+    fsops.cas_publish(_components_pointer(path), nxt, tok)
     for d in fsops.list_dir(path):
         if d.startswith("components_v"):
             try:
@@ -329,14 +366,21 @@ def build_dedup_index(
     """Batch bootstrap: gram/band/size base tables + initial components.
     Rebuilding over an existing index restarts it: the new base pointer
     absorbs nothing, and stale delta directories are cleared."""
-    ptr = _read_base_ptr(path)
+    ptr, tok = _read_base_ptr_with_token(path)
     nxt = ptr["version"] + 1
-    base = os.path.join(path, f"base_v{nxt}")
-    cells, bands, sizes = _delta_tables(docs, text_col, id_col)
-    cells.write.mode("overwrite").parquet(os.path.join(base, "cells"))
-    bands.write.mode("overwrite").parquet(os.path.join(base, "bands"))
-    sizes.write.mode("overwrite").parquet(os.path.join(base, "sizes"))
-    _write_base_ptr(path, nxt, [])
+    # stage-and-claim (fsops.rename_no_clobber): build into a
+    # writer-private dir, then claim the first free base_v slot — a
+    # racing writer's staged/committed base is never clobbered; the
+    # CAS'd pointer publish below then picks exactly one winner
+    base, nxt = _claim_base(
+        path,
+        nxt,
+        lambda stage: [
+            t.write.mode("overwrite").parquet(os.path.join(stage, sub))
+            for t, sub in zip(_delta_tables(docs, text_col, id_col), _TABLES)
+        ],
+    )
+    _write_base_ptr(path, nxt, [], tok)
     fsops.remove_tree(_deltas_root(path))  # fresh bootstrap
     if ptr["version"] >= 0:
         fsops.remove_tree(_base_dir(path, ptr))
@@ -697,19 +741,24 @@ def compact_dedup_index(spark: SparkSession, path: str) -> int:
     keep serving old base + deltas; after it, the new base whose
     ``includes`` list excludes exactly those deltas. Deleting the
     absorbed directories afterward is cleanup (retried by the next
-    fold's prune). Single-writer: run between folds."""
-    ptr = _read_base_ptr(path)
+    fold's prune). Run between folds; a racing writer loses at the
+    CAS'd pointer publish with its claimed base slot left for vacuum."""
+    ptr, tok = _read_base_ptr_with_token(path)
     deltas = _committed_delta_dirs(path, ptr)
     if not deltas:
         return 0
-    nxt = ptr["version"] + 1
-    base = os.path.join(path, f"base_v{nxt}")
-    for name in _TABLES:
-        read_index_table(spark, path, name).write.mode("overwrite").parquet(
-            os.path.join(base, name)
-        )
+    _, nxt = _claim_base(
+        path,
+        ptr["version"] + 1,
+        lambda stage: [
+            read_index_table(spark, path, name)
+            .write.mode("overwrite")
+            .parquet(os.path.join(stage, name))
+            for name in _TABLES
+        ],
+    )
     absorbed = ptr["includes"] + [os.path.basename(d) for d in deltas]
-    _write_base_ptr(path, nxt, absorbed)
+    _write_base_ptr(path, nxt, absorbed, tok)
     for d in deltas:
         fsops.remove_tree(d)
     if ptr["version"] >= 0:

@@ -140,8 +140,16 @@ class RollupCatalog:
     def _meta(self, name: str) -> Optional[dict]:
         return fsops.read_json(self._meta_path(name))
 
-    def _commit_meta(self, name: str, meta: dict) -> None:
-        fsops.publish_json(self._meta_path(name), meta)
+    def _meta_with_token(self, name: str) -> tuple[Optional[dict], object]:
+        """Meta plus identity token: writers read through this so their
+        ``_commit_meta`` is conditional (fsops.cas_publish)."""
+        return fsops.read_json_with_token(self._meta_path(name))
+
+    def _commit_meta(self, name: str, meta: dict, expected_token: object) -> None:
+        """Commit point — CAS on the token from ``_meta_with_token``:
+        two racing refreshes resolve to one winner, the loser raising
+        ConcurrentWriterError with its staged version dir left for GC."""
+        fsops.cas_publish(self._meta_path(name), meta, expected_token)
 
     def _vdir(self, name: str, version: int) -> str:
         return os.path.join(self.base_dir, name, f"v{version}")
@@ -233,9 +241,17 @@ class RollupCatalog:
         version: int,
         scalar_df: Optional[DataFrame],
         hll_dfs: dict[str, DataFrame],
-    ) -> None:
-        out = self._vdir(name, version)
-        fsops.remove_tree(out)  # crashed attempt: rewrite deterministically
+    ) -> int:
+        """Stage the version's tables into a writer-private dir, then
+        claim the first free ``v*`` slot at-or-past the hint via
+        non-clobbering rename (racing writers never overwrite each
+        other's staged or committed versions). Returns the CLAIMED
+        version — the meta commit must record this, not the hint."""
+        import uuid
+
+        out = os.path.join(
+            self.base_dir, name, f"_v_staging_{uuid.uuid4().hex[:12]}"
+        )
         jobs = []
         if scalar_df is not None:
             jobs.append(("data", scalar_df))
@@ -243,7 +259,7 @@ class RollupCatalog:
         if len(jobs) <= 1:
             for sub, df in jobs:
                 df.write.parquet(os.path.join(out, sub))
-            return
+            return self._claim_vslot(name, out, version)
         # The version's tables are independent plans writing to disjoint
         # subdirectories — submit them as CONCURRENT Spark jobs. For an
         # incremental refresh each job is small and overhead-bound
@@ -261,14 +277,25 @@ class RollupCatalog:
 
         with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
             list(pool.map(_write, jobs))
+        return self._claim_vslot(name, out, version)
+
+    def _claim_vslot(self, name: str, staged: str, hint: int) -> int:
+        v = hint
+        while not fsops.rename_no_clobber(staged, self._vdir(name, v)):
+            v += 1
+        return v
 
     def _gc(self, name: str, keep_from: int) -> None:
         """Drop version dirs older than ``keep_from`` (the previous
         version survives one generation for concurrent readers)."""
         root = os.path.join(self.base_dir, name)
+        live = (self._meta(name) or {}).get("version")
         for entry in fsops.list_dir(root):
             if entry.startswith("v") and entry[1:].isdigit():
-                if int(entry[1:]) < keep_from:
+                # never drop the committed version, whatever its number:
+                # with claimed (non-contiguous) slots the live version
+                # can sit below a loser's higher-numbered orphan
+                if int(entry[1:]) < keep_from and int(entry[1:]) != live:
                     fsops.remove_tree(os.path.join(root, entry))
 
     # -- build ----------------------------------------------------------
@@ -294,7 +321,7 @@ class RollupCatalog:
         if not force and index_is_current(out, fingerprint, params):
             return out
         fsops.makedirs(out)
-        old = self._meta(name)
+        old, tok = self._meta_with_token(name)
         version = (old.get("version", 0) + 1) if old else 1
         # the hidden support count is always materialized (even for
         # hll-only cubes): group liveness under deletes needs it
@@ -302,7 +329,7 @@ class RollupCatalog:
             src, dims, {a: tuple(v) for a, v in measures.items()},
             checkpoint=True,
         )
-        self._write_version(name, version, scalar_df, hll_dfs)
+        version = self._write_version(name, version, scalar_df, hll_dfs)
         self._commit_meta(
             name,
             {
@@ -311,6 +338,7 @@ class RollupCatalog:
                 "version": version,
                 "folded": [],
             },
+            tok,
         )
         self._gc(name, version - 1)
         return out
@@ -335,7 +363,7 @@ class RollupCatalog:
         leaves the previous version intact. The fingerprint is extended
         so ``index_is_current`` no longer matches the raw source — a
         later ``define`` against a fresh source fingerprint rebuilds."""
-        meta = self._meta(name)
+        meta, tok = self._meta_with_token(name)
         if meta is None:
             raise LookupError(f"no rollup named {name!r}")
         if batch_id is not None and batch_id in meta["folded"]:
@@ -376,8 +404,7 @@ class RollupCatalog:
                 .groupBy(*dims, "bucket")
                 .agg(F.max("r").cast("int").alias("r"))
             )
-        self._write_version(name, cur + 1, scalar_df, hll_dfs)
-        meta["version"] = cur + 1
+        meta["version"] = self._write_version(name, cur + 1, scalar_df, hll_dfs)
         # mark once (idempotent): the point is to stop matching the raw
         # source fingerprint, not to count folds
         if not meta.get("fingerprint", "").endswith("+delta"):
@@ -385,7 +412,7 @@ class RollupCatalog:
         if batch_id is not None:
             # bounded replay-guard tail (Spark only replays recent batches)
             meta["folded"] = sorted(meta["folded"] + [batch_id])[-1000:]
-        self._commit_meta(name, meta)
+        self._commit_meta(name, meta, tok)
         self._gc(name, cur)
 
     def _read_affected_partitions(
@@ -489,7 +516,7 @@ class RollupCatalog:
         "partition_pruned_fold", "affected_fold", "full_rebuild").
         Crash atomicity, replay (``batch_id``), fingerprint extension,
         and version GC are identical to ``refresh``."""
-        meta = self._meta(name)
+        meta, tok = self._meta_with_token(name)
         if meta is None:
             raise LookupError(f"no rollup named {name!r}")
         if batch_id is not None and batch_id in meta["folded"]:
@@ -554,13 +581,12 @@ class RollupCatalog:
                 scalar_df, hll_dfs = self._build_tables(
                     state, dims, measures, checkpoint=True
                 )
-                self._write_version(name, cur + 1, scalar_df, hll_dfs)
-                meta["version"] = cur + 1
+                meta["version"] = self._write_version(name, cur + 1, scalar_df, hll_dfs)
                 if not meta.get("fingerprint", "").endswith("+delta"):
                     meta["fingerprint"] = meta.get("fingerprint", "") + "+delta"
                 if batch_id is not None:
                     meta["folded"] = sorted(meta["folded"] + [batch_id])[-1000:]
-                self._commit_meta(name, meta)
+                self._commit_meta(name, meta, tok)
                 self._gc(name, cur)
                 return
             if state_path is None:
@@ -690,13 +716,12 @@ class RollupCatalog:
                     reg_cols
                 ).unionByName(regs.select(reg_cols))
 
-        self._write_version(name, cur + 1, scalar_df, hll_dfs)
-        meta["version"] = cur + 1
+        meta["version"] = self._write_version(name, cur + 1, scalar_df, hll_dfs)
         if not meta.get("fingerprint", "").endswith("+delta"):
             meta["fingerprint"] = meta.get("fingerprint", "") + "+delta"
         if batch_id is not None:
             meta["folded"] = sorted(meta["folded"] + [batch_id])[-1000:]
-        self._commit_meta(name, meta)
+        self._commit_meta(name, meta, tok)
         self._gc(name, cur)
 
     # -- rewrite --------------------------------------------------------

@@ -109,6 +109,21 @@ def cached_pristine_base(cache_dir: str, fingerprint: str, params: dict, build, 
     ``build(cache_dir)`` runs only on a cache miss. Returns True on a
     miss (receipts can report cold/warm). The copy keeps every byte,
     including the structure's own pointers/markers."""
+    import shutil
+
+    fresh = ensure_cached_base(cache_dir, fingerprint, params, build)
+    shutil.copytree(
+        cache_dir, work_dir, dirs_exist_ok=True,
+        ignore=shutil.ignore_patterns("_gate_meta.json"),
+    )
+    return fresh
+
+
+def ensure_cached_base(cache_dir: str, fingerprint: str, params: dict, build) -> bool:
+    """The build-or-reuse half of ``cached_pristine_base`` without the
+    work-dir copy — for gates that fold IN PLACE on the cached base
+    (fold delta, read, fold the inverse delta back; the copy-free shape
+    of r12 verdict #5). Returns True on a cache miss/rebuild."""
     import json
     import os
     import shutil
@@ -131,8 +146,4 @@ def cached_pristine_base(cache_dir: str, fingerprint: str, params: dict, build, 
         with open(tmp, "w") as f:
             json.dump({"fingerprint": fingerprint, "params": params}, f)
         os.replace(tmp, meta_path)
-    shutil.copytree(
-        cache_dir, work_dir, dirs_exist_ok=True,
-        ignore=shutil.ignore_patterns("_gate_meta.json"),
-    )
     return fresh

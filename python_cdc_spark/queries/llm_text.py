@@ -782,6 +782,34 @@ def narrow_delta(docs: DataFrame) -> DataFrame:
     )
 
 
+def inverse_narrow_delta(docs: DataFrame) -> DataFrame:
+    """The exact inverse of ``narrow_delta`` over the SAME original
+    corpus: updates restore the original text, deletes re-insert the
+    original doc, and the three cloned inserts are deleted — folding
+    ``narrow_delta`` then this returns the corpus (and any maintained
+    structure's CONTENT) to its pre-delta state, which is what lets the
+    copy-free gates fold on the cached base directly instead of paying
+    a full fixture copy per run."""
+    mx = int(docs.agg(F.max("doc_id")).first()[0])
+    in_band = F.col("doc_id").between(7, 18)
+    return (
+        docs.filter(in_band & (F.col("doc_id") % 2 == 0))
+        .select(F.lit("UPDATE").alias("operation"), "doc_id", "text")
+        .unionByName(
+            docs.filter(in_band & (F.col("doc_id") % 2 == 1)).select(
+                F.lit("INSERT").alias("operation"), "doc_id", "text"
+            )
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id").between(1, 3)).select(
+                F.lit("DELETE").alias("operation"),
+                (F.col("doc_id") + mx).alias("doc_id"),
+                F.lit(None).cast("string").alias("text"),
+            )
+        )
+    )
+
+
 def _folded_bm25_narrow(spark: SparkSession, sf_dir: str) -> str:
     """Copy the cached FULL-corpus base index into a fresh work dir and
     fold the constant-width narrow delta (the Spark twin of

@@ -191,7 +191,7 @@ def test_crash_before_publish_leaves_old_index_intact(spark, tmp_path, monkeypat
 
     real_write_ptr = mod._write_ptr
 
-    def crash(path, ptr):
+    def crash(path, ptr, expected_token=None):
         raise RuntimeError("crash before publish")
 
     monkeypatch.setattr(mod, "_write_ptr", crash)

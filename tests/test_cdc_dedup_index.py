@@ -315,3 +315,32 @@ def test_wide_delta_reroutes_to_full_recompute_and_matches_batch(spark, tmp_path
     want = _batch_truth(spark, _post_rows(BASE, DELTA), tmp_path, "truth")
     assert got == want
     assert _comps(spark, idx) == want  # the swap published the reroute's result
+
+
+def test_copy_free_narrow_gate_restores_base_between_runs(spark, tmp_path, monkeypatch):
+    """r12 verdict #5 (copy-free narrow gate): the registered
+    ``dedup_fold_narrow_delta`` folds the delta INTO the cached base and
+    folds the exact inverse back — consecutive invocations must return
+    identical cluster tables (the second run only works if the first
+    restored the base bit-for-content), and a crash between the two
+    folds must poison-pill the cache, not the next run's answer."""
+    import os
+
+    from python_cdc_spark.queries.llm_dedup import dedup_fold_narrow_delta
+
+    monkeypatch.chdir(tmp_path)  # private .dedup_cache
+    sf = "/root/testdata/sf0.001"
+    first = sorted(map(tuple, dedup_fold_narrow_delta(spark, sf).collect()))
+    second = sorted(map(tuple, dedup_fold_narrow_delta(spark, sf).collect()))
+    assert first == second and len(first) > 0
+
+    # simulate a crash between fold and inverse-fold: the dirty marker
+    # must force a rebuild (not a fold onto an unknown-content base)
+    cache_root = tmp_path / ".dedup_cache"
+    caches = [d for d in os.listdir(cache_root) if d.endswith("_full")]
+    assert len(caches) == 1
+    marker = cache_root / caches[0] / "_folding_in_place"
+    marker.write_text("")
+    third = sorted(map(tuple, dedup_fold_narrow_delta(spark, sf).collect()))
+    assert third == first
+    assert not marker.exists()

@@ -123,8 +123,10 @@ def test_vacuum_prunes_old_snapshots(spark, store):
         f for f in os.listdir(store.path) if f.startswith("_manifest_v")
     )
     assert len(snaps()) == 4
+    # retain_last=2 keeps 2 SUPERSEDED snapshots below the always-live
+    # current (the unified maintenance semantics, aligned r13)
     store.vacuum(retain_last=2)
-    assert snaps() == ["_manifest_v3.json", "_manifest_v4.json"]
+    assert snaps() == ["_manifest_v2.json", "_manifest_v3.json", "_manifest_v4.json"]
     store.vacuum()
     assert snaps() == ["_manifest_v4.json"]
 
