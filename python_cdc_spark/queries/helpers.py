@@ -108,13 +108,34 @@ def cached_pristine_base(cache_dir: str, fingerprint: str, params: dict, build, 
 
     ``build(cache_dir)`` runs only on a cache miss. Returns True on a
     miss (receipts can report cold/warm). The copy keeps every byte,
-    including the structure's own pointers/markers."""
+    including the structure's own pointers/markers.
+
+    The copy is a HARDLINK tree (metadata-only, ~free at any index
+    size — r12 verdict #5: fixture transport dominated the narrow-gate
+    bench rows). Safe because every maintained structure's data files
+    are IMMUTABLE (folds write new version/delta dirs) and pointers
+    are only ever replaced via temp+rename — a new inode, never an
+    in-place truncate — so a fold in the work dir can never write
+    through a shared inode into the pristine cache. Falls back to a
+    byte copy per file on EXDEV/cross-device."""
+    import os
     import shutil
 
     fresh = ensure_cached_base(cache_dir, fingerprint, params, build)
+
+    def _link_or_copy(src, dst):
+        try:
+            os.link(src, dst)
+        except OSError:
+            shutil.copy2(src, dst)
+
     shutil.copytree(
         cache_dir, work_dir, dirs_exist_ok=True,
-        ignore=shutil.ignore_patterns("_gate_meta.json"),
+        copy_function=_link_or_copy,
+        # *.tmp/*.lock never belong to a committed index; excluding
+        # them also guarantees no writer can open-for-write (truncate)
+        # a path that would share an inode with the cache
+        ignore=shutil.ignore_patterns("_gate_meta.json", "*.tmp", "*.lock"),
     )
     return fresh
 

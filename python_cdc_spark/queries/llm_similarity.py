@@ -1860,9 +1860,19 @@ def _ann_cdc_maintained(spark: SparkSession, sf_dir: str, exact: bool) -> DataFr
     import shutil
     import tempfile
 
+    def _link_or_copy(src, dst):
+        # hardlink tree: metadata-only fixture copy (see
+        # helpers.cached_pristine_base for the immutability argument —
+        # ANN folds unlink+rewrite partition files, never truncate
+        # a shared inode in place)
+        try:
+            os.link(src, dst)
+        except OSError:
+            shutil.copy2(src, dst)
+
     with tempfile.TemporaryDirectory() as tmp:
         work = os.path.join(tmp, "idx")
-        shutil.copytree(idx_dir, work)
+        shutil.copytree(idx_dir, work, copy_function=_link_or_copy)
         maintain_ivf_lists_cdc(
             spark, work, delta, payload=payload, exact=exact, dims=_DIMS
         )

@@ -317,30 +317,63 @@ def test_wide_delta_reroutes_to_full_recompute_and_matches_batch(spark, tmp_path
     assert _comps(spark, idx) == want  # the swap published the reroute's result
 
 
-def test_copy_free_narrow_gate_restores_base_between_runs(spark, tmp_path, monkeypatch):
-    """r12 verdict #5 (copy-free narrow gate): the registered
-    ``dedup_fold_narrow_delta`` folds the delta INTO the cached base and
-    folds the exact inverse back — consecutive invocations must return
-    identical cluster tables (the second run only works if the first
-    restored the base bit-for-content), and a crash between the two
-    folds must poison-pill the cache, not the next run's answer."""
-    import os
+def test_fold_then_inverse_fold_restores_index_content(spark, tmp_path):
+    """Fold-exactness property (r12 verdict #5's invariant, pinned at
+    the operator level): folding ``narrow_delta`` and then its exact
+    inverse must return the index CONTENT — components and sizes — to
+    the pre-fold state, even though the rows now live in delta dirs."""
+    from python_cdc_spark.io import table
+    from python_cdc_spark.queries.llm_text import inverse_narrow_delta, narrow_delta
 
-    from python_cdc_spark.queries.llm_dedup import dedup_fold_narrow_delta
-
-    monkeypatch.chdir(tmp_path)  # private .dedup_cache
     sf = "/root/testdata/sf0.001"
-    first = sorted(map(tuple, dedup_fold_narrow_delta(spark, sf).collect()))
-    second = sorted(map(tuple, dedup_fold_narrow_delta(spark, sf).collect()))
-    assert first == second and len(first) > 0
+    docs = table(spark, sf, "documents").select("doc_id", "text")
+    idx = str(tmp_path / "idx")
+    build_dedup_index(spark, docs, idx)
 
-    # simulate a crash between fold and inverse-fold: the dirty marker
-    # must force a rebuild (not a fold onto an unknown-content base)
-    cache_root = tmp_path / ".dedup_cache"
-    caches = [d for d in os.listdir(cache_root) if d.endswith("_full")]
-    assert len(caches) == 1
-    marker = cache_root / caches[0] / "_folding_in_place"
-    marker.write_text("")
-    third = sorted(map(tuple, dedup_fold_narrow_delta(spark, sf).collect()))
-    assert third == first
-    assert not marker.exists()
+    def content():
+        comps = sorted(map(tuple, read_components(spark, idx).collect()))
+        sizes = sorted(
+            map(tuple, read_index_table(spark, idx, "sizes").collect())
+        )
+        return comps, sizes
+
+    pre = content()
+    cdc_dedup_index_update(spark, idx, narrow_delta(docs), batch_tag="d1")
+    mid = content()
+    assert mid[0] != pre[0] or mid[1] != pre[1]  # the delta did something
+    cdc_dedup_index_update(spark, idx, inverse_narrow_delta(docs), batch_tag="d2")
+    assert content() == pre
+
+
+def test_hardlink_fixture_fold_leaves_source_pristine(spark, tmp_path):
+    """The narrow gates' work dirs are HARDLINK trees of the pristine
+    cache (helpers.cached_pristine_base): a fold in the work dir must
+    leave every byte of the source index untouched — the immutability
+    argument (data files never mutate; pointers replace via rename)
+    verified end-to-end."""
+    import hashlib
+    import shutil
+
+    def tree_digest(root):
+        h = hashlib.sha256()
+        for dirpath, dirnames, filenames in sorted(os.walk(root)):
+            dirnames.sort()
+            for f in sorted(filenames):
+                p = os.path.join(dirpath, f)
+                h.update(os.path.relpath(p, root).encode())
+                with open(p, "rb") as fh:
+                    h.update(fh.read())
+        return h.hexdigest()
+
+    src = str(tmp_path / "src")
+    build_dedup_index(spark, _corpus(spark, BASE), src)
+    before = tree_digest(src)
+
+    work = str(tmp_path / "work")
+    shutil.copytree(src, work, copy_function=os.link)
+    cdc_dedup_index_update(spark, work, _delta(spark, DELTA))
+    assert tree_digest(src) == before
+    # and the fold in the work copy is the real fold
+    got = _comps(spark, work)
+    want = _batch_truth(spark, _post_rows(BASE, DELTA), tmp_path, "truth")
+    assert got == want
