@@ -221,6 +221,11 @@ def _vacuum_state_store(spark, path: str, retain_last: int) -> tuple[list[str], 
         if entry.startswith("_manifest_v") and entry.endswith(".json"):
             if entry not in live:
                 removed.append(entry)
+        elif entry.startswith("_v_staging_") and fsops.staging_is_stale(
+            os.path.join(path, entry)
+        ):
+            # a crashed writer's private staging (age-gated)
+            removed.append(entry)
         elif entry.startswith("v") and entry[1:].isdigit() and entry not in live:
             removed.append(entry)
     return removed, live

@@ -44,6 +44,8 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 
 _MANIFEST = "_manifest.json"
+#: sentinel: unconditional manifest save (non-commit callers)
+_UNCONDITIONAL = object()
 
 
 class BucketedStateStore:
@@ -65,14 +67,16 @@ class BucketedStateStore:
         with open(self._manifest_path) as fh:
             return json.load(fh)
 
-    def _save_manifest(self, manifest: dict) -> None:
+    def _save_manifest(self, manifest: dict, expected_token=_UNCONDITIONAL) -> None:
+        from python_cdc_spark import fsops
+
         os.makedirs(self.path, exist_ok=True)
-        tmp = self._manifest_path + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(manifest, fh)
-            fh.flush()
-            os.fsync(fh.fileno())
-        os.replace(tmp, self._manifest_path)  # the commit point
+        if expected_token is _UNCONDITIONAL:
+            fsops.publish_json(self._manifest_path, manifest)  # the commit point
+        else:
+            # conditional commit point (fsops.cas_publish): a racing
+            # writer's manifest swap loses cleanly
+            fsops.cas_publish(self._manifest_path, manifest, expected_token)
         # Per-version snapshot (a few hundred bytes) AFTER the commit
         # point, so a crash in between loses only this version's
         # read_at() — it can never advertise an uncommitted version.
@@ -139,17 +143,27 @@ class BucketedStateStore:
         ``state`` must carry an integral ``bucket`` column and contain
         only rows for ``touched`` buckets. Returns the committed version.
         A touched bucket with no surviving rows is dropped from the
-        manifest (its state is now empty)."""
-        manifest = self._load_manifest()
-        new_version = manifest["version"] + 1
-        vdir = os.path.join(self.path, f"v{new_version}")
-        # A crash after the v<N> write but before the manifest swap
-        # leaves an orphaned v<N>; the replayed micro-batch recomputes
-        # the same new_version, and errorifexists would wedge the stream
-        # forever. The orphan is unreferenced by the committed manifest
-        # (the swap never happened), so reclaiming it here is safe.
-        if os.path.isdir(vdir):
-            shutil.rmtree(vdir)
+        manifest (its state is now empty).
+
+        r13: the commit follows the maintained structures'
+        stage-and-claim + CAS protocol (fsops): the version's files are
+        staged into a writer-private dir, claimed into the first free
+        ``v<N>`` slot by non-clobbering rename (a crashed replay's
+        orphan or a racing writer's dir is never deleted — the loser's
+        slot is vacuum fodder), and the manifest swap is CONDITIONAL on
+        the token read at commit start. foreachBatch serializes batches
+        within one stream, so in the common case the CAS always wins;
+        a second WRITER PROCESS on the same store now loses cleanly
+        (fsops.ConcurrentWriterError) instead of corrupting state."""
+        import uuid
+
+        from python_cdc_spark import fsops
+
+        manifest, tok = fsops.read_json_with_token(self._manifest_path)
+        if manifest is None:
+            manifest = {"version": 0, "buckets": {}}
+        os.makedirs(self.path, exist_ok=True)
+        staging = os.path.join(self.path, f"_v_staging_{uuid.uuid4().hex[:12]}")
         # ``b`` duplicates ``bucket`` as the partition column so the data
         # files keep ``bucket`` readable without partition discovery
         # (per-bucket dirs are read individually, basePath-free).
@@ -157,20 +171,27 @@ class BucketedStateStore:
             state.withColumn("b", state["bucket"])
             .write.mode("errorifexists")
             .partitionBy("b")
-            .parquet(vdir)
+            .parquet(staging)
         )
         written = {
             int(d.split("=", 1)[1])
-            for d in os.listdir(vdir)
+            for d in os.listdir(staging)
             if d.startswith("b=")
         }
+        new_version = manifest["version"] + 1
+        while not fsops.rename_no_clobber(
+            staging, os.path.join(self.path, f"v{new_version}")
+        ):
+            new_version += 1
         buckets = dict(manifest["buckets"])
         for b in touched:
             if b in written:
                 buckets[str(b)] = new_version
             else:
                 buckets.pop(str(b), None)  # bucket emptied by this batch
-        self._save_manifest({"version": new_version, "buckets": buckets})
+        self._save_manifest(
+            {"version": new_version, "buckets": buckets}, expected_token=tok
+        )
         return new_version
 
     # -- maintenance ------------------------------------------------------
@@ -213,6 +234,15 @@ class BucketedStateStore:
                     continue
                 if version not in retained:
                     os.remove(full)  # housekeeping; not a data dir, not reported
+                continue
+            if entry.startswith("_v_staging_"):
+                # a crashed writer's private staging (age-gated: young
+                # staging may belong to a live concurrent writer)
+                from python_cdc_spark import fsops
+
+                if fsops.staging_is_stale(full):
+                    shutil.rmtree(full, ignore_errors=True)
+                    removed.append(full)
                 continue
             if not entry.startswith("v"):
                 continue

@@ -239,3 +239,83 @@ def test_rollup_refresh_race_loses_cleanly(spark, tmp_path, monkeypatch):
     assert groups() == {"a": 10.0, "b": 27.0}  # winner only
     cat.refresh("cube", d1)  # loser retries
     assert groups() == {"a": 15.0, "b": 27.0}
+
+
+# --- end-to-end: state store commit race -----------------------------------
+
+
+def test_state_store_commit_race_loses_cleanly(spark, tmp_path, monkeypatch):
+    """The fifth structure joins the protocol (r13): a competing
+    commit landing inside this writer's read-to-swap window makes the
+    manifest CAS lose cleanly, the loser's claimed version dir stays
+    unreferenced (vacuum fodder), and a retry lands on top of the
+    winner's state."""
+    from python_cdc_spark.streaming.state_store import BucketedStateStore
+
+    store = BucketedStateStore(spark, str(tmp_path / "st"))
+    store.commit(
+        spark.createDataFrame([(1, 10, 0)], "key long, val long, bucket long"), [0]
+    )
+
+    orig = fsops.read_json_with_token
+    fired = {"done": False}
+
+    def hooked(path, default=None):
+        out = orig(path, default)
+        if path.endswith("_manifest.json") and not fired["done"]:
+            fired["done"] = True
+            store.commit(
+                spark.createDataFrame(
+                    [(2, 20, 1)], "key long, val long, bucket long"
+                ),
+                [1],
+            )  # the competing writer wins
+        return out
+
+    monkeypatch.setattr(fsops, "read_json_with_token", hooked)
+    with pytest.raises(fsops.ConcurrentWriterError):
+        store.commit(
+            spark.createDataFrame([(3, 30, 2)], "key long, val long, bucket long"),
+            [2],
+        )
+    monkeypatch.setattr(fsops, "read_json_with_token", orig)
+    # winner's state intact, loser contributed nothing
+    got = sorted((r["key"], r["val"]) for r in store.read().collect())
+    assert got == [(1, 10), (2, 20)]
+    # loser retries from a fresh read and lands
+    store.commit(
+        spark.createDataFrame([(3, 30, 2)], "key long, val long, bucket long"), [2]
+    )
+    got = sorted((r["key"], r["val"]) for r in store.read().collect())
+    assert got == [(1, 10), (2, 20), (3, 30)]
+    # the losing attempt's claimed version dir is unreferenced; vacuum
+    # reclaims it and reads are unaffected
+    store.vacuum()
+    got = sorted((r["key"], r["val"]) for r in store.read().collect())
+    assert got == [(1, 10), (2, 20), (3, 30)]
+
+
+def test_state_store_crash_replay_claims_next_slot(spark, tmp_path):
+    """A crash after the version-dir claim but before the manifest swap
+    leaves an orphan v<N>; the replayed batch must claim the NEXT slot
+    (never delete the orphan mid-flight — it could be a racing writer's
+    committed dir) and commit correctly; vacuum reclaims the orphan."""
+    import shutil
+
+    from python_cdc_spark.streaming.state_store import BucketedStateStore
+
+    store = BucketedStateStore(spark, str(tmp_path / "st"))
+    v1 = store.commit(
+        spark.createDataFrame([(1, 10, 0)], "key long, val long, bucket long"), [0]
+    )
+    # simulate the crashed attempt's orphan at the next version
+    orphan = os.path.join(store.path, f"v{v1 + 1}")
+    shutil.copytree(os.path.join(store.path, f"v{v1}"), orphan)
+    v2 = store.commit(
+        spark.createDataFrame([(1, 11, 0)], "key long, val long, bucket long"), [0]
+    )
+    assert v2 == v1 + 2  # claimed past the orphan
+    assert [(r["key"], r["val"]) for r in store.read().collect()] == [(1, 11)]
+    removed = store.vacuum()
+    assert any(orphan in r for r in removed)
+    assert [(r["key"], r["val"]) for r in store.read().collect()] == [(1, 11)]

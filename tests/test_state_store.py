@@ -88,10 +88,13 @@ def test_read_filters_are_path_pruned(spark, store):
 
 
 def test_crash_replay_commits_over_orphan(spark, store):
-    """ADVICE r2: a crash after the v<N> write but before the manifest
-    swap used to wedge the stream — the replayed micro-batch recomputes
-    the same new_version and errorifexists threw. commit() now reclaims
-    the orphan first."""
+    """ADVICE r2 (updated r13): a crash after the v<N> write but before
+    the manifest swap used to wedge the stream — the replayed
+    micro-batch recomputed the same new_version and errorifexists
+    threw. Under the stage-and-claim protocol the replay CLAIMS THE
+    NEXT free slot instead of deleting the orphan (which could be a
+    racing writer's committed dir); the orphan stays unreferenced for
+    vacuum."""
     store.commit(_df(spark, [("a", 1, 0)]), touched=[0])
     doomed = _df(spark, [("a", 99, 0)])
     doomed.withColumn("b", doomed["bucket"]).write.partitionBy("b").parquet(
@@ -99,8 +102,10 @@ def test_crash_replay_commits_over_orphan(spark, store):
     )  # crash happened here: v2 on disk, manifest still at v1
     # the replayed batch (possibly with different data) must succeed
     v = store.commit(_df(spark, [("a", 2, 0)]), touched=[0])
-    assert v == 2
+    assert v == 3  # claimed past the orphan, never reused/deleted it
     assert [(r["key"], r["val"]) for r in store.read().collect()] == [("a", 2)]
+    removed = store.vacuum()
+    assert any(r.endswith("v2") for r in removed)
 
 
 def test_snapshot_written_after_commit_point(spark, store):
