@@ -60,6 +60,32 @@ def _write_meta(
     fsops.publish_json(os.path.join(out_dir, "_meta.json"), meta)
 
 
+def _schemas_entry(**dfs: DataFrame) -> dict[str, str]:
+    """{table: schema json} recorded in ``_meta.json`` at save time so
+    every later open passes an explicit schema — skipping the one-job
+    parquet footer inference Spark runs per schemaless read (r13
+    job-floor pass; the ANN query family opens 2-3 tables per query)."""
+    return {name: df.schema.json() for name, df in dfs.items()}
+
+
+def _read_index_table(spark: SparkSession, out_dir: str, sub: str) -> DataFrame:
+    """Open ``<out_dir>/<sub>.parquet`` with the schema recorded in
+    ``_meta.json`` (zero-job); legacy metas fall back to inference."""
+    sj = (
+        (fsops.read_json(os.path.join(out_dir, "_meta.json")) or {})
+        .get("schemas", {})
+        .get(sub)
+    )
+    p = os.path.join(out_dir, f"{sub}.parquet")
+    if sj:
+        import json as _json
+
+        from pyspark.sql.types import StructType
+
+        return spark.read.schema(StructType.fromJson(_json.loads(sj))).parquet(p)
+    return spark.read.parquet(p)
+
+
 def appended_fraction(out_dir: str) -> float:
     """appended_rows / base_rows for a persisted index — the quantizer
     DRIFT signal: frozen-quantizer appends are encoded only as well as
@@ -141,7 +167,13 @@ def save_ivfpq_index(
         out_dir,
         fingerprint,
         params or {},
-        extra={"base_rows": assigned.count(), "appended_rows": 0},
+        extra={
+            "base_rows": assigned.count(),
+            "appended_rows": 0,
+            "schemas": _schemas_entry(
+                centroids=centroids, codebook=codebook, cells=cells
+            ),
+        },
     )
 
 
@@ -158,14 +190,19 @@ def save_flat_index(
     of them by design (that IS the compressed full scan)."""
     codebook.write.mode("overwrite").parquet(os.path.join(out_dir, "codebook.parquet"))
     codes.write.mode("overwrite").parquet(os.path.join(out_dir, "codes.parquet"))
-    _write_meta(out_dir, fingerprint, params or {})
+    _write_meta(
+        out_dir,
+        fingerprint,
+        params or {},
+        extra={"schemas": _schemas_entry(codebook=codebook, codes=codes)},
+    )
 
 
 def load_flat_index(spark: SparkSession, out_dir: str) -> dict[str, DataFrame]:
     """Load a flat PQ/RQ index persisted by ``save_flat_index``."""
     return {
-        "codebook": spark.read.parquet(os.path.join(out_dir, "codebook.parquet")),
-        "codes": spark.read.parquet(os.path.join(out_dir, "codes.parquet")),
+        "codebook": _read_index_table(spark, out_dir, "codebook"),
+        "codes": _read_index_table(spark, out_dir, "codes"),
     }
 
 
@@ -174,9 +211,9 @@ def load_ivfpq_index(spark: SparkSession, out_dir: str) -> dict[str, DataFrame]:
     filter it on ``cell`` (e.g. by joining the probe list) and the scan
     prunes whole directories."""
     return {
-        "centroids": spark.read.parquet(os.path.join(out_dir, "centroids.parquet")),
-        "codebook": spark.read.parquet(os.path.join(out_dir, "codebook.parquet")),
-        "cells": spark.read.parquet(os.path.join(out_dir, "cells.parquet")),
+        "centroids": _read_index_table(spark, out_dir, "centroids"),
+        "codebook": _read_index_table(spark, out_dir, "codebook"),
+        "cells": _read_index_table(spark, out_dir, "cells"),
     }
 
 
@@ -400,7 +437,12 @@ def build_ivf_lists(
         out_dir,
         fingerprint,
         params or {},
-        extra={"base_rows": n, "appended_rows": 0, "maintained": False},
+        extra={
+            "base_rows": n,
+            "appended_rows": 0,
+            "maintained": False,
+            "schemas": _schemas_entry(centroids=centroids, cells=rows),
+        },
     )
     return n
 
@@ -440,8 +482,8 @@ def maintain_ivf_lists_cdc(
     Returns fold stats for receipts: touched/total cells, row counts.
     """
     cells_path = os.path.join(out_dir, "cells.parquet")
-    centroids = spark.read.parquet(os.path.join(out_dir, "centroids.parquet"))
-    idx = spark.read.parquet(cells_path)
+    centroids = _read_index_table(spark, out_dir, "centroids")
+    idx = _read_index_table(spark, out_dir, "cells")
 
     victims = (
         delta.filter(F.col(op_col).isin("U", "D"))

@@ -244,7 +244,9 @@ def _read_table(
     ]
     if not dirs:
         return spark.createDataFrame([], schema)
-    return spark.read.parquet(*dirs)
+    # explicit schema (the bucket layout is fixed): skips the one-job
+    # parquet footer inference Spark runs per schemaless read call
+    return spark.read.schema(schema).parquet(*dirs)
 
 
 def read_postings(spark: SparkSession, path: str, buckets: list[int] | None = None) -> DataFrame:
@@ -257,14 +259,18 @@ def read_doclen(spark: SparkSession, path: str, buckets: list[int] | None = None
 
 def read_df_table(spark: SparkSession, path: str) -> DataFrame:
     ptr = read_ptr(path)
-    return spark.read.parquet(os.path.join(_meta_dir(path, ptr["meta"]), "df.parquet"))
+    return spark.read.schema("token string, df long").parquet(
+        os.path.join(_meta_dir(path, ptr["meta"]), "df.parquet")
+    )
 
 
 def read_globals(spark: SparkSession, path: str):
     ptr = read_ptr(path)
-    return spark.read.parquet(
-        os.path.join(_meta_dir(path, ptr["meta"]), "globals.parquet")
-    ).first()
+    return (
+        spark.read.schema("n_docs long, sum_dl long")
+        .parquet(os.path.join(_meta_dir(path, ptr["meta"]), "globals.parquet"))
+        .first()
+    )
 
 
 def _write_meta(

@@ -36,6 +36,61 @@ import warnings
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+#: edge-count ceiling for the single-task union-find path. One task
+#: holding ~1M (long, long) edges is a few tens of MB of state and a
+#: sub-second pass; the iterative distributed loop below costs
+#: diameter × (join + agg + convergence probe) Spark jobs, each with a
+#: scheduler/exchange floor — orders of magnitude more wall-clock for
+#: small graphs (r13 measurement: the 17-member affected subgraph of
+#: the narrow dedup fold spent 37 Spark jobs / ~3-5 s in the loop).
+_LOCAL_CC_MAX_EDGES = 1_000_000
+
+
+def _components_single_task(e: DataFrame) -> DataFrame:
+    """Exact min-label components of a SMALL edge list in one executor
+    task: coalesce the (a, b) edges into one partition and run
+    union-find there (guide §4.2 — hand a whole batch to native/local
+    code instead of iterating distributed rounds). Output contract is
+    identical to the iterative loop: one (v, component) row per vertex,
+    component = min vertex id reachable. No driver involvement — the
+    fold runs inside a mapInPandas task."""
+
+    def uf(batches):
+        import pandas as pd
+
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for pdf in batches:
+            for a, b in zip(pdf["a"].to_numpy(), pdf["b"].to_numpy()):
+                a, b = int(a), int(b)
+                if a not in parent:
+                    parent[a] = a
+                if b not in parent:
+                    parent[b] = b
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    # union-by-min: the root is always the component's
+                    # minimum id, so root == canonical component label
+                    if ra < rb:
+                        parent[rb] = ra
+                    else:
+                        parent[ra] = rb
+        if parent:
+            verts = list(parent)
+            yield pd.DataFrame(
+                {"v": verts, "component": [find(v) for v in verts]}
+            )
+
+    return e.coalesce(1).mapInPandas(uf, "v long, component long")
+
 
 def connected_components(
     edges: DataFrame, src: str, dst: str, max_iter: int = 25
@@ -47,15 +102,25 @@ def connected_components(
     runs and the DuckDB recursive-CTE oracle agree exactly). Vertices
     are whatever ids appear in the edge list; isolated vertices (no
     edges) are the caller's to union in if needed.
+
+    Cost placement (results identical either way): edge lists at or
+    under ``_LOCAL_CC_MAX_EDGES`` take the single-task union-find path
+    (one job instead of diameter × join/agg/probe jobs); larger graphs
+    run the distributed propagation loop.
     """
     # checkpoint the edge input BEFORE symmetrization: the union's two
     # branches would otherwise each carry a full copy of the upstream
     # edge pipeline (for verified near-dup pairs, the entire LSH +
     # verify plan — doubled work and doubled broadcasts; the r10 gates
-    # wave caught the doubled copy amplifying a driver OOM at sf10)
+    # wave caught the doubled copy amplifying a driver OOM at sf10).
+    # Lazy checkpoint: the count() below is the materializing action.
     e = edges.select(
         F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
+    if e.count() <= _LOCAL_CC_MAX_EDGES:
+        # re-used across plan branches by every caller → checkpoint so
+        # the union-find task runs once, not once per branch
+        return _components_single_task(e).localCheckpoint(eager=False)
     sym = (
         e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
@@ -70,6 +135,8 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("component").alias("nbr_min"))
         )
+        # lazy checkpoint: the convergence probe below is the
+        # materializing action — one job per round, not two
         new = (
             labels.join(nbr_min, labels["v"] == nbr_min["a"], "left")
             .select(
@@ -79,7 +146,7 @@ def connected_components(
                     F.coalesce(F.col("nbr_min"), F.col("component")),
                 ).alias("component"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         old = labels.select("v", F.col("component").alias("old_component"))
         # labels only ever decrease, so strict < is the full change test

@@ -74,6 +74,20 @@ from python_cdc_spark.operators.dedup import _gram_cells, minhash_signatures
 
 _N, _K, _BANDS, _THRESHOLD = 3, 8, 4, 0.5
 _TABLES = ("cells", "bands", "sizes")
+# Fixed on-disk schemas (ids are longs by layout contract — the
+# components table has always been "v long"; ``_delta_tables`` casts).
+# Passing them to every read skips the per-directory parquet
+# footer-inference job Spark otherwise runs at each spark.read.parquet
+# call — a CDC fold reads 3 tables × (base + deltas) + evicted + the
+# components table, ~10 schema-inference jobs of pure scheduler floor
+# per fold before this (r13 measurement).
+_TABLE_SCHEMAS = {
+    "cells": "id long, gram string",
+    "bands": "id long, band_id int, band_key string",
+    "sizes": "id long, set_size long",
+}
+_EVICTED_SCHEMA = "id long"
+_COMPONENTS_SCHEMA = "v long, component long"
 # CDC fold → full-recompute crossover: past this affected-membership
 # fraction the members-restricted subgraph (three corpus-scale
 # semi-joins + composition) costs more than one unrestricted candidate
@@ -134,6 +148,10 @@ def _verify_pairs(
 def _delta_tables(
     docs: DataFrame, text_col: str, id_col: str
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
+    # long ids by layout contract (components are "v long" and the CDC
+    # fold casts); enforcing it here lets every read use the fixed
+    # ``_TABLE_SCHEMAS`` instead of paying schema inference per dir
+    docs = docs.select(F.col(id_col).cast("long").alias(id_col), text_col)
     cells = _gram_cells(docs, text_col, id_col, _N).localCheckpoint(eager=False)
     sigs = minhash_signatures(
         docs, text_col, id_col, n=_N, k=_K, one_permutation=True, cells=cells
@@ -272,14 +290,20 @@ def read_index_table(spark: SparkSession, path: str, name: str) -> DataFrame:
         for d in deltas
         if os.path.isdir(os.path.join(d, "evicted"))
     ]
+    schema = _TABLE_SCHEMAS[name]  # fixed layout: no inference job per dir
     if not evs:
-        return spark.read.parquet(*[p for _, p in dirs])
+        return spark.read.schema(schema).parquet(*[p for _, p in dirs])
     out = None
     for gen, p in dirs:
-        df = spark.read.parquet(p)
+        df = spark.read.schema(schema).parquet(p)
         later = [e for g, e in evs if g > gen]
         if later:
-            ev = spark.read.parquet(*later).select("id").distinct()
+            ev = (
+                spark.read.schema(_EVICTED_SCHEMA)
+                .parquet(*later)
+                .select("id")
+                .distinct()
+            )
             df = df.join(F.broadcast(ev), "id", "left_anti")
         out = df if out is None else out.unionByName(df)
     return out
@@ -300,7 +324,9 @@ def _current_components_dir(path: str) -> str:
 
 def read_components(spark: SparkSession, path: str) -> DataFrame:
     """Current (v, component) clusters — exact as of the last fold."""
-    return spark.read.parquet(_current_components_dir(path))
+    return spark.read.schema(_COMPONENTS_SCHEMA).parquet(
+        _current_components_dir(path)
+    )
 
 
 def _swap_components(path: str, new_comp: DataFrame) -> None:
@@ -516,6 +542,16 @@ def _cdc_delta_fingerprint(
     content cannot alias an earlier fold's tag and rewrite its
     generation (which would let later generations' evicted lists
     suppress the newest images)."""
+    return _cdc_delta_fingerprint_and_width(delta, id_col, op_col, text_col)[0]
+
+
+def _cdc_delta_fingerprint_and_width(
+    delta: DataFrame, id_col: str, op_col: str, text_col: str
+) -> tuple[str, int]:
+    """``(_cdc_delta_fingerprint tag, distinct id count)`` from ONE
+    aggregate action — the fold needs both (the tag names the delta
+    dir; the width feeds the reroute-fraction check), and fusing them
+    saves a whole Spark job per fold (r13 job-floor pass)."""
     key = F.concat_ws(
         ":",
         F.col(op_col),
@@ -530,8 +566,16 @@ def _cdc_delta_fingerprint(
         F.sum(
             F.conv(F.substring(F.sha2(key, 256), 17, 15), 16, 10).cast("decimal(38,0)")
         ).alias("d2"),
+        # width = |evicted ∪ new ids| exactly: UPDATE/DELETE ids evict,
+        # INSERT/UPDATE ids place — rows with any other op count for
+        # the tag (content digest) but not for the reroute width
+        F.countDistinct(
+            F.when(
+                F.col(op_col).isin("INSERT", "UPDATE", "DELETE"), F.col(id_col)
+            )
+        ).alias("w"),
     ).first()
-    return f"n{row['n']}_a{row['d1']}_b{row['d2']}"
+    return f"n{row['n']}_a{row['d1']}_b{row['d2']}", int(row["w"] or 0)
 
 
 def cdc_dedup_index_update(
@@ -579,11 +623,20 @@ def cdc_dedup_index_update(
         F.col(id_col).cast("long").alias(id_col),
         F.col(text_col).alias(text_col),
     ).localCheckpoint(eager=False)
-    tag = (
-        batch_tag
-        if batch_tag is not None
-        else _cdc_delta_fingerprint(delta, id_col, "__op", text_col)
-    )
+    if batch_tag is not None:
+        tag = batch_tag
+        n_delta_ids = (
+            delta.filter(F.col("__op").isin("INSERT", "UPDATE", "DELETE"))
+            .select(id_col)
+            .distinct()
+            .count()
+        )
+    else:
+        # one aggregate action yields BOTH the content tag and the
+        # delta's distinct-id width (reroute check input)
+        tag, n_delta_ids = _cdc_delta_fingerprint_and_width(
+            delta, id_col, "__op", text_col
+        )
     _prune_uncommitted_deltas(path)
     root = _deltas_root(path)
     seq = 1
@@ -596,27 +649,46 @@ def cdc_dedup_index_update(
         seq = max(seq, g + 1)
     delta_dir = os.path.join(root, f"g{seq:06d}-{tag}")
 
+    # lazy checkpoint: the parquet write below materializes it
     evicted = (
         delta.filter(F.col("__op").isin("UPDATE", "DELETE"))
         .select(F.col(id_col).alias("id"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     new_docs = delta.filter(F.col("__op").isin("INSERT", "UPDATE")).select(
         id_col, text_col
     )
     d_cells, d_bands, d_sizes = _delta_tables(new_docs, text_col, id_col)
     d_bands = d_bands.localCheckpoint(eager=False)
-    for name, df in (("cells", d_cells), ("bands", d_bands), ("sizes", d_sizes)):
-        df.write.mode("overwrite").parquet(os.path.join(delta_dir, name))
-    evicted.write.mode("overwrite").parquet(os.path.join(delta_dir, "evicted"))
+    # the four delta dirs are path-disjoint plans over a 1-delta-wide
+    # checkpointed frame — submit them as CONCURRENT jobs (guide §2.6:
+    # overlap independent jobs) instead of paying four job floors in
+    # sequence; the _COMMITTED marker still lands only after all four
+    from concurrent.futures import ThreadPoolExecutor
+
+    writes = [
+        ("cells", d_cells),
+        ("bands", d_bands),
+        ("sizes", d_sizes),
+        ("evicted", evicted),
+    ]
+    with ThreadPoolExecutor(max_workers=len(writes)) as pool:
+        list(
+            pool.map(
+                lambda nd: nd[1]
+                .write.mode("overwrite")
+                .parquet(os.path.join(delta_dir, nd[0])),
+                writes,
+            )
+        )
     fsops.write_marker(os.path.join(delta_dir, "_COMMITTED"), str(tag))
 
     # post-change index: includes this delta, excludes evicted images
     post_cells = read_index_table(spark, path, "cells")
     post_bands = read_index_table(spark, path, "bands")
     post_sizes = read_index_table(spark, path, "sizes")
-    old_comp = read_components(spark, path).localCheckpoint(eager=True)
+    old_comp = read_components(spark, path).localCheckpoint(eager=False)
 
     new_ids = new_docs.select(F.col(id_col).alias("id")).distinct()
     # Wide-delta reroute, FIRST TIER (r10 verdict #6): when the delta's
@@ -625,7 +697,6 @@ def cdc_dedup_index_update(
     # unrestricted candidate pass over the stored post-change tables —
     # the rebuild plan, reading the just-folded index. Exact either way.
     n_corpus = post_sizes.count()
-    n_delta_ids = evicted.unionByName(new_ids).distinct().count()
     if n_corpus and n_delta_ids / n_corpus > _AFFECTED_REBUILD_FRACTION:
         x, y = post_bands.alias("x"), post_bands.alias("y")
         cand = (
@@ -657,11 +728,13 @@ def cdc_dedup_index_update(
         .distinct()
     )
     aff_seed = evicted.unionByName(partners).unionByName(new_ids).distinct()
+    # lazy checkpoints: the members count() below (and the final
+    # new_comp materialization) force them — no dedicated jobs
     aff_comp_ids = (
         old_comp.join(aff_seed.withColumnRenamed("id", "v"), "v", "left_semi")
         .select("component")
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # membership: affected components' old members and partner
     # singletons, minus every evicted OLD image — then the new images
@@ -674,7 +747,7 @@ def cdc_dedup_index_update(
         .join(evicted, "id", "left_anti")
         .unionByName(new_ids)
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # Wide-delta reroute, SECOND TIER (the rollup catalog's
     # measured-faster discipline): a NARROW delta can still seed a wide

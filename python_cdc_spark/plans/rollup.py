@@ -241,12 +241,16 @@ class RollupCatalog:
         version: int,
         scalar_df: Optional[DataFrame],
         hll_dfs: dict[str, DataFrame],
-    ) -> int:
+    ) -> tuple[int, dict[str, str]]:
         """Stage the version's tables into a writer-private dir, then
         claim the first free ``v*`` slot at-or-past the hint via
         non-clobbering rename (racing writers never overwrite each
         other's staged or committed versions). Returns the CLAIMED
-        version — the meta commit must record this, not the hint."""
+        version — the meta commit must record this, not the hint —
+        plus {table: schema json}, recorded in meta so every later
+        read passes an explicit schema (skipping the one-job parquet
+        footer inference Spark runs per schemaless read — r13
+        job-floor pass; measured 1 job per spark.read.parquet call)."""
         import uuid
 
         out = os.path.join(
@@ -256,10 +260,11 @@ class RollupCatalog:
         if scalar_df is not None:
             jobs.append(("data", scalar_df))
         jobs.extend((f"hll_{a}", df) for a, df in hll_dfs.items())
+        schemas = {sub: df.schema.json() for sub, df in jobs}
         if len(jobs) <= 1:
             for sub, df in jobs:
                 df.write.parquet(os.path.join(out, sub))
-            return self._claim_vslot(name, out, version)
+            return self._claim_vslot(name, out, version), schemas
         # The version's tables are independent plans writing to disjoint
         # subdirectories — submit them as CONCURRENT Spark jobs. For an
         # incremental refresh each job is small and overhead-bound
@@ -277,7 +282,23 @@ class RollupCatalog:
 
         with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
             list(pool.map(_write, jobs))
-        return self._claim_vslot(name, out, version)
+        return self._claim_vslot(name, out, version), schemas
+
+    def _read_version_table(self, name: str, meta: dict, sub: str) -> DataFrame:
+        """Read one of a version's tables with the schema recorded at
+        write time (zero-job open); legacy metas without ``schemas``
+        fall back to inference."""
+        path = os.path.join(self._vdir(name, meta["version"]), sub)
+        sj = (meta.get("schemas") or {}).get(sub)
+        if sj:
+            import json as _json
+
+            from pyspark.sql.types import StructType
+
+            return self.spark.read.schema(
+                StructType.fromJson(_json.loads(sj))
+            ).parquet(path)
+        return self.spark.read.parquet(path)
 
     def _claim_vslot(self, name: str, staged: str, hint: int) -> int:
         v = hint
@@ -329,7 +350,7 @@ class RollupCatalog:
             src, dims, {a: tuple(v) for a, v in measures.items()},
             checkpoint=True,
         )
-        version = self._write_version(name, version, scalar_df, hll_dfs)
+        version, schemas = self._write_version(name, version, scalar_df, hll_dfs)
         self._commit_meta(
             name,
             {
@@ -337,6 +358,7 @@ class RollupCatalog:
                 "params": params,
                 "version": version,
                 "folded": [],
+                "schemas": schemas,
             },
             tok,
         )
@@ -379,9 +401,7 @@ class RollupCatalog:
         build.append(F.count(F.lit(1)).cast("long").alias(_SUPPORT))
         merge.append(F.sum(_SUPPORT).cast("long").alias(_SUPPORT))
         d_cube = delta.groupBy(*dim_cols).agg(*build)
-        old_cube = self.spark.read.parquet(
-            os.path.join(self._vdir(name, cur), "data")
-        )
+        old_cube = self._read_version_table(name, meta, "data")
         cols = list(dims) + list(scalar) + [_SUPPORT]
         scalar_df = (
             old_cube.select(cols)
@@ -394,9 +414,7 @@ class RollupCatalog:
             if kind != "hll":
                 continue
             d_regs = _hll_registers(delta, dims, expr)
-            old_regs = self.spark.read.parquet(
-                os.path.join(self._vdir(name, cur), f"hll_{alias}")
-            )
+            old_regs = self._read_version_table(name, meta, f"hll_{alias}")
             cols = list(dims) + ["bucket", "r"]
             hll_dfs[alias] = (
                 old_regs.select(cols)
@@ -404,7 +422,9 @@ class RollupCatalog:
                 .groupBy(*dims, "bucket")
                 .agg(F.max("r").cast("int").alias("r"))
             )
-        meta["version"] = self._write_version(name, cur + 1, scalar_df, hll_dfs)
+        meta["version"], meta["schemas"] = self._write_version(
+            name, cur + 1, scalar_df, hll_dfs
+        )
         # mark once (idempotent): the point is to stop matching the raw
         # source fingerprint, not to count folds
         if not meta.get("fingerprint", "").endswith("+delta"):
@@ -541,9 +561,7 @@ class RollupCatalog:
                 f"a cube dimension (have {sorted(dims)})"
             )
         self.last_refresh_input_files: list[str] = []
-        old_data = self.spark.read.parquet(
-            os.path.join(self._vdir(name, cur), "data")
-        )
+        old_data = self._read_version_table(name, meta, "data")
         build, merge = self._measure_aggs(scalar)
         build.append(F.count(F.lit(1)).cast("long").alias(_SUPPORT))
         merge.append(F.sum(_SUPPORT).cast("long").alias(_SUPPORT))
@@ -581,7 +599,9 @@ class RollupCatalog:
                 scalar_df, hll_dfs = self._build_tables(
                     state, dims, measures, checkpoint=True
                 )
-                meta["version"] = self._write_version(name, cur + 1, scalar_df, hll_dfs)
+                meta["version"], meta["schemas"] = self._write_version(
+                    name, cur + 1, scalar_df, hll_dfs
+                )
                 if not meta.get("fingerprint", "").endswith("+delta"):
                     meta["fingerprint"] = meta.get("fingerprint", "") + "+delta"
                 if batch_id is not None:
@@ -709,14 +729,14 @@ class RollupCatalog:
             )
             reg_cols = list(dims) + ["bucket", "r"]
             for alias, regs in reb_hll.items():
-                old_regs = self.spark.read.parquet(
-                    os.path.join(self._vdir(name, cur), f"hll_{alias}")
-                )
+                old_regs = self._read_version_table(name, meta, f"hll_{alias}")
                 hll_dfs[alias] = _untouched_regs(old_regs).select(
                     reg_cols
                 ).unionByName(regs.select(reg_cols))
 
-        meta["version"] = self._write_version(name, cur + 1, scalar_df, hll_dfs)
+        meta["version"], meta["schemas"] = self._write_version(
+            name, cur + 1, scalar_df, hll_dfs
+        )
         if not meta.get("fingerprint", "").endswith("+delta"):
             meta["fingerprint"] = meta.get("fingerprint", "") + "+delta"
         if batch_id is not None:
@@ -768,7 +788,6 @@ class RollupCatalog:
             )
         _, name, meta = best
         params = meta["params"]
-        vdir = self._vdir(name, meta["version"])
         scalar = [m for m in measures if params["measures"][m][0] != "hll"]
         hll = [m for m in measures if params["measures"][m][0] == "hll"]
 
@@ -788,7 +807,7 @@ class RollupCatalog:
 
         parts: list[DataFrame] = []
         if scalar:
-            df = self.spark.read.parquet(os.path.join(vdir, "data"))
+            df = self._read_version_table(name, meta, "data")
             if predicate:
                 df = checked_filter(df)
             aggs = []
@@ -805,7 +824,7 @@ class RollupCatalog:
                     aggs.append(F.max(col).alias(alias))
             parts.append(df.groupBy(*dims).agg(*aggs))
         for alias in hll:
-            regs = self.spark.read.parquet(os.path.join(vdir, f"hll_{alias}"))
+            regs = self._read_version_table(name, meta, f"hll_{alias}")
             if predicate:
                 regs = checked_filter(regs)
             # fold away the dims being rolled up: registers merge by MAX

@@ -50,6 +50,14 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # scans of >32 explicit paths otherwise fire a DISTRIBUTED
+        # file-listing job (one scheduler round-trip of pure floor per
+        # open) — the BM25 index reads 64 bucket dirs per fold/search.
+        # Listing ≤128 local dirs is microseconds on the driver; on an
+        # object store the distributed path only wins at thousands of
+        # prefixes (guide §6: manifest-style metadata beats listing
+        # either way at that scale)
+        .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "128")
         # local[32] runs driver + all 32 executor threads in ONE JVM: the
         # old 8g default was 0.25g/core — far below any real deployment
         # (clusters run ~1-4g/core). 32g ≈ 1g/core on the 128 GiB box;
@@ -78,6 +86,10 @@ def tune_for_harness(spark: SparkSession) -> SparkSession:
         # inside every table() call (a reader mutating shared session
         # conf would race concurrent queries)
         "spark.sql.legacy.parquet.nanosAsLong": "true",
+        # driver-side listing for ≤128 explicit paths (the 64-bucket
+        # index reads) instead of a distributed listing job — see
+        # get_spark for the scale justification
+        "spark.sql.sources.parallelPartitionDiscovery.threshold": "128",
     }.items():
         try:
             spark.conf.set(k, v)

@@ -292,16 +292,20 @@ def test_connected_components_chain_and_clique(spark):
     assert got == want
 
 
-def test_components_warn_on_nonconvergence(spark):
+def test_components_warn_on_nonconvergence(spark, monkeypatch):
     """Exhausting max_iter with labels still moving must WARN — silent
-    partial component ids were ADVICE r2's correctness trap."""
+    partial component ids were ADVICE r2's correctness trap. Only the
+    ITERATIVE path can run out of rounds, so force it (edges at or
+    under _LOCAL_CC_MAX_EDGES take the always-exact single-task path)."""
     import warnings as _w
 
+    from python_cdc_spark.operators import components as comp_mod
     from python_cdc_spark.operators.components import (
         connected_components,
         connected_components_star,
     )
 
+    monkeypatch.setattr(comp_mod, "_LOCAL_CC_MAX_EDGES", -1)
     chain = spark.createDataFrame([(i, i + 1) for i in range(6)], ["s", "d"])
     with _w.catch_warnings(record=True) as caught:
         _w.simplefilter("always")
@@ -318,6 +322,36 @@ def test_components_warn_on_nonconvergence(spark):
         _w.simplefilter("always")
         connected_components(chain, "s", "d").collect()
     assert not [c for c in caught if issubclass(c.category, RuntimeWarning)]
+
+
+def test_components_single_task_matches_iterative(spark, monkeypatch):
+    """The r13 size-gated single-task union-find path must emit exactly
+    the iterative propagation loop's labels (one (v, component) row per
+    vertex, component = min reachable id) on chains, cliques, merged
+    stars, self-loops, and duplicate/reversed edges."""
+    from python_cdc_spark.operators import components as comp_mod
+
+    edges = (
+        # two chains, one clique, a self-loop, dup + reversed edges
+        [(i, i + 1) for i in range(0, 8)]
+        + [(20, 21), (21, 22), (22, 20), (20, 22)]
+        + [(30, 30)]
+        + [(40, 41), (41, 40), (40, 41)]
+    )
+    df = spark.createDataFrame(edges, ["s", "d"])
+    got_local = {
+        (r["v"], r["component"])
+        for r in comp_mod.connected_components(df, "s", "d").collect()
+    }
+    monkeypatch.setattr(comp_mod, "_LOCAL_CC_MAX_EDGES", -1)
+    got_iter = {
+        (r["v"], r["component"])
+        for r in comp_mod.connected_components(df, "s", "d").collect()
+    }
+    assert got_local == got_iter
+    assert got_local  # non-degenerate
+    # spot-pin the canonical-min contract
+    assert (22, 20) in got_local and (30, 30) in got_local
 
 
 def test_interval_overlap_join_matches_bruteforce(spark):
