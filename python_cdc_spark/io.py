@@ -19,6 +19,14 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 _TABLE_CACHE: dict[tuple[str, str], DataFrame] = {}
 
+# Inferred parquet schemas memoized per (sf_dir, table) for this
+# process: schema inference costs one Spark job per schemaless
+# spark.read.parquet call (r13 measurement), and a harness run calls
+# table() hundreds of times over the same files. METADATA memo only —
+# rows are always re-read from parquet; testdata changes arrive as a
+# new process (the driver regenerates between rounds).
+_SCHEMA_CACHE: dict[tuple[str, str], object] = {}
+
 
 def enable_table_cache(spark: SparkSession, sf_dir: str) -> None:
     """Cache every driver table for repeated access (bench/interactive).
@@ -44,6 +52,7 @@ def clear_table_cache() -> None:
         except Exception:
             pass
     _TABLE_CACHE.clear()
+    _SCHEMA_CACHE.clear()
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -63,17 +72,31 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if cached is not None:
         return cached
     path = os.path.join(sf_dir, f"{name}.parquet")
+
+    def _open() -> DataFrame:
+        # first open per (sf_dir, table) infers and memoizes the schema
+        # (the inference is itself one Spark job); every later open in
+        # this process passes it explicitly — zero-job open. The memo
+        # is inferred UNDER the session's nanosAsLong conf, so reuse
+        # sees the same types inference produced.
+        sch = _SCHEMA_CACHE.get((sf_dir, name))
+        if sch is not None:
+            return spark.read.schema(sch).parquet(path)
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[(sf_dir, name)] = df.schema
+        return df
+
     if name == "events":
         # nanosAsLong is set session-wide in get_spark/tune_for_harness;
         # the fallback set here only runs for bare sessions (e.g. ad-hoc
         # shells) that skipped both entry points.
         if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
+        df = _open()
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return _ntz_to_ltz(df)
-    return _ntz_to_ltz(spark.read.parquet(path))
+    return _ntz_to_ltz(_open())
 
 
 def _ntz_to_ltz(df: DataFrame) -> DataFrame:

@@ -187,16 +187,22 @@ def _read_base_ptr_with_token(path: str) -> tuple[dict, object]:
 
 
 def _write_base_ptr(
-    path: str, version: int, includes: list[str], expected_token: object
+    path: str,
+    version: int,
+    includes: list[str],
+    expected_token: object,
+    n_docs: int | None = None,
 ) -> None:
     """Commit point: conditional on the pointer not having moved since
     this writer's read — racing rebuild/compact/prune writers resolve
-    to one winner, the loser raising ConcurrentWriterError."""
-    fsops.cas_publish(
-        _base_pointer(path),
-        {"version": version, "includes": sorted(includes)},
-        expected_token,
-    )
+    to one winner, the loser raising ConcurrentWriterError. ``n_docs``
+    (when known) records the base corpus size so folds can derive the
+    reroute-check denominator from metadata instead of an O(corpus)
+    scan per fold (r13; see ``_corpus_count``)."""
+    ptr = {"version": version, "includes": sorted(includes)}
+    if n_docs is not None:
+        ptr["n_docs"] = int(n_docs)
+    fsops.cas_publish(_base_pointer(path), ptr, expected_token)
 
 
 def _claim_base(path: str, hint: int, write_tables) -> tuple[str, int]:
@@ -253,7 +259,7 @@ def _prune_uncommitted_deltas(path: str) -> None:
     # fold that legitimately reuses the tag isn't silently masked
     live = [t for t in ptr["includes"] if fsops.is_dir(os.path.join(root, t))]
     if ptr["version"] >= 0 and live != sorted(ptr["includes"]):
-        _write_base_ptr(path, ptr["version"], live, tok)
+        _write_base_ptr(path, ptr["version"], live, tok, n_docs=ptr.get("n_docs"))
 
 
 def _cdc_gen(dirpath: str) -> int:
@@ -406,11 +412,18 @@ def build_dedup_index(
             for t, sub in zip(_delta_tables(docs, text_col, id_col), _TABLES)
         ],
     )
-    _write_base_ptr(path, nxt, [], tok)
+    # exact corpus size recorded in the pointer: folds derive their
+    # reroute denominator from metadata instead of scanning sizes
+    n_docs = (
+        spark.read.schema(_TABLE_SCHEMAS["sizes"])
+        .parquet(os.path.join(base, "sizes"))
+        .count()
+    )
+    _write_base_ptr(path, nxt, [], tok, n_docs=n_docs)
     fsops.remove_tree(_deltas_root(path))  # fresh bootstrap
     if ptr["version"] >= 0:
         fsops.remove_tree(_base_dir(path, ptr))
-    b = spark.read.parquet(os.path.join(base, "bands"))
+    b = spark.read.schema(_TABLE_SCHEMAS["bands"]).parquet(os.path.join(base, "bands"))
     x, y = b.alias("x"), b.alias("y")
     cand = (
         x.join(
@@ -422,8 +435,12 @@ def build_dedup_index(
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
     )
-    cells_r = spark.read.parquet(os.path.join(base, "cells"))
-    sizes_r = spark.read.parquet(os.path.join(base, "sizes"))
+    cells_r = spark.read.schema(_TABLE_SCHEMAS["cells"]).parquet(
+        os.path.join(base, "cells")
+    )
+    sizes_r = spark.read.schema(_TABLE_SCHEMAS["sizes"]).parquet(
+        os.path.join(base, "sizes")
+    )
     pairs = _verify_pairs(cand, cells_r, sizes_r, _THRESHOLD)
     comp = connected_components(pairs, "id_a", "id_b")
     _swap_components(path, comp)
@@ -545,13 +562,41 @@ def _cdc_delta_fingerprint(
     return _cdc_delta_fingerprint_and_width(delta, id_col, op_col, text_col)[0]
 
 
+def _corpus_count(spark: SparkSession, path: str, ptr: dict) -> int | None:
+    """Pointer-tracked corpus-size ESTIMATE for the reroute-fraction
+    checks: base ``n_docs`` (recorded at build/compact) adjusted by
+    each committed CDC delta's (placed − evicted) id counts from its
+    ``_counts.json`` sidecar. Metadata-only — the exact
+    ``post_sizes.count()`` it replaces was an O(corpus) scan inside
+    the O(delta) fold path (r13). Returns None (caller falls back to
+    the exact count) for legacy indexes without ``n_docs`` or with
+    insert-only delta dirs that predate the sidecar.
+
+    Estimate semantics, deliberately: a DELETE of an absent id or an
+    INSERT of an existing id drifts the estimate by one; both reroute
+    tiers are COST-PLACEMENT decisions between two exact plans
+    (module docstring), so drift can only shift which exact plan runs.
+    Compaction re-counts exactly and resets the base."""
+    base_n = ptr.get("n_docs")
+    if base_n is None:
+        return None
+    n = int(base_n)
+    for d in _committed_delta_dirs(path, ptr):
+        c = fsops.read_json(os.path.join(d, "_counts.json"))
+        if c is None:
+            return None
+        n += int(c.get("new", 0)) - int(c.get("evicted", 0))
+    return max(n, 0)
+
+
 def _cdc_delta_fingerprint_and_width(
     delta: DataFrame, id_col: str, op_col: str, text_col: str
-) -> tuple[str, int]:
-    """``(_cdc_delta_fingerprint tag, distinct id count)`` from ONE
-    aggregate action — the fold needs both (the tag names the delta
-    dir; the width feeds the reroute-fraction check), and fusing them
-    saves a whole Spark job per fold (r13 job-floor pass)."""
+) -> tuple[str, int, int, int]:
+    """``(tag, distinct id count, evicted id count, placed id count)``
+    from ONE aggregate action — the fold needs all four (the tag names
+    the delta dir; the width feeds the reroute-fraction check; the
+    evicted/placed counts maintain the pointer-tracked corpus size),
+    and fusing them saves whole Spark jobs per fold (r13 pass)."""
     key = F.concat_ws(
         ":",
         F.col(op_col),
@@ -574,8 +619,19 @@ def _cdc_delta_fingerprint_and_width(
                 F.col(op_col).isin("INSERT", "UPDATE", "DELETE"), F.col(id_col)
             )
         ).alias("w"),
+        F.countDistinct(
+            F.when(F.col(op_col).isin("UPDATE", "DELETE"), F.col(id_col))
+        ).alias("ev"),
+        F.countDistinct(
+            F.when(F.col(op_col).isin("INSERT", "UPDATE"), F.col(id_col))
+        ).alias("nw"),
     ).first()
-    return f"n{row['n']}_a{row['d1']}_b{row['d2']}", int(row["w"] or 0)
+    return (
+        f"n{row['n']}_a{row['d1']}_b{row['d2']}",
+        int(row["w"] or 0),
+        int(row["ev"] or 0),
+        int(row["nw"] or 0),
+    )
 
 
 def cdc_dedup_index_update(
@@ -623,20 +679,14 @@ def cdc_dedup_index_update(
         F.col(id_col).cast("long").alias(id_col),
         F.col(text_col).alias(text_col),
     ).localCheckpoint(eager=False)
+    # one aggregate action yields the content tag, the delta's
+    # distinct-id width (reroute check input), and the evicted/placed
+    # id counts (pointer-tracked corpus-size maintenance)
+    tag, n_delta_ids, n_ev_ids, n_new_ids = _cdc_delta_fingerprint_and_width(
+        delta, id_col, "__op", text_col
+    )
     if batch_tag is not None:
         tag = batch_tag
-        n_delta_ids = (
-            delta.filter(F.col("__op").isin("INSERT", "UPDATE", "DELETE"))
-            .select(id_col)
-            .distinct()
-            .count()
-        )
-    else:
-        # one aggregate action yields BOTH the content tag and the
-        # delta's distinct-id width (reroute check input)
-        tag, n_delta_ids = _cdc_delta_fingerprint_and_width(
-            delta, id_col, "__op", text_col
-        )
     _prune_uncommitted_deltas(path)
     root = _deltas_root(path)
     seq = 1
@@ -682,6 +732,12 @@ def cdc_dedup_index_update(
                 writes,
             )
         )
+    # corpus-size sidecar (metadata: feeds _corpus_count) rides in the
+    # delta dir, before the marker so a committed delta always has it
+    fsops.publish_json(
+        os.path.join(delta_dir, "_counts.json"),
+        {"new": n_new_ids, "evicted": n_ev_ids},
+    )
     fsops.write_marker(os.path.join(delta_dir, "_COMMITTED"), str(tag))
 
     # post-change index: includes this delta, excludes evicted images
@@ -696,7 +752,13 @@ def cdc_dedup_index_update(
     # the partner scan (itself a corpus-scale band join) and take one
     # unrestricted candidate pass over the stored post-change tables —
     # the rebuild plan, reading the just-folded index. Exact either way.
-    n_corpus = post_sizes.count()
+    # The denominator comes from pointer metadata when available
+    # (_corpus_count) — the exact count was an O(corpus) scan inside
+    # the O(delta) path; legacy indexes fall back to it.
+    ptr_now = _read_base_ptr(path)
+    n_corpus = _corpus_count(spark, path, ptr_now)
+    if n_corpus is None:
+        n_corpus = post_sizes.count()
     if n_corpus and n_delta_ids / n_corpus > _AFFECTED_REBUILD_FRACTION:
         x, y = post_bands.alias("x"), post_bands.alias("y")
         cand = (
@@ -820,7 +882,7 @@ def compact_dedup_index(spark: SparkSession, path: str) -> int:
     deltas = _committed_delta_dirs(path, ptr)
     if not deltas:
         return 0
-    _, nxt = _claim_base(
+    newbase, nxt = _claim_base(
         path,
         ptr["version"] + 1,
         lambda stage: [
@@ -831,7 +893,14 @@ def compact_dedup_index(spark: SparkSession, path: str) -> int:
         ],
     )
     absorbed = ptr["includes"] + [os.path.basename(d) for d in deltas]
-    _write_base_ptr(path, nxt, absorbed, tok)
+    # compaction re-counts the corpus EXACTLY (it just rewrote it),
+    # resetting any drift the per-delta estimates accumulated
+    n_docs = (
+        spark.read.schema(_TABLE_SCHEMAS["sizes"])
+        .parquet(os.path.join(newbase, "sizes"))
+        .count()
+    )
+    _write_base_ptr(path, nxt, absorbed, tok, n_docs=n_docs)
     for d in deltas:
         fsops.remove_tree(d)
     if ptr["version"] >= 0:

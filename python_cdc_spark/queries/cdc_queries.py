@@ -1115,7 +1115,10 @@ def cdc_pipeline_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         with open(os.path.join(wire_dir, "_meta.json"), "w") as mf:
             _json.dump({"fingerprint": wire_fp, "params": {"v": 1}}, mf)
-    frames = spark.read.parquet(wire_dir)
+    # fixed wire schema: skips the one-job parquet footer inference
+    frames = spark.read.schema("lsn bigint, ts timestamp, frame binary").parquet(
+        wire_dir
+    )
 
     decoded = decode_frames(spark, frames)
     ann = annotate_origins(spark, decoded, frames, bucket_width=4096)

@@ -1876,9 +1876,11 @@ def _ann_cdc_maintained(spark: SparkSession, sf_dir: str, exact: bool) -> DataFr
         maintain_ivf_lists_cdc(
             spark, work, delta, payload=payload, exact=exact, dims=_DIMS
         )
-        lists = spark.read.parquet(
-            os.path.join(work, "cells.parquet")
-        ).localCheckpoint(eager=True)  # materialize before the dir vanishes
+        from python_cdc_spark.operators.ann_index import _read_index_table
+
+        lists = _read_index_table(spark, work, "cells").localCheckpoint(
+            eager=True
+        )  # materialize before the dir vanishes
     mm = F.col("vec_id") % 10
     return lists.select(
         F.col("neighbor_id").cast("long").alias("vec_id"),

@@ -68,7 +68,15 @@ class StreamingAnnIndex:
             raise ValueError(
                 "StreamingAnnIndex has no quantizer — call bootstrap() first"
             )
-        return self.spark.read.parquet(self._cent_path)
+        # the quantizer is FROZEN after bootstrap: infer its schema once,
+        # then every per-batch open passes it explicitly (schema
+        # inference costs one Spark job per schemaless read — r13)
+        sch = getattr(self, "_cent_schema", None)
+        if sch is not None:
+            return self.spark.read.schema(sch).parquet(self._cent_path)
+        df = self.spark.read.parquet(self._cent_path)
+        self._cent_schema = df.schema
+        return df
 
     def _load_meta(self) -> dict:
         try:

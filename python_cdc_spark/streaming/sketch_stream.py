@@ -190,13 +190,15 @@ class StreamingSketchAggregator:
         if cur > 0:
             old = self._vdir(cur)
             hll_new = (
-                self.spark.read.parquet(os.path.join(old, "hll"))
+                self.spark.read.schema("bucket long, r int")
+                .parquet(os.path.join(old, "hll"))
                 .unionAll(hll_new)
                 .groupBy("bucket")
                 .agg(F.max("r").cast("int").alias("r"))
             )
             cm_new = (
-                self.spark.read.parquet(os.path.join(old, "cm"))
+                self.spark.read.schema("i int, bucket long, n long")
+                .parquet(os.path.join(old, "cm"))
                 .unionAll(cm_new)
                 .groupBy("i", "bucket")
                 .agg(F.sum("n").cast("long").alias("n"))
@@ -226,13 +228,17 @@ class StreamingSketchAggregator:
         v = self._meta()["version"]
         if v == 0:
             return self.spark.createDataFrame([], "bucket long, r int")
-        return self.spark.read.parquet(os.path.join(self._vdir(v), "hll"))
+        return self.spark.read.schema("bucket long, r int").parquet(
+            os.path.join(self._vdir(v), "hll")
+        )
 
     def counters(self) -> DataFrame:
         v = self._meta()["version"]
         if v == 0:
             return self.spark.createDataFrame([], "i int, bucket long, n long")
-        return self.spark.read.parquet(os.path.join(self._vdir(v), "cm"))
+        return self.spark.read.schema("i int, bucket long, n long").parquet(
+            os.path.join(self._vdir(v), "cm")
+        )
 
     def distinct_estimate(self) -> float:
         """Raw HLL estimate from the current registers (same estimator
@@ -370,7 +376,9 @@ class KllStreamSketch:
             return self.spark.createDataFrame(
                 [], "bucket long, level int, v double, rid long"
             )
-        return self.spark.read.parquet(self._vdir(v))
+        return self.spark.read.schema(
+            "bucket long, level int, v double, rid long"
+        ).parquet(self._vdir(v))
 
     def _compact(self, st: DataFrame) -> DataFrame:
         """Apply the even-index promotion until every (bucket, level)
@@ -558,7 +566,9 @@ class MgStreamSketch:
         v = self._meta()["version"]
         if v == 0:
             return self.spark.createDataFrame([], f"{self.key_col} string, c long")
-        return self.spark.read.parquet(self._vdir(v))
+        return self.spark.read.schema(f"{self.key_col} string, c long").parquet(
+            self._vdir(v)
+        )
 
     def candidates(self) -> DataFrame:
         """Keys guaranteed to include every item with lifetime

@@ -108,6 +108,22 @@ class BucketedStateStore:
         paths = [self._bucket_dir(v, int(b)) for b, v in live.items()]
         if not paths:
             return None
+        return self._open(manifest, paths)
+
+    def _open(self, manifest: dict, paths: list[str]) -> DataFrame:
+        """Open bucket dirs with the schema recorded at commit time —
+        a schemaless read costs one parquet-footer-inference Spark job
+        per micro-batch (r13 job-floor pass). Legacy manifests without
+        ``schema`` fall back to inference. Files committed before a
+        column was added read as NULL for it, which is exactly the
+        schema-evolution semantics the apply store wants."""
+        sj = manifest.get("schema")
+        if sj:
+            from pyspark.sql.types import StructType
+
+            return self.spark.read.schema(StructType.fromJson(json.loads(sj))).parquet(
+                *paths
+            )
         return self.spark.read.parquet(*paths)
 
     def read_at(self, version: int, buckets: list[int] | None = None) -> DataFrame | None:
@@ -133,7 +149,7 @@ class BucketedStateStore:
         paths = [self._bucket_dir(v, int(b)) for b, v in live.items()]
         if not paths:
             return None
-        return self.spark.read.parquet(*paths)
+        return self._open(manifest, paths)
 
     # -- write ------------------------------------------------------------
 
@@ -190,7 +206,15 @@ class BucketedStateStore:
             else:
                 buckets.pop(str(b), None)  # bucket emptied by this batch
         self._save_manifest(
-            {"version": new_version, "buckets": buckets}, expected_token=tok
+            {
+                "version": new_version,
+                "buckets": buckets,
+                # recorded so reads open with an explicit schema (zero
+                # inference job); the data files carry exactly the
+                # state columns ("b" is the lifted partition column)
+                "schema": state.schema.json(),
+            },
+            expected_token=tok,
         )
         return new_version
 

@@ -377,3 +377,36 @@ def test_hardlink_fixture_fold_leaves_source_pristine(spark, tmp_path):
     got = _comps(spark, work)
     want = _batch_truth(spark, _post_rows(BASE, DELTA), tmp_path, "truth")
     assert got == want
+
+
+def test_pointer_tracked_corpus_count_matches_exact(spark, tmp_path):
+    """r13: the reroute-fraction denominator comes from pointer
+    metadata (_corpus_count: base n_docs ± per-delta counts) instead of
+    an O(corpus) sizes scan per fold. On clean I/U/D feeds (every
+    DELETE hits a live id, every INSERT is new) the estimate must EQUAL
+    the exact sizes count after build, after folds, and after
+    compaction resets it."""
+    from python_cdc_spark.operators.incremental_dedup import (
+        _corpus_count,
+        _read_base_ptr,
+    )
+
+    idx = str(tmp_path / "idx")
+    build_dedup_index(spark, _corpus(spark, BASE), idx)
+
+    def exact():
+        return read_index_table(spark, idx, "sizes").count()
+
+    def tracked():
+        return _corpus_count(spark, idx, _read_base_ptr(idx))
+
+    assert tracked() == exact() == len(BASE)
+    cdc_dedup_index_update(spark, idx, _delta(spark, DELTA))
+    assert tracked() == exact()  # -1 delete, +1 insert, update net 0
+    cdc_dedup_index_update(
+        spark, idx, _delta(spark, [("INSERT", 90, _t(500, 510))])
+    )
+    assert tracked() == exact()
+    compact_dedup_index(spark, idx)
+    assert _read_base_ptr(idx)["n_docs"] == exact()
+    assert tracked() == exact()
