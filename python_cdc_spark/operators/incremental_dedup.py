@@ -276,43 +276,76 @@ def _cdc_gen(dirpath: str) -> int:
     return 0
 
 
-def read_index_table(spark: SparkSession, path: str, name: str) -> DataFrame:
-    """One of cells/bands/sizes: the current base unioned with every
-    committed, not-yet-absorbed delta directory (partial folds are
-    invisible), minus rows a LATER generation evicted.
+def read_index_tables(
+    spark: SparkSession, path: str, names: tuple[str, ...] = _TABLES
+) -> dict[str, DataFrame]:
+    """Several of cells/bands/sizes from ONE pointer read: each table is
+    the current base unioned with every committed, not-yet-absorbed
+    delta directory (partial folds are invisible), minus rows a LATER
+    generation evicted.
 
     Eviction is generation-aware so an UPDATE replaces its old image
     without resurrecting it: a CDC delta's ``evicted`` id list applies
     to every strictly-earlier generation (base = 0), never to the
     evicting delta's own re-inserted rows or later ones. Per-delta
-    eviction lists are batch-scale, so the anti-joins broadcast."""
+    eviction lists are batch-scale, so the anti-joins broadcast.
+
+    The evicted-id set at a generation boundary depends only on the set
+    of strictly-later delta dirs — not on which table is being read —
+    so one distinct frame per boundary, lazily checkpointed, is shared
+    by every table in ``names``: the first consumer materializes the
+    scan+distinct once, later consumers only re-broadcast the
+    checkpointed partitions (r13: a fold read all three tables through
+    separate calls and paid the evicted scan + distinct exchange +
+    broadcast build three times per boundary)."""
     ptr = _read_base_ptr(path)
     deltas = _committed_delta_dirs(path, ptr)
-    dirs = [(0, os.path.join(_base_dir(path, ptr), name))] + [
-        (_cdc_gen(d), os.path.join(d, name)) for d in deltas
-    ]
     evs = [
         (_cdc_gen(d), os.path.join(d, "evicted"))
         for d in deltas
         if os.path.isdir(os.path.join(d, "evicted"))
     ]
-    schema = _TABLE_SCHEMAS[name]  # fixed layout: no inference job per dir
-    if not evs:
-        return spark.read.schema(schema).parquet(*[p for _, p in dirs])
-    out = None
-    for gen, p in dirs:
-        df = spark.read.schema(schema).parquet(p)
-        later = [e for g, e in evs if g > gen]
-        if later:
-            ev = (
+    ev_frames: dict[tuple[str, ...], DataFrame] = {}
+
+    def _ev_for(gen: int) -> DataFrame | None:
+        later = tuple(e for g, e in evs if g > gen)
+        if not later:
+            return None
+        if later not in ev_frames:
+            ev_frames[later] = (
                 spark.read.schema(_EVICTED_SCHEMA)
                 .parquet(*later)
                 .select("id")
                 .distinct()
+                .localCheckpoint(eager=False)
             )
-            df = df.join(F.broadcast(ev), "id", "left_anti")
-        out = df if out is None else out.unionByName(df)
+        return ev_frames[later]
+
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        dirs = [(0, os.path.join(_base_dir(path, ptr), name))] + [
+            (_cdc_gen(d), os.path.join(d, name)) for d in deltas
+        ]
+        schema = _TABLE_SCHEMAS[name]  # fixed layout: no inference job per dir
+        if not evs:
+            out[name] = spark.read.schema(schema).parquet(*[p for _, p in dirs])
+            continue
+        acc = None
+        for gen, p in dirs:
+            df = spark.read.schema(schema).parquet(p)
+            ev = _ev_for(gen)
+            if ev is not None:
+                df = df.join(F.broadcast(ev), "id", "left_anti")
+            acc = df if acc is None else acc.unionByName(df)
+        out[name] = acc
     return out
+
+
+def read_index_table(spark: SparkSession, path: str, name: str) -> DataFrame:
+    """One index table — see ``read_index_tables`` (which callers that
+    need several tables should use, to share the per-boundary evicted
+    frames and the pointer read)."""
+    return read_index_tables(spark, path, (name,))[name]
 
 
 def _components_pointer(path: str) -> str:
@@ -488,9 +521,10 @@ def incremental_dedup_update(
     d_cells, d_bands, d_sizes = _delta_tables(delta_docs, text_col, id_col)
     d_cells = d_cells.localCheckpoint(eager=False)
     d_bands = d_bands.localCheckpoint(eager=False)
-    old_cells = read_index_table(spark, path, "cells")
-    old_bands = read_index_table(spark, path, "bands")
-    old_sizes = read_index_table(spark, path, "sizes")
+    old_tabs = read_index_tables(spark, path)
+    old_cells, old_bands, old_sizes = (
+        old_tabs["cells"], old_tabs["bands"], old_tabs["sizes"],
+    )
     old_comp = read_components(spark, path)
 
     all_bands = old_bands.unionByName(d_bands)
@@ -741,9 +775,12 @@ def cdc_dedup_index_update(
     fsops.write_marker(os.path.join(delta_dir, "_COMMITTED"), str(tag))
 
     # post-change index: includes this delta, excludes evicted images
-    post_cells = read_index_table(spark, path, "cells")
-    post_bands = read_index_table(spark, path, "bands")
-    post_sizes = read_index_table(spark, path, "sizes")
+    # (one shared read-set: the evicted distinct frames are built once
+    # per generation boundary, not once per table)
+    post_tabs = read_index_tables(spark, path)
+    post_cells, post_bands, post_sizes = (
+        post_tabs["cells"], post_tabs["bands"], post_tabs["sizes"],
+    )
     old_comp = read_components(spark, path).localCheckpoint(eager=False)
 
     new_ids = new_docs.select(F.col(id_col).alias("id")).distinct()
@@ -882,13 +919,12 @@ def compact_dedup_index(spark: SparkSession, path: str) -> int:
     deltas = _committed_delta_dirs(path, ptr)
     if not deltas:
         return 0
+    tabs = read_index_tables(spark, path)  # shared evicted frames
     newbase, nxt = _claim_base(
         path,
         ptr["version"] + 1,
         lambda stage: [
-            read_index_table(spark, path, name)
-            .write.mode("overwrite")
-            .parquet(os.path.join(stage, name))
+            tabs[name].write.mode("overwrite").parquet(os.path.join(stage, name))
             for name in _TABLES
         ],
     )

@@ -410,3 +410,31 @@ def test_pointer_tracked_corpus_count_matches_exact(spark, tmp_path):
     compact_dedup_index(spark, idx)
     assert _read_base_ptr(idx)["n_docs"] == exact()
     assert tracked() == exact()
+
+
+def test_shared_read_matches_per_table_reads(spark, tmp_path):
+    """r13: read_index_tables shares one distinct evicted frame per
+    generation boundary across the three tables. On an index with TWO
+    CDC generations (so base rows see a two-dir evicted union and gen-1
+    rows a one-dir one) the shared read must return exactly the rows of
+    the independent per-table reads."""
+    from python_cdc_spark.operators.incremental_dedup import read_index_tables
+
+    idx = str(tmp_path / "idx")
+    build_dedup_index(spark, _corpus(spark, BASE), idx)
+    cdc_dedup_index_update(spark, idx, _delta(spark, DELTA))
+    cdc_dedup_index_update(
+        spark,
+        idx,
+        _delta(spark, [("UPDATE", 10, _t(600, 610)), ("DELETE", 21, None)]),
+    )
+    assert len(_committed_delta_dirs(idx)) == 2  # two generations live
+    tabs = read_index_tables(spark, idx)
+    for name in ("cells", "bands", "sizes"):
+        shared = sorted(map(tuple, tabs[name].collect()))
+        single = sorted(map(tuple, read_index_table(spark, idx, name).collect()))
+        assert shared == single, name
+    # eviction still generation-aware through the shared path: the old
+    # images of 10 (updated in gen 2) and 21/44 (deleted) are gone
+    ids = {r["id"] for r in tabs["sizes"].collect()}
+    assert 44 not in ids and 21 not in ids and 10 in ids
