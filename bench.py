@@ -264,6 +264,7 @@ def main() -> None:
     # else (inverted lists, signatures, LSH tables, decimal math) is
     # still paid inside each timed query.
     from python_cdc_spark.queries.llm_similarity import (
+        _ivf_index_dir,
         _ivfpq_index_dir,
         _ivfrq_index_dir,
         _pq_index,
@@ -271,6 +272,10 @@ def main() -> None:
     )
 
     _fitted_centroids(spark, sf_dir, exact=True)
+    # r13: plain IVF joins the persisted-index contract (build here in
+    # the warm phase, fit-and-save on miss; the timed exact row measures
+    # load-probe-rerank like its PQ/RQ/IVF-PQ/IVF-RQ siblings)
+    _ivf_index_dir(spark, sf_dir, exact=True)
     from python_cdc_spark.queries.llm_similarity import _SEM_ITERS, _SEM_K
 
     _fitted_centroids(spark, sf_dir, exact=True, k=_SEM_K, iters=_SEM_ITERS)

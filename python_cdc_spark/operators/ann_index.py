@@ -206,6 +206,47 @@ def load_flat_index(spark: SparkSession, out_dir: str) -> dict[str, DataFrame]:
     }
 
 
+def save_ivf_index(
+    out_dir: str,
+    centroids: DataFrame,
+    assigned: DataFrame,
+    fingerprint: str = "",
+    params: dict | None = None,
+    validate: bool = True,
+) -> None:
+    """Persist the IVF half alone: coarse centroids plus the
+    cell-partitioned (neighbor_id, cell) inverted lists — the index a
+    plain-IVF probe reads (no codes table: plain IVF re-ranks true
+    vectors). Same one-cell-per-vector invariant as
+    ``save_ivfpq_index`` (readers take the lists as-is)."""
+    if validate:
+        dup = (
+            assigned.groupBy("neighbor_id").count().filter(F.col("count") > 1).limit(1).count()
+        )
+        if dup:
+            raise ValueError(
+                "save_ivf_index: assigned has >1 cell for some vector; "
+                "persisted indexes must be built with n_best=1"
+            )
+    centroids.write.mode("overwrite").parquet(os.path.join(out_dir, "centroids.parquet"))
+    write_partitioned(assigned, os.path.join(out_dir, "cells.parquet"), ["cell"])
+    _write_meta(
+        out_dir,
+        fingerprint,
+        params or {},
+        extra={"schemas": _schemas_entry(centroids=centroids, cells=assigned)},
+    )
+
+
+def load_ivf_index(spark: SparkSession, out_dir: str) -> dict[str, DataFrame]:
+    """Load a persisted plain-IVF index. ``cells`` keeps its partition
+    column; filter it on ``cell`` and the scan prunes directories."""
+    return {
+        "centroids": _read_index_table(spark, out_dir, "centroids"),
+        "cells": _read_index_table(spark, out_dir, "cells"),
+    }
+
+
 def load_ivfpq_index(spark: SparkSession, out_dir: str) -> dict[str, DataFrame]:
     """Load the persisted index. ``cells`` keeps its partition column;
     filter it on ``cell`` (e.g. by joining the probe list) and the scan

@@ -676,6 +676,34 @@ def _ivfpq_index_dir(spark: SparkSession, sf_dir: str, exact: bool) -> str:
     return d
 
 
+def _ivf_index_dir(spark: SparkSession, sf_dir: str, exact: bool) -> str:
+    """Ensure a current persisted plain-IVF index exists; return its
+    dir — the same build-once/query-many contract as the PQ/RQ/IVF-PQ/
+    IVF-RQ indexes (r12): coarse centroids + cell-partitioned inverted
+    lists, so probe-time reads prune whole cell directories. Before r13
+    the plain-IVF query was the one ANN family member still paying
+    corpus-scale work per invocation (re-assigning every corpus vector
+    to its cell: O(N·k) distance math per query batch)."""
+    from python_cdc_spark.operators.ann_index import (
+        index_is_current,
+        needs_refit,
+        save_ivf_index,
+    )
+    from python_cdc_spark.operators.similarity import kmeans_assign
+
+    params = {"kind": "ivf", "k": _IVF_K, "iters": _IVF_ITERS, "exact": exact}
+    fp = _emb_fingerprint(sf_dir)
+    d = _index_dir(sf_dir, "ivf", exact)
+    if not index_is_current(d, fp, params) or needs_refit(d):
+        e = table(spark, sf_dir, "embeddings")
+        cent = _fitted_centroids(spark, sf_dir, exact)
+        assigned = kmeans_assign(e, cent, "vec_id", "embedding", exact=exact).select(
+            F.col("vec_id").alias("neighbor_id"), "cell"
+        )
+        save_ivf_index(d, cent, assigned, fingerprint=fp, params=params)
+    return d
+
+
 _PQ_BOOK_CACHE: dict[tuple, list] = {}
 
 
@@ -965,17 +993,39 @@ def _ivf_topk(
     from python_cdc_spark.operators.similarity import kmeans_assign
 
     e = table(spark, sf_dir, "embeddings")
-    cent = _fitted_centroids(spark, sf_dir, exact)
-    if assigned is None:
-        # corpus → cell inverted lists are the other half of the IVF
-        # index; callers amortizing build across queries pass them in
-        assigned = kmeans_assign(e, cent, "vec_id", "embedding", exact=exact).select(
-            F.col("vec_id").alias("neighbor_id"), "cell"
-        )
     queries = e.filter(F.col("vec_id") % 100 == 0)
-    probes = kmeans_assign(
-        queries, cent, "vec_id", "embedding", exact=exact, n_best=_NPROBE
-    ).select(F.col("vec_id").alias("query_id"), "cell")
+    if assigned is None:
+        # persisted inverted lists: load when current, fit on miss —
+        # the other four ANN gates' amortized-build contract (r12),
+        # extended to plain IVF (r13). Probe cells are collected (a
+        # bounded |Q|·nprobe id list) and pushed as a partition filter
+        # so the read prunes whole cell directories; before this the
+        # query re-assigned the FULL corpus per invocation (O(N·k)
+        # distance math for an O(N·nprobe/k) search).
+        from python_cdc_spark.operators.ann_index import load_ivf_index
+
+        idx = load_ivf_index(spark, _ivf_index_dir(spark, sf_dir, exact))
+        probes = (
+            kmeans_assign(
+                queries, idx["centroids"], "vec_id", "embedding",
+                exact=exact, n_best=_NPROBE,
+            )
+            .select(F.col("vec_id").alias("query_id"), "cell")
+            # feeds the touched-cell collect AND the candidate join —
+            # checkpoint so the assignment job runs once
+            .localCheckpoint()
+        )
+        touched = sorted(
+            {int(r["cell"]) for r in probes.select("cell").distinct().collect()}
+        )
+        assigned = idx["cells"].filter(F.col("cell").isin(touched))
+    else:
+        # callers amortizing the build in-session (bench fast variants)
+        # pass the inverted lists directly
+        cent = _fitted_centroids(spark, sf_dir, exact)
+        probes = kmeans_assign(
+            queries, cent, "vec_id", "embedding", exact=exact, n_best=_NPROBE
+        ).select(F.col("vec_id").alias("query_id"), "cell")
     # candidate generation: probes are the bounded query working set ×
     # nprobe — broadcast them so the corpus-size inverted lists never
     # shuffle (was an SMJ sorting both sides on a k-value key)

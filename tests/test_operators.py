@@ -1435,3 +1435,28 @@ def test_ann_cdc_fold_removes_emptied_cell(spark, tmp_path):
     survivors = spark.read.parquet(cells_path)
     assert survivors.filter(F.col("neighbor_id").isin(victim_ids)).count() == 0
     assert survivors.count() == n_before - len(victim_ids)
+
+
+def test_ivf_persisted_index_matches_inmemory_assignment(spark):
+    """r13: the plain-IVF query loads persisted cell-partitioned
+    inverted lists (fit-on-miss, like its PQ/RQ/IVF-PQ/IVF-RQ siblings)
+    instead of re-assigning the corpus per invocation. The persisted
+    path must return exactly the rows of the in-memory path (same
+    centroids, same assignment, same probe + re-rank)."""
+    from python_cdc_spark.operators.similarity import kmeans_assign
+    from python_cdc_spark.queries.llm_similarity import (
+        _fitted_centroids,
+        _ivf_topk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    e = table(spark, sf, "embeddings")
+    cent = _fitted_centroids(spark, sf, exact=False)
+    assigned = kmeans_assign(e, cent, "vec_id", "embedding", exact=False).select(
+        F.col("vec_id").alias("neighbor_id"), "cell"
+    )
+    inmem = sorted(
+        map(tuple, _ivf_topk(spark, sf, exact=False, assigned=assigned).collect())
+    )
+    persisted = sorted(map(tuple, _ivf_topk(spark, sf, exact=False).collect()))
+    assert persisted == inmem and len(persisted) > 0
