@@ -654,7 +654,16 @@ def _kll_decile_sketch(spark: SparkSession, sf_dir: str):
         F.col("l_extendedprice").alias("v"),
     )
     hb = li.withColumn("bucket", _mix32(F.col("rid")) % 64)
-    bs = hb.groupBy("bucket").agg(F.count(F.lit(1)).cast("long").alias("n_b"))
+    # bucket counts feed the depth table (a broadcast) AND n_rows; the
+    # survivor set feeds the running-weight path AND the total-weight
+    # broadcast. Without checkpoints each broadcast build re-ran the
+    # fact aggregation / the full per-bucket fact SORT from scratch
+    # (r13: one fact sort and one fact agg per invocation, not two).
+    bs = (
+        hb.groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_b"))
+        .localCheckpoint(eager=False)
+    )
     bt = bs.withColumn("q", F.expr("(n_b + 255) div 256")).select(
         "bucket",
         "n_b",
@@ -668,8 +677,10 @@ def _kll_decile_sketch(spark: SparkSession, sf_dir: str):
         F.broadcast(bt), "bucket"
     )
     pow2t = F.expr("shiftleft(cast(1 as bigint), t)")
-    surv = rn.filter((F.col("rn") % pow2t) == 0).select(
-        "v", "rid", pow2t.alias("w")
+    surv = (
+        rn.filter((F.col("rn") % pow2t) == 0)
+        .select("v", "rid", pow2t.alias("w"))
+        .localCheckpoint(eager=False)  # <= B*k sketch rows
     )
     # survivors are <= B*k rows: the unpartitioned window is sketch-scale
     wg = Window.orderBy("v", "rid").rowsBetween(
