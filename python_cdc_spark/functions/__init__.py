@@ -11,6 +11,7 @@ from python_cdc_spark.functions.text import (  # noqa: F401
     token_count,
     tokens,
     word_ngrams,
+    word_ngrams_from_tokens,
 )
 from python_cdc_spark.functions.vectors import (  # noqa: F401
     cosine_similarity,

@@ -36,13 +36,21 @@ def token_count(col: Column) -> Column:
     return F.size(tokens(col)).cast("long")
 
 
-def word_ngrams(col: Column, n: int = 3) -> Column:
-    """Word n-grams as an array<string>; empty array when too short.
+def word_ngrams_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Word n-grams over an ALREADY-MATERIALIZED token-array column;
+    empty array when too short.
 
-    Built with sequence+transform (no explode needed by callers that
-    only aggregate over the grams).
-    """
-    toks = tokens(col)
+    Hot paths must pass a projected column (``select(tokens(text)
+    .alias("__toks"))`` in a separate select), not the ``tokens(...)``
+    expression inline: the transform's lambda body references the token
+    array once per gram element, lambda bodies are excluded from
+    Catalyst's subexpression elimination (they may run 0..N times), and
+    interpreted HOF evaluation re-computes the full referenced
+    expression tree per access — with inline ``tokens(text)`` that is
+    the whole regex tokenization ~3x PER GRAM (measured 12.6 s for the
+    sf0.1 gram explode; 0.45 s against a projected column, r13).
+    CollapseProject keeps the projection: it declines to inline an
+    expensive alias referenced more than once."""
     grams = F.transform(
         F.sequence(F.lit(0), F.size(toks) - n),
         lambda i: F.concat_ws(" ", *[F.get(toks, i + j) for j in range(n)]),
@@ -50,6 +58,17 @@ def word_ngrams(col: Column, n: int = 3) -> Column:
     return F.when(F.size(toks) >= n, grams).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def word_ngrams(col: Column, n: int = 3) -> Column:
+    """Word n-grams as an array<string>; empty array when too short.
+
+    Built with sequence+transform (no explode needed by callers that
+    only aggregate over the grams). Fine for one-shot expressions over
+    short text; HOT paths should project ``tokens(col)`` first and use
+    ``word_ngrams_from_tokens`` (see its docstring for why).
+    """
+    return word_ngrams_from_tokens(tokens(col), n)
 
 
 def quality_features(col: Column) -> dict[str, Column]:

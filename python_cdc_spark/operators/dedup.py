@@ -32,7 +32,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from python_cdc_spark.functions.text import normalized_text, tokens, word_ngrams
+from python_cdc_spark.functions.text import (
+    normalized_text,
+    tokens,
+    word_ngrams_from_tokens,
+)
 
 def _spread(df: DataFrame) -> DataFrame:
     """Ensure at least default-parallelism partitions before an
@@ -56,10 +60,17 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def _gram_cells(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    """(id, gram) pairs, distinct per document."""
+    """(id, gram) pairs, distinct per document. Tokens are projected
+    into a column before the gram transform — inline tokenization
+    re-runs the regex split per gram element (r13: 12.6 s -> 0.45 s
+    for the sf0.1 gram pass; see word_ngrams_from_tokens)."""
     base = _spread(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text")))
-    return base.select(
-        "id", F.explode(F.array_distinct(word_ngrams(F.col("__text"), n))).alias("gram")
+    toked = base.select("id", tokens(F.col("__text")).alias("__toks"))
+    return toked.select(
+        "id",
+        F.explode(
+            F.array_distinct(word_ngrams_from_tokens(F.col("__toks"), n))
+        ).alias("gram"),
     )
 
 

@@ -603,11 +603,14 @@ def text_duplicate_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     builds the cross-doc gram index, one hash join + per-doc aggregate
     scores coverage; ppm is exact integer arithmetic on both engines.
     """
-    from python_cdc_spark.functions.text import word_ngrams
+    from python_cdc_spark.functions.text import tokens, word_ngrams_from_tokens
 
     d = table(spark, sf_dir, "documents")
-    g = d.select(
-        "doc_id", F.explode(word_ngrams(F.col("text"), 8)).alias("gram")
+    # tokens projected before the gram transform (r13; see
+    # word_ngrams_from_tokens)
+    g = d.select("doc_id", tokens(F.col("text")).alias("__toks")).select(
+        "doc_id",
+        F.explode(word_ngrams_from_tokens(F.col("__toks"), 8)).alias("gram"),
     ).select("doc_id", F.substring(F.md5("gram"), 1, 16).alias("gh"))
     g = g.localCheckpoint(eager=False)  # feeds the index AND both scores
     dupg = (

@@ -19,7 +19,7 @@ from python_cdc_spark.functions.text import (
     quality_features,
     token_count,
     tokens,
-    word_ngrams,
+    word_ngrams_from_tokens,
 )
 from python_cdc_spark.io import table
 from python_cdc_spark.queries.helpers import CDC_CORPUS_CTES
@@ -179,13 +179,16 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounding convention in play. Pure column expressions — one scan, no
     shuffle, no UDF."""
     d = table(spark, sf_dir, "documents")
-    grams = word_ngrams(F.col("text"), 3)
-    n = F.size(grams).cast("long")
+    # tokens projected before the gram transform (r13; see
+    # word_ngrams_from_tokens) and every downstream expression reads
+    # the materialized "g" column, never the gram expression tree
+    toked = d.select("doc_id", tokens(F.col("text")).alias("__toks"))
+    n = F.size(F.col("g")).cast("long")
     ppm = F.when(n > 0, F.expr(
         "CAST((size(g) - size(array_distinct(g))) * CAST(1000000 AS BIGINT) DIV size(g) AS BIGINT)"
     )).otherwise(F.lit(0).cast("long"))
     return (
-        d.withColumn("g", grams)
+        toked.withColumn("g", word_ngrams_from_tokens(F.col("__toks"), 3))
         .select(
             "doc_id",
             n.alias("n_grams"),
@@ -210,14 +213,19 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
-    grams = F.array_distinct(word_ngrams(F.col("text"), 3))
-    return d.select(
+    # tokens AND the distinct-gram array are materialized columns so the
+    # tokenizer runs once per row and the gram array once per row (r13;
+    # see word_ngrams_from_tokens)
+    toked = d.select(
+        "doc_id", "text", tokens(F.col("text")).alias("__toks")
+    ).withColumn("__grams", F.array_distinct(word_ngrams_from_tokens(F.col("__toks"), 3)))
+    return toked.select(
         "doc_id",
         F.md5(normalized_text(F.col("text"))).alias("content_fp"),
-        F.array_min(F.transform(grams, lambda g: F.md5(F.concat(F.lit("0|"), g)))).alias(
-            "minhash_1"
-        ),
-        F.size(grams).cast("long").alias("n_distinct_grams"),
+        F.array_min(
+            F.transform(F.col("__grams"), lambda g: F.md5(F.concat(F.lit("0|"), g)))
+        ).alias("minhash_1"),
+        F.size(F.col("__grams")).cast("long").alias("n_distinct_grams"),
     )
 
 
