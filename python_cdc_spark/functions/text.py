@@ -71,14 +71,20 @@ def word_ngrams(col: Column, n: int = 3) -> Column:
     return word_ngrams_from_tokens(tokens(col), n)
 
 
-def quality_features(col: Column) -> dict[str, Column]:
+def quality_features(col: Column, toks: Column | None = None) -> dict[str, Column]:
     """Deterministic quality-scoring features over a text column.
 
     Mirrors common LLM-corpus filters: length, token stats, punctuation
     and stopword ratios. All counts are exact integers; ratios are
     single double divisions (portable).
+
+    ``toks`` lets hot callers pass a PROJECTED token-array column so the
+    tokenizer runs once per row instead of once per referencing
+    expression (~5 occurrences here; same interpreter reasoning as
+    ``word_ngrams_from_tokens``, at per-row rather than per-element
+    multiplicity).
     """
-    toks = tokens(col)
+    toks = toks if toks is not None else tokens(col)
     n_tok = F.size(toks).cast("long")
     n_chars = F.length(col).cast("long")
     n_punct = (
@@ -104,12 +110,13 @@ def quality_features(col: Column) -> dict[str, Column]:
     }
 
 
-def lang_guess(col: Column) -> Column:
+def lang_guess(col: Column, toks: Column | None = None) -> Column:
     """Stopword-profile language ID: the language with the most stopword
     hits wins; zero hits falls back to 'en'. Deterministic tie-break:
     struct comparison (hits, lang) — ties pick the lexicographically
-    LARGEST language code, reproducible in plain SQL."""
-    toks = tokens(col)
+    LARGEST language code, reproducible in plain SQL. ``toks``: see
+    ``quality_features`` (5 filter inputs reference the tokenization)."""
+    toks = toks if toks is not None else tokens(col)
     hits = [
         F.struct(
             F.size(F.filter(toks, lambda t: t.isin(list(words)))).alias("hits"),

@@ -211,9 +211,11 @@ def corpus_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     rejects it (too_short → too_long → low_diversity) or 'kept'. The
     stage expression is a single scan; the per-source fraction reuses
     the aggregate via a window over the tiny grouped result."""
-    d = table(spark, sf_dir, "documents")
-    qf = quality_features(F.col("text"))
-    toks = tokens(F.col("text"))
+    d = table(spark, sf_dir, "documents").select(
+        "source", "text", tokens(F.col("text")).alias("__toks")
+    )
+    toks = F.col("__toks")
+    qf = quality_features(F.col("text"), toks=toks)
     ttr = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
     stage = (
         F.when(qf["n_tokens"] < 20, "too_short")

@@ -51,8 +51,12 @@ _SQL_GRAMS3 = (
     doc="E27: token counting + lexical-diversity statistics",
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
+    # tokens projected once per row; the stats below reference the
+    # column ~6 times (r13; see quality_features)
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text", tokens(F.col("text")).alias("__toks")
+    )
+    toks = F.col("__toks")
     n_tok = F.size(toks).cast("long")
     n_uniq = F.size(F.array_distinct(toks)).cast("long")
     tok_len_sum = F.aggregate(
@@ -94,8 +98,10 @@ _SQL_STOPLIST = ", ".join(f"'{s}'" for s in _ALL_STOPWORDS)
     doc="E27: corpus quality filter (length / punctuation / stopword ratios)",
 )
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
-    qf = quality_features(F.col("text"))
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", tokens(F.col("text")).alias("__toks")
+    )
+    qf = quality_features(F.col("text"), toks=F.col("__toks"))
     keep = qf["n_tokens"].between(5, 1000) & qf["mean_token_len"].between(2, 15)
     return d.select(
         "doc_id",
@@ -139,8 +145,12 @@ def _sql_lang_hits(lang: str) -> str:
     doc="E27: stopword-profile language identification heuristic",
 )
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
-    guess = lang_guess(F.col("text"))
+    # guess is referenced twice and lang_guess's 5 filters each read the
+    # tokenization — projected once per row (r13)
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text", tokens(F.col("text")).alias("__toks")
+    )
+    guess = lang_guess(F.col("text"), toks=F.col("__toks"))
     return d.select(
         "doc_id",
         "lang",
