@@ -66,13 +66,34 @@ def annotate_origins(
     ``initial_origin`` seeds the carry for events that precede every
     marker in ``frames`` — the streaming resume case, where the
     governing marker arrived in an earlier micro-batch.
+
+    The occupied-bucket probe runs against ``frames`` (tag-sliced to the
+    event-bearing messages I/U/D/T), not against ``events``: this
+    function's contract is that ``events`` was decoded FROM ``frames``
+    (decode only ever drops frames), so the frame-derived bucket set is
+    a superset of the events' — and a superset is exact here, because a
+    bucket's carry depends only on the markers BELOW it (extra carry
+    rows join no event row). Probing the binary frames avoids running
+    the whole Arrow decode once per invocation just to learn which
+    buckets exist (the r14 composite profile measured the decode pass
+    twice per run for exactly this reason).
     """
+    tag = F.substring(frame_col, 1, 1)
+    bucket = (F.col("lsn") / F.lit(int(bucket_width))).cast("bigint")
+    event_buckets = [
+        r[0]
+        for r in frames.filter(tag.isin("I", "U", "D", "T"))
+        .select(bucket.alias("__b"))
+        .distinct()
+        .collect()
+    ]
     return annotate_origins_from_markers(
         spark,
         events,
         txn_markers(frames, frame_col),
         bucket_width=bucket_width,
         initial_origin=initial_origin,
+        event_buckets=event_buckets,
     )
 
 
@@ -82,13 +103,24 @@ def annotate_origins_from_markers(
     markers: DataFrame,
     bucket_width: int = 1 << 16,
     initial_origin: str | None = None,
+    event_buckets: list[int] | None = None,
 ) -> DataFrame:
     """Core of :func:`annotate_origins` over pre-decoded txn markers
     ``(lsn, origin)`` — origin NULL for BEGIN (reset to local), a name
     for Origin frames. Takes markers directly so feeds that never pass
     through the binary codec (tests, derived feeds) use the same
-    resolution machinery."""
+    resolution machinery.
+
+    ``event_buckets`` lets a caller that already knows which buckets its
+    events occupy (or any SUPERSET — extra buckets only add carry rows
+    that join nothing) skip the distinct-buckets probe over ``events``;
+    the default derives it from ``events`` as before."""
     bucket = (F.col("lsn") / F.lit(int(bucket_width))).cast("bigint")
+
+    # the marker frame feeds two consumers — the within-bucket union and
+    # the per-bucket last-marker aggregate below — so materialize it once
+    # (lazy: the aggregate's collect is the first action and pins it)
+    markers = markers.localCheckpoint(eager=False)
 
     # Within-bucket resolution: markers sort before events at the same
     # LSN (__is_ev ascending) so a marker is visible to a same-LSN DML.
@@ -123,7 +155,7 @@ def annotate_origins_from_markers(
     )
     event_buckets = sorted(
         r["__b"] for r in events.select(bucket.alias("__b")).distinct().collect()
-    )
+    ) if event_buckets is None else sorted(event_buckets)
     carry_rows = []
     carry = initial_origin
     i = 0

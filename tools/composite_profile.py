@@ -1,15 +1,21 @@
 #!/usr/bin/env python
 """Phase profile for cdc_pipeline_composite (VERDICT r13 "Next round" #1).
 
-Re-runs the composite's body phase by phase under distinct job groups so
-the per-phase Spark job count (deterministic) and wall time (drift-prone)
-can be attributed: head-probes / decode+origins / apply folds / state
-write / cube define / signed deltas + refresh / rewrite+count.
+Re-runs the composite's body phase by phase and attributes per-phase
+Spark job counts (deterministic) and wall time (drift-prone):
+head/fixture scalars, decode+origins+feed checkpoint, the two apply
+folds, state write + cube define, signed deltas + refresh, rewrite.
 
-The body mirrors queries/cdc_queries.py::cdc_pipeline_composite exactly
-(same fixture cache, same operators); any drift between the two is a bug
-in THIS tool, which exists only to produce the committed receipt
-plans/r14/COMPOSITE_PROFILE.json.
+Jobs are counted as deltas of the DAGScheduler's job-id counter rather
+than per-group — the r14 body submits independent jobs from worker
+threads (concurrent folds/writes, guide §2.6), and job groups are
+thread-local, so a group-based count would miss them. The counter
+counts every job in the interval; run on an otherwise idle session.
+
+The body mirrors queries/cdc_queries.py::cdc_pipeline_composite (warm
+fixture path + _composite_from_wire) exactly; any drift between the two
+is a bug in THIS tool, which exists only to produce the committed
+receipt plans/r14/COMPOSITE_PROFILE_*.json.
 
 Usage: python tools/composite_profile.py <reps>
 """
@@ -25,64 +31,53 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def profile_once(spark, sf_dir, tag, out):
+def profile_once(spark, sf_dir, out):
     import hashlib
 
     from pyspark.sql import functions as F
 
+    from python_cdc_spark import fsops
     from python_cdc_spark.cdc.apply import apply_changes_all_tables
     from python_cdc_spark.cdc.ivm import signed_state_deltas
     from python_cdc_spark.cdc.origins import annotate_origins, filter_by_origin
     from python_cdc_spark.cdc.pgoutput import decode_frames
-    from python_cdc_spark.io import table
     from python_cdc_spark.operators.ann_index import source_fingerprint
     from python_cdc_spark.plans.rollup import RollupCatalog, finalize_sum_double
     from python_cdc_spark.queries.cdc_queries import cdc_pipeline_composite
 
     sc = spark.sparkContext
-    tracker = sc.statusTracker()
     phases = []
 
+    def next_job_id() -> int:
+        return int(sc._jsc.sc().dagScheduler().nextJobId())
+
     def phase(name, fn):
-        group = f"{tag}-{name}"
-        sc.setJobGroup(group, name)
+        sc.setJobDescription(f"composite:{name}")
+        j0 = next_job_id()
         t0 = time.perf_counter()
         r = fn()
         wall = time.perf_counter() - t0
-        sc.setJobGroup(None, None)
-        ids = tracker.getJobIdsForGroup(group)
-        phases.append({"phase": name, "wall": round(wall, 3), "jobs": len(ids)})
+        jobs = next_job_id() - j0
+        sc.setJobDescription(None)
+        phases.append({"phase": name, "wall": round(wall, 3), "jobs": jobs})
         return r
 
     # make sure the wire fixture is warm (one full run, untracked) so the
     # profile measures the steady-state invocation the bench times
     cdc_pipeline_composite(spark, sf_dir).count()
 
-    ev = table(spark, sf_dir, "events").select(
-        "event_id", "ts", "user_id", "event_type", "value"
-    )
-
-    def head_probes():
-        head = ev.agg(F.max("event_id"), F.min("ts")).first()
-        max_eid = int(head[0])
-        mid_txn = (max_eid // 10) // 2
-        txn_of = F.floor(F.col("event_id") / 10).cast("long")
-        t_row = (
-            ev.filter((txn_of >= mid_txn) & (txn_of % 3 != 0))
-            .agg(F.min("event_id"))
-            .first()[0]
-        )
-        return max_eid, t_row
-
-    max_eid, t_row = phase("head_probes", head_probes)
-    split_eid = max_eid // 2
-    s_lsn = 8 * split_eid
-
     cache_key = hashlib.md5(
         os.path.abspath(sf_dir.rstrip("/")).encode()
     ).hexdigest()[:16]
     root = os.path.join(".rollup_cache", cache_key + "_e2e")
     wire_dir = os.path.join(root, "wire.parquet")
+
+    def fixture_scalars():
+        meta = fsops.read_json(os.path.join(wire_dir, "_meta.json"))
+        return 8 * (int(meta["derived"]["max_eid"]) // 2)
+
+    s_lsn = phase("fixture_scalars", fixture_scalars)
+
     frames = spark.read.schema("lsn bigint, ts timestamp, frame binary").parquet(
         wire_dir
     )
@@ -121,42 +116,49 @@ def profile_once(spark, sf_dir, tag, out):
             F.col("last_lsn"),
         )
 
-    state0 = phase(
-        "apply_state0",
-        lambda: typed(
-            apply_changes_all_tables(feed.filter(~is_delta), "key")
-        ).localCheckpoint(eager=True),
-    )
-    state1 = phase(
-        "apply_state1",
-        lambda: typed(apply_changes_all_tables(feed, "key")).localCheckpoint(
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _fold(src):
+        return typed(apply_changes_all_tables(src, "key")).localCheckpoint(
             eager=True
-        ),
-    )
+        )
+
+    def folds():
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f0 = pool.submit(_fold, feed.filter(~is_delta))
+            f1 = pool.submit(_fold, feed)
+            return f0.result(), f1.result()
+
+    state0, state1 = phase("apply_folds_concurrent", folds)
 
     state_dir = os.path.join(root, "state1")
-    phase(
-        "state1_write",
-        lambda: state1.write.mode("overwrite")
-        .partitionBy("key_band")
-        .parquet(state_dir),
-    )
-
     cat = RollupCatalog(spark, os.path.join(root, "cubes"))
-    phase(
-        "cube_define",
-        lambda: cat.define(
-            "e2e_cube",
-            state0,
-            dims={"key_band": "key_band", "tbl": "tbl", "col_name": "col_name"},
-            measures={
-                "n_rows": ("count", "1"),
-                "sum_value": ("sum", "value"),
-                "max_lsn": ("max", "last_lsn"),
-            },
-            fingerprint=source_fingerprint(os.path.join(sf_dir, "events.parquet")),
-        ),
-    )
+
+    def write_and_define():
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fw = pool.submit(
+                lambda: state1.write.mode("overwrite")
+                .partitionBy("key_band")
+                .parquet(state_dir)
+            )
+            fd = pool.submit(
+                cat.define,
+                "e2e_cube",
+                state0,
+                dims={"key_band": "key_band", "tbl": "tbl", "col_name": "col_name"},
+                measures={
+                    "n_rows": ("count", "1"),
+                    "sum_value": ("sum", "value"),
+                    "max_lsn": ("max", "last_lsn"),
+                },
+                fingerprint=source_fingerprint(
+                    os.path.join(sf_dir, "events.parquet")
+                ),
+            )
+            fw.result()
+            fd.result()
+
+    phase("state_write_and_define", write_and_define)
 
     def refresh():
         plus, minus = signed_state_deltas(
@@ -171,6 +173,7 @@ def profile_once(spark, sf_dir, tag, out):
             minus,
             state_path=state_dir,
             state_partition_dim="key_band",
+            state_schema=state1.schema,
         )
 
     phase("deltas_refresh_cdc", refresh)
@@ -209,10 +212,9 @@ def main() -> None:
 
     runs = []
     for rep in range(reps):
-        profile_once(spark, sf_dir, f"rep{rep}", runs)
+        profile_once(spark, sf_dir, runs)
         print(f"# rep{rep}: {json.dumps(runs[-1])}", file=sys.stderr, flush=True)
 
-    # aggregate: per-phase median wall + job counts across reps
     agg = {}
     for run in runs:
         for p in run["phases"]:
