@@ -313,19 +313,24 @@ def apply_changes_with_tombstones_multi(
     )
 
 
-def apply_changes_all_tables(events: DataFrame, key_col: str = "key") -> DataFrame:
+def apply_changes_all_tables(
+    events: DataFrame, key_col: str = "key", plan: str = "argmax"
+) -> DataFrame:
     """Apply-changes for a multi-table feed in one pass: state is keyed
     by (schema, table, key), so one job materializes every replicated
     table — the shape of a real publication with many tables
     (``/root/reference/init.sql:15`` publishes per-table; a fleet of
     tables shares the WAL stream). Output adds ``schema``/``table``.
+    ``plan`` selects the physical fold strategy (argmax/array_fold, see
+    :func:`apply_changes_with_tombstones` — value-identical, pinned by
+    tests/test_apply_property.py).
     """
     sep = "\x1f"  # ASCII unit separator — cannot occur in identifiers
     composite = events.withColumn(
         "__tk",
         F.concat_ws(sep, F.col("schema"), F.col("table"), F.col(key_col)),
     )
-    folded = apply_changes(composite, "__tk")
+    folded = apply_changes(composite, "__tk", plan=plan)
     parts = F.split(F.col("__tk"), sep)
     return folded.select(
         parts.getItem(0).alias("schema"),
@@ -336,7 +341,9 @@ def apply_changes_all_tables(events: DataFrame, key_col: str = "key") -> DataFra
     )
 
 
-def apply_changes(events: DataFrame, key_col: str = "key") -> DataFrame:
+def apply_changes(
+    events: DataFrame, key_col: str = "key", plan: str = "argmax"
+) -> DataFrame:
     """Fold a CDC feed into current state: one row per live key with a
     ``values`` map of the latest non-sentinel column values.
 
@@ -346,7 +353,7 @@ def apply_changes(events: DataFrame, key_col: str = "key") -> DataFrame:
     (``test_changes.py:73-91``: the test row is gone).
     """
     return (
-        apply_changes_with_tombstones(events, key_col)
+        apply_changes_with_tombstones(events, key_col, plan=plan)
         .filter(F.col("values").isNotNull())
         .select(key_col, "values", "last_lsn")
     )

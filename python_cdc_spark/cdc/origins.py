@@ -77,16 +77,35 @@ def annotate_origins(
     the whole Arrow decode once per invocation just to learn which
     buckets exist (the r14 composite profile measured the decode pass
     twice per run for exactly this reason).
+
+    The probe and the per-bucket last-marker aggregate (the two scalar
+    inputs to the cross-bucket carry) are computed in ONE aggregate over
+    ``frames`` — one Spark job and one scan instead of two of each; both
+    results are O(non-empty buckets), driver-safe by the module's scale
+    contract.
     """
     tag = F.substring(frame_col, 1, 1)
     bucket = (F.col("lsn") / F.lit(int(bucket_width))).cast("bigint")
-    event_buckets = [
-        r[0]
-        for r in frames.filter(tag.isin("I", "U", "D", "T"))
-        .select(bucket.alias("__b"))
-        .distinct()
+    # same name slice as txn_markers, gated to O frames (B resets to NULL)
+    name = F.decode(
+        F.expr(f"substring({frame_col}, 10, length({frame_col}) - 10)"),
+        "UTF-8",
+    )
+    probe = (
+        frames.groupBy(bucket.alias("__b"))
+        .agg(
+            F.max(tag.isin("I", "U", "D", "T").cast("int")).alias("__has_ev"),
+            F.max_by(
+                F.struct(F.when(tag == "O", name).alias("origin")),
+                F.when(tag.isin("B", "O"), F.col("lsn")),
+            ).alias("__last"),
+        )
         .collect()
-    ]
+    )
+    event_buckets = [r["__b"] for r in probe if r["__has_ev"] == 1]
+    marker_lasts = sorted(
+        (r["__b"], r["__last"]["origin"]) for r in probe if r["__last"] is not None
+    )
     return annotate_origins_from_markers(
         spark,
         events,
@@ -94,6 +113,7 @@ def annotate_origins(
         bucket_width=bucket_width,
         initial_origin=initial_origin,
         event_buckets=event_buckets,
+        marker_lasts=marker_lasts,
     )
 
 
@@ -104,6 +124,7 @@ def annotate_origins_from_markers(
     bucket_width: int = 1 << 16,
     initial_origin: str | None = None,
     event_buckets: list[int] | None = None,
+    marker_lasts: list[tuple[int, str | None]] | None = None,
 ) -> DataFrame:
     """Core of :func:`annotate_origins` over pre-decoded txn markers
     ``(lsn, origin)`` — origin NULL for BEGIN (reset to local), a name
@@ -114,13 +135,19 @@ def annotate_origins_from_markers(
     ``event_buckets`` lets a caller that already knows which buckets its
     events occupy (or any SUPERSET — extra buckets only add carry rows
     that join nothing) skip the distinct-buckets probe over ``events``;
-    the default derives it from ``events`` as before."""
+    ``marker_lasts`` likewise skips the per-bucket last-marker collect
+    (sorted ``(bucket, origin)``, one row per marker-bearing bucket).
+    The defaults derive both from the DataFrames as before."""
     bucket = (F.col("lsn") / F.lit(int(bucket_width))).cast("bigint")
 
-    # the marker frame feeds two consumers — the within-bucket union and
-    # the per-bucket last-marker aggregate below — so materialize it once
-    # (lazy: the aggregate's collect is the first action and pins it)
-    markers = markers.localCheckpoint(eager=False)
+    if marker_lasts is None:
+        # the marker frame then feeds two consumers — the within-bucket
+        # union and the per-bucket last-marker aggregate below — so
+        # materialize it once (lazy: the aggregate's collect is the
+        # first action and pins it). When marker_lasts is supplied the
+        # union is the only consumer and the checkpoint would be pure
+        # overhead.
+        markers = markers.localCheckpoint(eager=False)
 
     # Within-bucket resolution: markers sort before events at the same
     # LSN (__is_ev ascending) so a marker is visible to a same-LSN DML.
@@ -145,14 +172,15 @@ def annotate_origins_from_markers(
     # Cross-bucket carry: last marker per marker-bucket (≤ 1 row per
     # bucket — metadata scale), forward-filled on the driver across the
     # distinct buckets events actually occupy, broadcast-joined back.
-    marker_lasts = sorted(
-        (
-            (r["__b"], r["__last"]["origin"])
-            for r in markers.groupBy(bucket.alias("__b"))
-            .agg(F.max_by(F.struct("origin"), "lsn").alias("__last"))
-            .collect()
-        ),
-    )
+    if marker_lasts is None:
+        marker_lasts = sorted(
+            (
+                (r["__b"], r["__last"]["origin"])
+                for r in markers.groupBy(bucket.alias("__b"))
+                .agg(F.max_by(F.struct("origin"), "lsn").alias("__last"))
+                .collect()
+            ),
+        )
     event_buckets = sorted(
         r["__b"] for r in events.select(bucket.alias("__b")).distinct().collect()
     ) if event_buckets is None else sorted(event_buckets)

@@ -1215,10 +1215,17 @@ def _composite_from_wire(
     # independently derived before AND after image.
     from concurrent.futures import ThreadPoolExecutor
 
+    # plan="array_fold": one keyed shuffle per fold instead of the argmax
+    # plan's three-plus-a-join (apply.py module docstring; value-identity
+    # pinned by tests/test_apply_property.py and the streaming merge uses
+    # the same heuristic at apply_stream.py). Safe here because per-key
+    # history is bounded by construction — each id sees at most
+    # insert + update + delete in the fixture feed, so collect_list
+    # concentrates O(1) events per key, not a hot-key history.
     def _fold(src: DataFrame) -> DataFrame:
-        return typed(apply_changes_all_tables(src, "key")).localCheckpoint(
-            eager=True
-        )
+        return typed(
+            apply_changes_all_tables(src, "key", plan="array_fold")
+        ).localCheckpoint(eager=True)
 
     with ThreadPoolExecutor(max_workers=2) as pool:
         f0 = pool.submit(_fold, feed.filter(~is_delta))

@@ -119,9 +119,9 @@ def profile_once(spark, sf_dir, out):
     from concurrent.futures import ThreadPoolExecutor
 
     def _fold(src):
-        return typed(apply_changes_all_tables(src, "key")).localCheckpoint(
-            eager=True
-        )
+        return typed(
+            apply_changes_all_tables(src, "key", plan="array_fold")
+        ).localCheckpoint(eager=True)
 
     def folds():
         with ThreadPoolExecutor(max_workers=2) as pool:
