@@ -399,15 +399,19 @@ def corpus_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     len/stride (~2-3× rows here), no UDF, no shuffle. At 100 TB this is
     the shape you want: chunking is map-only and parallelizes with the
     input splits."""
-    d = table(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
-    n = F.size(toks)
+    # tokenize once into a projected column: the start sequence and the
+    # carried window array both reference the token array (the generator
+    # expression would otherwise re-tokenize for each)
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("w")
+    )
+    n = F.size(F.col("w"))
     starts = F.when(
         n > 0, F.sequence(F.lit(0), n - 1, F.lit(_CHUNK_STRIDE))
     ).otherwise(F.array().cast("array<int>"))
     chunk = F.slice("w", F.col("start") + 1, _CHUNK_WINDOW)
     return (
-        d.select("doc_id", toks.alias("w"), F.explode(starts).alias("start"))
+        d.select("doc_id", "w", F.explode(starts).alias("start"))
         .select(
             "doc_id",
             (F.col("start") / _CHUNK_STRIDE).cast("long").alias("chunk_id"),

@@ -1018,8 +1018,14 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from python_cdc_spark.queries.helpers import DEC
 
-    d = table(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
+    # project the token array ONCE: four feature expressions reference
+    # it, two through interpreted HOF lambdas that re-run the referenced
+    # tree per access (see word_ngrams_from_tokens; r13 measured the
+    # per-row multiplicity in this family)
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", tokens(F.col("text")).alias("__toks")
+    )
+    toks = F.col("__toks")
     n_tok = F.size(toks).cast("double")
     stop_hits = F.size(
         F.filter(

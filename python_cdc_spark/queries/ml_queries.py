@@ -95,8 +95,12 @@ def ml_linreg_suffstats(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum is decimal-routed so Spark's partial-aggregation order and the
     DuckDB oracle agree bit-for-bit. The driver never sees rows — only
     the (p²+3p)/2+3 statistics."""
-    d = table(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
+    # project the token array ONCE (three references, two via interpreted
+    # HOF lambdas — same reasoning as word_ngrams_from_tokens, r13)
+    d = table(spark, sf_dir, "documents").select(
+        "text", tokens(F.col("text")).alias("__toks")
+    )
+    toks = F.col("__toks")
     n_tok = F.size(toks).cast("double")
     stop_hits = F.size(
         F.filter(
