@@ -204,8 +204,8 @@ def _cleanup(path: str, ptr: dict) -> None:
     for entry in fsops.list_dir(path):
         if entry.startswith("meta_v") and entry not in live:
             fsops.remove_tree(os.path.join(path, entry))
-        elif entry.startswith("_meta_staging_") and fsops.staging_is_stale(
-            os.path.join(path, entry)
+        elif entry.startswith(("_meta_staging_", "_union_staging_")) and (
+            fsops.staging_is_stale(os.path.join(path, entry))
         ):
             # a crashed writer's private staging never got claimed;
             # YOUNG staging may belong to a live concurrent writer —
@@ -265,33 +265,37 @@ def read_df_table(spark: SparkSession, path: str) -> DataFrame:
 
 
 def read_globals(spark: SparkSession, path: str):
+    """``{"n_docs": int, "sum_dl": int}``. Two counters do not need a
+    parquet file and a Spark job per read: since r14 they ride in the
+    pointer itself (same atomic publish; the pointer swap was already
+    the commit point for the meta version that carried them). Legacy
+    indexes (pre-r14 pointers without a ``globals`` key) fall back to
+    the old per-meta-version ``globals.parquet``."""
     ptr = read_ptr(path)
-    return (
+    g = ptr.get("globals")
+    if g is not None:
+        return {"n_docs": int(g["n_docs"]), "sum_dl": int(g["sum_dl"])}
+    row = (
         spark.read.schema("n_docs long, sum_dl long")
         .parquet(os.path.join(_meta_dir(path, ptr["meta"]), "globals.parquet"))
         .first()
     )
+    return {"n_docs": int(row["n_docs"]), "sum_dl": int(row["sum_dl"])}
 
 
 def _write_meta(
-    spark: SparkSession, path: str, version: int, df_table: DataFrame, n_docs: int, sum_dl: int
+    spark: SparkSession, path: str, version: int, df_table: DataFrame
 ) -> int:
-    """Stage df + globals into a writer-private dir, then claim the
+    """Stage the df table into a writer-private dir, then claim the
     first free ``meta_v*`` slot at-or-past the hinted version (racing
     writers never clobber each other). Returns the CLAIMED version —
-    the pointer must record this, not the hint."""
+    the pointer must record this, not the hint. The two corpus globals
+    ride in the pointer (read_globals), not in a parquet file here —
+    one fewer write job per fold and one fewer read job per search."""
     import uuid
 
     staging = os.path.join(path, f"_meta_staging_{uuid.uuid4().hex[:12]}")
     df_table.write.mode("overwrite").parquet(os.path.join(staging, "df.parquet"))
-    # range+lit, NOT createDataFrame: a Python-local 1-row frame routes
-    # the parquet write through the pickled-RDD path, which costs ~5-7 s
-    # of Python-worker setup per write in this PySpark build; the
-    # range+lit plan stays entirely JVM-side (~0.2 s)
-    spark.range(1).select(
-        F.lit(int(n_docs)).cast("long").alias("n_docs"),
-        F.lit(int(sum_dl)).cast("long").alias("sum_dl"),
-    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(staging, "globals.parquet"))
     v = version
     while not fsops.rename_no_clobber(staging, _meta_dir(path, v)):
         v += 1
@@ -325,8 +329,19 @@ def _write_buckets(
         "pb"
     ).mode("overwrite").parquet(staging)
     allowed = {int(b) for b in touched}
+    out = _claim_bucket_slots(path, table, staging, allowed, versions)
+    fsops.remove_tree(staging)
+    return out
+
+
+def _claim_bucket_slots(
+    path: str, table: str, staged_root: str, allowed: set[int], versions: dict
+) -> dict[str, int]:
+    """Rename every staged ``pb=<b>`` partition dir under ``staged_root``
+    into its versioned bucket location (metadata-only). Shared by the
+    per-table writer and the fused postings+doclen writer."""
     out = {}
-    for entry in fsops.list_dir(staging):
+    for entry in fsops.list_dir(staged_root):
         if not entry.startswith("pb="):
             continue
         b = int(entry.split("=", 1)[1])
@@ -339,12 +354,78 @@ def _write_buckets(
         # pointer's unreferenced slots are reclaimed by cleanup/vacuum
         v = int(versions.get(str(b), -1)) + 1
         while not fsops.rename_no_clobber(
-            os.path.join(staging, entry), _bucket_dir(path, table, b, v)
+            os.path.join(staged_root, entry), _bucket_dir(path, table, b, v)
         ):
             v += 1
         out[str(b)] = v
-    fsops.remove_tree(staging)
     return out
+
+
+def _write_buckets_fused(
+    path: str,
+    postings: DataFrame,
+    touched: list[int],
+    ptr: dict,
+    doclen: DataFrame | None = None,
+) -> tuple[dict[str, int], dict[str, int]]:
+    """Stage the touched buckets of BOTH per-bucket tables — postings
+    and the derived doclen — in ONE Spark write (r13 verdict #5): the
+    two frames union with a ``kind`` discriminator and partition by
+    (kind, pb), so a fold pays one write job instead of two. The staged
+    ``kind=<table>/pb=<b>`` dirs rename into exactly the same versioned
+    bucket locations as before — the directory-pruned read contract is
+    untouched, and each read's fixed schema prunes the other kind's
+    null-filled columns at the parquet scan.
+
+    ``postings`` must be the KEPT rows (post-eviction); ``doclen``
+    (doc_id, dl, bucket) is derived from them when not supplied — a
+    caller that already rolled the kept rows up per doc passes it to
+    skip the second aggregation. Returns (postings entries, doclen
+    entries)."""
+    import uuid
+
+    dl_null = F.lit(None).cast("long").alias("dl")
+    p_part = postings.select(
+        "doc_id", "token", "tf", "positions", dl_null, "bucket",
+        F.lit("postings").alias("kind"),
+    )
+    d_part = (_doclen_of(postings) if doclen is None else doclen).select(
+        "doc_id",
+        F.lit(None).cast("string").alias("token"),
+        F.lit(None).cast("long").alias("tf"),
+        F.lit(None).cast("array<int>").alias("positions"),
+        F.col("dl"),
+        "bucket",
+        F.lit("doclen").alias("kind"),
+    )
+    staging = os.path.join(path, f"_union_staging_{uuid.uuid4().hex[:12]}")
+    fsops.remove_tree(staging)
+    # one file per (kind, bucket) — same fragmentation reasoning as
+    # _write_buckets's repartition on the bucket value
+    (
+        p_part.unionByName(d_part)
+        .withColumn("pb", F.col("bucket"))
+        .repartition(F.col("kind"), F.col("pb"))
+        .write.partitionBy("kind", "pb")
+        .mode("overwrite")
+        .parquet(staging)
+    )
+    allowed = {int(b) for b in touched}
+    # the per-table staging used to create these parents as a side
+    # effect; the fused staging lives at the index root, so a first
+    # build must create them before the renames
+    os.makedirs(os.path.join(path, "postings"), exist_ok=True)
+    os.makedirs(os.path.join(path, "doclen"), exist_ok=True)
+    p_out = _claim_bucket_slots(
+        path, "postings", os.path.join(staging, "kind=postings"), allowed,
+        ptr["postings"],
+    )
+    d_out = _claim_bucket_slots(
+        path, "doclen", os.path.join(staging, "kind=doclen"), allowed,
+        ptr["doclen"],
+    )
+    fsops.remove_tree(staging)
+    return p_out, d_out
 
 
 # --- build / fold ----------------------------------------------------------
@@ -382,20 +463,21 @@ def build_bm25_index(
     df_table = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     # versions continue past the previous generation's, so staging can
     # never overwrite a directory the live pointer still references;
-    # the three staged outputs are path-disjoint → concurrent jobs
+    # the two staged outputs are path-disjoint → concurrent jobs
+    # (postings + derived doclen fused into ONE bucket write, r14)
     all_buckets = list(range(_N_BUCKETS))
-    with ThreadPoolExecutor(max_workers=3) as pool:
-        f_post = pool.submit(_write_buckets, path, "postings", tf, all_buckets, old["postings"])
-        f_dl = pool.submit(_write_buckets, path, "doclen", _doclen_of(tf), all_buckets, old["doclen"])
-        f_meta = pool.submit(_write_meta, spark, path, meta_v, df_table, g["n"] or 0, g["s"] or 0)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_bkts = pool.submit(_write_buckets_fused, path, tf, all_buckets, old)
+        f_meta = pool.submit(_write_meta, spark, path, meta_v, df_table)
+        p_entries, d_entries = f_bkts.result()
         ptr = {
-            "meta": None,  # filled with the CLAIMED meta version below
-            "postings": f_post.result(),
-            "doclen": f_dl.result(),
+            "meta": f_meta.result(),
+            "postings": p_entries,
+            "doclen": d_entries,
             "folds": [],
             "pos": bool(store_positions),
+            "globals": {"n_docs": int(g["n"] or 0), "sum_dl": int(g["s"] or 0)},
         }
-        ptr["meta"] = f_meta.result()
     _write_ptr(path, ptr, tok)
     _cleanup(path, ptr)
     return int(g["n"] or 0)
@@ -476,12 +558,23 @@ def cdc_bm25_update(
         )
         .localCheckpoint(eager=True)
     )
-    # --- counters (one aggregate over the combined frame) --------------
-    st = combined.agg(
-        F.countDistinct(F.when(F.col("__ev"), F.col("doc_id"))).alias("ev_n"),
-        F.sum(F.when(F.col("__ev"), F.col("tf"))).alias("ev_s"),
-        F.countDistinct(F.when(F.col("__new"), F.col("doc_id"))).alias("nw_n"),
-        F.sum(F.when(F.col("__new"), F.col("tf"))).alias("nw_s"),
+    # --- per-doc rollup (r14): one token→doc aggregation reused twice --
+    # A doc's rows share their flags per source branch, so grouping on
+    # (doc_id, bucket, flags) yields ≤2 rows per doc: its new image
+    # and/or its old image. This frame IS the doclen table for the kept
+    # side (dl = Σ tf), and the fold counters are a distinct-free
+    # aggregate over it — replacing a 3-job countDistinct Expand over
+    # token-level rows AND the doclen groupBy inside the bucket write.
+    per_doc = (
+        combined.groupBy("doc_id", "bucket", "__new", "__ev")
+        .agg(F.sum("tf").cast("long").alias("dl"))
+        .localCheckpoint(eager=True)
+    )
+    st = per_doc.agg(
+        F.count(F.when(F.col("__ev"), 1)).alias("ev_n"),
+        F.sum(F.when(F.col("__ev"), F.col("dl"))).alias("ev_s"),
+        F.count(F.when(F.col("__new"), 1)).alias("nw_n"),
+        F.sum(F.when(F.col("__new"), F.col("dl"))).alias("nw_s"),
     ).first()
     # df counters by UNION + one groupBy — no join: the old table's rows
     # carry their df, placed rows +1, evicted rows −1, one shuffle total
@@ -510,14 +603,17 @@ def cdc_bm25_update(
     kept = combined.filter(~F.col("__ev")).select(
         "doc_id", "token", "tf", "positions", "bucket"
     )
+    # kept docs carry exactly one per_doc group (new XOR old-kept), so
+    # the filtered rollup IS the new doclen rows — no second groupBy
+    kept_dl = per_doc.filter(~F.col("__ev")).select("doc_id", "dl", "bucket")
     meta_v = ptr["meta"] + 1
-    with ThreadPoolExecutor(max_workers=3) as pool:
-        f_meta = pool.submit(_write_meta, spark, path, meta_v, new_df, n_docs, sum_dl)
-        f_post = pool.submit(_write_buckets, path, "postings", kept, touched, ptr["postings"])
-        f_dl = pool.submit(_write_buckets, path, "doclen", _doclen_of(kept), touched, ptr["doclen"])
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_meta = pool.submit(_write_meta, spark, path, meta_v, new_df)
+        f_bkts = pool.submit(
+            _write_buckets_fused, path, kept, touched, ptr, kept_dl
+        )
         meta_v = f_meta.result()  # the CLAIMED slot (≥ the hint)
-        p_entries = f_post.result()
-        d_entries = f_dl.result()
+        p_entries, d_entries = f_bkts.result()
     nxt = {
         "meta": meta_v,
         "postings": {
@@ -533,6 +629,7 @@ def cdc_bm25_update(
         # few batches) — far inside the window, and the pointer stays KB
         "folds": (ptr["folds"] + [tag])[-64:],
         "pos": ptr["pos"],  # folds inherit the index's positions mode
+        "globals": {"n_docs": int(n_docs), "sum_dl": int(sum_dl)},
     }
     _write_ptr(path, nxt, tok)  # the commit point (CAS on the read token)
     _cleanup(path, nxt)
@@ -581,7 +678,11 @@ def bm25_search(
         .select("doc_id", "token", "tf", "bucket")
         .localCheckpoint(eager=True)  # scanned twice: bucket probe + join
     )
-    hit_buckets = [int(r["bucket"]) for r in tf.select("bucket").distinct().collect()]
+    # collect_set in one full aggregate (≤ N_BUCKETS values) instead of
+    # distinct().collect(): one Spark job, no exchange materialization
+    hit_buckets = sorted(
+        int(b) for b in tf.agg(F.collect_set("bucket")).first()[0]
+    )
     dl = _read_table(spark, path, "doclen", _DOCLEN_SCHEMA, ptr, hit_buckets).select(
         "doc_id", "dl"
     )
@@ -650,7 +751,10 @@ def bm25_phrase_search(
         .select("doc_id", "token", "positions", "bucket")
         .localCheckpoint(eager=True)  # scanned twice: bucket probe + match
     )
-    hit_buckets = [int(r["bucket"]) for r in post.select("bucket").distinct().collect()]
+    # same single-job probe as bm25_search (≤ N_BUCKETS values)
+    hit_buckets = sorted(
+        int(b) for b in post.agg(F.collect_set("bucket")).first()[0]
+    )
     occ = (
         post.join(F.broadcast(ph), post["token"] == ph["term"])
         .select("doc_id", "i", F.explode("positions").alias("pos"))

@@ -222,19 +222,23 @@ def test_crash_mid_stage_leaves_no_orphans_after_next_fold(spark, tmp_path, monk
     idx = str(tmp_path / "idx")
     build_bm25_index(spark, _corpus(spark, BASE), idx)
 
-    real = mod._write_buckets
+    # crash INSIDE the fused bucket writer after the postings claims
+    # landed but before the doclen claims — the sharpest partial-stage
+    # point of the r14 single-write layout (claimed postings dirs + the
+    # union staging tree are both orphaned; the pointer never moves)
+    real = mod._claim_bucket_slots
     calls = {"n": 0}
 
-    def crash_on_second(path, table, frame, touched, versions):
+    def crash_on_second(path, table, staged_root, allowed, versions):
         calls["n"] += 1
-        if calls["n"] == 2:  # postings staged, doclen about to
+        if calls["n"] == 2:  # postings claimed, doclen about to
             raise RuntimeError("crash mid-stage")
-        return real(path, table, frame, touched, versions)
+        return real(path, table, staged_root, allowed, versions)
 
-    monkeypatch.setattr(mod, "_write_buckets", crash_on_second)
+    monkeypatch.setattr(mod, "_claim_bucket_slots", crash_on_second)
     with pytest.raises(RuntimeError):
         cdc_bm25_update(spark, idx, _delta(spark, DELTA))
-    monkeypatch.setattr(mod, "_write_buckets", real)
+    monkeypatch.setattr(mod, "_claim_bucket_slots", real)
 
     cdc_bm25_update(spark, idx, _delta(spark, DELTA))
     ptr = read_ptr(idx)
